@@ -1,13 +1,121 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators.{Marts, Relational}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every `queries` key has a matching `oracleSql` entry (ANSI SQL run
+  * by DuckDB over the same parquet tables) unless the operator is not
+  * SQL-expressible, in which case the driver records a rows-only
+  * check. Column names and row ORDER BY are kept identical on both
+  * sides; money aggregates go through DECIMAL(18,2) in both engines
+  * so value hashes match bitwise (see graft.core.Fns).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The sales-mart incentive query — joins, groupBy, rank window,
+    * conditional derive (SURVEY.md §3.3).
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.q09(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_scan_project"   -> Relational.q01 _,
+    "q02_filter"         -> Relational.q02 _,
+    "q03_join"           -> Relational.q03 _,
+    "q04_join3"          -> Relational.q04 _,
+    "q05_union"          -> Relational.q05 _,
+    "q06_group_month"    -> Relational.q06 _,
+    "q07_window_distinct"-> Relational.q07 _,
+    "q08_rank_topk"      -> Relational.q08 _,
+    "q09_incentive_mart" -> Relational.q09 _,
+    "q10_concat"         -> Relational.q10 _,
+    "q11_distinct"       -> Relational.q11 _,
+    "q12_topk_limit"     -> Relational.q12 _,
+    "q13_customer_mart"  -> (Marts.customerMart _),
+    "q14_partitioned_roundtrip" -> (Marts.partitionedRoundtrip _),
+    "q15_union_fold"     -> Relational.q15 _,
+  )
+
+  private val monthExpr =
+    "substring(CAST(CAST(%s AS DATE) AS VARCHAR), 1, 7)"
+  private val oMonth = monthExpr.format("o_orderdate")
+  private val oMonthQ = monthExpr.format("o.o_orderdate")
+
+  private val q09Sql: String =
+    s"""SELECT store, person, month, CAST(total_dec AS DOUBLE) AS total,
+       |  CAST(CASE WHEN rnk = 1 THEN round(total_dec * 0.01, 2) ELSE 0 END AS DOUBLE) AS incentive
+       |FROM (
+       |  SELECT store, person, month, total_dec,
+       |    rank() OVER (PARTITION BY store, month ORDER BY total_dec DESC, person) AS rnk
+       |  FROM (
+       |    SELECT n.n_nationkey AS store, s.s_suppkey AS person,
+       |      $oMonthQ AS month,
+       |      SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS total_dec
+       |    FROM lineitem l
+       |    JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       |    JOIN nation n ON s.s_nationkey = n.n_nationkey
+       |    GROUP BY 1, 2, 3) g) r
+       |ORDER BY store, month, person""".stripMargin
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q01_scan_project" ->
+      "SELECT c_custkey, c_name, c_mktsegment FROM customer ORDER BY c_custkey",
+    "q02_filter" ->
+      ("SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem " +
+        "WHERE l_quantity > 30 ORDER BY l_orderkey, l_linenumber"),
+    "q03_join" ->
+      ("SELECT o.o_orderkey, c.c_name, o.o_totalprice FROM orders o " +
+        "JOIN customer c ON o.o_custkey = c.c_custkey ORDER BY o.o_orderkey"),
+    "q04_join3" ->
+      ("SELECT l.l_orderkey, l.l_linenumber, c.c_name, s.s_name FROM lineitem l " +
+        "JOIN orders o ON l.l_orderkey = o.o_orderkey " +
+        "JOIN customer c ON o.o_custkey = c.c_custkey " +
+        "JOIN supplier s ON l.l_suppkey = s.s_suppkey " +
+        "ORDER BY l.l_orderkey, l.l_linenumber"),
+    "q05_union" ->
+      ("SELECT c_custkey AS k, c_name AS n FROM customer WHERE c_custkey % 2 = 0 " +
+        "UNION ALL SELECT c_custkey AS k, c_name AS n FROM customer " +
+        "WHERE c_custkey % 2 = 1 ORDER BY k"),
+    "q06_group_month" ->
+      (s"SELECT o_custkey, $oMonth AS month, " +
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total " +
+        "FROM orders GROUP BY 1, 2 ORDER BY 1, 2"),
+    "q07_window_distinct" ->
+      (s"SELECT DISTINCT o_custkey, month, CAST(total_dec AS DOUBLE) AS total FROM (" +
+        s"SELECT o_custkey, $oMonth AS month, " +
+        s"SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey, $oMonth) AS total_dec " +
+        "FROM orders) t ORDER BY o_custkey, month"),
+    "q08_rank_topk" ->
+      ("SELECT o_custkey, o_orderkey, CAST(rnk AS INTEGER) AS rnk FROM (" +
+        "SELECT o_custkey, o_orderkey, rank() OVER (PARTITION BY o_custkey " +
+        "ORDER BY o_totalprice DESC, o_orderkey) AS rnk FROM orders) t " +
+        "WHERE rnk <= 3 ORDER BY o_custkey, rnk, o_orderkey"),
+    "q09_incentive_mart" -> q09Sql,
+    "q10_concat" ->
+      ("SELECT s.s_suppkey, s.s_name || ' ' || n.n_name AS full_name FROM supplier s " +
+        "JOIN nation n ON s.s_nationkey = n.n_nationkey ORDER BY s.s_suppkey"),
+    "q11_distinct" ->
+      ("SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders " +
+        "ORDER BY 1, 2"),
+    "q12_topk_limit" ->
+      ("SELECT o_orderkey, o_totalprice FROM orders " +
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 20"),
+    "q13_customer_mart" ->
+      (s"SELECT c.c_custkey AS customer_id, c.c_name || ' ' || c.c_mktsegment AS full_name, " +
+        s"$oMonthQ AS month, " +
+        "CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_sales " +
+        "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey " +
+        "GROUP BY 1, 2, 3 ORDER BY customer_id, month"),
+    "q14_partitioned_roundtrip" -> q09Sql,
+    "q15_union_fold" ->
+      "SELECT c_custkey, c_name, c_nationkey FROM customer ORDER BY c_custkey",
+  )
 }

@@ -1,0 +1,57 @@
+package graft.operators
+
+import graft.core.{Fns, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's two data marts (SURVEY.md §3.3), re-expressed over
+  * the shared star schema: `orders`/`lineitem` play the sales fact,
+  * `customer`/`supplier`/`nation` the dimensions, and
+  * substring(date,1,7) the month key.
+  *
+  * customer mart: customer_mart_sql_tranform_write.py:9-23 — monthly
+  * per-customer purchase totals with a concat'd full name.
+  * sales mart: sales_mart_sql_transform_write.py:8-33 — monthly
+  * store×person totals + rank-1 incentive (see Relational.q09).
+  */
+object Marts {
+
+  /** q13 — customer mart over the star schema: per-customer monthly
+    * totals enriched with customer attributes (full_name concat X2,
+    * month key X4, decimal money §7.4).
+    */
+  def customerMart(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    o.join(c, o("o_custkey") === c("c_custkey"), "inner")
+      .select(c("c_custkey").as("customer_id"),
+        concat(c("c_name"), lit(" "), c("c_mktsegment")).as("full_name"),
+        Fns.monthKey(o("o_orderdate")).as("month"),
+        o("o_totalprice").cast(Fns.Money).as("price_dec"))
+      .groupBy("customer_id", "full_name", "month")
+      .agg(sum(col("price_dec")).cast("double").as("total_sales"))
+      .orderBy("customer_id", "month")
+  }
+
+  /** q14 — partitioned-write roundtrip (S6, main.py:360-365): write
+    * the sales mart `partitionBy(month, store)`, read it back, and
+    * return it in canonical shape. The roundtrip must hash-match the
+    * never-written q09 result (oracle = q09's SQL). Exercises the
+    * hive-partitioned layout that enables partition pruning on read.
+    */
+  def partitionedRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val mart = Relational.q09(s, dir)
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_q14_").toString
+    // Cluster rows by the partition keys first: without this, every
+    // task writes into every month×store directory (tasks × dirs tiny
+    // files — the small-files problem at scale). With it, each
+    // directory gets one file.
+    mart.repartition(col("month"), col("store"))
+      .write.mode("overwrite").partitionBy("month", "store").parquet(out)
+    s.read.parquet(out)
+      .select(col("store").cast("int").as("store"), col("person"),
+        col("month"), col("total"), col("incentive"))
+      .orderBy("store", "month", "person")
+  }
+}
