@@ -40,6 +40,11 @@ object SparkEntry {
     "q15_union_fold"     -> Relational.q15 _,
   )
 
+  /** Queries intentionally without an oracle (not SQL-expressible in
+    * DuckDB); the driver records a weaker rows-only check for these.
+    */
+  def rowsOnly: Set[String] = Set()
+
   private val monthExpr =
     "substring(CAST(CAST(%s AS DATE) AS VARCHAR), 1, 7)"
   private val oMonth = monthExpr.format("o_orderdate")

@@ -1,0 +1,38 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** Sink operators (SURVEY.md §2.1 S5–S7).
+  *
+  * Parquet writers mirror the reference's two layouts
+  * (parquet_writer.py:10-14 flat; main.py:360-365 partitioned). The
+  * partitioned writer clusters by the partition keys first so each
+  * hive directory receives one file instead of one-per-task — at
+  * 1000 executors × thousands of partitions the naive form melts the
+  * namenode/object store with tiny files.
+  */
+object Writers {
+
+  /** S5 — flat overwrite. */
+  def writeFlat(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").parquet(path)
+
+  /** S6 — hive-partitioned overwrite, small-files-safe. */
+  def writePartitioned(df: DataFrame, path: String,
+                       partitionCols: Seq[String]): Unit =
+    df.repartition(partitionCols.map(col): _*)
+      .write.mode("overwrite")
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+
+  /** S7 — JDBC append (database_write.py:11-14). Untouched by tests
+    * (no database in this container); the call shape is the contract.
+    */
+  def writeJdbcAppend(df: DataFrame, url: String, table: String,
+                      props: java.util.Properties): Unit =
+    df.write.mode("append").jdbc(url, table, props)
+
+  def readParquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+}

@@ -1,0 +1,73 @@
+package graft
+
+import graft.app.PipelineRunner
+import graft.app.PipelineRunner.{Dimensions, PipelineConfig}
+import graft.ledger.InMemoryRunLedger
+import java.nio.file.{Files, Paths}
+
+class PipelineSpec extends SparkSpec {
+
+  test("end-to-end run: quarantine, marts, archive, ledger lifecycle") {
+    val root = tempDir("pipeline_")
+    val cfg = PipelineConfig(s"$root/in", s"$root/err", s"$root/done",
+      s"$root/out")
+    Files.createDirectories(Paths.get(cfg.inputDir))
+    Fixtures.writeF1(cfg.inputDir)
+    Fixtures.writeF2(cfg.inputDir)
+    Fixtures.writeF3(cfg.inputDir)
+    val (c, s, st) = Fixtures.dims(spark)
+    val ledger = new InMemoryRunLedger
+
+    val report = PipelineRunner.run(spark, cfg, Dimensions(c, s, st), ledger)
+
+    assert(report.staleActiveFiles.isEmpty)
+    assert(report.goodFiles.size == 2)
+    assert(report.quarantined.map(_._2) == Seq(Set("store_id")))
+    assert(report.audit.rowsIn == 1500 && report.audit.rowsOut == 1500)
+    assert(report.customerMartRows > 0 && report.salesMartRows > 0)
+
+    // quarantined file moved to err/, good files archived to done/
+    assert(Files.list(Paths.get(cfg.errorDir)).count() == 1)
+    assert(Files.list(Paths.get(cfg.processedDir)).count() == 2)
+    assert(Files.list(Paths.get(cfg.inputDir)).count() == 0)
+
+    // ledger: both good files flipped A -> I
+    assert(ledger.all.toSet ==
+      Set(("f1_sales.csv", "I"), ("f2_extra.csv", "I")))
+
+    // partitioned mart readable and hive-partitioned by month/store
+    val part = spark.read
+      .parquet(s"${cfg.outputDir}/sales_team_data_mart_partitioned")
+    assert(part.count() == report.salesMartRows)
+    val dirs = Files.list(
+      Paths.get(s"${cfg.outputDir}/sales_team_data_mart_partitioned"))
+      .toArray.map(_.toString).filter(_.contains("sales_month="))
+    assert(dirs.nonEmpty)
+  }
+
+  test("a crashed run leaves 'A' rows that the next run detects") {
+    val root = tempDir("pipeline_stale_")
+    val cfg = PipelineConfig(s"$root/in", s"$root/err", s"$root/done",
+      s"$root/out")
+    Files.createDirectories(Paths.get(cfg.inputDir))
+    Fixtures.writeF1(cfg.inputDir)
+    val (c, s, st) = Fixtures.dims(spark)
+    val ledger = new InMemoryRunLedger
+    ledger.markActive("f1_sales.csv", "previous/location") // simulated crash
+
+    val report = PipelineRunner.run(spark, cfg, Dimensions(c, s, st), ledger)
+    assert(report.staleActiveFiles == Seq("f1_sales.csv"))
+  }
+
+  test("empty input dir yields an empty report, no side effects") {
+    val root = tempDir("pipeline_empty_")
+    val cfg = PipelineConfig(s"$root/in", s"$root/err", s"$root/done",
+      s"$root/out")
+    Files.createDirectories(Paths.get(cfg.inputDir))
+    val (c, s, st) = Fixtures.dims(spark)
+    val report = PipelineRunner.run(spark, cfg, Dimensions(c, s, st),
+      new InMemoryRunLedger)
+    assert(report.goodFiles.isEmpty && report.quarantined.isEmpty)
+    assert(report.customerMartRows == 0)
+  }
+}
