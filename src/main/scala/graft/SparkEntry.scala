@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Marts, Relational}
+import graft.operators.{Marts, Relational, TrainingOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -38,12 +38,24 @@ object SparkEntry {
     "q13_customer_mart"  -> (Marts.customerMart _),
     "q14_partitioned_roundtrip" -> (Marts.partitionedRoundtrip _),
     "q15_union_fold"     -> Relational.q15 _,
+    "qd1_dedup_exact"    -> TrainingOps.dedupExact _,
+    "qd2_token_stats"    -> TrainingOps.tokenStats _,
+    "qd3_quality"        -> TrainingOps.quality _,
+    "qd4_langid"         -> TrainingOps.langId _,
+    "qd5_fingerprint"    -> TrainingOps.fingerprint _,
+    "qd6_minhash_pairs"  -> TrainingOps.minhashTopPairs _,
+    "qd7_simhash"        -> TrainingOps.simhash _,
+    "qe1_knn_brute"      -> TrainingOps.knnBrute _,
+    "qe2_knn_lsh"        -> TrainingOps.knnLsh _,
   )
 
-  /** Queries intentionally without an oracle (not SQL-expressible in
-    * DuckDB); the driver records a weaker rows-only check for these.
+  /** Queries intentionally without an oracle (LSH banding / SimHash
+    * blocking are not SQL-expressible in DuckDB); the driver records
+    * a weaker rows-only check, and DedupSpec/SimilaritySpec carry the
+    * correctness burden (planted duplicates, recall vs brute force).
     */
-  def rowsOnly: Set[String] = Set()
+  def rowsOnly: Set[String] = Set("qd6_minhash_pairs", "qd7_simhash",
+    "qe2_knn_lsh")
 
   private val monthExpr =
     "substring(CAST(CAST(%s AS DATE) AS VARCHAR), 1, 7)"
@@ -122,5 +134,88 @@ object SparkEntry {
     "q14_partitioned_roundtrip" -> q09Sql,
     "q15_union_fold" ->
       "SELECT c_custkey, c_name, c_nationkey FROM customer ORDER BY c_custkey",
+    "qd1_dedup_exact" ->
+      ("SELECT doc_id, lang, source FROM (SELECT doc_id, lang, source, " +
+        "row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn " +
+        "FROM documents) t WHERE rn = 1 ORDER BY doc_id"),
+    "qd2_token_stats" ->
+      ("SELECT doc_id, " +
+        "CASE WHEN length(trim(text)) = 0 THEN 0 ELSE " +
+        "CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INTEGER) END AS n_tokens, " +
+        "CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS INTEGER) AS n_bpe " +
+        "FROM documents ORDER BY doc_id"),
+    "qd3_quality" -> qualitySql,
+    "qd4_langid" -> langIdSql,
+    "qd5_fingerprint" ->
+      ("SELECT doc_id, CASE WHEN length(text) = 0 THEN 0 ELSE " +
+        "list_reduce(list_transform(string_split(text, ''), c -> CAST(unicode(c) AS BIGINT)), " +
+        "(acc, x) -> (acc * 31 + x) % 2147483647) END AS fp " +
+        "FROM documents ORDER BY doc_id"),
+    "qe1_knn_brute" -> knnSql,
   )
+
+  /** DuckDB double dot product with the same sequential fold order as
+    * the Spark side's aggregate(zip_with(...)).
+    */
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_transform(list_zip($a, $b), " +
+      s"x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (acc, v) -> acc + v)"
+
+  private val knnSql: String = {
+    val ids = graft.operators.TrainingOps.knnQueryIds.mkString(", ")
+    s"""WITH base AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(${dotSql("embedding", "embedding")}) AS nrm
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, embedding AS q_emb, nrm AS q_nrm
+       |      FROM base WHERE vec_id IN ($ids)),
+       |s AS (
+       |  SELECT q.query_id, b.vec_id,
+       |    ${dotSql("b.embedding", "q.q_emb")} / (b.nrm * q.q_nrm) AS sim
+       |  FROM base b, q WHERE b.vec_id <> q.query_id),
+       |r AS (SELECT query_id, vec_id, sim,
+       |        CAST(rank() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS INTEGER) AS rnk
+       |      FROM s)
+       |SELECT query_id, vec_id, rnk, sim FROM r WHERE rnk <= 10
+       |ORDER BY query_id, rnk, vec_id""".stripMargin
+  }
+
+  private val qualitySql: String = {
+    val nTok = "CASE WHEN length(trim(text)) = 0 THEN 0 ELSE " +
+      "len(regexp_split_to_array(trim(text), '\\s+')) END"
+    s"""SELECT doc_id,
+       |  CASE WHEN length(text) = 0 THEN 0.0 ELSE
+       |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) END AS alpha_ratio,
+       |  CASE WHEN length(text) = 0 THEN 0.0 ELSE
+       |    CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) END AS digit_ratio,
+       |  CASE WHEN length(text) = 0 THEN 0.0 ELSE
+       |    CAST(length(text) - length(regexp_replace(text, ' ', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) END AS space_ratio,
+       |  CASE WHEN $nTok = 0 THEN 0.0 ELSE
+       |    CAST(len(regexp_extract_all(lower(text), '\\b(the|a|of|to|and|in|is|it)\\b')) AS DOUBLE) / CAST($nTok AS DOUBLE) END AS stop_ratio,
+       |  0.3 * (CASE WHEN length(text) = 0 THEN 0.0 ELSE
+       |           CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) END)
+       |  + 0.2 * (1.0 - (CASE WHEN length(text) = 0 THEN 0.0 ELSE
+       |           CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) END))
+       |  + 0.2 * (CASE WHEN $nTok = 0 THEN 0.0 ELSE
+       |           CAST(len(regexp_extract_all(lower(text), '\\b(the|a|of|to|and|in|is|it)\\b')) AS DOUBLE) / CAST($nTok AS DOUBLE) END)
+       |  + 0.3 * least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) AS quality_score
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  private val langIdSql: String = {
+    val en = "len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|is)\\b'))"
+    val de = "len(regexp_extract_all(lower(text), '\\b(der|die|das|und|ist|nicht)\\b'))"
+    val fr = "len(regexp_extract_all(lower(text), '\\b(le|la|les|et|est|une)\\b'))"
+    val es = "len(regexp_extract_all(lower(text), '\\b(el|los|las|es|una|del)\\b'))"
+    s"""SELECT doc_id,
+       |  CASE
+       |    WHEN length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) > 0 THEN 'zh'
+       |    WHEN $en >= $de AND $en >= $fr AND $en >= $es AND $en > 0 THEN 'en'
+       |    WHEN $de >= $fr AND $de >= $es AND $de > 0 THEN 'de'
+       |    WHEN $fr >= $es AND $fr > 0 THEN 'fr'
+       |    WHEN $es > 0 THEN 'es'
+       |    ELSE 'und'
+       |  END AS pred_lang
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
 }

@@ -1,0 +1,87 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for training-data curation, all
+  * built from codegen'd Spark built-ins (no UDFs — SURVEY.md §7.3's
+  * preference order). Every function here has an exact SQL mirror in
+  * the DuckDB oracle, so expressions are written with engine-neutral
+  * regex/arithmetic:
+  *  - ASCII character classes only (Java regex and RE2 agree);
+  *  - double arithmetic written in one fixed evaluation order (IEEE
+  *    ops are deterministic given the same order).
+  */
+object TextFns {
+
+  /** Whitespace token count; empty/blank text counts 0. */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0))
+      .otherwise(size(split(trim(text), "\\s+")))
+
+  /** BPE-ish token count: alphanumeric runs + each non-space symbol
+    * separately (the usual pre-tokenizer shape).
+    */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Character-class counts. */
+  def alphaCount(text: Column): Column =
+    length(regexp_replace(text, "[^A-Za-z]", ""))
+  def digitCount(text: Column): Column =
+    length(regexp_replace(text, "[^0-9]", ""))
+  def spaceCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, " ", ""))
+
+  /** Quality signals in [0,1] plus a fixed-weight composite score —
+    * the length/punctuation/stopword-ratio heuristic family used for
+    * corpus filtering. Deterministic; mirrors the oracle SQL exactly.
+    */
+  def qualitySignals(text: Column): Seq[(String, Column)] = {
+    val len = length(text).cast("double")
+    val alphaRatio = when(length(text) === 0, lit(0.0))
+      .otherwise(alphaCount(text).cast("double") / len)
+    val digitRatio = when(length(text) === 0, lit(0.0))
+      .otherwise(digitCount(text).cast("double") / len)
+    val spaceRatio = when(length(text) === 0, lit(0.0))
+      .otherwise(spaceCount(text).cast("double") / len)
+    val stopRatio = {
+      val stops = size(regexp_extract_all(lower(text),
+        lit("\\b(the|a|of|to|and|in|is|it)\\b"), lit(0))).cast("double")
+      when(tokenCount(text) === 0, lit(0.0))
+        .otherwise(stops / tokenCount(text).cast("double"))
+    }
+    val lenScore = least(len / lit(500.0), lit(1.0))
+    val score = lit(0.3) * alphaRatio + lit(0.2) * (lit(1.0) - digitRatio) +
+      lit(0.2) * stopRatio + lit(0.3) * lenScore
+    Seq("alpha_ratio" -> alphaRatio, "digit_ratio" -> digitRatio,
+      "space_ratio" -> spaceRatio, "stop_ratio" -> stopRatio,
+      "quality_score" -> score)
+  }
+
+  private val markers: Seq[(String, String)] = Seq(
+    "en" -> "\\b(the|and|of|to|in|is)\\b",
+    "de" -> "\\b(der|die|das|und|ist|nicht)\\b",
+    "fr" -> "\\b(le|la|les|et|est|une)\\b",
+    "es" -> "\\b(el|los|las|es|una|del)\\b")
+
+  /** Marker-word language ID: count per-language stopword hits, CJK
+    * codepoints short-circuit to 'zh', ties resolve in the fixed
+    * marker order, no hits → 'und'. A heuristic classifier, not a
+    * model — the point is a deterministic, scalable scoring pass.
+    */
+  def langId(text: Column): Column = {
+    val lc = lower(text)
+    val scores = markers.map { case (lang, pat) =>
+      lang -> size(regexp_extract_all(lc, lit(pat), lit(0)))
+    }
+    val zh = length(regexp_replace(text, "[^\\x{4e00}-\\x{9fff}]", "")) > 0
+    val Seq(en, de, fr, es) = scores.map(_._2)
+    when(zh, lit("zh"))
+      .when(en >= de && en >= fr && en >= es && en > 0, lit("en"))
+      .when(de >= fr && de >= es && de > 0, lit("de"))
+      .when(fr >= es && fr > 0, lit("fr"))
+      .when(es > 0, lit("es"))
+      .otherwise(lit("und"))
+  }
+}

@@ -1,0 +1,184 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data curation: exact,
+  * MinHash+LSH, SimHash, and exact n-gram Jaccard verification.
+  *
+  * Scale design (100 TB): nothing here is all-pairs. Exact dedup is
+  * one hash-partitioned shuffle on the dedup key; MinHash/SimHash
+  * compute signatures fully inside a projection (nested array HOFs,
+  * no explode until banding), then only band-bucket collisions
+  * become candidate pairs. Over-full buckets (boilerplate/spam
+  * clusters) are capped by `maxBucket` — a documented recall
+  * trade-off that prevents a single hot bucket from producing an
+  * O(n²) pair explosion on a real corpus.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the lowest id per identical value of `key`.
+    * One shuffle (window over the key); ties cannot happen because
+    * `idCol` is unique.
+    */
+  def exactDedup(df: DataFrame, key: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(idCol)
+    df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+  }
+
+  // ---- MinHash ----------------------------------------------------
+
+  val NumPerms = 32
+  val Bands = 8
+  val RowsPerBand: Int = NumPerms / Bands
+  /** 2^31-1; keeps a*h+b < 2^62, safely inside Long. */
+  private val P = 2147483647L
+  /** Deterministic permutation parameters (seed fixed at lib level). */
+  private[operators] val perms: Seq[(Long, Long)] = {
+    val rng = new scala.util.Random(7)
+    Seq.fill(NumPerms)((1L + rng.nextInt(Int.MaxValue - 1).toLong,
+      rng.nextInt(Int.MaxValue).toLong))
+  }
+
+  /** Lowercased alphanumeric word tokens. */
+  def tokens(text: Column): Column =
+    filter(split(regexp_replace(lower(text), "[^a-z0-9]+", " "), " "),
+      t => t =!= "")
+
+  /** Distinct 31-bit hashes of word 3-gram shingles (doc shorter than
+    * 3 tokens → one whole-doc shingle).
+    */
+  def shingleHashes(text: Column): Column = {
+    val toks = tokens(text)
+    val grams = when(size(toks) >= 3,
+      transform(sequence(lit(0), size(toks) - 3),
+        i => array_join(slice(toks, i + 1, lit(3)), " ")))
+      .otherwise(array(array_join(toks, " ")))
+    array_distinct(transform(grams, g =>
+      xhash(g).bitwiseAND(lit(0x7fffffffL))))
+  }
+
+  private def xhash(c: Column): Column = xxhash64(c)
+
+  /** 32-slot MinHash signature — entirely expression-level (nested
+    * HOFs, codegen'd), zero shuffle.
+    */
+  def minhashSignature(hashes: Column): Column =
+    array(perms.map { case (a, b) =>
+      array_min(transform(hashes, h => pmod(h * lit(a) + lit(b), lit(P))))
+    }: _*)
+
+  /** 8 band keys, each an xxhash64 of 4 consecutive signature slots. */
+  def bandKeys(sig: Column): Column =
+    transform(sequence(lit(0), lit(Bands - 1)),
+      b => xxhash64(slice(sig, b * RowsPerBand + 1, lit(RowsPerBand))))
+
+  /** Candidate near-dup pairs via LSH banding: docs sharing any band
+    * bucket. Buckets larger than `maxBucket` are dropped (recall
+    * trade-off, see object doc).
+    */
+  def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
+                        maxBucket: Int = 64): DataFrame = {
+    val withBands = docs
+      .select(col(idCol).as("doc_id"), shingleHashes(col(textCol)).as("sh"))
+      .withColumn("bands", bandKeys(minhashSignature(col("sh"))))
+      .select(col("doc_id"), posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
+    val buckets = withBands
+      .groupBy("band_idx", "band_hash")
+      .agg(collect_list("doc_id").as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+    buckets
+      .select(explode(expr(
+        """flatten(transform(ids, (x, i) ->
+          |  transform(slice(ids, i + 2, size(ids)), y ->
+          |    struct(least(x, y) AS a, greatest(x, y) AS b))))""".stripMargin))
+        .as("p"))
+      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+      .distinct()
+  }
+
+  /** LSH candidates verified with exact shingle-set Jaccard;
+    * keeps pairs with jaccard >= threshold.
+    */
+  def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
+                      threshold: Double, maxBucket: Int = 64): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"), shingleHashes(col(textCol)).as("sh"))
+    val cands = minhashCandidates(docs, idCol, textCol, maxBucket)
+    cands
+      .join(sh.withColumnRenamed("id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
+      .join(sh.withColumnRenamed("id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** Exact n-gram Jaccard for an explicit pair list (the verify step
+    * decoupled, usable with candidates from any blocking scheme).
+    */
+  def ngramJaccard(docs: DataFrame, pairs: DataFrame, idCol: String,
+                   textCol: String): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"), shingleHashes(col(textCol)).as("sh"))
+    pairs
+      .join(sh.withColumnRenamed("id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
+      .join(sh.withColumnRenamed("id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  // ---- SimHash ----------------------------------------------------
+
+  /** Attach a 64-bit SimHash column over word-token xxhash64 values.
+    * Single pass: hash tokens once, fold into a 64-counter array,
+    * pack sign bits. Expression-level SQL HOFs (the functions API
+    * cannot shift by a column), no shuffle.
+    */
+  def withSimhash(df: DataFrame, textCol: String, out: String): DataFrame =
+    df
+      .withColumn("_th", expr(
+        s"transform(filter(split(regexp_replace(lower($textCol), '[^a-z0-9]+', ' '), ' '), t -> t != ''), t -> xxhash64(t))"))
+      .withColumn("_bc", expr(
+        """aggregate(_th, array_repeat(0L, 64),
+          |  (acc, h) -> zip_with(acc,
+          |    transform(sequence(0, 63), i -> CAST(IF(((h >> i) & 1) = 1, 1, -1) AS BIGINT)),
+          |    (a, x) -> a + x))""".stripMargin))
+      .withColumn(out, expr(
+        """aggregate(transform(sequence(0, 63),
+          |    i -> IF(element_at(_bc, i + 1) > 0, shiftleft(1L, i), 0L)),
+          |  0L, (a, x) -> a + x)""".stripMargin))
+      .drop("_th", "_bc")
+
+  /** SimHash pairs within `maxDist` Hamming distance, using the
+    * 4×16-bit pigeonhole: any pair at distance <= 3 shares at least
+    * one exact 16-bit chunk, so chunk-equality is a lossless blocking
+    * key for maxDist <= 3.
+    */
+  def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
+                      maxDist: Int = 3): DataFrame = {
+    require(maxDist <= 3, "4-chunk pigeonhole only covers maxDist <= 3")
+    val sh = withSimhash(
+      docs.select(col(idCol).as("id"), col(textCol).as("_text")),
+      "_text", "simhash").select("id", "simhash")
+    val chunked = sh.select(col("id"), col("simhash"),
+      posexplode(expr(
+        "transform(sequence(0, 3), c -> (simhash >> (c * 16)) & 65535)"))
+        .as(Seq("chunk_idx", "chunk_val")))
+    val a = chunked.select(col("id").as("doc_a"),
+      col("simhash").as("sh_a"), col("chunk_idx"), col("chunk_val"))
+    val b = chunked.select(col("id").as("doc_b"),
+      col("simhash").as("sh_b"), col("chunk_idx"), col("chunk_val"))
+    a.join(b, Seq("chunk_idx", "chunk_val"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("bit_count(sh_a ^ sh_b)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+
+}

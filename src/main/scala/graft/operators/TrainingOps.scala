@@ -1,0 +1,84 @@
+package graft.operators
+
+import graft.core.Tables
+import graft.functions.{DocFingerprint, TextFns}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Declared queries for the training-data-pipeline operators
+  * (dedup / text analysis / similarity search) over the `documents`
+  * and `embeddings` tables. Oracle-backed where DuckDB can express
+  * the same computation; the LSH/SimHash blocking paths are
+  * rows-only checked by the driver and property-tested in
+  * DedupSpec/SimilaritySpec.
+  */
+object TrainingOps {
+
+  /** Exact dedup: first doc per identical text (SQL-expressible). */
+  def dedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactDedup(Tables.documents(s, dir), "text", "doc_id")
+      .select("doc_id", "lang", "source")
+      .orderBy("doc_id")
+
+  /** Whitespace + BPE-ish token counts (SQL-expressible). */
+  def tokenStats(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        TextFns.tokenCount(col("text")).as("n_tokens"),
+        TextFns.bpeTokenCount(col("text")).as("n_bpe"))
+      .orderBy("doc_id")
+
+  /** Quality-scoring signals (SQL-expressible, bit-exact doubles). */
+  def quality(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir)
+    val sigs = TextFns.qualitySignals(col("text"))
+    base.select(col("doc_id") +: sigs.map { case (n, c) => c.as(n) }: _*)
+      .orderBy("doc_id")
+  }
+
+  /** Marker-word language ID (SQL-expressible). */
+  def langId(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), TextFns.langId(col("text")).as("pred_lang"))
+      .orderBy("doc_id")
+
+  /** Document fingerprint via the custom Catalyst expression
+    * (codegen'd); oracle mirrors the same rolling hash with
+    * list_reduce over codepoints (ASCII corpus ⇒ bytes==codepoints).
+    */
+  def fingerprint(s: SparkSession, dir: String): DataFrame = {
+    DocFingerprint.register(s)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), DocFingerprint.of(col("text")).as("fp"))
+      .orderBy("doc_id")
+  }
+
+  /** Top-100 MinHash-LSH near-dup candidate pairs by exact shingle
+    * Jaccard (rows-only: LSH banding is not SQL-expressible).
+    */
+  def minhashTopPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashNearDups(Tables.documents(s, dir), "doc_id", "text",
+      threshold = 0.0)
+      .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
+      .limit(100)
+
+  /** SimHash values for every document (rows-only; property-tested). */
+  def simhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.withSimhash(Tables.documents(s, dir), "text", "simhash")
+      .select("doc_id", "simhash")
+      .orderBy("doc_id")
+
+  val knnQueryIds: Seq[Long] = Seq(0L, 1L, 2L, 3L, 4L)
+
+  /** Exact cosine top-10 for five query vectors (oracle-backed:
+    * sequential double fold == DuckDB list_reduce, bit-equal).
+    */
+  def knnBrute(s: SparkSession, dir: String): DataFrame =
+    Similarity.bruteForceKnn(Tables.embeddings(s, dir), knnQueryIds, 10)
+
+  /** LSH-bucketed ANN, same queries (rows-only; recall vs brute
+    * asserted in SimilaritySpec).
+    */
+  def knnLsh(s: SparkSession, dir: String): DataFrame =
+    Similarity.lshKnn(Tables.embeddings(s, dir), knnQueryIds, 10)
+}

@@ -1,0 +1,111 @@
+package graft
+
+import graft.functions.DocFingerprint
+import graft.operators.Dedup
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  val sf = "/root/testdata/sf0.001"
+
+  def docs(rows: (Long, String)*): DataFrame =
+    rows.toDF("doc_id", "text")
+
+  test("exactDedup keeps the lowest id per duplicate text") {
+    val d = docs(1L -> "aa bb", 2L -> "aa bb", 3L -> "cc dd", 4L -> "aa bb")
+    val out = Dedup.exactDedup(d, "text", "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out == Set(1L, 3L))
+  }
+
+  test("minhash finds planted near-duplicates, not unrelated docs") {
+    val base = "the quick brown fox jumps over the lazy dog and runs far away " +
+      "into the deep dark forest tonight"
+    val nearDup = base.replace("tonight", "today") // 1-token edit
+    val other = "completely different content about databases indexes " +
+      "partitions shuffles and broadcast joins in distributed systems"
+    val d = docs(1L -> base, 2L -> nearDup, 3L -> other)
+    val pairs = Dedup.minhashNearDups(d, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("minhash near-dup jaccard values are exact shingle jaccard") {
+    val d = Tables.documents
+    val pairs = Dedup.minhashNearDups(d, "doc_id", "text", threshold = 0.8)
+    val checked = pairs.join(d.select(col("doc_id").as("doc_a"),
+        col("text").as("ta")), "doc_a")
+      .join(d.select(col("doc_id").as("doc_b"), col("text").as("tb")), "doc_b")
+      .collect()
+    assert(checked.nonEmpty, "sf0.001 corpus should contain near-dups")
+    checked.foreach { r =>
+      val j = r.getAs[Double]("jaccard")
+      val sa = shingles(r.getAs[String]("ta"))
+      val sb = shingles(r.getAs[String]("tb"))
+      val expected = (sa & sb).size.toDouble / (sa | sb).size.toDouble
+      assert(math.abs(j - expected) < 1e-12,
+        s"pair (${r.getAs[Long]("doc_a")},${r.getAs[Long]("doc_b")})")
+    }
+  }
+
+  private object Tables {
+    def documents: DataFrame =
+      spark.read.parquet(s"$sf/documents.parquet")
+  }
+
+  /** Pure-Scala word-3-gram shingle set mirroring Dedup.shingleHashes
+    * (minus hashing — set identity is what matters for jaccard).
+    */
+  private def shingles(text: String): Set[String] = {
+    val toks = text.toLowerCase.replaceAll("[^a-z0-9]+", " ")
+      .split(" ").filter(_.nonEmpty)
+    if (toks.length < 3) Set(toks.mkString(" "))
+    else toks.sliding(3).map(_.mkString(" ")).toSet
+  }
+
+  test("simhash: identical texts collide, near texts are close") {
+    val base = "spark shuffles partitions and broadcasts small tables " +
+      "for efficient distributed joins across many executors"
+    val d = docs(1L -> base, 2L -> base, 3L -> base.replace("small", "tiny"))
+    val out = Dedup.withSimhash(d, "text", "simhash")
+      .orderBy("doc_id").collect().map(_.getAs[Long]("simhash"))
+    assert(out(0) == out(1))
+    val hamming = java.lang.Long.bitCount(out(0) ^ out(2))
+    assert(hamming <= 16, s"near-identical docs hamming=$hamming")
+  }
+
+  test("simhashNearDups blocks by 16-bit chunks and bounds distance") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val d = docs(1L -> base, 2L -> base, 3L -> "unrelated words entirely")
+    val pairs = Dedup.simhashNearDups(d, "doc_id", "text", maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[Number]("hamming").longValue()))
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((1L, 2L)))
+    assert(pairs.forall(_._3 == 0))
+  }
+
+  test("doc_fingerprint matches the pure-Scala reference on real data") {
+    DocFingerprint.register(spark)
+    val rows = Tables.documents.limit(50)
+      .select(col("text"), DocFingerprint.of(col("text")).as("fp"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("fp") ==
+        DocFingerprint.reference(r.getAs[String]("text")))
+    }
+  }
+
+  test("doc_fingerprint works from SQL and distinguishes texts") {
+    DocFingerprint.register(spark)
+    val d = docs(1L -> "hello world", 2L -> "hello worle")
+    d.createOrReplaceTempView("fp_docs")
+    val out = spark.sql(
+      "SELECT doc_id, doc_fingerprint(text) AS fp FROM fp_docs ORDER BY doc_id")
+      .collect().map(_.getAs[Long]("fp"))
+    assert(out(0) == DocFingerprint.reference("hello world"))
+    assert(out(0) != out(1))
+  }
+}

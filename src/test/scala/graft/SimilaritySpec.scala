@@ -1,0 +1,78 @@
+package graft
+
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+
+  lazy val emb = spark.read
+    .parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+  val qids: Seq[Long] = Seq(0L, 1L, 2L)
+
+  test("brute-force knn: k rows per query, descending sim, self excluded") {
+    val out = Similarity.bruteForceKnn(emb, qids, 10).collect()
+    assert(out.length == qids.size * 10)
+    qids.foreach { q =>
+      val rows = out.filter(_.getAs[Long]("query_id") == q)
+      assert(rows.length == 10)
+      assert(!rows.exists(_.getAs[Long]("vec_id") == q))
+      val sims = rows.sortBy(_.getAs[Int]("rnk")).map(_.getAs[Double]("sim"))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+      assert(sims.forall(s => s >= -1.0001 && s <= 1.0001))
+    }
+  }
+
+  test("brute-force knn matches a driver-side exact computation") {
+    val vecs = emb.collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[Seq[Float]]("embedding").toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expected = qids.map { q =>
+      q -> vecs.filter(_._1 != q)
+        .map { case (id, v) => (id, cos(vecs(q), v)) }
+        .toSeq.sortBy { case (id, s) => (-s, id) }.take(10).map(_._1)
+    }.toMap
+    val got = Similarity.bruteForceKnn(emb, qids, 10).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rows) =>
+        q -> rows.sortBy(_.getAs[Int]("rnk")).map(_.getAs[Long]("vec_id")).toSeq
+      }
+    qids.foreach(q => assert(got(q) == expected(q), s"query $q"))
+  }
+
+  test("lsh knn achieves reasonable recall vs brute force") {
+    val brute = Similarity.bruteForceKnn(emb, qids, 10).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.map(_.getAs[Long]("vec_id")).toSet).toMap
+    val approx = Similarity.lshKnn(emb, qids, 10).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.map(_.getAs[Long]("vec_id")).toSet).toMap
+    val recalls = qids.map { q =>
+      val hit = (brute(q) & approx.getOrElse(q, Set.empty)).size
+      hit.toDouble / brute(q).size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.3, s"mean recall $mean too low (recalls=$recalls)")
+    // and every returned neighbor's sim must equal the exact cosine
+    // (LSH only prunes candidates, never changes scores)
+    val approxRows = Similarity.lshKnn(emb, qids, 10).collect()
+    val bruteSims = brute.keySet.flatMap { q =>
+      Similarity.bruteForceKnn(emb, Seq(q), emb.count().toInt).collect()
+        .map(r => (q, r.getAs[Long]("vec_id")) -> r.getAs[Double]("sim"))
+    }.toMap
+    approxRows.foreach { r =>
+      val key = (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))
+      assert(bruteSims(key) == r.getAs[Double]("sim"), s"sim mismatch at $key")
+    }
+  }
+}

@@ -1,0 +1,47 @@
+package graft
+
+import graft.functions.TextFns
+import org.apache.spark.sql.functions._
+
+class TextFnsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one[T](c: org.apache.spark.sql.Column, text: String): T =
+    Seq(text).toDF("text").select(c.as("v")).collect()(0).getAs[T]("v")
+
+  test("tokenCount handles empties, runs of spaces, and text") {
+    assert(one[Int](TextFns.tokenCount(col("text")), "") == 0)
+    assert(one[Int](TextFns.tokenCount(col("text")), "   ") == 0)
+    assert(one[Int](TextFns.tokenCount(col("text")), "a  b\tc") == 3)
+  }
+
+  test("bpeTokenCount splits alnum runs and symbols") {
+    assert(one[Int](TextFns.bpeTokenCount(col("text")), "ab12 cd, e!") == 5)
+    assert(one[Int](TextFns.bpeTokenCount(col("text")), "") == 0)
+  }
+
+  test("quality signals are in range and score is weighted sum") {
+    val df = Seq("The quick brown fox 123!", "").toDF("text")
+    val sigs = TextFns.qualitySignals(col("text"))
+    val rows = df.select(sigs.map { case (n, c) => c.as(n) }: _*).collect()
+    rows.foreach { r =>
+      Seq("alpha_ratio", "digit_ratio", "space_ratio", "stop_ratio")
+        .foreach { f =>
+          val v = r.getAs[Double](f)
+          assert(v >= 0.0 && v <= 1.0, s"$f=$v")
+        }
+      assert(r.getAs[Double]("quality_score") >= 0.0)
+      assert(r.getAs[Double]("quality_score") <= 1.0)
+    }
+  }
+
+  test("langId picks marker languages, CJK, and und") {
+    def lid(t: String) = one[String](TextFns.langId(col("text")), t)
+    assert(lid("the cat and the dog is in the house") == "en")
+    assert(lid("der hund und die katze ist nicht hier") == "de")
+    assert(lid("le chat et la maison est une belle") == "fr")
+    assert(lid("el perro y los gatos es una del casa") == "es")
+    assert(lid("你好世界") == "zh")
+    assert(lid("xyzzy plugh") == "und")
+  }
+}
