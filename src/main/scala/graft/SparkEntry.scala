@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Marts, Relational, TrainingOps}
+import graft.operators.{Events, Marts, Relational, TrainingOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -47,6 +47,10 @@ object SparkEntry {
     "qd7_simhash"        -> TrainingOps.simhash _,
     "qe1_knn_brute"      -> TrainingOps.knnBrute _,
     "qe2_knn_lsh"        -> TrainingOps.knnLsh _,
+    "qs1_event_hourly"   -> Events.hourlyStats _,
+    "qs2_sessionize"     -> (Events.sessionize(_, _)),
+    "qs3_props_json"     -> Events.propsExtract _,
+    "qs4_top_spenders"   -> Events.topSpenders _,
   )
 
   /** Queries intentionally without an oracle (LSH banding / SimHash
@@ -152,7 +156,40 @@ object SparkEntry {
         "(acc, x) -> (acc * 31 + x) % 2147483647) END AS fp " +
         "FROM documents ORDER BY doc_id"),
     "qe1_knn_brute" -> knnSql,
+    "qs1_event_hourly" ->
+      ("SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour, " +
+        "event_type, count(*) AS n, " +
+        "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value " +
+        "FROM events GROUP BY 1, 2 ORDER BY hour, event_type"),
+    "qs2_sessionize" -> sessionizeSql,
+    "qs3_props_json" ->
+      ("SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k " +
+        "FROM events ORDER BY event_id"),
+    "qs4_top_spenders" ->
+      ("WITH s AS (SELECT event_type, user_id, " +
+        "SUM(CAST(value AS DECIMAL(18,2))) AS spend_dec FROM events GROUP BY 1, 2), " +
+        "r AS (SELECT event_type, user_id, " +
+        "CAST(rank() OVER (PARTITION BY event_type ORDER BY spend_dec DESC, user_id) AS INTEGER) AS rnk, " +
+        "CAST(spend_dec AS DOUBLE) AS spend FROM s) " +
+        "SELECT event_type, user_id, rnk, spend FROM r WHERE rnk <= 5 " +
+        "ORDER BY event_type, rnk, user_id"),
   )
+
+  /** Gap sessionization: both engines floor epoch seconds before the
+    * 30-minute gap compare (Spark's unix_timestamp truncates).
+    */
+  private val sessionizeSql: String =
+    """WITH e AS (SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events),
+      |f AS (SELECT *, CASE WHEN prev_ts IS NULL THEN 1
+      |                     WHEN CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(prev_ts)) AS BIGINT) > 1800 THEN 1
+      |                     ELSE 0 END AS new_session FROM e),
+      |g AS (SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id FROM f)
+      |SELECT user_id, CAST(session_id AS INTEGER) AS session_id, count(*) AS n_events,
+      |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+      |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+      |FROM g GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin
 
   /** DuckDB double dot product with the same sequential fold order as
     * the Spark side's aggregate(zip_with(...)).

@@ -1,0 +1,78 @@
+package graft.operators
+
+import graft.core.{Fns, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream analytics over the `events` table, in batch form.
+  * The same aggregations run as a Structured Streaming job in
+  * [[graft.streaming.EventStream]]; StreamingSpec asserts
+  * batch ≡ streaming on the same input.
+  *
+  * Output timestamps are formatted strings (engine-neutral; raw
+  * timestamp hashing across engines is a precision trap — the source
+  * is nanosecond parquet, Spark truncates to micros).
+  */
+object Events {
+
+  /** Hourly tumbling-window counts + value totals per event type. */
+  def hourlyStats(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:00:00")
+          .as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        Fns.moneySum(col("value")).cast("double").as("total_value"))
+      .orderBy("hour", "event_type")
+
+  /** Gap-based sessionization (30-minute inactivity gap): the batch
+    * formulation of a session window — lag + cumulative sum of
+    * session-start flags per user. Deterministic tie-break on
+    * event_id for equal timestamps.
+    */
+  def sessionize(s: SparkSession, dir: String,
+                 gapMinutes: Int = 30): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(s, dir)
+      .withColumn("prev_ts", lag("ts", 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull, 1)
+          .when(unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts"))
+            > gapMinutes * 60L, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum("new_session").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        date_format(min("ts"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format(max("ts"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+        Fns.moneySum(col("value")).cast("double").as("session_value"))
+      .withColumn("session_id", col("session_id").cast("int"))
+      .orderBy("user_id", "session_id")
+  }
+
+  /** JSON property extraction from the `props` column. */
+  def propsExtract(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .orderBy("event_id")
+
+  /** Top-5 users by spend per event type — groupBy + rank window
+    * composition on the events stream table.
+    */
+  def topSpenders(s: SparkSession, dir: String): DataFrame = {
+    val spend = Tables.events(s, dir)
+      .groupBy("event_type", "user_id")
+      .agg(Fns.moneySum(col("value")).as("spend_dec"))
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("spend_dec").desc, col("user_id"))
+    spend.withColumn("rnk", rank().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("event_type"), col("user_id"), col("rnk"),
+        col("spend_dec").cast("double").as("spend"))
+      .orderBy("event_type", "rnk", "user_id")
+  }
+}

@@ -1,0 +1,55 @@
+package graft
+
+import graft.operators.Events
+import graft.streaming.EventStream
+import org.apache.spark.sql.functions.col
+
+class StreamingSpec extends SparkSpec {
+
+  val sf = "/root/testdata/sf0.001"
+
+  test("streaming hourly stats (AvailableNow) equals the batch result") {
+    val batch = Events.hourlyStats(spark, sf)
+      .collect().map(_.mkString("|")).toSet
+    // file stream sources need a directory; stage the events file the
+    // way the reference's landing prefix would receive it
+    val landing = tempDir("stream_events_")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      java.nio.file.Paths.get(landing, "events.parquet"))
+    val streamed = EventStream.hourlyStatsAvailableNow(
+      spark, landing, "stream_hourly_test")
+      .collect().map(_.mkString("|")).toSet
+    assert(streamed == batch)
+  }
+
+  test("sessionize: sessions respect the inactivity gap") {
+    import spark.implicits._
+    val sessions = Events.sessionize(spark, sf).cache()
+    // session ids are dense per user starting at 1
+    val perUser = sessions.groupBy("user_id")
+      .agg(org.apache.spark.sql.functions.min("session_id").as("mn"),
+        org.apache.spark.sql.functions.max("session_id").as("mx"),
+        org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"))
+      .collect()
+    perUser.foreach { r =>
+      assert(r.getAs[Int]("mn") == 1)
+      assert(r.getAs[Int]("mx").toLong == r.getAs[Long]("n"))
+    }
+    // total events conserved
+    val total = sessions.agg(
+      org.apache.spark.sql.functions.sum("n_events")).collect()(0).getLong(0)
+    assert(total == spark.read.parquet(s"$sf/events.parquet").count())
+    // no session spans a gap: start of session k+1 is > end of session k
+    val spans = sessions.select("user_id", "session_id", "session_start",
+      "session_end").as[(Long, Int, String, String)]
+      .collect().groupBy(_._1)
+    spans.values.foreach { ss =>
+      val sorted = ss.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._4 <= b._3)
+        case _ =>
+      }
+    }
+  }
+}
