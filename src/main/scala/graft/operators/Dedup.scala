@@ -48,44 +48,79 @@ object Dedup {
     filter(split(regexp_replace(lower(text), "[^a-z0-9]+", " "), " "),
       t => t =!= "")
 
-  /** Distinct 31-bit hashes of word 3-gram shingles (doc shorter than
-    * 3 tokens → one whole-doc shingle).
+  /** Distinct 31-bit hashes of word 3-gram shingles (doc shorter
+    * than 3 tokens -> one whole-doc shingle). Shingle identity is the
+    * combined xxhash64 of the three member tokens (arithmetic only:
+    * Spark evaluates array lambdas interpreted, so string
+    * concatenation per gram costs ~10x an arithmetic combine).
     */
-  def shingleHashes(text: Column): Column = {
-    val toks = tokens(text)
-    val grams = when(size(toks) >= 3,
-      transform(sequence(lit(0), size(toks) - 3),
-        i => array_join(slice(toks, i + 1, lit(3)), " ")))
-      .otherwise(array(array_join(toks, " ")))
-    array_distinct(transform(grams, g =>
-      xhash(g).bitwiseAND(lit(0x7fffffffL))))
+  /** 31-bit xxhash64 per token: ((t1*31+t2)*31+t3) then stays under
+    * 2^41, far from the ANSI-mode long-overflow error.
+    */
+  def tokenHashes(text: Column): Column =
+    transform(tokens(text), t => xxhash64(t).bitwiseAND(lit(0x7fffffffL)))
+
+  /** Gram combine over an ALREADY-MATERIALIZED token-hash column.
+    * `th` must be a bound attribute, not an expression: the Column
+    * DSL inlines whatever is passed here into every element_at inside
+    * the lambda, and interpreted HOF eval would then re-run the full
+    * tokenize+hash pipeline ~3x per gram (measured 16x slowdown on
+    * the corpus; CollapseProject keeps the two-projection split
+    * because `th` is referenced multiple times by a non-cheap
+    * expression).
+    */
+  def gramHashes(th: Column): Column = {
+    val grams = when(size(th) >= 3,
+      transform(sequence(lit(0), size(th) - 3), i =>
+        (element_at(th, i + 1) * lit(31L) + element_at(th, i + 2)) * lit(31L)
+          + element_at(th, i + 3)))
+      .otherwise(array(aggregate(th, lit(0L), (acc, h) => acc * lit(31L) + h)))
+    array_distinct(transform(grams, g => g.bitwiseAND(lit(0x7fffffffL))))
   }
 
-  private def xhash(c: Column): Column = xxhash64(c)
-
-  /** 32-slot MinHash signature — entirely expression-level (nested
-    * HOFs, codegen'd), zero shuffle.
+  /** Convenience single-column form — fine for tests and tiny inputs;
+    * hot paths use [[shingleFrame]]'s two-step materialization.
     */
-  def minhashSignature(hashes: Column): Column =
-    array(perms.map { case (a, b) =>
-      array_min(transform(hashes, h => pmod(h * lit(a) + lit(b), lit(P))))
+  def shingleHashes(text: Column): Column = gramHashes(tokenHashes(text))
+
+  /** Per-doc shingle-hash sets as a persisted frame: the one place
+    * the (interpreted-HOF) text work happens; signatures, banding and
+    * jaccard verification all reuse it.
+    */
+  private def shingleFrame(docs: DataFrame, idCol: String,
+                           textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        tokenHashes(col(textCol)).as("_th"))
+      .select(col("doc_id"), gramHashes(col("_th")).as("sh"))
+
+  /** MinHash signatures as 32 codegen'd min-aggregates over exploded
+    * shingle hashes (partial aggregation collapses map-side, so the
+    * shuffle carries ~32 longs per doc per mapper — the scalable
+    * shape; 32 interpreted array traversals per doc is not).
+    */
+  def minhashSignatures(sh: DataFrame): DataFrame = {
+    val aggs = perms.zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(col("h") * lit(a) + lit(b), lit(P))).as(s"m$i")
+    }
+    sh.select(col("doc_id"), explode(col("sh")).as("h"))
+      .groupBy("doc_id")
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** 8 band keys from the 32 signature columns. */
+  private def bandCols: Column =
+    array((0 until Bands).map { b =>
+      xxhash64(array((0 until RowsPerBand).map(r =>
+        col(s"m${b * RowsPerBand + r}")): _*))
     }: _*)
 
-  /** 8 band keys, each an xxhash64 of 4 consecutive signature slots. */
-  def bandKeys(sig: Column): Column =
-    transform(sequence(lit(0), lit(Bands - 1)),
-      b => xxhash64(slice(sig, b * RowsPerBand + 1, lit(RowsPerBand))))
-
-  /** Candidate near-dup pairs via LSH banding: docs sharing any band
-    * bucket. Buckets larger than `maxBucket` are dropped (recall
+  /** Candidate near-dup pairs via LSH banding over a prepared shingle
+    * frame. Buckets larger than `maxBucket` are dropped (recall
     * trade-off, see object doc).
     */
-  def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
-                        maxBucket: Int = 64): DataFrame = {
-    val withBands = docs
-      .select(col(idCol).as("doc_id"), shingleHashes(col(textCol)).as("sh"))
-      .withColumn("bands", bandKeys(minhashSignature(col("sh"))))
-      .select(col("doc_id"), posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
+  def minhashCandidates(sh: DataFrame, maxBucket: Int): DataFrame = {
+    val withBands = minhashSignatures(sh)
+      .select(col("doc_id"), posexplode(bandCols).as(Seq("band_idx", "band_hash")))
     val buckets = withBands
       .groupBy("band_idx", "band_hash")
       .agg(collect_list("doc_id").as("ids"))
@@ -105,32 +140,27 @@ object Dedup {
     */
   def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
                       threshold: Double, maxBucket: Int = 64): DataFrame = {
-    val sh = docs.select(col(idCol).as("id"), shingleHashes(col(textCol)).as("sh"))
-    val cands = minhashCandidates(docs, idCol, textCol, maxBucket)
-    cands
-      .join(sh.withColumnRenamed("id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
-      .join(sh.withColumnRenamed("id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
-      .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+    val sh = shingleFrame(docs, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    jaccardOver(sh, minhashCandidates(sh, maxBucket))
       .filter(col("jaccard") >= threshold)
-      .select("doc_a", "doc_b", "jaccard")
   }
 
   /** Exact n-gram Jaccard for an explicit pair list (the verify step
     * decoupled, usable with candidates from any blocking scheme).
     */
   def ngramJaccard(docs: DataFrame, pairs: DataFrame, idCol: String,
-                   textCol: String): DataFrame = {
-    val sh = docs.select(col(idCol).as("id"), shingleHashes(col(textCol)).as("sh"))
+                   textCol: String): DataFrame =
+    jaccardOver(shingleFrame(docs, idCol, textCol), pairs)
+
+  private def jaccardOver(sh: DataFrame, pairs: DataFrame): DataFrame =
     pairs
-      .join(sh.withColumnRenamed("id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
-      .join(sh.withColumnRenamed("id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
       .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
       .select("doc_a", "doc_b", "jaccard")
-  }
 
   // ---- SimHash ----------------------------------------------------
 

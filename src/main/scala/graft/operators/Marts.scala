@@ -47,8 +47,7 @@ object Marts {
     // task writes into every month×store directory (tasks × dirs tiny
     // files — the small-files problem at scale). With it, each
     // directory gets one file.
-    mart.repartition(col("month"), col("store"))
-      .write.mode("overwrite").partitionBy("month", "store").parquet(out)
+    graft.io.Writers.writePartitioned(mart, out, Seq("month", "store"))
     s.read.parquet(out)
       .select(col("store").cast("int").as("store"), col("person"),
         col("month"), col("total"), col("incentive"))

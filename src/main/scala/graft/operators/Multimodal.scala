@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal (image/audio/video) plumbing for a training-data
+  * pipeline: media travels as an opaque `binary` column with typed
+  * metadata beside it, and per-record decode/feature steps run as
+  * partition-mapped batch functions (the Scala analogue of Python's
+  * `mapInPandas` batches — one JVM call per partition, vectorizable
+  * inside).
+  *
+  * The actual codec work is STUBBED (this container has no
+  * image/audio libraries): [[FakeMedia]] defines a deterministic
+  * synthetic container format so the decode path, schema evolution,
+  * partitioning and batch shape are all real and testable; swap
+  * [[FakeMedia.decode]] for a real codec binding in production.
+  */
+object Multimodal {
+
+  /** Decoded per-record metadata (the typed side of the binary column). */
+  final case class MediaMeta(media_id: Long, kind: String, width: Int,
+                             height: Int, n_frames: Int, payload_bytes: Long,
+                             valid: Boolean)
+
+  /** The deterministic fake container format: ASCII magic "GFT0",
+    * kind byte (i=image, a=audio, v=video), big-endian u16 width and
+    * height, u8 frame count, then payload.
+    */
+  object FakeMedia {
+    val Magic: Array[Byte] = "GFT0".getBytes("US-ASCII")
+    val HeaderLen: Int = Magic.length + 1 + 2 + 2 + 1
+
+    def encode(kind: Char, width: Int, height: Int, nFrames: Int,
+               payload: Array[Byte]): Array[Byte] = {
+      val out = java.nio.ByteBuffer.allocate(HeaderLen + payload.length)
+      out.put(Magic).put(kind.toByte)
+        .putShort(width.toShort).putShort(height.toShort)
+        .put(nFrames.toByte).put(payload)
+      out.array()
+    }
+
+    /** STUB decoder — deterministic header parse standing in for a
+      * real image/audio codec. Malformed input yields valid=false
+      * rather than an exception (a 100 TB corpus always contains
+      * corrupt blobs; a throwing decoder kills the stage).
+      */
+    def decode(id: Long, bytes: Array[Byte]): MediaMeta = {
+      if (bytes == null || bytes.length < HeaderLen ||
+          !bytes.take(4).sameElements(Magic))
+        return MediaMeta(id, "unknown", 0, 0, 0,
+          if (bytes == null) 0L else bytes.length.toLong, valid = false)
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+      bb.position(4)
+      val kind = bb.get().toChar match {
+        case 'i' => "image"; case 'a' => "audio"; case 'v' => "video"
+        case _ => "unknown"
+      }
+      val w = bb.getShort() & 0xffff
+      val h = bb.getShort() & 0xffff
+      val nf = bb.get() & 0xff
+      MediaMeta(id, kind, w, h, nf, (bytes.length - HeaderLen).toLong,
+        valid = kind != "unknown")
+    }
+  }
+
+  /** Decode metadata for every media row — partition-mapped, so each
+    * task decodes its batch locally with zero shuffle; output is a
+    * typed Dataset ready to join back on media_id.
+    */
+  def decodeMeta(media: DataFrame, idCol: String = "media_id",
+                 binCol: String = "bytes"): Dataset[MediaMeta] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) => FakeMedia.decode(id, bytes) })
+  }
+
+  /** Frame sampling for video rows: emit every `everyN`-th frame as
+    * (media_id, frame_idx, frame_bytes). Frames are fixed-size slices
+    * of the payload (stub geometry from the header). Explodes rows —
+    * the real fan-out shape a frame-extraction stage has at scale.
+    */
+  def sampleFrames(media: DataFrame, everyN: Int,
+                   idCol: String = "media_id", binCol: String = "bytes")
+      : DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    require(everyN >= 1)
+    media.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        val m = FakeMedia.decode(id, bytes)
+        if (!m.valid || m.kind != "video" || m.n_frames == 0) Iterator.empty
+        else {
+          val payload = bytes.drop(FakeMedia.HeaderLen)
+          val frameLen = math.max(1, payload.length / math.max(1, m.n_frames))
+          (0 until m.n_frames by everyN).iterator.map { f =>
+            val from = f * frameLen
+            (id, f, payload.slice(from, math.min(from + frameLen, payload.length)))
+          }
+        }
+      })
+      .toDF("media_id", "frame_idx", "frame_bytes")
+  }
+
+  /** Deterministic stub "resize": subsample the payload to wxh bytes
+    * (stride sampling) — stands in for a real resize kernel while
+    * keeping output sizes and batch shape honest.
+    */
+  def resizeStub(media: DataFrame, w: Int, h: Int,
+                 idCol: String = "media_id", binCol: String = "bytes")
+      : DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val m = FakeMedia.decode(id, bytes)
+        val payload = if (m.valid) bytes.drop(FakeMedia.HeaderLen)
+                      else Array.empty[Byte]
+        val target = w * h
+        val out =
+          if (payload.isEmpty) Array.empty[Byte]
+          else if (payload.length <= target) payload
+          else {
+            val stride = payload.length.toDouble / target
+            Array.tabulate(target)(i => payload((i * stride).toInt))
+          }
+        (id, w, h, out)
+      })
+      .toDF("media_id", "width", "height", "resized_bytes")
+  }
+}

@@ -1,0 +1,51 @@
+package graft
+
+import graft.operators.Multimodal
+import graft.operators.Multimodal.FakeMedia
+import org.apache.spark.sql.functions._
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def media = {
+    val rng = new scala.util.Random(42)
+    def payload(n: Int) = Array.fill(n)(rng.nextInt(256).toByte)
+    Seq(
+      (1L, FakeMedia.encode('i', 640, 480, 1, payload(1000))),
+      (2L, FakeMedia.encode('a', 0, 0, 1, payload(400))),
+      (3L, FakeMedia.encode('v', 320, 240, 10, payload(2000))),
+      (4L, "not a media file".getBytes),
+      (5L, Array.empty[Byte]),
+    ).toDF("media_id", "bytes")
+  }
+
+  test("decodeMeta parses headers and flags corrupt blobs instead of throwing") {
+    val metas = Multimodal.decodeMeta(media).collect()
+      .map(m => m.media_id -> m).toMap
+    assert(metas(1L).kind == "image" && metas(1L).width == 640 &&
+      metas(1L).height == 480 && metas(1L).payload_bytes == 1000L)
+    assert(metas(2L).kind == "audio" && metas(2L).valid)
+    assert(metas(3L).kind == "video" && metas(3L).n_frames == 10)
+    assert(!metas(4L).valid && !metas(5L).valid)
+  }
+
+  test("sampleFrames emits every Nth frame for videos only") {
+    val frames = Multimodal.sampleFrames(media, everyN = 3).collect()
+    assert(frames.map(_.getAs[Long]("media_id")).distinct.toSeq == Seq(3L))
+    assert(frames.map(_.getAs[Int]("frame_idx")).sorted.toSeq == Seq(0, 3, 6, 9))
+    assert(frames.forall(_.getAs[Array[Byte]]("frame_bytes").length == 200))
+  }
+
+  test("resizeStub bounds output size and is deterministic") {
+    val a = Multimodal.resizeStub(media, 16, 16).collect()
+      .map(r => r.getAs[Long]("media_id") ->
+        r.getAs[Array[Byte]]("resized_bytes")).toMap
+    assert(a(1L).length == 256)
+    assert(a(2L).length == 256)
+    assert(a(4L).length == 0)
+    val b = Multimodal.resizeStub(media, 16, 16).collect()
+      .map(r => r.getAs[Long]("media_id") ->
+        r.getAs[Array[Byte]]("resized_bytes")).toMap
+    assert(a(1L).sameElements(b(1L)))
+  }
+}
