@@ -1,0 +1,104 @@
+package graft
+
+import graft.functions.DocFingerprint
+import graft.marts.RetailMarts
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-style checks over ScalaCheck-generated data (SURVEY.md
+  * §5.2 item 4). One generated dataset per seed, several seeds — a
+  * Spark action per forAll case would be pathologically slow, so the
+  * generator feeds dataset-level assertions instead.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sample[T](g: Gen[T], seed: Long): T =
+    g.apply(Gen.Parameters.default, Seed(seed)).get
+
+  private val textGen: Gen[String] = for {
+    n <- Gen.choose(0, 60)
+    ws <- Gen.listOfN(n, Gen.oneOf(
+      "spark", "table", "row", "join", "the", "a", "data", "ключ", "值",
+      "x1", "!", "", " ", "word-with-dash", "UPPER", "123"))
+  } yield ws.mkString(" ")
+
+  test("fingerprint expression == pure-Scala reference on arbitrary text") {
+    DocFingerprint.register(spark)
+    (1L to 3L).foreach { seed =>
+      val texts = sample(Gen.listOfN(200, textGen), seed)
+      val rows = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("id", "text")
+        .select(col("id"), col("text"),
+          DocFingerprint.of(col("text")).as("fp"))
+        .collect()
+      rows.foreach { r =>
+        assert(r.getAs[Long]("fp") ==
+          DocFingerprint.reference(r.getAs[String]("text")),
+          s"text=${r.getAs[String]("text")}")
+      }
+    }
+  }
+
+  test("windowed-sum+distinct == groupBy-sum on generated sales") {
+    (1L to 3L).foreach { seed =>
+      val rows = sample(Gen.listOfN(400, for {
+        cust <- Gen.choose(1, 10)
+        month <- Gen.choose(1, 6)
+        amount <- Gen.choose(1, 99999)
+      } yield (cust, f"2023-0$month", BigDecimal(amount) / 100)), seed)
+      val df = rows.toDF("cust", "month", "amount")
+        .withColumn("amount", col("amount").cast("decimal(18,2)"))
+      val grouped = df.groupBy("cust", "month")
+        .agg(sum("amount").as("total"))
+      val windowed = df.withColumn("total",
+          sum("amount").over(org.apache.spark.sql.expressions.Window
+            .partitionBy("cust", "month")))
+        .select("cust", "month", "total").distinct()
+      assert(grouped.exceptAll(windowed).count() == 0)
+      assert(windowed.exceptAll(grouped).count() == 0)
+    }
+  }
+
+  test("mart money conservation holds on generated enriched facts") {
+    (1L to 2L).foreach { seed =>
+      val rows = sample(Gen.listOfN(300, for {
+        cust <- Gen.choose(1, 8)
+        store <- Gen.oneOf(121, 122, 123)
+        person <- Gen.choose(1, 9)
+        day <- Gen.choose(1, 28)
+        cost <- Gen.choose(100, 500000)
+      } yield (cust, store, person, f"2023-05-$day%02d",
+        BigDecimal(cost) / 100)), seed)
+      val enriched = rows
+        .toDF("customer_id", "store_id", "sales_person_id", "d", "total_cost")
+        .select(col("customer_id"), col("store_id"), col("sales_person_id"),
+          col("d").cast("date").as("sales_date"),
+          col("total_cost").cast("decimal(10,2)"),
+          lit("fn").as("first_name"), lit("ln").as("last_name"),
+          lit("a").as("address"), lit("p").as("phone_number"),
+          lit("sf").as("sales_person_first_name"),
+          lit("sl").as("sales_person_last_name"))
+      val martSum = RetailMarts.customerMart(enriched)
+        .agg(sum("total_sales")).collect()(0).getDecimal(0)
+      val factSum = enriched.agg(sum("total_cost")).collect()(0).getDecimal(0)
+      assert(martSum.compareTo(factSum) == 0)
+    }
+  }
+
+  test("exact dedup keeps one row per distinct key, lowest id") {
+    (1L to 3L).foreach { seed =>
+      val rows = sample(Gen.listOfN(200, for {
+        id <- Gen.choose(0L, 10000L)
+        t <- Gen.oneOf("a", "b", "c", "d", "e", "f")
+      } yield (id, t)), seed).distinctBy(_._1)
+      val df = rows.toDF("doc_id", "text")
+      val out = Dedup.exactDedup(df, "text", "doc_id").collect()
+        .map(r => r.getAs[String]("text") -> r.getAs[Long]("doc_id")).toMap
+      val expected = rows.groupBy(_._2).view.mapValues(_.map(_._1).min).toMap
+      assert(out == expected)
+    }
+  }
+}
