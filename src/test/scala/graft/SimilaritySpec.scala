@@ -50,6 +50,25 @@ class SimilaritySpec extends SparkSpec {
     qids.foreach(q => assert(got(q) == expected(q), s"query $q"))
   }
 
+  test("embedding near-dups: planted duplicate found with exact sim") {
+    import spark.implicits._
+    // plant: vector 9001 = vector 0 + tiny noise, 9002 = orthogonal-ish
+    val rows = emb.collect().map(r =>
+      (r.getAs[Long]("vec_id"),
+        r.getAs[scala.collection.Seq[Float]]("embedding").toSeq))
+    val v0 = rows.find(_._1 == 0L).get._2
+    val nearDup = v0.zipWithIndex.map { case (x, i) =>
+      x + (if (i % 7 == 0) 0.001f else 0.0f) }
+    val planted = (rows :+ (9001L, nearDup)).toSeq
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>"))
+    val pairs = graft.operators.Similarity
+      .embeddingNearDups(planted, threshold = 0.99)
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+    assert(pairs.contains((0L, 9001L)), s"planted pair missing: ${pairs.toSeq}")
+  }
+
   test("lsh knn achieves reasonable recall vs brute force") {
     val brute = Similarity.bruteForceKnn(emb, qids, 10).collect()
       .groupBy(_.getAs[Long]("query_id"))
