@@ -48,6 +48,7 @@ object SparkEntry {
     "qe1_knn_brute"      -> TrainingOps.knnBrute _,
     "qe2_knn_lsh"        -> TrainingOps.knnLsh _,
     "qe3_embedding_neardups" -> TrainingOps.embeddingNearDups _,
+    "qe4_knn_ivf"        -> TrainingOps.knnIvf _,
     "qs1_event_hourly"   -> Events.hourlyStats _,
     "qs2_sessionize"     -> (Events.sessionize(_, _)),
     "qs3_props_json"     -> Events.propsExtract _,
@@ -60,7 +61,7 @@ object SparkEntry {
     * correctness burden (planted duplicates, recall vs brute force).
     */
   def rowsOnly: Set[String] = Set("qd6_minhash_pairs", "qd7_simhash",
-    "qe2_knn_lsh", "qe3_embedding_neardups")
+    "qe2_knn_lsh", "qe3_embedding_neardups", "qe4_knn_ivf")
 
   private val monthExpr =
     "substring(CAST(CAST(%s AS DATE) AS VARCHAR), 1, 7)"

@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) approximate nearest neighbor: cluster the
+  * corpus once (mini k-means), then search only the `nProbe` cells
+  * whose centroids are closest to the query.
+  *
+  * Scale shape: centroids are tiny (k × dim doubles) and live on the
+  * driver/broadcast; training is `iters` passes of assign (broadcast
+  * join + argmin) + recompute (explode components, partial-agg per
+  * (cluster, dim)); search touches ~nProbe/k of the corpus. The
+  * complementary trade-off to [[Similarity.lshKnn]]: IVF buys better
+  * recall-per-candidate on clustered data at the cost of a training
+  * pass; LSH is training-free.
+  *
+  * Determinism: centroid init is hash-based (no RNG), iteration count
+  * fixed, ties broken by cluster id — same input, same index.
+  */
+object Ivf {
+
+  final case class IvfModel(centroids: Array[(Int, Array[Double])]) {
+    def k: Int = centroids.length
+  }
+
+  private def toDouble(a: Array[Float]): Array[Double] = a.map(_.toDouble)
+
+  /** Train a k-cell IVF index. Deterministic: initial centroids are
+    * the k vectors with the smallest xxhash64(vec_id) (a seeded
+    * pseudo-random sample without an RNG in the plan).
+    */
+  def train(emb: DataFrame, k: Int, iters: Int = 3): IvfModel = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val init = emb
+      .withColumn("_h", xxhash64(col("vec_id")))
+      .orderBy("_h")
+      .limit(k)
+      .select(col("embedding"))
+      .collect()
+      .zipWithIndex
+      .map { case (r, i) =>
+        (i, toDouble(r.getAs[scala.collection.Seq[Float]](0).toArray))
+      }
+    var model = IvfModel(init)
+    (1 to iters).foreach { _ =>
+      val assigned = assign(emb, model)
+      val next = assigned
+        .select(col("cluster"), posexplode(col("embedding")).as(Seq("d", "v")))
+        .groupBy("cluster", "d")
+        .agg(avg(col("v").cast("double")).as("m"))
+        .collect()
+        .groupBy(_.getAs[Int]("cluster"))
+        .map { case (c, rows) =>
+          val dim = rows.map(_.getAs[Int]("d")).max + 1
+          val arr = new Array[Double](dim)
+          rows.foreach(r => arr(r.getAs[Int]("d")) = r.getAs[Double]("m"))
+          (c, arr)
+        }
+        .toArray.sortBy(_._1)
+      // empty clusters keep their previous centroid
+      val byId = next.toMap
+      model = IvfModel(model.centroids.map { case (c, old) =>
+        (c, byId.getOrElse(c, old))
+      })
+    }
+    model
+  }
+
+  /** Nearest-centroid assignment (cosine) as a single projection over
+    * a literal centroid array — no shuffle, codegen-friendly sizes
+    * (k × dim doubles per task).
+    */
+  private def assign(emb: DataFrame, model: IvfModel): DataFrame =
+    emb.withColumn("cluster", nearestCentroids(model, 1).getItem(0))
+
+  /** Column: array of the `n` nearest centroid ids to `embedding`. */
+  private def nearestCentroids(model: IvfModel, n: Int)
+      : org.apache.spark.sql.Column = {
+    val cents = typedLit(model.centroids.toSeq.map { case (c, arr) =>
+      (c, arr.toSeq)
+    })
+    // (sim, -id) max-sort: deterministic tie-break on lower id
+    val scored = transform(cents, c =>
+      struct(
+        Similarity.dotD(c.getField("_2"), col("embedding"))
+          ./(sqrt(Similarity.dotD(c.getField("_2"), c.getField("_2"))))
+          .as("sim"),
+        (-c.getField("_1")).as("negid")))
+    val sorted = reverse(array_sort(scored))
+    transform(slice(sorted, lit(1), lit(n)), s => -s.getField("negid"))
+  }
+
+  /** Search: score only vectors in the nProbe cells nearest to each
+    * query. Output shape matches [[Similarity.bruteForceKnn]].
+    */
+  def search(emb: DataFrame, model: IvfModel, queryIds: Seq[Long], k: Int,
+             nProbe: Int = 4): DataFrame = {
+    val assigned = assign(emb, model)
+      .select(col("vec_id"), col("embedding"), col("cluster"),
+        Similarity.normD(col("embedding")).as("nrm"))
+    val q = assigned.filter(col("vec_id").isin(queryIds: _*))
+      .withColumn("probe",
+        explode(nearestCentroids(model, nProbe)))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"), col("probe"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("vec_id"))
+    assigned.join(broadcast(q), col("cluster") === col("probe"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("sim",
+        Similarity.dotD(col("embedding"), col("q_emb"))
+          / (col("nrm") * col("q_nrm")))
+      .withColumn("rnk", rank().over(w))
+      .filter(col("rnk") <= k)
+      .select("query_id", "vec_id", "rnk", "sim")
+      .orderBy("query_id", "rnk", "vec_id")
+  }
+}

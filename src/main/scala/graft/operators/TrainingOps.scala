@@ -89,4 +89,13 @@ object TrainingOps {
     */
   def embeddingNearDups(s: SparkSession, dir: String): DataFrame =
     Similarity.embeddingNearDups(Tables.embeddings(s, dir), threshold = 0.3)
+
+  /** IVF ANN, same queries (rows-only; IvfSpec proves full-probe
+    * search equals brute force exactly and partial-probe recall).
+    */
+  def knnIvf(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val model = Ivf.train(emb, k = 16, iters = 2)
+    Ivf.search(emb, model, knnQueryIds, k = 10, nProbe = 4)
+  }
 }

@@ -45,4 +45,28 @@ object EventStream {
     q.awaitTermination()
     spark.table(queryName)
   }
+
+  /** Streaming exact dedup: `dropDuplicates` keyed on `event_id` with
+    * an event-time watermark bounding the dedup state (late
+    * duplicates beyond 1 hour age out — at 100 TB/day unbounded
+    * dedup state is the thing that kills streaming jobs).
+    */
+  def dedupAvailableNow(spark: SparkSession, eventsDir: String,
+                        queryName: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(eventsDir).schema
+    val stream = spark.readStream.schema(schema).parquet(eventsDir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("event_id")
+      .select(col("event_id"), col("user_id"), col("event_type"))
+    val q = stream.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
 }

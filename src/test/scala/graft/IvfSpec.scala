@@ -1,0 +1,43 @@
+package graft
+
+import graft.operators.{Ivf, Similarity}
+
+class IvfSpec extends SparkSpec {
+
+  lazy val emb = spark.read
+    .parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+  val qids: Seq[Long] = Seq(0L, 1L, 2L)
+
+  test("training is deterministic") {
+    val a = Ivf.train(emb, k = 8, iters = 2)
+    val b = Ivf.train(emb, k = 8, iters = 2)
+    assert(a.centroids.map(_._1).sameElements(b.centroids.map(_._1)))
+    a.centroids.zip(b.centroids).foreach { case ((_, ca), (_, cb)) =>
+      assert(ca.sameElements(cb))
+    }
+  }
+
+  test("search returns k ranked rows per query with exact sims") {
+    val model = Ivf.train(emb, k = 8, iters = 2)
+    val out = Ivf.search(emb, model, qids, k = 10, nProbe = 8).collect()
+    // nProbe == k probes the whole corpus -> must equal brute force
+    val brute = Similarity.bruteForceKnn(emb, qids, 10).collect()
+    assert(out.length == brute.length)
+    val os = out.map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    val bs = brute.map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    assert(os == bs)
+  }
+
+  test("partial probing keeps decent recall at a fraction of the work") {
+    val model = Ivf.train(emb, k = 16, iters = 3)
+    val approx = Ivf.search(emb, model, qids, k = 10, nProbe = 4).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val brute = Similarity.bruteForceKnn(emb, qids, 10).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val recalls = qids.map { q =>
+      (brute(q) & approx.getOrElse(q, Set.empty)).size.toDouble / brute(q).size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.3, s"mean recall $mean (recalls=$recalls)")
+  }
+}

@@ -88,6 +88,27 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("conform yields the 9-column contract for any extra-column set") {
+    import graft.ingest.CsvIngest
+    val dir = tempDir("prop_conform_")
+    (1L to 3L).foreach { seed =>
+      val extras = sample(Gen.choose(0, 4).flatMap(n =>
+        Gen.listOfN(n, Gen.identifier.map("x_" + _.take(8)))), seed)
+        .distinct.filterNot(CsvIngest.mandatoryColumns.contains)
+      val header = (CsvIngest.mandatoryColumns ++ extras).mkString(",")
+      val row = Seq("1", "121", "sugar", "2023-05-05", "1", "50", "2", "100")
+        .++(extras.indices.map(i => s"v$i")).mkString(",")
+      val p = java.nio.file.Paths.get(dir, s"f$seed.csv")
+      java.nio.file.Files.write(p, s"$header\n$row\n$row".getBytes)
+      val out = CsvIngest.conform(spark, p.toString)
+      assert(out.columns.toSeq == CsvIngest.factSchema.fieldNames.toSeq)
+      assert(out.count() == 2)
+      val add = out.select("additional_column").collect()(0).getString(0)
+      if (extras.isEmpty) assert(add == null)
+      else assert(add == extras.indices.map(i => s"v$i").mkString(", "))
+    }
+  }
+
   test("exact dedup keeps one row per distinct key, lowest id") {
     (1L to 3L).foreach { seed =>
       val rows = sample(Gen.listOfN(200, for {

@@ -23,6 +23,23 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming dedup with watermark equals batch distinct") {
+    val landing = tempDir("dedup_events_")
+    // two copies of the same file -> every event is duplicated
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      java.nio.file.Paths.get(landing, "a.parquet"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      java.nio.file.Paths.get(landing, "b.parquet"))
+    val streamed = EventStream.dedupAvailableNow(
+      spark, landing, "stream_dedup_test")
+    val expected = graft.core.Tables.events(spark, sf)
+      .select("event_id", "user_id", "event_type")
+    assert(streamed.count() == expected.count())
+    assert(streamed.exceptAll(expected).count() == 0)
+  }
+
   test("sessionize: sessions respect the inactivity gap") {
     import spark.implicits._
     val sessions = Events.sessionize(spark, sf).cache()
