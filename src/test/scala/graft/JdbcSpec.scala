@@ -1,0 +1,53 @@
+package graft
+
+import graft.ledger.JdbcRunLedger
+import java.util.Properties
+
+/** Real JDBC coverage (SURVEY.md §2.1 S3/S7/S8) against embedded
+  * Derby — the same code paths that talk to MySQL in production.
+  */
+class JdbcSpec extends SparkSpec {
+
+  private val url = "jdbc:derby:memory:graftdb;create=true"
+  private def props: Properties = {
+    val p = new Properties()
+    p.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    p
+  }
+
+  test("S7/S3: mart rows append to JDBC and scan back identically") {
+    val mart = graft.operators.Relational
+      .q09(spark, "/root/testdata/sf0.001").limit(200).cache()
+    graft.io.Writers.writeJdbcAppend(mart, url, "sales_mart_t", props)
+    val back = spark.read.jdbc(url, "sales_mart_t", props)
+    assert(back.count() == mart.count())
+    assert(back.select(mart.columns.map(org.apache.spark.sql.functions.col)
+      .toIndexedSeq: _*).exceptAll(mart).count() == 0)
+    // append again: rows double (reference semantics — append is not
+    // idempotent, SURVEY.md §7.4)
+    graft.io.Writers.writeJdbcAppend(mart, url, "sales_mart_t", props)
+    assert(spark.read.jdbc(url, "sales_mart_t", props).count()
+      == 2 * mart.count())
+  }
+
+  test("S8: JdbcRunLedger state machine over a real database") {
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    conn.createStatement().execute(
+      """CREATE TABLE product_staging_table (
+        |  id INT GENERATED ALWAYS AS IDENTITY PRIMARY KEY,
+        |  file_name VARCHAR(255), file_location VARCHAR(255),
+        |  created_date TIMESTAMP, updated_date TIMESTAMP,
+        |  status VARCHAR(1))""".stripMargin)
+    conn.close()
+    val ledger = new JdbcRunLedger(url, props)
+    assert(ledger.activeFiles(Seq("a.csv")).isEmpty)
+    ledger.markActive("a.csv", "in/a.csv")
+    ledger.markActive("b.csv", "in/b.csv")
+    assert(ledger.activeFiles(Seq("a.csv", "b.csv", "c.csv")).toSet
+      == Set("a.csv", "b.csv"))
+    ledger.markInactive(Seq("a.csv"))
+    assert(ledger.activeFiles(Seq("a.csv", "b.csv")).toSet == Set("b.csv"))
+    ledger.markInactive(Seq("b.csv"))
+    assert(ledger.activeFiles(Seq("a.csv", "b.csv")).isEmpty)
+  }
+}
