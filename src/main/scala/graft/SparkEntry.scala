@@ -53,6 +53,8 @@ object SparkEntry {
     "qs2_sessionize"     -> (Events.sessionize(_, _)),
     "qs3_props_json"     -> Events.propsExtract _,
     "qs4_top_spenders"   -> Events.topSpenders _,
+    "qs5_percentiles"    -> Events.valuePercentiles _,
+    "qd8_source_stats"   -> TrainingOps.sourceStats _,
   )
 
   /** Queries intentionally without an oracle (LSH banding / SimHash
@@ -167,6 +169,14 @@ object SparkEntry {
     "qs3_props_json" ->
       ("SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k " +
         "FROM events ORDER BY event_id"),
+    "qs5_percentiles" ->
+      ("SELECT event_type, quantile_cont(value, 0.5) AS med, " +
+        "quantile_cont(value, 0.95) AS p95 " +
+        "FROM events GROUP BY 1 ORDER BY event_type"),
+    "qd8_source_stats" ->
+      ("SELECT source, count(*) AS n_docs, " +
+        "count(DISTINCT lang) AS n_langs, SUM(n_chars) AS total_chars " +
+        "FROM documents GROUP BY 1 ORDER BY source"),
     "qs4_top_spenders" ->
       ("WITH s AS (SELECT event_type, user_id, " +
         "SUM(CAST(value AS DECIMAL(18,2))) AS spend_dec FROM events GROUP BY 1, 2), " +

@@ -60,6 +60,18 @@ object Events {
         get_json_object(col("props"), "$.k").cast("int").as("k"))
       .orderBy("event_id")
 
+  /** Exact value percentiles per event type (sort-based exact
+    * percentile, not the approximate sketch — the oracle needs exact;
+    * swap for percentile_approx at 100 TB where a t-digest is the
+    * right tool).
+    */
+  def valuePercentiles(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy("event_type")
+      .agg(expr("percentile(value, 0.5D)").as("med"),
+        expr("percentile(value, 0.95D)").as("p95"))
+      .orderBy("event_type")
+
   /** Top-5 users by spend per event type — groupBy + rank window
     * composition on the events stream table.
     */

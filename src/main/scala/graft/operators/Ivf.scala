@@ -69,12 +69,29 @@ object Ivf {
     model
   }
 
-  /** Nearest-centroid assignment (cosine) as a single projection over
-    * a literal centroid array — no shuffle, codegen-friendly sizes
-    * (k × dim doubles per task).
+  /** Nearest-centroid assignment (cosine) as a relational matmul:
+    * explode components, broadcast-join centroid weights, partial-agg
+    * the per-centroid dots, argmax via max_by — fully codegen (the
+    * literal-array HOF form evaluates interpreted, ~30x slower per
+    * element; same lesson as Similarity.signatureBands).
     */
-  private def assign(emb: DataFrame, model: IvfModel): DataFrame =
-    emb.withColumn("cluster", nearestCentroids(model, 1).getItem(0))
+  private def assign(emb: DataFrame, model: IvfModel): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val cents = model.centroids.toSeq.flatMap { case (c, arr) =>
+      val nrm = math.sqrt(arr.map(x => x * x).sum)
+      arr.zipWithIndex.map { case (w, d) => (c, d, w / nrm) }
+    }.toDF("cluster_id", "dim_idx", "w")
+    val best = emb
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim_idx", "v")))
+      .join(broadcast(cents), "dim_idx")
+      .groupBy("vec_id", "cluster_id")
+      .agg(sum(col("v").cast("double") * col("w")).as("dot"))
+      .groupBy("vec_id")
+      // max_by with a (dot, -id) struct: deterministic lower-id tie-break
+      .agg(expr("max_by(cluster_id, struct(dot, -cluster_id))").as("cluster"))
+    emb.join(best, "vec_id")
+  }
 
   /** Column: array of the `n` nearest centroid ids to `embedding`. */
   private def nearestCentroids(model: IvfModel, n: Int)

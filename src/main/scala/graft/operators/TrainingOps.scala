@@ -68,6 +68,18 @@ object TrainingOps {
       .select("doc_id", "simhash")
       .orderBy("doc_id")
 
+  /** Per-source corpus stats: plain, distinct, and sum aggregates in
+    * one pass (distinct aggregates plan as the expand+two-phase
+    * aggregate — worth having in the declared surface).
+    */
+  def sourceStats(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(col("n_chars")).as("total_chars"))
+      .orderBy("source")
+
   val knnQueryIds: Seq[Long] = Seq(0L, 1L, 2L, 3L, 4L)
 
   /** Exact cosine top-10 for five query vectors (oracle-backed:
