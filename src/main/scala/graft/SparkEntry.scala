@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Events, Marts, Relational, TrainingOps}
+import graft.operators.{Events, Extras, Marts, Relational, TrainingOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -55,6 +55,13 @@ object SparkEntry {
     "qs4_top_spenders"   -> Events.topSpenders _,
     "qs5_percentiles"    -> Events.valuePercentiles _,
     "qd8_source_stats"   -> TrainingOps.sourceStats _,
+    "qx1_left_join"      -> Extras.leftJoinOrders _,
+    "qx2_semi_join"      -> Extras.semiJoin _,
+    "qx3_anti_join"      -> Extras.antiJoin _,
+    "qx4_rollup"         -> Extras.rollupStatus _,
+    "qx5_cube"           -> Extras.cubeStatus _,
+    "qx6_intersect"      -> Extras.intersectNations _,
+    "qx7_except"         -> Extras.exceptNations _,
   )
 
   /** Queries intentionally without an oracle (LSH banding / SimHash
@@ -160,6 +167,36 @@ object SparkEntry {
         "(acc, x) -> (acc * 31 + x) % 2147483647) END AS fp " +
         "FROM documents ORDER BY doc_id"),
     "qe1_knn_brute" -> knnSql,
+    "qx1_left_join" ->
+      ("SELECT c.c_custkey, a.n_orders, a.total FROM customer c LEFT JOIN (" +
+        "SELECT o_custkey, count(*) AS n_orders, " +
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total " +
+        "FROM orders GROUP BY 1) a ON c.c_custkey = a.o_custkey " +
+        "ORDER BY c.c_custkey"),
+    "qx2_semi_join" ->
+      ("SELECT c_custkey, c_name FROM customer c WHERE EXISTS (" +
+        "SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey) " +
+        "ORDER BY c_custkey"),
+    "qx3_anti_join" ->
+      ("SELECT c_custkey, c_name FROM customer c WHERE NOT EXISTS (" +
+        "SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey " +
+        "AND o.o_totalprice > 400000) ORDER BY c_custkey"),
+    "qx4_rollup" ->
+      ("SELECT o_orderstatus, o_orderpriority, count(*) AS n, " +
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total " +
+        "FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority) " +
+        "ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"),
+    "qx5_cube" ->
+      ("SELECT o_orderstatus, o_orderpriority, count(*) AS n " +
+        "FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority) " +
+        "ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"),
+    "qx6_intersect" ->
+      ("SELECT c_nationkey AS nk FROM customer INTERSECT " +
+        "SELECT s_nationkey AS nk FROM supplier ORDER BY nk"),
+    "qx7_except" ->
+      ("SELECT c_nationkey AS nk FROM customer EXCEPT " +
+        "SELECT s_nationkey AS nk FROM supplier WHERE s_acctbal > 8000 " +
+        "ORDER BY nk"),
     "qs1_event_hourly" ->
       ("SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour, " +
         "event_type, count(*) AS n, " +
