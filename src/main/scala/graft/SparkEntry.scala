@@ -62,6 +62,7 @@ object SparkEntry {
     "qx5_cube"           -> Extras.cubeStatus _,
     "qx6_intersect"      -> Extras.intersectNations _,
     "qx7_except"         -> Extras.exceptNations _,
+    "qx8_asof_join"      -> graft.operators.AsOfJoin.eventAsOf _,
   )
 
   /** Queries intentionally without an oracle (LSH banding / SimHash
@@ -197,6 +198,21 @@ object SparkEntry {
       ("SELECT c_nationkey AS nk FROM customer EXCEPT " +
         "SELECT s_nationkey AS nk FROM supplier WHERE s_acctbal > 8000 " +
         "ORDER BY nk"),
+    // DuckDB's native ASOF JOIN is the oracle for our composed
+    // union+window implementation. ts cast TIMESTAMP_NS -> TIMESTAMP
+    // (microseconds) mirrors Spark's precision truncation.
+    "qx8_asof_join" ->
+      ("""WITH ev AS (SELECT event_id, user_id, event_type, value,
+         |              CAST(ts AS TIMESTAMP) AS ts FROM events),
+         |clicks AS (SELECT event_id, user_id, ts FROM ev WHERE event_type = 'click'),
+         |purch AS (SELECT user_id, ts, max(CAST(value AS DECIMAL(18,2))) AS pval
+         |          FROM ev WHERE event_type = 'purchase' GROUP BY 1, 2)
+         |SELECT c.event_id, c.user_id,
+         |  strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+         |  COALESCE(CAST(p.pval AS DOUBLE), -1.0) AS last_purchase
+         |FROM clicks c ASOF LEFT JOIN purch p
+         |  ON c.user_id = p.user_id AND c.ts >= p.ts
+         |ORDER BY c.event_id""".stripMargin),
     "qs1_event_hourly" ->
       ("SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour, " +
         "event_type, count(*) AS n, " +

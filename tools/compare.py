@@ -46,10 +46,16 @@ def main(sf_dir, out_dir):
             n_fail += 1
             continue
         ok = True
+        def eq(x, y):
+            if x is y:
+                return True
+            if isinstance(x, float) and isinstance(y, float):
+                return x == y or (x != x and y != y)  # NaN == NaN
+            return x == y
         for c in odf.columns:
             a, b = sdf[c].tolist(), odf[c].tolist()
-            if a != b:
-                bad = next(i for i in range(len(a)) if a[i] != b[i])
+            if not all(eq(x, y) for x, y in zip(a, b)):
+                bad = next(i for i in range(len(a)) if not eq(a[i], b[i]))
                 print(f"FAIL {name}: col {c} differs at row {bad}: "
                       f"spark={a[bad]!r} oracle={b[bad]!r}")
                 ok = False
