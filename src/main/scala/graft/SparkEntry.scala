@@ -63,6 +63,7 @@ object SparkEntry {
     "qx6_intersect"      -> Extras.intersectNations _,
     "qx7_except"         -> Extras.exceptNations _,
     "qx8_asof_join"      -> graft.operators.AsOfJoin.eventAsOf _,
+    "qx9_range_join"     -> graft.operators.RangeJoin.errorClickBurst _,
   )
 
   /** Queries intentionally without an oracle (LSH banding / SimHash
@@ -213,6 +214,17 @@ object SparkEntry {
          |FROM clicks c ASOF LEFT JOIN purch p
          |  ON c.user_id = p.user_id AND c.ts >= p.ts
          |ORDER BY c.event_id""".stripMargin),
+    // plain inequality join as oracle for the bucketed range join
+    "qx9_range_join" ->
+      ("""WITH ev AS (SELECT event_id, user_id, event_type,
+         |              CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS epoch
+         |            FROM events),
+         |e AS (SELECT event_id, user_id, epoch FROM ev WHERE event_type = 'error'),
+         |c AS (SELECT user_id, epoch FROM ev WHERE event_type = 'click')
+         |SELECT e.event_id, count(c.epoch) AS n_in_window
+         |FROM e LEFT JOIN c ON c.user_id = e.user_id
+         |  AND c.epoch <= e.epoch AND c.epoch > e.epoch - 300
+         |GROUP BY 1 ORDER BY e.event_id""".stripMargin),
     "qs1_event_hourly" ->
       ("SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour, " +
         "event_type, count(*) AS n, " +

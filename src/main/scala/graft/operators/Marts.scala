@@ -41,6 +41,15 @@ object Marts {
     */
   def partitionedRoundtrip(s: SparkSession, dir: String): DataFrame = {
     val mart = Relational.q09(s, dir)
+    // reap previous runs' scratch trees (2100 dirs each) before
+    // creating a new one — repeated bench/verify runs would otherwise
+    // pile up tens of thousands of directories in the temp root
+    val tmpRoot = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"))
+    java.nio.file.Files.list(tmpRoot).forEach { p =>
+      if (p.getFileName.toString.startsWith("graft_q14_"))
+        org.apache.commons.io.FileUtils.deleteQuietly(p.toFile)
+    }
     val out = java.nio.file.Files
       .createTempDirectory("graft_q14_").toString
     // Cluster rows by the partition keys first: without this, every
