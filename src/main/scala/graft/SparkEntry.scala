@@ -55,6 +55,7 @@ object SparkEntry {
     "qs4_top_spenders"   -> Events.topSpenders _,
     "qs5_percentiles"    -> Events.valuePercentiles _,
     "qd8_source_stats"   -> TrainingOps.sourceStats _,
+    "qd9_token_freq"     -> TrainingOps.tokenFreq _,
     "qx1_left_join"      -> Extras.leftJoinOrders _,
     "qx2_semi_join"      -> Extras.semiJoin _,
     "qx3_anti_join"      -> Extras.antiJoin _,
@@ -242,6 +243,12 @@ object SparkEntry {
       ("SELECT source, count(*) AS n_docs, " +
         "count(DISTINCT lang) AS n_langs, SUM(n_chars) AS total_chars " +
         "FROM documents GROUP BY 1 ORDER BY source"),
+    "qd9_token_freq" ->
+      ("SELECT token, count(*) AS doc_freq FROM (" +
+        "SELECT DISTINCT doc_id, unnest(list_filter(" +
+        "string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '), " +
+        "t -> t != '')) AS token FROM documents) t " +
+        "GROUP BY 1 ORDER BY doc_freq DESC, token LIMIT 50"),
     "qs4_top_spenders" ->
       ("WITH s AS (SELECT event_type, user_id, " +
         "SUM(CAST(value AS DECIMAL(18,2))) AS spend_dec FROM events GROUP BY 1, 2), " +

@@ -80,6 +80,19 @@ object TrainingOps {
         sum(col("n_chars")).as("total_chars"))
       .orderBy("source")
 
+  /** Corpus vocabulary: top-50 tokens by document frequency —
+    * explode (Generator) + two-level aggregation, the word-count
+    * shape with per-doc dedup first.
+    */
+  def tokenFreq(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("token"))
+      .distinct()
+      .groupBy("token")
+      .agg(count(lit(1)).as("doc_freq"))
+      .orderBy(col("doc_freq").desc, col("token"))
+      .limit(50)
+
   val knnQueryIds: Seq[Long] = Seq(0L, 1L, 2L, 3L, 4L)
 
   /** Exact cosine top-10 for five query vectors (oracle-backed:
