@@ -56,6 +56,7 @@ object SparkEntry {
     "qs5_percentiles"    -> Events.valuePercentiles _,
     "qd8_source_stats"   -> TrainingOps.sourceStats _,
     "qd9_token_freq"     -> TrainingOps.tokenFreq _,
+    "qd10_pair_jaccard"  -> TrainingOps.pairJaccard _,
     "qx1_left_join"      -> Extras.leftJoinOrders _,
     "qx2_semi_join"      -> Extras.semiJoin _,
     "qx3_anti_join"      -> Extras.antiJoin _,
@@ -67,13 +68,18 @@ object SparkEntry {
     "qx9_range_join"     -> graft.operators.RangeJoin.errorClickBurst _,
   )
 
-  /** Queries intentionally without an oracle (LSH banding / SimHash
-    * blocking are not SQL-expressible in DuckDB); the driver records
-    * a weaker rows-only check, and DedupSpec/SimilaritySpec carry the
-    * correctness burden (planted duplicates, recall vs brute force).
+  /** Queries intentionally without an oracle; the driver records a
+    * weaker rows-only check and the specs carry the correctness
+    * burden. Down to two residents: qd7 (SimHash needs xxhash64,
+    * which DuckDB lacks — SimHashSpec property-tests it) and qe3
+    * (sign-LSH blocking recall at moderate thresholds is inherently
+    * probabilistic — SimilaritySpec plants duplicates and checks sim
+    * exactness). qd6/qe2/qe4 graduated to oracle-backed via
+    * provable-equivalence configurations (threshold-0.9 near-dups
+    * with exhaustive all-pairs oracle; 1-bit-band LSH; full-probe
+    * IVF == brute force).
     */
-  def rowsOnly: Set[String] = Set("qd6_minhash_pairs", "qd7_simhash",
-    "qe2_knn_lsh", "qe3_embedding_neardups", "qe4_knn_ivf")
+  def rowsOnly: Set[String] = Set("qd7_simhash", "qe3_embedding_neardups")
 
   private val monthExpr =
     "substring(CAST(CAST(%s AS DATE) AS VARCHAR), 1, 7)"
@@ -170,6 +176,13 @@ object SparkEntry {
         "(acc, x) -> (acc * 31 + x) % 2147483647) END AS fp " +
         "FROM documents ORDER BY doc_id"),
     "qe1_knn_brute" -> knnSql,
+    // qe2 (1-bit-band LSH) and qe4 (full-probe IVF) are declared at
+    // provable-equivalence parameters — both reduce to exact cosine
+    // top-k, so the brute-force SQL is their oracle verbatim.
+    "qe2_knn_lsh" -> knnSql,
+    "qe4_knn_ivf" -> knnSql,
+    "qd6_minhash_pairs" -> minhashPairsSql,
+    "qd10_pair_jaccard" -> pairJaccardSql,
     "qx1_left_join" ->
       ("SELECT c.c_custkey, a.n_orders, a.total FROM customer c LEFT JOIN (" +
         "SELECT o_custkey, count(*) AS n_orders, " +
@@ -241,7 +254,7 @@ object SparkEntry {
         "FROM events GROUP BY 1 ORDER BY event_type"),
     "qd8_source_stats" ->
       ("SELECT source, count(*) AS n_docs, " +
-        "count(DISTINCT lang) AS n_langs, SUM(n_chars) AS total_chars " +
+        "count(DISTINCT lang) AS n_langs, CAST(SUM(n_chars) AS BIGINT) AS total_chars " +
         "FROM documents GROUP BY 1 ORDER BY source"),
     "qd9_token_freq" ->
       ("SELECT token, count(*) AS doc_freq FROM (" +
@@ -274,6 +287,46 @@ object SparkEntry {
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
       |FROM g GROUP BY user_id, session_id
       |ORDER BY user_id, session_id""".stripMargin
+
+  /** Shared CTE: per-doc distinct word 3-gram shingle sets as strings,
+    * mirroring Dedup.tokens + gramStrings (docs under 3 tokens fold to
+    * one whole-doc shingle). String identity on both sides means set
+    * sizes — and therefore Jaccard values — carry no hash-collision
+    * caveat.
+    */
+  private val shingleCte: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split(
+      |    regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+      |    t -> t != '') AS t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, list_distinct(
+      |    CASE WHEN len(t) >= 3 THEN list_transform(range(1, len(t) - 1),
+      |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+      |         ELSE [array_to_string(t, ' ')] END) AS s
+      |  FROM toks)""".stripMargin
+
+  private val jaccardExpr: String =
+    "CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / " +
+      "CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE)"
+
+  /** Exhaustive all-pairs oracle for the LSH-blocked near-dup query:
+    * sound at gate scale (n^2/2 list intersections), which the
+    * distributed side must match while never going all-pairs.
+    */
+  private val minhashPairsSql: String =
+    s"""$shingleCte
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, $jaccardExpr AS jaccard
+       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |WHERE $jaccardExpr >= 0.9
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  private val pairJaccardSql: String =
+    s"""$shingleCte
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, $jaccardExpr AS jaccard
+       |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+       |ORDER BY doc_a""".stripMargin
 
   /** DuckDB double dot product with the same sequential fold order as
     * the Spark side's aggregate(zip_with(...)).

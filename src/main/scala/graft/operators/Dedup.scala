@@ -21,12 +21,23 @@ object Dedup {
   /** Exact dedup: keep the lowest id per identical value of `key`.
     * One shuffle (window over the key); ties cannot happen because
     * `idCol` is unique.
+    *
+    * The window partitions on (xxhash64(key), key) rather than the
+    * raw key alone: the shuffle sort then compares 8-byte longs first
+    * and touches the full value only on hash-equal runs (actual
+    * duplicate groups plus ~2^-64 collisions, which the trailing
+    * exact-key column keeps from ever merging distinct groups). At
+    * document scale the key is multi-KB text, so this is the
+    * difference between sorting longs and sorting documents.
+    * WindowGroupLimit still prunes to one row per group map-side
+    * before the exchange, so duplicate rows are never shuffled.
     */
   def exactDedup(df: DataFrame, key: String, idCol: String): DataFrame = {
-    val w = Window.partitionBy(key).orderBy(idCol)
-    df.withColumn("rn", row_number().over(w))
+    val w = Window.partitionBy("_h", key).orderBy(idCol)
+    df.withColumn("_h", xxhash64(col(key)))
+      .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
-      .drop("rn")
+      .drop("rn", "_h")
   }
 
   // ---- MinHash ----------------------------------------------------
@@ -82,6 +93,19 @@ object Dedup {
     * hot paths use [[shingleFrame]]'s two-step materialization.
     */
   def shingleHashes(text: Column): Column = gramHashes(tokenHashes(text))
+
+  /** Distinct word 3-gram shingles as strings — the hash-free,
+    * oracle-parity path (DuckDB re-derives identical string sets, so
+    * set sizes and Jaccard values match with no collision caveat).
+    * `toks` must be a materialized token column, not an expression —
+    * same HOF-inlining trap as [[gramHashes]].
+    */
+  def gramStrings(toks: Column): Column =
+    array_distinct(when(size(toks) >= 3,
+      transform(sequence(lit(0), size(toks) - 3), i =>
+        concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2),
+          element_at(toks, i + 3))))
+      .otherwise(array(array_join(toks, " "))))
 
   /** Per-doc shingle-hash sets as a persisted frame: the one place
     * the (interpreted-HOF) text work happens; signatures, banding and
@@ -164,25 +188,45 @@ object Dedup {
 
   // ---- SimHash ----------------------------------------------------
 
-  /** Attach a 64-bit SimHash column over word-token xxhash64 values.
-    * Single pass: hash tokens once, fold into a 64-counter array,
-    * pack sign bits. Expression-level SQL HOFs (the functions API
-    * cannot shift by a column), no shuffle.
+  /** (id, simhash) frame: 64-bit SimHash over word-token xxhash64
+    * values as explode + 64 codegen'd sum aggregates (one shuffle,
+    * partial aggregation collapses map-side to 64 longs per doc per
+    * mapper — the same scalable shape as [[minhashSignatures]]).
+    *
+    * An earlier array-HOF formulation (fold tokens into a 64-counter
+    * array, then pack bits in a second projection) was 64x slower:
+    * CollapseProject inlines a once-referenced alias into the
+    * consuming lambda, so the full counter fold re-evaluated per bit
+    * — and interpreted, since HOF lambdas never reach codegen.
+    * Aggregates are the idiomatic Spark answer: whole-stage codegen,
+    * map-side combine, no lambda evaluation at all.
+    *
+    * Docs with zero tokens keep a row (explode_outer) and hash to 0L
+    * (every bit counter stays 0, and 0 is not > 0).
     */
-  def withSimhash(df: DataFrame, textCol: String, out: String): DataFrame =
-    df
-      .withColumn("_th", expr(
-        s"transform(filter(split(regexp_replace(lower($textCol), '[^a-z0-9]+', ' '), ' '), t -> t != ''), t -> xxhash64(t))"))
-      .withColumn("_bc", expr(
-        """aggregate(_th, array_repeat(0L, 64),
-          |  (acc, h) -> zip_with(acc,
-          |    transform(sequence(0, 63), i -> CAST(IF(((h >> i) & 1) = 1, 1, -1) AS BIGINT)),
-          |    (a, x) -> a + x))""".stripMargin))
-      .withColumn(out, expr(
-        """aggregate(transform(sequence(0, 63),
-          |    i -> IF(element_at(_bc, i + 1) > 0, shiftleft(1L, i), 0L)),
-          |  0L, (a, x) -> a + x)""".stripMargin))
-      .drop("_th", "_bc")
+  def simhashFrame(df: DataFrame, idCol: String, textCol: String,
+                   out: String): DataFrame = {
+    val sums = (0 until 64).map { i =>
+      sum(expr("CASE WHEN _h IS NULL THEN 0 " +
+        s"WHEN ((_h >> $i) & 1) = 1 THEN 1 ELSE -1 END")).as(s"_c$i")
+    }
+    val pack = (0 until 64).map { i =>
+      expr(s"IF(_c$i > 0, shiftleft(1L, $i), 0L)")
+    }.reduce(_ + _)
+    df.select(col(idCol), explode_outer(tokens(col(textCol))).as("_t"))
+      .select(col(idCol),
+        when(col("_t").isNotNull, xxhash64(col("_t"))).as("_h"))
+      .groupBy(idCol)
+      .agg(sums.head, sums.tail: _*)
+      .select(col(idCol), pack.as(out))
+  }
+
+  /** Attach the SimHash column to `df`, preserving all its columns
+    * (an id-keyed join against [[simhashFrame]]).
+    */
+  def withSimhash(df: DataFrame, idCol: String, textCol: String,
+                  out: String): DataFrame =
+    df.join(simhashFrame(df, idCol, textCol, out), Seq(idCol))
 
   /** SimHash pairs within `maxDist` Hamming distance, using the
     * 4×16-bit pigeonhole: any pair at distance <= 3 shares at least
@@ -192,9 +236,9 @@ object Dedup {
   def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
                       maxDist: Int = 3): DataFrame = {
     require(maxDist <= 3, "4-chunk pigeonhole only covers maxDist <= 3")
-    val sh = withSimhash(
+    val sh = simhashFrame(
       docs.select(col(idCol).as("id"), col(textCol).as("_text")),
-      "_text", "simhash").select("id", "simhash")
+      "id", "_text", "simhash")
     val chunked = sh.select(col("id"), col("simhash"),
       posexplode(expr(
         "transform(sequence(0, 3), c -> (simhash >> (c * 16)) & 65535)"))

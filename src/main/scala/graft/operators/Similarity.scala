@@ -102,6 +102,12 @@ object Similarity {
     * embedding-space member of the dedup family (near-identical
     * vectors collide on all bands, so recall at high thresholds is
     * near-perfect while never going all-pairs).
+    *
+    * Exchange-width discipline: the pair-magnitude stages (band join,
+    * dedup of the nBands-fold candidate multiset) carry only the two
+    * ids — embeddings re-enter through corpus-magnitude joins after
+    * the distinct, so the widest shuffles in the pipeline move 16-byte
+    * rows, not KB-scale vector payloads.
     */
   def embeddingNearDups(emb: DataFrame, threshold: Double,
                         dim: Int = 64, nPlanes: Int = 32,
@@ -110,21 +116,24 @@ object Similarity {
     // moderately-similar pairs; for strict near-dup thresholds
     // (>0.95) use nPlanes=64 (16-bit bands) so random pairs almost
     // never collide and the verify stage stays tiny
-    val base = emb.select(col("vec_id"), col("embedding"),
-      normD(col("embedding")).as("nrm"))
-      .join(signatureBands(emb, dim, nPlanes, nBands), "vec_id")
-    val exploded = base.select(col("vec_id"), col("embedding"), col("nrm"),
-      posexplode(col("bands")).as(Seq("band_idx", "band_val")))
+    val exploded = signatureBands(emb, dim, nPlanes, nBands)
+      .select(col("vec_id"),
+        posexplode(col("bands")).as(Seq("band_idx", "band_val")))
     val a = exploded.select(col("vec_id").as("id_a"),
-      col("embedding").as("emb_a"), col("nrm").as("nrm_a"),
       col("band_idx"), col("band_val"))
     val b = exploded.select(col("vec_id").as("id_b"),
-      col("embedding").as("emb_b"), col("nrm").as("nrm_b"),
       col("band_idx"), col("band_val"))
-    a.join(b, Seq("band_idx", "band_val"))
+    val pairs = a.join(b, Seq("band_idx", "band_val"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "emb_a", "emb_b", "nrm_a", "nrm_b")
+      .select("id_a", "id_b")
       .distinct()
+    val withN = emb.select(col("vec_id"), col("embedding"),
+      normD(col("embedding")).as("nrm"))
+    pairs
+      .join(withN.select(col("vec_id").as("id_a"),
+        col("embedding").as("emb_a"), col("nrm").as("nrm_a")), "id_a")
+      .join(withN.select(col("vec_id").as("id_b"),
+        col("embedding").as("emb_b"), col("nrm").as("nrm_b")), "id_b")
       .withColumn("sim",
         dotD(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")))
       .filter(col("sim") >= threshold)
@@ -135,12 +144,20 @@ object Similarity {
   /** ANN top-k: score only vectors sharing >= 1 LSH band with the
     * query, then exact cosine + rank. Same output shape as
     * [[bruteForceKnn]]; recall measured in SimilaritySpec.
+    *
+    * Band geometry is the recall/cost dial: the default 4x4-bit bands
+    * are the selective production shape; nBands = nPlanes (1-bit
+    * bands) makes candidate generation effectively exhaustive — a
+    * pair escapes only when ALL sign bits differ — which is the
+    * oracle-parity configuration (equals brute force on the gate
+    * corpora, verified against DuckDB).
     */
   def lshKnn(emb: DataFrame, queryIds: Seq[Long], k: Int,
-             dim: Int = 64): DataFrame = {
+             dim: Int = 64, nPlanes: Int = NumPlanes,
+             nBands: Int = PlaneBands): DataFrame = {
     val base = emb.select(col("vec_id"), col("embedding"),
       normD(col("embedding")).as("nrm"))
-      .join(signatureBands(emb, dim, NumPlanes, PlaneBands), "vec_id")
+      .join(signatureBands(emb, dim, nPlanes, nBands), "vec_id")
     val exploded = base.select(col("vec_id"), col("embedding"), col("nrm"),
       posexplode(col("bands")).as(Seq("band_idx", "band_val")))
     val qSide = exploded.filter(col("vec_id").isin(queryIds: _*))

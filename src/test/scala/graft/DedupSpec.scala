@@ -69,7 +69,7 @@ class DedupSpec extends SparkSpec {
     val base = "spark shuffles partitions and broadcasts small tables " +
       "for efficient distributed joins across many executors"
     val d = docs(1L -> base, 2L -> base, 3L -> base.replace("small", "tiny"))
-    val out = Dedup.withSimhash(d, "text", "simhash")
+    val out = Dedup.withSimhash(d, "doc_id", "text", "simhash")
       .orderBy("doc_id").collect().map(_.getAs[Long]("simhash"))
     assert(out(0) == out(1))
     val hamming = java.lang.Long.bitCount(out(0) ^ out(2))
