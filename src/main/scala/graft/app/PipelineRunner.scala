@@ -27,6 +27,28 @@ object PipelineRunner {
   final case class Dimensions(
       customer: DataFrame, store: DataFrame, salesTeam: DataFrame)
 
+  object Dimensions {
+    /** Load the dimension tables over JDBC as part of the run — the
+      * reference reads its five MySQL tables inside the job
+      * (main.py:272-289 via database_read.py:7-9); callers that
+      * already hold DataFrames can keep passing them directly.
+      *
+      * Scale note: a plain `read.jdbc(table)` is a single-partition
+      * pull, which is exactly right for broadcast-bound dimension
+      * tables; a dimension too large to broadcast should come in
+      * through a partitioned read (predicates / bounds) instead.
+      */
+    def fromJdbc(spark: SparkSession, url: String,
+                 props: java.util.Properties,
+                 customerTable: String = "customer",
+                 storeTable: String = "store",
+                 salesTeamTable: String = "sales_team"): Dimensions =
+      Dimensions(
+        customer = spark.read.jdbc(url, customerTable, props),
+        store = spark.read.jdbc(url, storeTable, props),
+        salesTeam = spark.read.jdbc(url, salesTeamTable, props))
+  }
+
   final case class RunReport(
       staleActiveFiles: Seq[String],
       goodFiles: Seq[String],

@@ -29,13 +29,20 @@ object Writers {
     */
   def writePartitioned(df: DataFrame, path: String,
                        partitionCols: Seq[String],
-                       codec: String = "snappy"): Unit = {
+                       codec: String = "snappy",
+                       numTasks: Int = 0): Unit = {
     // Explicit partition count: with repartition(cols) alone AQE
     // coalesces the (byte-wise tiny) shuffle to 1-2 tasks, which then
     // write thousands of partition directories serially — the cost of
     // a hive-partitioned write is per-FILE, not per-byte, so keep the
-    // writer task count pinned at the cluster's parallelism.
-    val n = df.sparkSession.sparkContext.defaultParallelism
+    // writer task count pinned. Default = cluster parallelism (tasks
+    // spread across machines, each with its own IO path). numTasks
+    // overrides it when all writers share one storage endpoint: the
+    // WriteProbe measurement (BASELINE.md) shows a single local disk
+    // saturates at ~8 concurrent parquet writers (4.3 s vs 5.9-6.4 s
+    // at 32 tasks for 2100 dirs) — contention, not CPU, is the floor.
+    val n = if (numTasks > 0) numTasks
+            else df.sparkSession.sparkContext.defaultParallelism
     df.repartition(n, partitionCols.map(col): _*)
       .write.mode("overwrite")
       // snappy: per-file cost is writer+codec init when partitions are

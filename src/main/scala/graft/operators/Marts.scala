@@ -56,7 +56,12 @@ object Marts {
     // task writes into every month×store directory (tasks × dirs tiny
     // files — the small-files problem at scale). With it, each
     // directory gets one file.
-    graft.io.Writers.writePartitioned(mart, out, Seq("month", "store"))
+    // numTasks=8: this roundtrip writes to the node-local disk, where
+    // the WriteProbe measurement found ~8 concurrent writers is the
+    // contention sweet spot (see Writers.writePartitioned doc); a
+    // distributed FS target would leave the default.
+    graft.io.Writers.writePartitioned(mart, out, Seq("month", "store"),
+      numTasks = 8)
     s.read.parquet(out)
       .select(col("store").cast("int").as("store"), col("person"),
         col("month"), col("total"), col("incentive"))

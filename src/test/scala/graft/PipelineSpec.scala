@@ -45,6 +45,28 @@ class PipelineSpec extends SparkSpec {
     assert(dirs.nonEmpty)
   }
 
+  test("end-to-end run with JDBC-sourced dimensions (Derby)") {
+    val root = tempDir("pipeline_jdbc_")
+    val cfg = PipelineConfig(s"$root/in", s"$root/err", s"$root/done",
+      s"$root/out")
+    Files.createDirectories(Paths.get(cfg.inputDir))
+    Fixtures.writeF1(cfg.inputDir)
+    val url = "jdbc:derby:memory:graftdims;create=true"
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    val (c, s, st) = Fixtures.dims(spark)
+    graft.io.Writers.writeJdbcAppend(c, url, "customer", props)
+    graft.io.Writers.writeJdbcAppend(s, url, "store", props)
+    graft.io.Writers.writeJdbcAppend(st, url, "sales_team", props)
+
+    val dims = PipelineRunner.Dimensions.fromJdbc(spark, url, props)
+    val report = PipelineRunner.run(spark, cfg, dims, new InMemoryRunLedger)
+
+    assert(report.goodFiles.size == 1)
+    assert(report.audit.rowsIn == 500 && report.audit.rowsOut == 500)
+    assert(report.customerMartRows > 0 && report.salesMartRows > 0)
+  }
+
   test("a crashed run leaves 'A' rows that the next run detects") {
     val root = tempDir("pipeline_stale_")
     val cfg = PipelineConfig(s"$root/in", s"$root/err", s"$root/done",

@@ -46,4 +46,51 @@ class PlanSpec extends SparkSpec {
     val p = plan(graft.operators.TrainingOps.dedupExact(spark, sf))
     assert(p.contains("WindowGroupLimit"))
   }
+
+  // ---- dedup / ANN family: the scale shapes the specs otherwise
+  // only prove by value (VERDICT r1 next-round #8) ----------------
+
+  private def noAllPairs(p: String): Unit = {
+    assert(!p.contains("CartesianProduct"), "all-pairs cartesian in plan")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "nested-loop join in plan")
+  }
+
+  test("qd6: minhash pipeline is equi-join only, with partial aggregation") {
+    val p = plan(graft.operators.TrainingOps.minhashTopPairs(spark, sf))
+    noAllPairs(p)
+    // signature min-aggregates must combine map-side: partial + final
+    assert("HashAggregate".r.findAllIn(p).size >= 2)
+  }
+
+  test("qe2: LSH kNN blocks via equi-join, no cartesian") {
+    noAllPairs(plan(graft.operators.TrainingOps.knnLsh(spark, sf)))
+  }
+
+  test("qe3: near-dup exchanges carry ids, embeddings rejoin after distinct") {
+    val df = graft.operators.TrainingOps.embeddingNearDups(spark, sf)
+    val p = plan(df)
+    noAllPairs(p)
+    // every shuffle that moves pair rows must be embedding-free: no
+    // exchange output may carry both pair-side embedding payloads.
+    // (AQE wraps the plan in AdaptiveSparkPlanExec, which hides its
+    // inner plan from TreeNode.collect — recurse through it.)
+    def allNodes(sp: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = sp match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        sp +: allNodes(a.executedPlan)
+      case _ => sp +: sp.children.flatMap(allNodes)
+    }
+    val exchanges = allNodes(df.queryExecution.executedPlan).collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike =>
+        e.output.map(_.name)
+    }
+    assert(exchanges.nonEmpty)
+    exchanges.foreach { out =>
+      assert(!(out.contains("emb_a") && out.contains("emb_b")),
+        s"pair-magnitude exchange carries embedding payloads: $out")
+    }
+    // the candidate-dedup exchange is exactly the two ids
+    assert(exchanges.exists(out => out.toSet == Set("id_a", "id_b")),
+      s"no ids-only distinct exchange found: $exchanges")
+  }
 }
