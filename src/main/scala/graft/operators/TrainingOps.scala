@@ -72,17 +72,47 @@ object TrainingOps {
     * value-level oracled query: string shingles on both sides, so
     * intersection/union sizes and the double division are bit-equal
     * with DuckDB, no hash-collision caveat.
+    *
+    * Fully relational (no array HOFs in the hot path): grams come
+    * from explode + two window leads, set sizes from distinct +
+    * count, intersections from an equi-join on the gram — every
+    * stage whole-stage-codegen with map-side combine. The array-HOF
+    * form (transform + per-gram concat) measured 3.3 s at sf0.1;
+    * interpreted lambda evaluation was the entire difference.
     */
   def pairJaccard(s: SparkSession, dir: String): DataFrame = {
-    val sh = Tables.documents(s, dir)
+    import org.apache.spark.sql.expressions.Window
+    val tf = Tables.documents(s, dir)
       .select(col("doc_id"), Dedup.tokens(col("text")).as("_t"))
-      .select(col("doc_id"), Dedup.gramStrings(col("_t")).as("sh"))
-    val a = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-    val b = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-    a.join(b, col("doc_b") === col("doc_a") + lit(1L))
+    // >= 3 tokens: word 3-grams via two leads over token position
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val long = tf.filter(size(col("_t")) >= 3)
+      .select(col("doc_id"), posexplode(col("_t")).as(Seq("pos", "t")))
+      .withColumn("t2", lead("t", 1).over(w))
+      .withColumn("t3", lead("t", 2).over(w))
+      .filter(col("t3").isNotNull)
+      .select(col("doc_id"),
+        concat_ws(" ", col("t"), col("t2"), col("t3")).as("g"))
+    // < 3 tokens: one whole-doc shingle (matches Dedup.gramStrings)
+    val short = tf.filter(size(col("_t")) < 3)
+      .select(col("doc_id"), array_join(col("_t"), " ").as("g"))
+    val grams = long.union(short).distinct()
+    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // |A ∩ B| for consecutive-id pairs: gram equi-join + count
+    val inter = grams.as("ga")
+      .join(grams.as("gb"),
+        col("gb.doc_id") === col("ga.doc_id") + lit(1L)
+          && col("ga.g") === col("gb.g"))
+      .groupBy(col("ga.doc_id").as("doc_a"))
+      .agg(count(lit(1)).as("ni"))
+    // pair spine keeps zero-intersection pairs
+    sizes.select(col("doc_id").as("doc_a"), col("n").as("na"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")),
+        col("doc_b") === col("doc_a") + lit(1L))
+      .join(inter, Seq("doc_a"), "left")
       .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+        coalesce(col("ni"), lit(0L)).cast("double") /
+          (col("na") + col("nb") - coalesce(col("ni"), lit(0L))).cast("double"))
       .select("doc_a", "doc_b", "jaccard")
       .orderBy("doc_a")
   }
