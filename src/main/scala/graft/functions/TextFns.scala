@@ -25,7 +25,11 @@ object TextFns {
   def bpeTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
 
-  /** Character-class counts. */
+  /** Character-class counts — regex formulation, kept as the
+    * engine-neutral reference the oracle mirrors and the spec
+    * cross-checks; the hot path uses [[AsciiClassCounts]] (identical
+    * counts in one allocation-free byte scan).
+    */
   def alphaCount(text: Column): Column =
     length(regexp_replace(text, "[^A-Za-z]", ""))
   def digitCount(text: Column): Column =
@@ -36,15 +40,19 @@ object TextFns {
   /** Quality signals in [0,1] plus a fixed-weight composite score —
     * the length/punctuation/stopword-ratio heuristic family used for
     * corpus filtering. Deterministic; mirrors the oracle SQL exactly.
+    * Requires [[AsciiClassCounts.register]] on the active session
+    * (the class counts come from the single-pass codegen expression;
+    * values are identical to the regex formulation).
     */
   def qualitySignals(text: Column): Seq[(String, Column)] = {
+    val counts = AsciiClassCounts.of(text)
     val len = length(text).cast("double")
     val alphaRatio = when(length(text) === 0, lit(0.0))
-      .otherwise(alphaCount(text).cast("double") / len)
+      .otherwise(counts.getField("alpha").cast("double") / len)
     val digitRatio = when(length(text) === 0, lit(0.0))
-      .otherwise(digitCount(text).cast("double") / len)
+      .otherwise(counts.getField("digit").cast("double") / len)
     val spaceRatio = when(length(text) === 0, lit(0.0))
-      .otherwise(spaceCount(text).cast("double") / len)
+      .otherwise(counts.getField("space").cast("double") / len)
     val stopRatio = {
       val stops = size(regexp_extract_all(lower(text),
         lit("\\b(the|a|of|to|and|in|is|it)\\b"), lit(0))).cast("double")

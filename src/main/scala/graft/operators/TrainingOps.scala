@@ -30,6 +30,7 @@ object TrainingOps {
 
   /** Quality-scoring signals (SQL-expressible, bit-exact doubles). */
   def quality(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.AsciiClassCounts.register(s)
     val base = Tables.documents(s, dir)
     val sigs = TextFns.qualitySignals(col("text"))
     base.select(col("doc_id") +: sigs.map { case (n, c) => c.as(n) }: _*)

@@ -20,7 +20,31 @@ class TextFnsSpec extends SparkSpec {
     assert(one[Int](TextFns.bpeTokenCount(col("text")), "") == 0)
   }
 
+  test("ascii_class_counts matches regex counts and reference on real data") {
+    graft.functions.AsciiClassCounts.register(spark)
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("text").limit(100)
+      .union(Seq("", "  ", "ab1 ", "héllo wörld 42", "你好 world 7")
+        .toDF("text"))
+    val c = graft.functions.AsciiClassCounts.of(col("text"))
+    val rows = docs.select(col("text"),
+      c.getField("alpha").as("a"), c.getField("digit").as("d"),
+      c.getField("space").as("s"),
+      TextFns.alphaCount(col("text")).as("ra"),
+      TextFns.digitCount(col("text")).as("rd"),
+      TextFns.spaceCount(col("text")).as("rs")).collect()
+    rows.foreach { r =>
+      val (a, d, s) = graft.functions.AsciiClassCounts
+        .reference(r.getAs[String]("text"))
+      assert(r.getAs[Int]("a") == a && r.getAs[Int]("ra") == a)
+      assert(r.getAs[Int]("d") == d && r.getAs[Int]("rd") == d)
+      assert(r.getAs[Int]("s") == s && r.getAs[Int]("rs") == s)
+    }
+  }
+
   test("quality signals are in range and score is weighted sum") {
+    graft.functions.AsciiClassCounts.register(spark)
     val df = Seq("The quick brown fox 123!", "").toDF("text")
     val sigs = TextFns.qualitySignals(col("text"))
     val rows = df.select(sigs.map { case (n, c) => c.as(n) }: _*).collect()
