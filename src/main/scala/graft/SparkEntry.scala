@@ -57,6 +57,7 @@ object SparkEntry {
     "qd8_source_stats"   -> TrainingOps.sourceStats _,
     "qd9_token_freq"     -> TrainingOps.tokenFreq _,
     "qd10_pair_jaccard"  -> TrainingOps.pairJaccard _,
+    "qd11_doc_keywords"  -> TrainingOps.docKeywords _,
     "qx1_left_join"      -> Extras.leftJoinOrders _,
     "qx2_semi_join"      -> Extras.semiJoin _,
     "qx3_anti_join"      -> Extras.antiJoin _,
@@ -183,6 +184,27 @@ object SparkEntry {
     "qe4_knn_ivf" -> knnSql,
     "qd6_minhash_pairs" -> minhashPairsSql,
     "qd10_pair_jaccard" -> pairJaccardSql,
+    // TF-IDF: Math.log and DuckDB ln can differ by 1 ulp, so the
+    // score is quantized to 6 decimals by the same floor construction
+    // on both sides and the rank orders on the quantized value.
+    "qd11_doc_keywords" ->
+      ("""WITH toks AS (
+         |  SELECT doc_id, unnest(list_filter(string_split(
+         |    regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+         |    t -> t != '')) AS token
+         |  FROM documents),
+         |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+         |df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT count(*) AS n FROM documents),
+         |s AS (SELECT tf.doc_id, tf.token, tf.tf,
+         |        CAST(floor(CAST(tf.tf AS DOUBLE) * ln(CAST(n.n AS DOUBLE) / CAST(df.df AS DOUBLE))
+         |               * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0 AS tfidf
+         |      FROM tf JOIN df USING (token) CROSS JOIN n),
+         |r AS (SELECT *, CAST(rank() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS INTEGER) AS rnk
+         |      FROM s)
+         |SELECT doc_id, token, CAST(tf AS BIGINT) AS tf, tfidf, rnk
+         |FROM r WHERE rnk <= 5
+         |ORDER BY doc_id, rnk, token""".stripMargin),
     "qx1_left_join" ->
       ("SELECT c.c_custkey, a.n_orders, a.total FROM customer c LEFT JOIN (" +
         "SELECT o_custkey, count(*) AS n_orders, " +

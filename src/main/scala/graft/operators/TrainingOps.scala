@@ -148,6 +148,39 @@ object TrainingOps {
       .orderBy(col("doc_freq").desc, col("token"))
       .limit(50)
 
+  /** Per-document TF-IDF keywords (top-5 tokens by tf * ln(N/df)):
+    * the corpus-statistics pass every curation pipeline runs. Shape:
+    * explode + two-level aggregation (tf per doc-token, df per
+    * token), a broadcast scalar for N, window top-k per doc. Oracle
+    * parity: Java Math.log and DuckDB ln disagree by 1 ulp on some
+    * inputs, so the score is quantized to 6 decimals through an
+    * identical floor(x*1e6 + 0.5) construction on both sides (a 1-ulp
+    * input difference can only cross a quantization boundary with
+    * ~1e-10 probability per value) and the rank orders on the
+    * quantized score with the token string as tiebreak.
+    */
+  def docKeywords(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+    val toks = docs.select(col("doc_id"),
+      explode(Dedup.tokens(col("text"))).as("token"))
+    val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("tfidf").desc, col("token"))
+    tf.join(df, "token")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf_raw", col("tf").cast("double") *
+        log(col("n").cast("double") / col("df").cast("double")))
+      .withColumn("tfidf",
+        floor(col("tfidf_raw") * lit(1e6) + lit(0.5)).cast("double") / lit(1e6))
+      .withColumn("rnk", rank().over(w).cast("int"))
+      .filter(col("rnk") <= 5)
+      .select("doc_id", "token", "tf", "tfidf", "rnk")
+      .orderBy("doc_id", "rnk", "token")
+  }
+
   val knnQueryIds: Seq[Long] = Seq(0L, 1L, 2L, 3L, 4L)
 
   /** Exact cosine top-10 for five query vectors (oracle-backed:
