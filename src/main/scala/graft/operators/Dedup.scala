@@ -110,6 +110,17 @@ object Dedup {
   /** Per-doc shingle-hash sets as a persisted frame: the one place
     * the (interpreted-HOF) text work happens; signatures, banding and
     * jaccard verification all reuse it.
+    *
+    * Measured alternative (round 3): deriving shingles relationally —
+    * explode token hashes + two window leads + distinct, as
+    * TrainingOps.pairJaccard does for strings — was 28% SLOWER here
+    * (3.1 s vs 2.4 s warm at sf0.1) and worse at scale: it adds three
+    * data-scale shuffles (window sort, distinct, rejoin) to save
+    * interpreted per-gram arithmetic that is cheap, linear and
+    * embarrassingly parallel. The projection form keeps shingle
+    * derivation shuffle-free; nothing shuffles until the 32-long
+    * signature rows. String grams are the opposite trade (allocation-
+    * heavy lambdas), which is why pairJaccard went relational.
     */
   private def shingleFrame(docs: DataFrame, idCol: String,
                            textCol: String): DataFrame =
