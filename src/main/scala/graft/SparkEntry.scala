@@ -58,6 +58,7 @@ object SparkEntry {
     "qd9_token_freq"     -> TrainingOps.tokenFreq _,
     "qd10_pair_jaccard"  -> TrainingOps.pairJaccard _,
     "qd11_doc_keywords"  -> TrainingOps.docKeywords _,
+    "qd12_hash_sample"   -> TrainingOps.hashSample _,
     "qx1_left_join"      -> Extras.leftJoinOrders _,
     "qx2_semi_join"      -> Extras.semiJoin _,
     "qx3_anti_join"      -> Extras.antiJoin _,
@@ -184,6 +185,20 @@ object SparkEntry {
     "qe4_knn_ivf" -> knnSql,
     "qd6_minhash_pairs" -> minhashPairsSql,
     "qd10_pair_jaccard" -> pairJaccardSql,
+    // Deterministic mixture sampling: the rolling-hash fingerprint
+    // (same expression as qd5's oracle) buckets content mod 100; the
+    // per-source rate is a function of the source name both engines
+    // compute identically.
+    "qd12_hash_sample" ->
+      ("""WITH f AS (
+         |  SELECT doc_id, source,
+         |    CAST(CASE WHEN length(text) = 0 THEN 0 ELSE
+         |      list_reduce(list_transform(string_split(text, ''), c -> CAST(unicode(c) AS BIGINT)),
+         |        (acc, x) -> (acc * 31 + x) % 2147483647) END % 100 AS INTEGER) AS bucket
+         |  FROM documents)
+         |SELECT doc_id, source, bucket FROM f
+         |WHERE bucket < 20 + 20 * (length(source) % 3)
+         |ORDER BY doc_id""".stripMargin),
     // TF-IDF: Math.log and DuckDB ln can differ by 1 ulp, so the
     // score is quantized to 6 decimals by the same floor construction
     // on both sides and the rank orders on the quantized value.

@@ -181,6 +181,29 @@ object TrainingOps {
       .orderBy("doc_id", "rnk", "token")
   }
 
+  /** Deterministic weighted mixture sampling: keep a document iff its
+    * content fingerprint falls under the per-source rate bucket —
+    * the reproducible (seedless, data-derived) sampling a curation
+    * pipeline uses to re-mix sources; rerunning on the same corpus
+    * selects the same rows, and the decision migrates with the
+    * content, not the row order or partitioning. Rates here are a
+    * deterministic function of the source name (20/40/60%) so the
+    * oracle can mirror them; production passes an explicit
+    * source→rate map. Filter + fingerprint run in one codegen'd scan
+    * pass — no shuffle at all until the output sort.
+    */
+  def hashSample(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.DocFingerprint.register(s)
+    val rate = lit(20) + lit(20) * pmod(length(col("source")), lit(3))
+    Tables.documents(s, dir)
+      .withColumn("bucket",
+        pmod(graft.functions.DocFingerprint.of(col("text")), lit(100L))
+          .cast("int"))
+      .filter(col("bucket") < rate)
+      .select("doc_id", "source", "bucket")
+      .orderBy("doc_id")
+  }
+
   val knnQueryIds: Seq[Long] = Seq(0L, 1L, 2L, 3L, 4L)
 
   /** Exact cosine top-10 for five query vectors (oracle-backed:
