@@ -80,6 +80,13 @@ object TrainingOps {
     * stage whole-stage-codegen with map-side combine. The array-HOF
     * form (transform + per-gram concat) measured 3.3 s at sf0.1;
     * interpreted lambda evaluation was the entire difference.
+    *
+    * `grams` feeds four consumers and is deliberately NOT persisted:
+    * measured at sf0.1, caching it was ~25% slower end-to-end (6.0 s
+    * vs 4.7 s cold) — the columnar cache build costs more than three
+    * recomputes of a cheap scan+window lineage whose subtrees the
+    * scheduler runs concurrently. Revisit if the upstream ever grows
+    * an expensive stage.
     */
   def pairJaccard(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
