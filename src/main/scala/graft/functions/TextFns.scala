@@ -67,24 +67,34 @@ object TextFns {
       "quality_score" -> score)
   }
 
-  private val markers: Seq[(String, String)] = Seq(
-    "en" -> "\\b(the|and|of|to|in|is)\\b",
-    "de" -> "\\b(der|die|das|und|ist|nicht)\\b",
-    "fr" -> "\\b(le|la|les|et|est|une)\\b",
-    "es" -> "\\b(el|los|las|es|una|del)\\b")
+  /** Regex formulation of the per-language marker counts — the
+    * engine-neutral reference the oracle mirrors and the spec
+    * cross-checks against [[MarkerWordCounts]].
+    */
+  def markerCountsRegex(text: Column): Seq[(String, Column)] = {
+    val lc = lower(text)
+    MarkerWordCounts.Markers.map { case (lang, words) =>
+      lang -> size(regexp_extract_all(lc,
+        lit("\\b(" + words.mkString("|") + ")\\b"), lit(0)))
+    }
+  }
 
   /** Marker-word language ID: count per-language stopword hits, CJK
     * codepoints short-circuit to 'zh', ties resolve in the fixed
     * marker order, no hits → 'und'. A heuristic classifier, not a
     * model — the point is a deterministic, scalable scoring pass.
+    * Requires [[MarkerWordCounts.register]] on the active session
+    * (one byte scan replaces four full-text regex passes; counts are
+    * identical, spec-cross-checked).
     */
   def langId(text: Column): Column = {
-    val lc = lower(text)
-    val scores = markers.map { case (lang, pat) =>
-      lang -> size(regexp_extract_all(lc, lit(pat), lit(0)))
-    }
-    val zh = length(regexp_replace(text, "[^\\x{4e00}-\\x{9fff}]", "")) > 0
-    val Seq(en, de, fr, es) = scores.map(_._2)
+    val m = MarkerWordCounts.of(text)
+    // containment test, not a regexp_replace rebuild: rlike early-
+    // exits on the first CJK codepoint instead of reconstructing the
+    // whole string to measure its length
+    val zh = text.rlike("[\\x{4e00}-\\x{9fff}]")
+    val Seq(en, de, fr, es) =
+      MarkerWordCounts.Langs.map(l => m.getField(l))
     when(zh, lit("zh"))
       .when(en >= de && en >= fr && en >= es && en > 0, lit("en"))
       .when(de >= fr && de >= es && de > 0, lit("de"))

@@ -38,10 +38,12 @@ object TrainingOps {
   }
 
   /** Marker-word language ID (SQL-expressible). */
-  def langId(s: SparkSession, dir: String): DataFrame =
+  def langId(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.MarkerWordCounts.register(s)
     Tables.documents(s, dir)
       .select(col("doc_id"), TextFns.langId(col("text")).as("pred_lang"))
       .orderBy("doc_id")
+  }
 
   /** Document fingerprint via the custom Catalyst expression
     * (codegen'd); oracle mirrors the same rolling hash with

@@ -69,6 +69,21 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs.contains((0L, 9001L)), s"planted pair missing: ${pairs.toSeq}")
   }
 
+  test("lsh knn at 1-bit bands (oracle geometry) equals brute force") {
+    // qe2's declared configuration: nBands = nPlanes, so a candidate
+    // is excluded only when all 16 sign bits differ — on real data
+    // the result must be identical to exact brute force, which is
+    // what licenses sharing qe1's DuckDB oracle
+    val brute = Similarity.bruteForceKnn(emb, qids, 10).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rnk"),
+        r.getAs[Long]("vec_id"), r.getAs[Double]("sim"))).toSeq
+    val exhaustive = Similarity
+      .lshKnn(emb, qids, 10, nPlanes = 16, nBands = 16).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rnk"),
+        r.getAs[Long]("vec_id"), r.getAs[Double]("sim"))).toSeq
+    assert(exhaustive == brute)
+  }
+
   test("lsh knn achieves reasonable recall vs brute force") {
     val brute = Similarity.bruteForceKnn(emb, qids, 10).collect()
       .groupBy(_.getAs[Long]("query_id"))

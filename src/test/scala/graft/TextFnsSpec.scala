@@ -59,7 +59,34 @@ class TextFnsSpec extends SparkSpec {
     }
   }
 
+  test("marker_word_counts matches regex counts and reference on real data") {
+    graft.functions.MarkerWordCounts.register(spark)
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("text").limit(100)
+      .union(Seq("", "the theory is _the_ THE the5 the!the",
+        "der und die 你好 le la es").toDF("text"))
+    val m = graft.functions.MarkerWordCounts.of(col("text"))
+    val regex = TextFns.markerCountsRegex(col("text"))
+    val langs = graft.functions.MarkerWordCounts.Langs
+    val rows = docs.select(
+      col("text") +:
+        (langs.map(l => m.getField(l).as(s"e_$l")) ++
+          regex.map { case (l, c) => c.as(s"r_$l") }): _*).collect()
+    rows.foreach { r =>
+      val ref = graft.functions.MarkerWordCounts.reference(
+        r.getAs[String]("text"))
+      langs.zipWithIndex.foreach { case (l, i) =>
+        assert(r.getAs[Int](s"e_$l") == ref(i),
+          s"expr vs reference for $l on '${r.getAs[String]("text")}'")
+        assert(r.getAs[Int](s"r_$l") == ref(i),
+          s"regex vs reference for $l on '${r.getAs[String]("text")}'")
+      }
+    }
+  }
+
   test("langId picks marker languages, CJK, and und") {
+    graft.functions.MarkerWordCounts.register(spark)
     def lid(t: String) = one[String](TextFns.langId(col("text")), t)
     assert(lid("the cat and the dog is in the house") == "en")
     assert(lid("der hund und die katze ist nicht hier") == "de")
