@@ -1,9 +1,29 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Driver-run benchmark: every declared query at SPARK_GRAFT_SF_DIR,
+  * one JSON line on stdout.
+  *
+  * Methodology (VERDICT r3/r4 #3): each query runs
+  * SPARK_GRAFT_BENCH_RUNS times (default 3) and reports the MEDIAN —
+  * single-shot timing of the partitioned-write roundtrip swung
+  * 8.9→19.8 s across rounds on identical code, purely from local-disk
+  * state, which made the gate's only trend signal noise. Failures are
+  * never swallowed: a throwing query keeps its `ok:false` flag, lands
+  * in `failures`, and flips the top-level `ok` — it cannot shrink the
+  * total anymore.
+  *
+  * The `queries` map stays name→seconds (driver contract); the added
+  * `details`/`phases`/`failures` fields ride alongside. q14's write
+  * and read-back phases are reported separately (the write is the
+  * disk-state-sensitive half).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val repeats =
+      math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -14,6 +34,9 @@ object Bench {
         "org.apache.hadoop.fs.RawLocalFileSystem")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // q14 scratch: reap trees left by earlier rounds' random-suffix
+    // temp dirs (the query itself now overwrites one fixed path)
+    graft.io.Scratch.reapTmp()
     // warmup: JIT/codegen/hadoop-class init so the first timed query
     // isn't charged ~4s of JVM startup
     spark.range(1000000L).selectExpr("sum(id * 2)").collect()
@@ -39,28 +62,70 @@ object Bench {
       System.err.println(
         f"[bench] ivf_train (amortized)      ${(System.nanoTime() - t0) / 1e9}%8.2f s")
     }
+
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.isEmpty) 0.0
+      else if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
+
     // optional args: bench only the named queries (debugging aid; the
     // driver invokes with no args -> all queries, sorted for stable
     // warmup attribution)
     val names =
       if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
+
+    final case class QRes(name: String, sec: Double, min: Double,
+                          runs: Seq[Double], ok: Boolean,
+                          writeSecs: Seq[Double])
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
-      val t0 = System.nanoTime()
-      // noop-sink write: materializes every output column AND keeps
-      // the final orderBy (a bare count() lets EliminateSorts drop
-      // the sort and column pruning strip the projections, which
-      // under-measured by the sort + projection cost — VERDICT r1 #2)
-      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-      catch { case _: Throwable => }
-      val dt = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] $name%-28s $dt%8.2f s")
-      name -> dt
-    }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      var ok = true
+      val writeSecs = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val runs = (1 to repeats).map { i =>
+        graft.operators.Marts.lastWriteNanos.set(0L)
+        val t0 = System.nanoTime()
+        // noop-sink write: materializes every output column AND keeps
+        // the final orderBy (a bare count() lets EliminateSorts drop
+        // the sort and column pruning strip the projections, which
+        // under-measured by the sort + projection cost — VERDICT r1 #2)
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          ok = false
+          System.err.println(
+            s"[bench] $name run $i FAILED: ${e.getClass.getName}: ${e.getMessage}")
+        }
+        val w = graft.operators.Marts.lastWriteNanos.get()
+        if (w > 0L) writeSecs += w / 1e9
+        (System.nanoTime() - t0) / 1e9
+      }
+      val med = median(runs)
+      System.err.println(
+        f"[bench] $name%-28s med $med%7.2f s  min ${runs.min}%7.2f s" +
+          (if (ok) "" else "  FAILED"))
+      QRes(name, med, runs.min, runs, ok, writeSecs.toSeq)
+    }
+
+    def jd(d: Double): String = f"$d%.4f"
+    val qs = results.map(r => s""""${r.name}":${jd(r.sec)}""")
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val details = results.map { r =>
+      s""""${r.name}":{"median":${jd(r.sec)},"min":${jd(r.min)},""" +
+        s""""runs":[${r.runs.map(jd).mkString(",")}],"ok":${r.ok}}"""
+    }.mkString("{", ",", "}")
+    val phases = results.find(r => r.name.startsWith("q14") && r.writeSecs.nonEmpty)
+      .map { r =>
+        val w = median(r.writeSecs)
+        s""""q14_write":${jd(w)},"q14_read":${jd(math.max(0.0, r.sec - w))}"""
+      }.getOrElse("")
+    val failures = results.filterNot(_.ok).map(r => s""""${r.name}"""")
+      .mkString("[", ",", "]")
+    val allOk = results.forall(_.ok)
+    val total = results.map(_.sec).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec"""" +
+      s""","queries":$qs,"details":$details,"phases":{$phases}""" +
+      s""","failures":$failures,"ok":$allOk,"runs":$repeats,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

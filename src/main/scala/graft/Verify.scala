@@ -17,6 +17,8 @@ object Verify {
         "org.apache.hadoop.fs.RawLocalFileSystem")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // q14 scratch: reap legacy trees; the query overwrites a fixed path
+    graft.io.Scratch.reapTmp()
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -57,6 +57,15 @@ case class MarkerWordCounts(child: Expression) extends UnaryExpression {
     InternalRow(counts(0), counts(1), counts(2), counts(3))
   }
 
+  /** Codegen-template trap (cost a silent interpreted-eval fallback
+    * until round 5): Spark's `code` interpolator re-applies
+    * `stripMargin` each time a block is nested into an enclosing
+    * block, so a generated-Java line whose first non-space characters
+    * are `|` loses them (our `|| (...)` continuation compiled as
+    * `(...)`, which Janino rejected as "not a type" and Spark quietly
+    * fell back to interpreted eval for the whole subtree). Never
+    * start a generated line with `|`.
+    */
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => {
       val map = ctx.addReferenceObj("markerMap", MarkerWordCounts.Lookup,
@@ -79,8 +88,8 @@ case class MarkerWordCounts(child: Expression) extends UnaryExpression {
          |  boolean $w = false;
          |  if ($i < $bytes.length) {
          |    byte $b = $bytes[$i];
-         |    $w = ($b >= 'a' && $b <= 'z') || ($b >= 'A' && $b <= 'Z')
-         |      || ($b >= '0' && $b <= '9') || $b == '_';
+         |    $w = ($b >= 'a' && $b <= 'z') || ($b >= 'A' && $b <= 'Z') ||
+         |      ($b >= '0' && $b <= '9') || $b == '_';
          |  }
          |  if ($w) { if ($start < 0) $start = $i; }
          |  else if ($start >= 0) {
@@ -89,7 +98,8 @@ case class MarkerWordCounts(child: Expression) extends UnaryExpression {
          |      char[] $cs = new char[$len];
          |      for (int $j = 0; $j < $len; $j++) {
          |        byte $b = $bytes[$start + $j];
-         |        $cs[$j] = (char) (($b >= 'A' && $b <= 'Z') ? ($b + 32) : $b);
+         |        if ($b >= 'A' && $b <= 'Z') $b = (byte) ($b + 32);
+         |        $cs[$j] = (char) $b;
          |      }
          |      Integer $idx = (Integer) $map.get(new String($cs));
          |      if ($idx != null) $counts[$idx.intValue()]++;

@@ -16,6 +16,12 @@ import org.apache.spark.sql.functions._
   */
 object Marts {
 
+  /** Duration of the most recent q14 partitioned write in this JVM —
+    * Bench-only introspection so the disk-state-sensitive write phase
+    * can be reported separately from the read-back (VERDICT r4 #3).
+    */
+  val lastWriteNanos = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** q13 — customer mart over the star schema: per-customer monthly
     * totals enriched with customer attributes (full_name concat X2,
     * month key X4, decimal money §7.4).
@@ -41,17 +47,12 @@ object Marts {
     */
   def partitionedRoundtrip(s: SparkSession, dir: String): DataFrame = {
     val mart = Relational.q09(s, dir)
-    // reap previous runs' scratch trees (2100 dirs each) before
-    // creating a new one — repeated bench/verify runs would otherwise
-    // pile up tens of thousands of directories in the temp root
-    val tmpRoot = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"))
-    java.nio.file.Files.list(tmpRoot).forEach { p =>
-      if (p.getFileName.toString.startsWith("graft_q14_"))
-        org.apache.commons.io.FileUtils.deleteQuietly(p.toFile)
-    }
-    val out = java.nio.file.Files
-      .createTempDirectory("graft_q14_").toString
+    // One fixed scratch path, overwritten in place (static partition
+    // overwrite truncates the previous tree) — no per-run temp dirs to
+    // accumulate, and no tmp-root reaping inside a declared query
+    // (VERDICT r3 #4; legacy trees are reaped by Bench/Verify setup
+    // via graft.io.Scratch).
+    val out = graft.io.Scratch.q14Dir
     // Cluster rows by the partition keys first: without this, every
     // task writes into every month×store directory (tasks × dirs tiny
     // files — the small-files problem at scale). With it, each
@@ -60,8 +61,10 @@ object Marts {
     // the WriteProbe measurement found ~8 concurrent writers is the
     // contention sweet spot (see Writers.writePartitioned doc); a
     // distributed FS target would leave the default.
+    val t0 = System.nanoTime()
     graft.io.Writers.writePartitioned(mart, out, Seq("month", "store"),
       numTasks = 8)
+    lastWriteNanos.set(System.nanoTime() - t0)
     s.read.parquet(out)
       .select(col("store").cast("int").as("store"), col("person"),
         col("month"), col("total"), col("incentive"))
