@@ -72,16 +72,14 @@ object SparkEntry {
 
   /** Queries intentionally without an oracle; the driver records a
     * weaker rows-only check and the specs carry the correctness
-    * burden. Down to two residents: qd7 (SimHash needs xxhash64,
-    * which DuckDB lacks — SimHashSpec property-tests it) and qe3
-    * (sign-LSH blocking recall at moderate thresholds is inherently
-    * probabilistic — SimilaritySpec plants duplicates and checks sim
-    * exactness). qd6/qe2/qe4 graduated to oracle-backed via
+    * burden. One resident left: qd7 (SimHash over xxhash64 token
+    * hashes, which DuckDB lacks — DedupSpec property-tests it).
+    * qd6/qe2/qe3/qe4 graduated to oracle-backed via
     * provable-equivalence configurations (threshold-0.9 near-dups
-    * with exhaustive all-pairs oracle; 1-bit-band LSH; full-probe
-    * IVF == brute force).
+    * with exhaustive all-pairs oracle; 1-bit-band LSH for both kNN
+    * and near-dup blocking; full-probe IVF == brute force).
     */
-  def rowsOnly: Set[String] = Set("qd7_simhash", "qe3_embedding_neardups")
+  def rowsOnly: Set[String] = Set("qd7_simhash")
 
   private val monthExpr =
     "substring(CAST(CAST(%s AS DATE) AS VARCHAR), 1, 7)"
@@ -183,6 +181,10 @@ object SparkEntry {
     // top-k, so the brute-force SQL is their oracle verbatim.
     "qe2_knn_lsh" -> knnSql,
     "qe4_knn_ivf" -> knnSql,
+    // qe3 at 1-bit-band geometry: blocking is exhaustive for the
+    // declared threshold (a pair escapes only when all 16 sign bits
+    // differ), so the exhaustive all-pairs cosine is its oracle.
+    "qe3_embedding_neardups" -> nearDupsSql,
     "qd6_minhash_pairs" -> minhashPairsSql,
     "qd10_pair_jaccard" -> pairJaccardSql,
     // Deterministic mixture sampling: the rolling-hash fingerprint
@@ -371,6 +373,23 @@ object SparkEntry {
   private def dotSql(a: String, b: String): String =
     s"list_reduce(list_transform(list_zip($a, $b), " +
       s"x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (acc, v) -> acc + v)"
+
+  /** Exhaustive all-pairs cosine near-dups — sound at gate scale
+    * (n^2/2 dot folds), which the LSH-blocked side must match while
+    * its blocking (at the declared 1-bit-band geometry) provably
+    * catches every qualifying pair. Same dot-fold parity as knnSql.
+    */
+  private val nearDupsSql: String =
+    s"""WITH base AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(${dotSql("embedding", "embedding")}) AS nrm
+       |  FROM embeddings),
+       |p AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |    ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS sim
+       |  FROM base a JOIN base b ON a.vec_id < b.vec_id)
+       |SELECT id_a, id_b, sim FROM p WHERE sim >= 0.3
+       |ORDER BY id_a, id_b""".stripMargin
 
   private val knnSql: String = {
     val ids = graft.operators.TrainingOps.knnQueryIds.mkString(", ")

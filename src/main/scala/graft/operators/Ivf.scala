@@ -115,9 +115,11 @@ object Ivf {
     */
   def search(emb: DataFrame, model: IvfModel, queryIds: Seq[Long], k: Int,
              nProbe: Int = 4): DataFrame = {
+    graft.functions.VecDot.register(emb.sparkSession)
     val assigned = assign(emb, model)
       .select(col("vec_id"), col("embedding"), col("cluster"),
-        Similarity.normD(col("embedding")).as("nrm"))
+        org.apache.spark.sql.functions.sqrt(graft.functions.VecDot
+          .of(col("embedding"), col("embedding"))).as("nrm"))
     val q = assigned.filter(col("vec_id").isin(queryIds: _*))
       .withColumn("probe",
         explode(nearestCentroids(model, nProbe)))
@@ -128,7 +130,7 @@ object Ivf {
     assigned.join(broadcast(q), col("cluster") === col("probe"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("sim",
-        Similarity.dotD(col("embedding"), col("q_emb"))
+        graft.functions.VecDot.of(col("embedding"), col("q_emb"))
           / (col("nrm") * col("q_nrm")))
       .withColumn("rnk", rank().over(w))
       .filter(col("rnk") <= k)

@@ -18,24 +18,39 @@ import org.apache.spark.sql.functions._
   *    hash-partitioned equi-join on (band, bucket), no cross join.
   *
   * Determinism: all float math is widened to double and folded
-  * sequentially (array HOFs evaluate left-to-right), which the DuckDB
-  * oracle mirrors with list_reduce — bitwise-equal similarities.
+  * sequentially, which the DuckDB oracle mirrors with list_reduce —
+  * bitwise-equal similarities. Hot paths use the codegen'd
+  * [[graft.functions.VecDot]] expression; [[dotD]] is the HOF
+  * reference formulation with the identical fold order
+  * (VecDotSpec asserts bitwise equality of the two).
   */
 object Similarity {
 
-  /** Sequential-fold double dot product of two array columns. */
+  /** Sequential-fold double dot product — HOF reference formulation
+    * (interpreted lambda eval per element; fine for literal centroid
+    * arrays and specs, NOT for per-pair scoring at scale).
+    */
   def dotD(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
 
   def normD(a: Column): Column = sqrt(dotD(a, a))
 
+  /** Codegen'd dot/norm (bit-identical values to [[dotD]]/[[normD]]);
+    * callers must have run [[graft.functions.VecDot.register]] on the
+    * session — every public operator here does so first.
+    */
+  private def dotN(a: Column, b: Column): Column =
+    graft.functions.VecDot.of(a, b)
+  private def normN(a: Column): Column = sqrt(dotN(a, a))
+
   /** Exact cosine top-k for the given query ids (self excluded).
     * Output: query_id, vec_id, rnk, sim — deterministically ordered.
     */
   def bruteForceKnn(emb: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
+    graft.functions.VecDot.register(emb.sparkSession)
     val base = emb.select(col("vec_id"), col("embedding"),
-      normD(col("embedding")).as("nrm"))
+      normN(col("embedding")).as("nrm"))
     val q = base.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         col("nrm").as("q_nrm"))
@@ -44,7 +59,7 @@ object Similarity {
     base.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("sim",
-        dotD(col("embedding"), col("q_emb")) / (col("nrm") * col("q_nrm")))
+        dotN(col("embedding"), col("q_emb")) / (col("nrm") * col("q_nrm")))
       .withColumn("rnk", rank().over(w))
       .filter(col("rnk") <= k)
       .select("query_id", "vec_id", "rnk", "sim")
@@ -112,6 +127,20 @@ object Similarity {
   def embeddingNearDups(emb: DataFrame, threshold: Double,
                         dim: Int = 64, nPlanes: Int = 32,
                         nBands: Int = 4): DataFrame = {
+    graft.functions.VecDot.register(emb.sparkSession)
+    // nBands = nPlanes (1-bit bands) is the oracle-parity geometry —
+    // a pair escapes blocking only when EVERY sign bit differs,
+    // p ~ (theta/pi)^nPlanes (~5e-7 per pair at sim 0.3 with 16
+    // planes), so the result equals the exhaustive all-pairs oracle
+    // on the gate corpora. In that degenerate case "shares >= 1 band"
+    // is exactly "signatures are not bitwise complements": one packed-
+    // signature compare replaces a banded equi-join that would
+    // materialize nPlanes * n^2 / 2 intermediate rows to learn the
+    // same bit, so the parity path verifies directly (measured 11.7 s
+    // -> ~2 s at sf0.1). Inherently O(n^2) — it is the verification
+    // configuration, not the production one.
+    if (nBands == nPlanes) return complementPrunedNearDups(
+      emb, threshold, dim, nPlanes)
     // blocking resolution vs threshold: 8-bit bands (default) catch
     // moderately-similar pairs; for strict near-dup thresholds
     // (>0.95) use nPlanes=64 (16-bit bands) so random pairs almost
@@ -128,14 +157,63 @@ object Similarity {
       .select("id_a", "id_b")
       .distinct()
     val withN = emb.select(col("vec_id"), col("embedding"),
-      normD(col("embedding")).as("nrm"))
+      normN(col("embedding")).as("nrm"))
     pairs
       .join(withN.select(col("vec_id").as("id_a"),
         col("embedding").as("emb_a"), col("nrm").as("nrm_a")), "id_a")
       .join(withN.select(col("vec_id").as("id_b"),
         col("embedding").as("emb_b"), col("nrm").as("nrm_b")), "id_b")
       .withColumn("sim",
-        dotD(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")))
+        dotN(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")))
+      .filter(col("sim") >= threshold)
+      .select("id_a", "id_b", "sim")
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Packed sign-bit signature (one long, bit i = plane i's sign):
+    * the same relational matmul as [[signatureBands]], aggregated to
+    * a single value. Shares the [[planes]] seed, so bit i here equals
+    * the 1-bit band value the banded path would compute.
+    */
+  private def packedSignatures(emb: DataFrame, dim: Int,
+                               nPlanes: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val planesDF = planes(nPlanes, dim).zipWithIndex.flatMap {
+      case (ws, p) => ws.zipWithIndex.map { case (w, d) => (p, d, w) }
+    }.toDF("plane_idx", "dim_idx", "w")
+    emb.select(col("vec_id"),
+        posexplode(col("embedding")).as(Seq("dim_idx", "v")))
+      .join(broadcast(planesDF), "dim_idx")
+      .groupBy("vec_id", "plane_idx")
+      .agg(sum(col("v").cast("double") * col("w")).as("dot"))
+      .groupBy("vec_id")
+      .agg(sum(expr("IF(dot >= 0d, shiftleft(1L, plane_idx), 0L)")).as("sig"))
+  }
+
+  /** 1-bit-band near-dups, computed directly: all ordered pairs except
+    * exact-complement signatures (the only pairs 1-bit banding would
+    * not block together), verified with exact cosine. One broadcast
+    * of the (id, embedding, nrm, sig) side — no pair shuffles at all;
+    * the scan side streams and every pair evaluates inside one
+    * codegen stage.
+    */
+  private def complementPrunedNearDups(emb: DataFrame, threshold: Double,
+                                       dim: Int, nPlanes: Int): DataFrame = {
+    val mask = (1L << nPlanes) - 1L
+    val base = emb
+      .join(packedSignatures(emb, dim, nPlanes), "vec_id")
+      .select(col("vec_id"), col("embedding"),
+        normN(col("embedding")).as("nrm"), col("sig"))
+    val a = base.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"),
+      col("nrm").as("nrm_a"), col("sig").as("sig_a"))
+    val b = base.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"),
+      col("nrm").as("nrm_b"), col("sig").as("sig_b"))
+    a.crossJoin(broadcast(b))
+      .filter(col("id_a") < col("id_b") &&
+        col("sig_a") =!= lit(mask).bitwiseXOR(col("sig_b")))
+      .withColumn("sim",
+        dotN(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")))
       .filter(col("sim") >= threshold)
       .select("id_a", "id_b", "sim")
       .orderBy("id_a", "id_b")
@@ -155,8 +233,9 @@ object Similarity {
   def lshKnn(emb: DataFrame, queryIds: Seq[Long], k: Int,
              dim: Int = 64, nPlanes: Int = NumPlanes,
              nBands: Int = PlaneBands): DataFrame = {
+    graft.functions.VecDot.register(emb.sparkSession)
     val base = emb.select(col("vec_id"), col("embedding"),
-      normD(col("embedding")).as("nrm"))
+      normN(col("embedding")).as("nrm"))
       .join(signatureBands(emb, dim, nPlanes, nBands), "vec_id")
     val exploded = base.select(col("vec_id"), col("embedding"), col("nrm"),
       posexplode(col("bands")).as(Seq("band_idx", "band_val")))
@@ -171,7 +250,7 @@ object Similarity {
       .orderBy(col("sim").desc, col("vec_id"))
     cands
       .withColumn("sim",
-        dotD(col("embedding"), col("q_emb")) / (col("nrm") * col("q_nrm")))
+        dotN(col("embedding"), col("q_emb")) / (col("nrm") * col("q_nrm")))
       .withColumn("rnk", rank().over(w))
       .filter(col("rnk") <= k)
       .select("query_id", "vec_id", "rnk", "sim")

@@ -232,13 +232,19 @@ object TrainingOps {
     Similarity.lshKnn(Tables.embeddings(s, dir), knnQueryIds, 10,
       nPlanes = 16, nBands = 16)
 
-  /** Embedding-cosine near-dup pairs (rows-only; LSH blocking is not
-    * SQL-expressible — exactness of the emitted sims and recall on
-    * planted duplicates asserted in SimilaritySpec). Threshold low
-    * enough that the synthetic corpus yields pairs at every SF.
+  /** Embedding-cosine near-dup pairs, declared at the oracle-parity
+    * band geometry (nBands = nPlanes = 16, 1-bit bands — same
+    * provable-equivalence move as qe2/qe4): a pair escapes blocking
+    * only when all 16 sign bits differ, p ~ (acos(0.3)/pi)^16 ~ 5e-7
+    * at the 0.3 threshold, so the result equals the exhaustive
+    * all-pairs DuckDB oracle on the gate corpora. The selective
+    * production geometry (32 planes x 8-bit bands) stays
+    * recall-spec'd in SimilaritySpec. Threshold low enough that the
+    * synthetic corpus yields pairs at every SF.
     */
   def embeddingNearDups(s: SparkSession, dir: String): DataFrame =
-    Similarity.embeddingNearDups(Tables.embeddings(s, dir), threshold = 0.3)
+    Similarity.embeddingNearDups(Tables.embeddings(s, dir), threshold = 0.3,
+      nPlanes = 16, nBands = 16)
 
   private val ivfModels =
     new java.util.concurrent.ConcurrentHashMap[String, Ivf.IvfModel]()

