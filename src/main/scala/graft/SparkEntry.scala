@@ -70,16 +70,16 @@ object SparkEntry {
     "qx9_range_join"     -> graft.operators.RangeJoin.errorClickBurst _,
   )
 
-  /** Queries intentionally without an oracle; the driver records a
-    * weaker rows-only check and the specs carry the correctness
-    * burden. One resident left: qd7 (SimHash over xxhash64 token
-    * hashes, which DuckDB lacks — DedupSpec property-tests it).
-    * qd6/qe2/qe3/qe4 graduated to oracle-backed via
-    * provable-equivalence configurations (threshold-0.9 near-dups
-    * with exhaustive all-pairs oracle; 1-bit-band LSH for both kNN
-    * and near-dup blocking; full-probe IVF == brute force).
+  /** Queries intentionally without an oracle — EMPTY since round 5:
+    * qd6/qe2/qe3/qe4 graduated via provable-equivalence
+    * configurations (threshold-0.9 near-dups with exhaustive
+    * all-pairs oracle; 1-bit-band LSH for both kNN and near-dup
+    * blocking; full-probe IVF == brute force), and qd7 is declared in
+    * the portable 31-bit SimHash form whose every ingredient DuckDB
+    * recomputes exactly (the xxhash64 production variant stays
+    * spec-verified).
     */
-  def rowsOnly: Set[String] = Set("qd7_simhash")
+  def rowsOnly: Set[String] = Set.empty
 
   private val monthExpr =
     "substring(CAST(CAST(%s AS DATE) AS VARCHAR), 1, 7)"
@@ -175,6 +175,7 @@ object SparkEntry {
         "list_reduce(list_transform(string_split(text, ''), c -> CAST(unicode(c) AS BIGINT)), " +
         "(acc, x) -> (acc * 31 + x) % 2147483647) END AS fp " +
         "FROM documents ORDER BY doc_id"),
+    "qd7_simhash" -> simhashSql,
     "qe1_knn_brute" -> knnSql,
     // qe2 (1-bit-band LSH) and qe4 (full-probe IVF) are declared at
     // provable-equivalence parameters — both reduce to exact cosine
@@ -373,6 +374,36 @@ object SparkEntry {
   private def dotSql(a: String, b: String): String =
     s"list_reduce(list_transform(list_zip($a, $b), " +
       s"x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (acc, v) -> acc + v)"
+
+  /** Portable 31-bit SimHash oracle, generated to mirror
+    * Dedup.simhashPortableFrame bit for bit: tokenize exactly like
+    * qd9's oracle, hash each token with the same rolling 31-poly fold
+    * as qd5's (tokens are pure [a-z0-9] ASCII, so bytes ==
+    * codepoints), sign-sum each of the 31 bits, pack. Zero-token docs
+    * fall out of the unnest and re-enter via LEFT JOIN as simhash 0.
+    */
+  private val simhashSql: String = {
+    val sums = (0 until 31).map(i =>
+      s"SUM(CASE WHEN ((h >> $i) & 1) = 1 THEN 1 ELSE -1 END) AS c$i")
+      .mkString(", ")
+    val pack = (0 until 31).map(i =>
+      s"(CASE WHEN c$i > 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(list_filter(string_split(
+       |    regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+       |    t -> t != '')) AS token
+       |  FROM documents),
+       |h AS (
+       |  SELECT doc_id, list_reduce(list_transform(string_split(token, ''),
+       |    c -> CAST(unicode(c) AS BIGINT)),
+       |    (acc, x) -> (acc * 31 + x) % 2147483647) AS h
+       |  FROM toks),
+       |c AS (SELECT doc_id, $sums FROM h GROUP BY doc_id),
+       |p AS (SELECT doc_id, $pack AS sh FROM c)
+       |SELECT d.doc_id, CAST(COALESCE(p.sh, 0) AS BIGINT) AS simhash
+       |FROM documents d LEFT JOIN p USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+  }
 
   /** Exhaustive all-pairs cosine near-dups — sound at gate scale
     * (n^2/2 dot folds), which the LSH-blocked side must match while

@@ -232,6 +232,39 @@ object Dedup {
       .select(col(idCol), pack.as(out))
   }
 
+  /** Portable 31-bit SimHash: identical construction to
+    * [[simhashFrame]] but the per-token hash is the rolling 31-poly
+    * fingerprint ([[graft.functions.DocFingerprint]], codegen'd)
+    * instead of xxhash64 — every ingredient has an exact DuckDB
+    * mirror (list_reduce over codepoints, bit tests, sign sums), so
+    * the value is driver-verifiable end to end. Production keeps the
+    * 64-bit xxhash64 variant (twice the bits for the same Hamming
+    * budget); SimhashPortableSpec proves the two variants rank
+    * document similarity identically.
+    *
+    * Token hashes are 31-bit, so bits 0..30 carry signal and the
+    * packed value fits in an int-range long. Zero-token docs hash to
+    * 0 (explode_outer keeps the row; all counters stay 0).
+    */
+  def simhashPortableFrame(df: DataFrame, idCol: String, textCol: String,
+                           out: String): DataFrame = {
+    graft.functions.DocFingerprint.register(df.sparkSession)
+    val sums = (0 until 31).map { i =>
+      sum(expr("CASE WHEN _h IS NULL THEN 0 " +
+        s"WHEN ((_h >> $i) & 1) = 1 THEN 1 ELSE -1 END")).as(s"_c$i")
+    }
+    val pack = (0 until 31).map { i =>
+      expr(s"IF(_c$i > 0, ${1L << i}L, 0L)")
+    }.reduce(_ + _)
+    df.select(col(idCol), explode_outer(tokens(col(textCol))).as("_t"))
+      .select(col(idCol),
+        when(col("_t").isNotNull,
+          graft.functions.DocFingerprint.of(col("_t"))).as("_h"))
+      .groupBy(idCol)
+      .agg(sums.head, sums.tail: _*)
+      .select(col(idCol), pack.as(out))
+  }
+
   /** Attach the SimHash column to `df`, preserving all its columns
     * (an id-keyed join against [[simhashFrame]]).
     */

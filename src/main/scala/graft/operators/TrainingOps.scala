@@ -127,9 +127,16 @@ object TrainingOps {
       .orderBy("doc_a")
   }
 
-  /** SimHash values for every document (rows-only; property-tested). */
+  /** SimHash values for every document — declared in the portable
+    * 31-bit form (rolling-poly token hash) so DuckDB can recompute
+    * the identical value (xxhash64, the production variant's token
+    * hash, does not exist in DuckDB; SimhashPortableSpec proves the
+    * two variants are shape-equivalent and DedupSpec property-tests
+    * the 64-bit one).
+    */
   def simhash(s: SparkSession, dir: String): DataFrame =
-    Dedup.simhashFrame(Tables.documents(s, dir), "doc_id", "text", "simhash")
+    Dedup.simhashPortableFrame(Tables.documents(s, dir), "doc_id", "text",
+      "simhash")
       .orderBy("doc_id")
 
   /** Per-source corpus stats: plain, distinct, and sum aggregates in
