@@ -68,6 +68,7 @@ object SparkEntry {
     "qx7_except"         -> Extras.exceptNations _,
     "qx8_asof_join"      -> graft.operators.AsOfJoin.eventAsOf _,
     "qx9_range_join"     -> graft.operators.RangeJoin.errorClickBurst _,
+    "qm1_media_stats"    -> TrainingOps.mediaStats _,
   )
 
   /** Queries intentionally without an oracle — EMPTY since round 5:
@@ -302,6 +303,35 @@ object SparkEntry {
         "string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '), " +
         "t -> t != '')) AS token FROM documents) t " +
         "GROUP BY 1 ORDER BY doc_freq DESC, token LIMIT 50"),
+    // qm1: the oracle recomputes the media attributes the Spark side
+    // encodes into (and decodes back out of) real binary blobs — a
+    // value check of the full encode→parse→aggregate round-trip.
+    // payload_bytes == octet_length(text) on both branches: the valid
+    // decode subtracts the header it added, the corrupt branch never
+    // had one.
+    "qm1_media_stats" ->
+      ("""WITH m AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 50 = 0 THEN 'unknown'
+         |         WHEN doc_id % 3 = 0 THEN 'image'
+         |         WHEN doc_id % 3 = 1 THEN 'audio'
+         |         ELSE 'video' END AS kind,
+         |    CASE WHEN doc_id % 50 = 0 THEN 0 ELSE 16 + doc_id % 1024 END AS width,
+         |    CASE WHEN doc_id % 50 = 0 THEN 0 ELSE 16 + (doc_id * 7) % 768 END AS height,
+         |    CASE WHEN doc_id % 50 = 0 THEN 0
+         |         WHEN doc_id % 3 = 0 THEN 1
+         |         WHEN doc_id % 3 = 1 THEN 0
+         |         ELSE 1 + doc_id % 120 END AS n_frames,
+         |    octet_length(encode(text)) AS payload,
+         |    CASE WHEN doc_id % 50 = 0 THEN 0 ELSE 1 END AS valid
+         |  FROM documents)
+         |SELECT kind, count(*) AS n,
+         |  CAST(SUM(valid) AS BIGINT) AS n_valid,
+         |  CAST(SUM(payload) AS BIGINT) AS total_payload,
+         |  CAST(SUM(width) AS BIGINT) AS total_width,
+         |  CAST(SUM(height) AS BIGINT) AS total_height,
+         |  CAST(SUM(n_frames) AS BIGINT) AS total_frames
+         |FROM m GROUP BY kind ORDER BY kind""".stripMargin),
     "qs4_top_spenders" ->
       ("WITH s AS (SELECT event_type, user_id, " +
         "SUM(CAST(value AS DECIMAL(18,2))) AS spend_dec FROM events GROUP BY 1, 2), " +

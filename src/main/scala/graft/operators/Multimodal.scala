@@ -77,6 +77,60 @@ object Multimodal {
       .mapPartitions(_.map { case (id, bytes) => FakeMedia.decode(id, bytes) })
   }
 
+  /** Deterministic media corpus derived from the `documents` table —
+    * the gate-visible input for [[mediaStats]] (qm1). Every attribute
+    * is a pure function of (doc_id, text), so a SQL oracle can
+    * recompute what the binary round-trip must produce:
+    *  - doc_id % 50 == 0 → corrupt blob (raw text bytes, no header):
+    *    exercises the invalid-decode path a real corpus always hits;
+    *  - else kind = doc_id % 3 (image/audio/video), width =
+    *    16 + doc_id % 1024, height = 16 + (doc_id * 7) % 768,
+    *    n_frames = 1 (image) / 0 (audio) / 1 + doc_id % 120 (video),
+    *    payload = the document's UTF-8 bytes.
+    * The encode runs partition-mapped like every codec step here —
+    * binary construction per batch, zero shuffle. (Assumes no
+    * document text begins with the "GFT0" magic — verified for the
+    * gate corpora; a real corpus would carry an explicit valid flag.)
+    */
+  def mediaFromDocs(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val payload = text.getBytes("UTF-8")
+        val bytes =
+          if (id % 50 == 0) payload
+          else {
+            val kind = (id % 3) match {
+              case 0 => 'i'; case 1 => 'a'; case _ => 'v'
+            }
+            val nf = (id % 3) match {
+              case 0 => 1; case 1 => 0; case _ => (1 + id % 120).toInt
+            }
+            FakeMedia.encode(kind, (16 + id % 1024).toInt,
+              (16 + (id * 7) % 768).toInt, nf, payload)
+          }
+        (id, bytes)
+      })
+      .toDF("media_id", "bytes")
+  }
+
+  /** Per-kind corpus stats over decoded metadata (qm1): the
+    * decode-then-aggregate shape every multimodal curation pass has.
+    * Runs the real binary parse ([[decodeMeta]]) on every blob;
+    * invalid blobs survive as kind='unknown' rows, never exceptions.
+    */
+  def mediaStats(media: DataFrame): DataFrame =
+    decodeMeta(media).toDF()
+      .groupBy("kind")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("valid"), 1L).otherwise(0L)).as("n_valid"),
+        sum(col("payload_bytes")).as("total_payload"),
+        sum(col("width").cast("long")).as("total_width"),
+        sum(col("height").cast("long")).as("total_height"),
+        sum(col("n_frames").cast("long")).as("total_frames"))
+      .orderBy("kind")
+
   /** Frame sampling for video rows: emit every `everyN`-th frame as
     * (media_id, frame_idx, frame_bytes). Frames are fixed-size slices
     * of the payload (stub geometry from the header). Explodes rows —

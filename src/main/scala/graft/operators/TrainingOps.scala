@@ -220,6 +220,15 @@ object TrainingOps {
       .orderBy("doc_id")
   }
 
+  /** qm1 — multimodal decode + per-kind stats: deterministic media
+    * blobs derived from `documents` (encode partition-mapped), pushed
+    * through the real binary parse, aggregated per kind. The oracle
+    * recomputes every attribute from (doc_id, text) in SQL, so the
+    * whole encode→decode→aggregate round-trip is value-checked.
+    */
+  def mediaStats(s: SparkSession, dir: String): DataFrame =
+    Multimodal.mediaStats(Multimodal.mediaFromDocs(Tables.documents(s, dir)))
+
   val knnQueryIds: Seq[Long] = Seq(0L, 1L, 2L, 3L, 4L)
 
   /** Exact cosine top-10 for five query vectors (oracle-backed:

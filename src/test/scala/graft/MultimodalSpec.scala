@@ -36,6 +36,37 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.forall(_.getAs[Array[Byte]]("frame_bytes").length == 200))
   }
 
+  test("qm1 media stats match a driver-side recomputation from documents") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val got = graft.operators.TrainingOps
+      .mediaStats(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => r.getAs[String]("kind") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("n_valid"),
+          r.getAs[Long]("total_payload"), r.getAs[Long]("total_width"),
+          r.getAs[Long]("total_frames")))
+      .toMap
+    val rows = docs.select("doc_id", "text").collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[String]("text").getBytes("UTF-8").length.toLong))
+    val expected = rows.groupBy { case (id, _) =>
+      if (id % 50 == 0) "unknown"
+      else Seq("image", "audio", "video")((id % 3).toInt)
+    }.map { case (kind, g) =>
+      val valid = if (kind == "unknown") 0L else g.length.toLong
+      val width = if (kind == "unknown") 0L
+                  else g.map { case (id, _) => 16 + id % 1024 }.sum
+      val frames = kind match {
+        case "image" => g.length.toLong
+        case "video" => g.map { case (id, _) => 1 + id % 120 }.sum
+        case _ => 0L
+      }
+      kind -> (g.length.toLong, valid, g.map(_._2).sum, width, frames)
+    }
+    assert(got == expected)
+    assert(got.keySet == Set("image", "audio", "video", "unknown"))
+  }
+
   test("resizeStub bounds output size and is deterministic") {
     val a = Multimodal.resizeStub(media, 16, 16).collect()
       .map(r => r.getAs[Long]("media_id") ->
