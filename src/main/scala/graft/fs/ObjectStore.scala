@@ -37,6 +37,29 @@ final class ObjectStore(conf: Configuration) {
     d.toString
   }
 
+  /** Remote → local copy (aws_file_download.py:12-25). Spark jobs
+    * read HCFS URIs directly, so this exists for the side artifacts
+    * the reference round-trips — control files, small lookups.
+    */
+  def copyToLocal(src: String, localDstDir: String): String = {
+    val s = new Path(src)
+    val dstDir = new java.io.File(localDstDir)
+    dstDir.mkdirs()
+    val d = new Path(new java.io.File(dstDir, s.getName).getAbsolutePath)
+    fs(s).copyToLocalFile(false, s, d, true)
+    d.toString
+  }
+
+  /** Local → remote copy (upload_to_s3.py:11-18). */
+  def copyFromLocal(localSrc: String, dstDir: String): String = {
+    val s = new Path(localSrc)
+    val d = new Path(dstDir, s.getName)
+    val f = fs(d)
+    f.mkdirs(new Path(dstDir))
+    f.copyFromLocalFile(false, true, s, d)
+    d.toString
+  }
+
   /** S9/S10 delete — scratch cleanup (local_file_delete.py:5-19). */
   def delete(path: String): Boolean = {
     val p = new Path(path)

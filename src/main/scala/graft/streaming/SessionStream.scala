@@ -35,7 +35,7 @@ object SessionStream {
                              queryName: String,
                              gapMinutes: Int = 30): DataFrame = {
     import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.core.Tables.withNanosConf(spark) {
     val gapMs = gapMinutes * 60L * 1000L
     val schema = spark.read.parquet(eventsDir).schema
 
@@ -84,5 +84,8 @@ object SessionStream {
       .start()
     q.awaitTermination()
     spark.table(queryName)
+    // conf restored here: AvailableNow fully drained inside the scope,
+    // so no micro-batch ever plans without the nanos conf
+    }
   }
 }

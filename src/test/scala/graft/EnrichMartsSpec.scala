@@ -38,11 +38,20 @@ class EnrichMartsSpec extends SparkSpec {
         col(f.name).cast(f.dataType)): _*)
     val fact = CsvIngest.conform(spark, s"$dir/f1_sales.csv").union(stray)
     val (c, s, st) = Fixtures.dims(spark)
-    val (out, audit) = DimensionEnricher.enrichWithAudit(fact, c, s, st)
+    val (out, auditOf) = DimensionEnricher.enrichWithAudit(fact, c, s, st)
+    // the audit metrics ride the caller's action; reading them must
+    // not spawn any job of its own (the old form re-ran the whole
+    // enrichment lineage twice for its two counts)
+    assert(out.filter(col("customer_id") === 999).count() == 0)
+    val tracker = spark.sparkContext.statusTracker
+    val jobsBeforeAudit = tracker.getJobIdsForGroup(null).length
+    val audit = auditOf()
+    val jobsAfterAudit = tracker.getJobIdsForGroup(null).length
     assert(audit.rowsIn == 501)
     assert(audit.rowsOut == 500)
     assert(audit.rowsLost == 1)
-    assert(out.filter(col("customer_id") === 999).count() == 0)
+    assert(jobsAfterAudit == jobsBeforeAudit,
+      s"audit spawned jobs: $jobsBeforeAudit -> $jobsAfterAudit")
   }
 
   test("customer mart: literal window+distinct equals canonical groupBy") {

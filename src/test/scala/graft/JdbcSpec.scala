@@ -30,6 +30,29 @@ class JdbcSpec extends SparkSpec {
       == 2 * mart.count())
   }
 
+  test("S3: partitioned JDBC scan splits into >1 partition, same rows") {
+    val c = graft.core.Tables
+      .customer(spark, "/root/testdata/sf0.001").limit(300).cache()
+    graft.io.Writers.writeJdbcAppend(c, url, "customer_part_t", props)
+    val whole = spark.read.jdbc(url, "customer_part_t", props)
+    val split = graft.app.PipelineRunner.Dimensions.jdbcPartitioned(
+      spark, url, props, "customer_part_t",
+      partitionColumn = "c_custkey", lowerBound = 0L, upperBound = 300L,
+      numPartitions = 4)
+    assert(split.rdd.getNumPartitions == 4,
+      s"expected 4 JDBC partitions, got ${split.rdd.getNumPartitions}")
+    assert(whole.rdd.getNumPartitions == 1)
+    assert(split.count() == whole.count())
+    assert(split.exceptAll(whole).count() == 0)
+    assert(whole.exceptAll(split).count() == 0)
+    // bounds clip split points, not rows: narrow bounds still read all
+    val narrow = graft.app.PipelineRunner.Dimensions.jdbcPartitioned(
+      spark, url, props, "customer_part_t",
+      partitionColumn = "c_custkey", lowerBound = 100L, upperBound = 200L,
+      numPartitions = 3)
+    assert(narrow.count() == whole.count())
+  }
+
   test("S8: JdbcRunLedger state machine over a real database") {
     val conn = java.sql.DriverManager.getConnection(url, props)
     conn.createStatement().execute(

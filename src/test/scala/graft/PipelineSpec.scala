@@ -7,6 +7,21 @@ import java.nio.file.{Files, Paths}
 
 class PipelineSpec extends SparkSpec {
 
+  test("S9: copyFromLocal/copyToLocal round-trip a file, source kept") {
+    val root = tempDir("objstore_")
+    val src = new java.io.File(s"$root/payload.txt")
+    Files.writeString(src.toPath, "graft-roundtrip-123")
+    val store = new graft.fs.ObjectStore(spark.sparkContext.hadoopConfiguration)
+    val up = store.copyFromLocal(src.getAbsolutePath, s"$root/remote")
+    assert(store.exists(up))
+    assert(src.exists(), "upload must copy, not move")
+    val down = store.copyToLocal(up, s"$root/local")
+    assert(Files.readString(Paths.get(s"$root/local/payload.txt"))
+      == "graft-roundtrip-123")
+    assert(store.exists(up), "download must copy, not move")
+    assert(down.endsWith("payload.txt"))
+  }
+
   test("end-to-end run: quarantine, marts, archive, ledger lifecycle") {
     val root = tempDir("pipeline_")
     val cfg = PipelineConfig(s"$root/in", s"$root/err", s"$root/done",
