@@ -21,8 +21,89 @@ object SessionStream {
                        event_id: Long, value: Double)
   final case class SessionState(sessionId: Int, startMs: Long, endMs: Long,
                                 n: Long, value: Double)
+  /** Continuous-variant state: the open session plus the last session
+    * id ever assigned — numbering must survive a timeout so session
+    * ids stay cumulative per user (parity with the batch window's
+    * running sum of session starts).
+    */
+  final case class ContState(lastId: Int, open: Option[SessionState])
   final case class SessionOut(user_id: Long, session_id: Int, n_events: Long,
                               start_ms: Long, end_ms: Long, session_value: Double)
+
+  /** Continuous-stream sessionization: watermark + EventTimeTimeout,
+    * correct across arbitrarily many micro-batches (the AvailableNow
+    * variant's one-batch-drain assumption removed — VERDICT r3 #8).
+    *
+    * Per-user state carries the open session. A later event either
+    * extends it (floor-second gap compare, identical to the batch
+    * window form) or closes it — closed sessions emit immediately.
+    * The open session emits when the event-time timeout fires, i.e.
+    * once the watermark passes session end + gap and no extending
+    * event arrived: exactly the moment the session can no longer
+    * grow, so emission is incremental. State holds one open session
+    * plus a session counter per user (the counter keeps ids
+    * cumulative, matching the batch window's running sum; a
+    * deployment keying sessions by start time instead could drop
+    * state entirely on timeout).
+    *
+    * Source-agnostic (MemoryStream in specs, file/Kafka sources in
+    * production); pair with a watermark delay matching the source's
+    * disorder bound.
+    */
+  def sessionizeStream(events: org.apache.spark.sql.Dataset[Evt],
+                       gapMinutes: Int = 30,
+                       watermarkDelay: String = "0 seconds")
+      : org.apache.spark.sql.Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[ContState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, evts: Iterator[Evt], state: GroupState[ContState]) =>
+          if (state.hasTimedOut) {
+            // watermark passed end + gap with no extending event: the
+            // open session is final — emit it, keep only the numbering
+            // (cumulative ids are what the batch form produces; a
+            // deployment that can key sessions by start time instead
+            // would remove the state here)
+            val st = state.getOption.getOrElse(ContState(0, None))
+            val out = st.open.map(s =>
+              SessionOut(user, s.sessionId, s.n, s.startMs, s.endMs, s.value))
+            state.update(ContState(st.lastId, None))
+            out.iterator
+          } else {
+            val sorted = evts.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            val st = state.getOption.getOrElse(ContState(0, None))
+            var lastId = st.lastId
+            var cur = st.open
+            val closed = scala.collection.mutable.ArrayBuffer.empty[SessionState]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if (t / 1000L) - (s.endMs / 1000L) <= gapMs / 1000L =>
+                  cur = Some(s.copy(endMs = math.max(s.endMs, t), n = s.n + 1,
+                    value = s.value + e.value))
+                case other =>
+                  other.foreach(closed += _)
+                  lastId += 1
+                  cur = Some(SessionState(lastId, t, t, 1, e.value))
+              }
+            }
+            state.update(ContState(lastId, cur))
+            cur.foreach { s =>
+              // re-arm: fire once the watermark proves no extender can
+              // arrive (must stay above the current watermark)
+              state.setTimeoutTimestamp(
+                math.max(s.endMs + gapMs, state.getCurrentWatermarkMs() + 1L))
+            }
+            closed.iterator.map(s =>
+              SessionOut(user, s.sessionId, s.n, s.startMs, s.endMs, s.value))
+          }
+      }
+  }
 
   /** Streaming sessionize over a parquet events directory; returns
     * all sessions (closed + final open) after draining available

@@ -7,6 +7,122 @@ class SessionStreamSpec extends SparkSpec {
 
   val sf = "/root/testdata/sf0.001"
 
+  test("continuous sessionize: multi-batch stream equals hand-computed sessions") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    val spark2 = spark
+    import spark2.implicits._
+
+    def ts(min: Long): java.sql.Timestamp =
+      new java.sql.Timestamp(1700000000000L + min * 60000L)
+    def evt(u: Long, min: Long, id: Long, v: Double) =
+      SessionStream.Evt(u, ts(min), id, v)
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[SessionStream.Evt]
+    val q = SessionStream.sessionizeStream(input.toDS(), gapMinutes = 30)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("cont_sess").trigger(Trigger.ProcessingTime(0)).start()
+
+    // batch 1: u1 two events 10min apart (one session so far); u2 one
+    input.addData(evt(1, 0, 100, 1.0), evt(1, 10, 101, 2.0),
+      evt(2, 5, 200, 5.0))
+    q.processAllAvailable()
+    // nothing closed yet — open sessions must NOT emit
+    assert(spark.table("cont_sess").count() == 0)
+
+    // batch 2: u1 at +70min -> closes session 1 (gap 60 > 30), starts
+    // session 2; u2 at +25min extends its open session
+    input.addData(evt(1, 70, 102, 4.0), evt(2, 30, 201, 7.0))
+    q.processAllAvailable()
+    val afterB2 = spark.table("cont_sess").as[SessionStream.SessionOut]
+      .collect()
+    // u1's session closed by its own +70min event; u2's closed by the
+    // event-time timeout in the SAME batch (the timeout pass runs on
+    // the eviction watermark, which u1's +70min event advanced past
+    // u2's end + gap — any extender would now be late and dropped, so
+    // the early close is sound). u1's new open session must not emit.
+    assert(afterB2.toSet == Set(
+      SessionStream.SessionOut(1, 1, 2, ts(0).getTime, ts(10).getTime, 3.0),
+      SessionStream.SessionOut(2, 1, 2, ts(5).getTime, ts(30).getTime, 12.0)),
+      s"closed-only emission after batch 2: ${afterB2.toSeq}")
+
+    // batches 3+4: far-future sentinel advances the watermark past
+    // every open session's end + gap; the timeout pass runs against
+    // the PREVIOUS batch's watermark, so a second sentinel batch
+    // triggers the actual flush
+    input.addData(evt(999, 10000, 900, 0.0))
+    q.processAllAvailable()
+    input.addData(evt(999, 10001, 901, 0.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val all = spark.table("cont_sess").as[SessionStream.SessionOut]
+      .collect().filter(_.user_id != 999).sortBy(s => (s.user_id, s.session_id))
+    assert(all.toSeq == Seq(
+      SessionStream.SessionOut(1, 1, 2, ts(0).getTime, ts(10).getTime, 3.0),
+      SessionStream.SessionOut(1, 2, 1, ts(70).getTime, ts(70).getTime, 4.0),
+      SessionStream.SessionOut(2, 1, 2, ts(5).getTime, ts(30).getTime, 12.0)),
+      s"got: ${all.toSeq}")
+  }
+
+  test("continuous sessionize over the real corpus in 3 batches equals batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    val spark2 = spark
+    import spark2.implicits._
+    import org.apache.spark.sql.functions._
+
+    val evts = graft.core.Tables.events(spark, sf)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .as[SessionStream.Evt].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val chunks = evts.grouped(math.max(1, evts.length / 3 + 1)).toSeq
+    assert(chunks.length >= 3, "need >= 3 micro-batches for the parity claim")
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[SessionStream.Evt]
+    val q = SessionStream.sessionizeStream(input.toDS(), gapMinutes = 30)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("cont_sess_corpus").trigger(Trigger.ProcessingTime(0)).start()
+    chunks.foreach { c => input.addData(c.toIndexedSeq: _*); q.processAllAvailable() }
+    // sentinel twice: advance the watermark past every open session,
+    // then trigger the timeout pass that flushes them
+    val flushTs = new java.sql.Timestamp(evts.map(_.ts.getTime).max + 86400000L)
+    input.addData(SessionStream.Evt(-1L, flushTs, -1L, 0.0))
+    q.processAllAvailable()
+    input.addData(SessionStream.Evt(-1L,
+      new java.sql.Timestamp(flushTs.getTime + 1000L), -2L, 0.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val fmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss").withZone(java.time.ZoneOffset.UTC)
+    val streamed = spark.table("cont_sess_corpus")
+      .as[SessionStream.SessionOut].collect()
+      .filter(_.user_id >= 0)
+      .map(s => (s.user_id, s.session_id) ->
+        ((s.n_events, fmt.format(java.time.Instant.ofEpochMilli(s.start_ms)),
+          fmt.format(java.time.Instant.ofEpochMilli(s.end_ms)),
+          s.session_value)))
+      .toMap
+
+    val batch = Events.sessionize(spark, sf).collect()
+      .map { r =>
+        (r.getAs[Long]("user_id"), r.getAs[Int]("session_id")) ->
+          ((r.getAs[Long]("n_events"), r.getAs[String]("session_start"),
+            r.getAs[String]("session_end"), r.getAs[Double]("session_value")))
+      }.toMap
+
+    assert(streamed.keySet == batch.keySet)
+    batch.foreach { case (k, (n, s, e, v)) =>
+      val (n2, s2, e2, v2) = streamed(k)
+      assert(n2 == n, s"$k n_events")
+      assert(s2 == s, s"$k start")
+      assert(e2 == e, s"$k end")
+      assert(math.abs(v2 - v) < 1e-6, s"$k value")
+    }
+  }
+
   test("stateful streaming sessionize equals the batch window form") {
     val landing = tempDir("sess_events_")
     java.nio.file.Files.copy(
