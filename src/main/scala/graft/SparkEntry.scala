@@ -69,6 +69,7 @@ object SparkEntry {
     "qx8_asof_join"      -> graft.operators.AsOfJoin.eventAsOf _,
     "qx9_range_join"     -> graft.operators.RangeJoin.errorClickBurst _,
     "qm1_media_stats"    -> TrainingOps.mediaStats _,
+    "qm2_frame_sample"   -> TrainingOps.frameSample _,
   )
 
   /** Queries intentionally without an oracle — EMPTY since round 5:
@@ -332,6 +333,23 @@ object SparkEntry {
          |  CAST(SUM(height) AS BIGINT) AS total_height,
          |  CAST(SUM(n_frames) AS BIGINT) AS total_frames
          |FROM m GROUP BY kind ORDER BY kind""".stripMargin),
+    // qm2: frame sampling is integer arithmetic over the encoded
+    // geometry — frameLen = max(1, payload // n_frames), frames
+    // 0,4,8,... < n_frames, last slice clipped to the payload end —
+    // so the oracle recomputes counts and byte totals from
+    // (doc_id, octet_length(text)) while Spark slices real bytes.
+    "qm2_frame_sample" ->
+      ("""WITH v AS (
+         |  SELECT doc_id, 1 + doc_id % 120 AS nf,
+         |    octet_length(encode(text)) AS pl
+         |  FROM documents
+         |  WHERE doc_id % 3 = 2 AND doc_id % 50 <> 0),
+         |f AS (SELECT doc_id, nf, pl, greatest(1, pl // nf) AS fl FROM v)
+         |SELECT doc_id AS media_id,
+         |  CAST((nf - 1) // 4 + 1 AS BIGINT) AS n_sampled,
+         |  CAST(list_sum(list_transform(range(0, nf, 4),
+         |    x -> greatest(0, least(fl, pl - x * fl)))) AS BIGINT) AS sampled_bytes
+         |FROM f ORDER BY media_id""".stripMargin),
     "qs4_top_spenders" ->
       ("WITH s AS (SELECT event_type, user_id, " +
         "SUM(CAST(value AS DECIMAL(18,2))) AS spend_dec FROM events GROUP BY 1, 2), " +

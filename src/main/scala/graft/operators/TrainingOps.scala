@@ -229,6 +229,22 @@ object TrainingOps {
   def mediaStats(s: SparkSession, dir: String): DataFrame =
     Multimodal.mediaStats(Multimodal.mediaFromDocs(Tables.documents(s, dir)))
 
+  /** qm2 — frame sampling aggregate: every 4th frame of each video
+    * blob (the row-explosion shape of a frame-extraction stage),
+    * reduced to per-video frame counts and byte totals. Frame count
+    * and per-frame slice sizes are pure arithmetic over
+    * (doc_id, octet_length(text)), so the oracle recomputes them in
+    * SQL while the Spark side actually decodes headers and slices
+    * payload bytes.
+    */
+  def frameSample(s: SparkSession, dir: String): DataFrame =
+    Multimodal.sampleFrames(
+        Multimodal.mediaFromDocs(Tables.documents(s, dir)), everyN = 4)
+      .groupBy("media_id")
+      .agg(count(lit(1)).as("n_sampled"),
+        sum(length(col("frame_bytes")).cast("long")).as("sampled_bytes"))
+      .orderBy("media_id")
+
   val knnQueryIds: Seq[Long] = Seq(0L, 1L, 2L, 3L, 4L)
 
   /** Exact cosine top-10 for five query vectors (oracle-backed:

@@ -67,6 +67,24 @@ class MultimodalSpec extends SparkSpec {
     assert(got.keySet == Set("image", "audio", "video", "unknown"))
   }
 
+  test("frame sampling clips the tail and zero-fills past short payloads") {
+    val spark2 = spark
+    import spark2.implicits._
+    // id 2: video (2 % 3 == 2), nf = 1 + 2 % 120 = 3, payload 8 bytes
+    //   -> frameLen = 2, frames 0..2, sampled every 2nd: f=0 (2B), f=2 (2B)
+    // id 242: video, nf = 1 + 242 % 120 = 3, payload 2 bytes
+    //   -> frameLen = max(1, 2/3) = 1, f=0 (1B), f=2: from=2 >= len -> 0B
+    val docs = Seq((2L, "abcdefgh"), (242L, "xy")).toDF("doc_id", "text")
+    val frames = graft.operators.Multimodal
+      .sampleFrames(graft.operators.Multimodal.mediaFromDocs(docs), everyN = 2)
+      .collect()
+      .map(r => (r.getAs[Long]("media_id"), r.getAs[Int]("frame_idx")) ->
+        r.getAs[Array[Byte]]("frame_bytes").length)
+      .toMap
+    assert(frames == Map((2L, 0) -> 2, (2L, 2) -> 2,
+      (242L, 0) -> 1, (242L, 2) -> 0))
+  }
+
   test("resizeStub bounds output size and is deterministic") {
     val a = Multimodal.resizeStub(media, 16, 16).collect()
       .map(r => r.getAs[Long]("media_id") ->
