@@ -201,10 +201,14 @@ object Similarity {
   private def complementPrunedNearDups(emb: DataFrame, threshold: Double,
                                        dim: Int, nPlanes: Int): DataFrame = {
     val mask = (1L << nPlanes) - 1L
+    // persist: both self-join sides consume the same signature
+    // lineage (explode + two aggregates); without it the plan computes
+    // signatures twice (same trade Dedup.minhashNearDups makes)
     val base = emb
       .join(packedSignatures(emb, dim, nPlanes), "vec_id")
       .select(col("vec_id"), col("embedding"),
         normN(col("embedding")).as("nrm"), col("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = base.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"),
       col("nrm").as("nrm_a"), col("sig").as("sig_a"))
     val b = base.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"),
