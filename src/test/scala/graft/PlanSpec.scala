@@ -123,4 +123,21 @@ class PlanSpec extends SparkSpec {
     assert(exchanges.exists(out => out.toSet == Set("id_a", "id_b")),
       s"no ids-only distinct exchange found: $exchanges")
   }
+
+  test("global sweep: no declared query plans a CartesianProduct") {
+    // BroadcastNestedLoopJoin is allowed ONLY where the operator is
+    // deliberately O(n^2) at its declared verification config (qe3's
+    // parity geometry, qe1's brute-force baseline) or broadcasts a
+    // single scalar row (qd11's corpus-count N); a CartesianProduct
+    // anywhere means a join lost its keys.
+    val bnljAllowed =
+      Set("qe3_embedding_neardups", "qe1_knn_brute", "qd11_doc_keywords")
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val p = plan(fn(spark, sf))
+      assert(!p.contains("CartesianProduct"), s"$name plans a cartesian")
+      if (!bnljAllowed(name))
+        assert(!p.contains("BroadcastNestedLoopJoin"),
+          s"$name plans a nested-loop join")
+    }
+  }
 }
