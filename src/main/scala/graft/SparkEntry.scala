@@ -44,6 +44,7 @@ object SparkEntry {
     "qd4_langid"         -> TrainingOps.langId _,
     "qd5_fingerprint"    -> TrainingOps.fingerprint _,
     "qd6_minhash_pairs"  -> TrainingOps.minhashTopPairs _,
+    "qd13_dup_clusters"  -> TrainingOps.dupClusters _,
     "qd7_simhash"        -> TrainingOps.simhash _,
     "qe1_knn_brute"      -> TrainingOps.knnBrute _,
     "qe2_knn_lsh"        -> TrainingOps.knnLsh _,
@@ -178,6 +179,7 @@ object SparkEntry {
         "(acc, x) -> (acc * 31 + x) % 2147483647) END AS fp " +
         "FROM documents ORDER BY doc_id"),
     "qd7_simhash" -> simhashSql,
+    "qd13_dup_clusters" -> dupClustersSql,
     "qe1_knn_brute" -> knnSql,
     // qe2 (1-bit-band LSH) and qe4 (full-probe IVF) are declared at
     // provable-equivalence parameters — both reduce to exact cosine
@@ -415,6 +417,28 @@ object SparkEntry {
        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, $jaccardExpr AS jaccard
        |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
        |ORDER BY doc_a""".stripMargin
+
+  /** Duplicate-cluster oracle: same exhaustive-jaccard edge set as
+    * qd6, then a recursive CTE propagates the minimum reachable doc
+    * id over symmetrized edges — min(lbl) per doc IS its connected
+    * component's smallest member (UNION dedups, so the walk
+    * terminates). Every doc keeps a row; singletons label themselves.
+    */
+  private val dupClustersSql: String = {
+    val cte = shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ")
+    s"""$cte,
+       |e AS (
+       |  SELECT a.doc_id AS src, b.doc_id AS dst
+       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |  WHERE $jaccardExpr >= 0.9),
+       |edges AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+       |walk(id, lbl) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT edges.dst, walk.lbl FROM walk JOIN edges ON edges.src = walk.id)
+       |SELECT id AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster
+       |FROM walk GROUP BY id ORDER BY doc_id""".stripMargin
+  }
 
   /** DuckDB double dot product with the same sequential fold order as
     * the Spark side's aggregate(zip_with(...)).

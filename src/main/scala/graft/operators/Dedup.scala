@@ -197,6 +197,74 @@ object Dedup {
           size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
       .select("doc_a", "doc_b", "jaccard")
 
+  // ---- duplicate clustering --------------------------------------
+
+  /** Connected components over a near-dup pair graph: every node gets
+    * `cluster` = the smallest doc id reachable through pair edges
+    * (singletons label themselves). The step a real dedup pipeline
+    * runs AFTER pair finding — pairs (a,b),(b,c) must collapse to ONE
+    * kept representative, not two independent drops.
+    *
+    * Algorithm: iterative min-label propagation. Each round joins the
+    * current labels across the (symmetrized) edge set and takes the
+    * min of self and all neighbors; converged when no label changes.
+    * Rounds needed = graph diameter (near-dup components are tiny
+    * cliques — 2-3 rounds in practice); the loop is driver-side but
+    * each round is one distributed join+agg, the standard
+    * label-propagation shape.
+    *
+    * Every round `localCheckpoint`s its result: WITHOUT lineage
+    * truncation the union-join plan doubles per round and the plan
+    * tree alone OOMs the driver past ~10 rounds (hit in spec, not
+    * hypothetically). A cluster deployment with executor loss
+    * concerns would use reliable `checkpoint` to HDFS instead, and
+    * large-star/small-star if components can be adversarially long.
+    *
+    * `maxRounds` bounds the loop (throws rather than silently
+    * mislabeling if the graph is deeper than expected).
+    */
+  def dupClusters(nodes: DataFrame, pairs: DataFrame, idCol: String,
+                  maxRounds: Int = 20): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = nodes.select(col(idCol).as("id"), col(idCol).as("cluster"))
+      .localCheckpoint()
+    var round = 0
+    var changed = 1L
+    while (changed > 0) {
+      round += 1
+      require(round <= maxRounds,
+        s"dupClusters did not converge in $maxRounds rounds")
+      // min over self and neighbors' labels, one shuffle per round;
+      // localCheckpoint truncates the per-round lineage (see scaladoc)
+      val viaEdges = edges
+        .join(labels.select(col("id").as("dst"), col("cluster")), "dst")
+        .select(col("src").as("id"), col("cluster"))
+      val next = labels.select(col("id"), col("cluster"))
+        .union(viaEdges)
+        .groupBy("id")
+        .agg(min(col("cluster")).as("cluster"))
+        .localCheckpoint()
+      changed = next.as("n")
+        .join(labels.as("p"), col("n.id") === col("p.id"))
+        .filter(col("n.cluster") =!= col("p.cluster"))
+        .count()
+      labels = next
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Keep one representative per duplicate cluster (the smallest id),
+    * preserving every column of `docs` — the materialization step
+    * after [[dupClusters]].
+    */
+  def dedupByCluster(docs: DataFrame, clusters: DataFrame,
+                     idCol: String): DataFrame =
+    docs.join(clusters.filter(col("id") === col("cluster"))
+        .select(col("id").as(idCol)), idCol)
+
   // ---- SimHash ----------------------------------------------------
 
   /** (id, simhash) frame: 64-bit SimHash over word-token xxhash64

@@ -127,6 +127,22 @@ object TrainingOps {
       .orderBy("doc_a")
   }
 
+  /** qd13 — duplicate clusters: connected components over the
+    * threshold-0.9 MinHash near-dup pairs (qd6's edge set), every doc
+    * labeled with the smallest doc id in its component. Pairs
+    * (a,b),(b,c) collapse to one cluster — the grouping step a dedup
+    * pipeline needs between pair finding and representative keeping.
+    * Oracle: DuckDB recursive CTE propagating min reachable id over
+    * the same exhaustive-jaccard edge set.
+    */
+  def dupClusters(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val pairs = Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.9)
+    Dedup.dupClusters(docs, pairs, "doc_id")
+      .select(col("id").as("doc_id"), col("cluster"))
+      .orderBy("doc_id")
+  }
+
   /** SimHash values for every document — declared in the portable
     * 31-bit form (rolling-poly token hash) so DuckDB can recompute
     * the identical value (xxhash64, the production variant's token

@@ -65,6 +65,39 @@ class DedupSpec extends SparkSpec {
     else toks.sliding(3).map(_.mkString(" ")).toSet
   }
 
+  test("dupClusters: transitive pairs collapse to one component") {
+    // chain 1-2, 2-3 plus pair 10-11 plus singleton 20: components
+    // {1,2,3} -> 1, {10,11} -> 10, {20} -> 20. Doc 3 never pairs with
+    // 1 directly — only transitivity links them.
+    val nodes = Seq(1L, 2L, 3L, 10L, 11L, 20L).toDF("doc_id")
+    val pairs = Seq((2L, 3L), (1L, 2L), (10L, 11L))
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.dupClusters(nodes, pairs, "doc_id")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster"))
+      .toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L))
+  }
+
+  test("dupClusters converges on a long path (diameter > 2)") {
+    val n = 9L
+    val nodes = (0L to n).toDF("doc_id")
+    val pairs = (0L until n).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val got = Dedup.dupClusters(nodes, pairs, "doc_id")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster"))
+    assert(got.forall(_._2 == 0L), s"all on the path label 0: ${got.toSeq}")
+  }
+
+  test("dedupByCluster keeps exactly the smallest doc per component") {
+    val docs = Seq((1L, "a"), (2L, "b"), (3L, "c"), (10L, "d"), (20L, "e"))
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val clusters = Dedup.dupClusters(docs, pairs, "doc_id")
+    val kept = Dedup.dedupByCluster(docs, clusters, "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(1L, 10L, 20L))
+  }
+
   test("simhash: identical texts collide, near texts are close") {
     val base = "spark shuffles partitions and broadcasts small tables " +
       "for efficient distributed joins across many executors"
