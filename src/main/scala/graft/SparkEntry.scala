@@ -45,6 +45,8 @@ object SparkEntry {
     "qd5_fingerprint"    -> TrainingOps.fingerprint _,
     "qd6_minhash_pairs"  -> TrainingOps.minhashTopPairs _,
     "qd13_dup_clusters"  -> TrainingOps.dupClusters _,
+    "qd14_decontaminate" -> TrainingOps.decontaminate _,
+    "qd15_source_lang_pivot" -> TrainingOps.sourceLangPivot _,
     "qd7_simhash"        -> TrainingOps.simhash _,
     "qe1_knn_brute"      -> TrainingOps.knnBrute _,
     "qe2_knn_lsh"        -> TrainingOps.knnLsh _,
@@ -180,6 +182,13 @@ object SparkEntry {
         "FROM documents ORDER BY doc_id"),
     "qd7_simhash" -> simhashSql,
     "qd13_dup_clusters" -> dupClustersSql,
+    "qd14_decontaminate" -> decontaminateSql,
+    "qd15_source_lang_pivot" ->
+      ("SELECT source, " +
+        Seq("de", "en", "es", "fr", "zh").map(l =>
+          s"CAST(SUM(CASE WHEN lang = '$l' THEN 1 ELSE 0 END) AS BIGINT) AS $l")
+          .mkString(", ") +
+        " FROM documents GROUP BY source ORDER BY source"),
     "qe1_knn_brute" -> knnSql,
     // qe2 (1-bit-band LSH) and qe4 (full-probe IVF) are declared at
     // provable-equivalence parameters — both reduce to exact cosine
@@ -439,6 +448,21 @@ object SparkEntry {
        |SELECT id AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster
        |FROM walk GROUP BY id ORDER BY doc_id""".stripMargin
   }
+
+  /** Decontamination oracle: same word-3-gram derivation as the
+    * jaccard family (shingleCte), benchmark = src0 grams, corpus =
+    * the rest; a doc is contaminated iff any gram matches.
+    */
+  private val decontaminateSql: String =
+    s"""$shingleCte,
+       |bg AS (
+       |  SELECT DISTINCT unnest(s) AS g
+       |  FROM sh JOIN documents USING (doc_id) WHERE source = 'src0'),
+       |cg AS (
+       |  SELECT sh.doc_id, unnest(sh.s) AS g
+       |  FROM sh JOIN documents USING (doc_id) WHERE source <> 'src0')
+       |SELECT DISTINCT doc_id FROM cg JOIN bg USING (g)
+       |ORDER BY doc_id""".stripMargin
 
   /** DuckDB double dot product with the same sequential fold order as
     * the Spark side's aggregate(zip_with(...)).

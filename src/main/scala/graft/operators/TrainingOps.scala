@@ -143,6 +143,57 @@ object TrainingOps {
       .orderBy("doc_id")
   }
 
+  /** qd14 — benchmark decontamination: flag corpus documents sharing
+    * at least one word 3-gram with a held-out "benchmark" slice
+    * (here: the src0 documents, standing in for an eval set). The
+    * test-set contamination check every training pipeline runs before
+    * release. Relational shape: distinct grams of each side,
+    * gram-equi-join, semi-style distinct on doc id — never
+    * all-pairs, and the benchmark side is the small one (broadcast-
+    * eligible at real scale). Reuses pairJaccard's relational gram
+    * machinery (explode + window leads, codegen end-to-end).
+    */
+  def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+    def grams(df: DataFrame): DataFrame = {
+      val tf = df.select(col("doc_id"), Dedup.tokens(col("text")).as("_t"))
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val long = tf.filter(size(col("_t")) >= 3)
+        .select(col("doc_id"), posexplode(col("_t")).as(Seq("pos", "t")))
+        .withColumn("t2", lead("t", 1).over(w))
+        .withColumn("t3", lead("t", 2).over(w))
+        .filter(col("t3").isNotNull)
+        .select(col("doc_id"),
+          concat_ws(" ", col("t"), col("t2"), col("t3")).as("g"))
+      val short = tf.filter(size(col("_t")) < 3)
+        .select(col("doc_id"), array_join(col("_t"), " ").as("g"))
+      long.union(short).distinct()
+    }
+    val bench = docs.filter(col("source") === "src0")
+    val corpusGrams = grams(docs.filter(col("source") =!= "src0"))
+    val benchGrams = grams(bench)
+      .select(col("g")).distinct()
+    corpusGrams
+      .join(broadcast(benchGrams), "g")
+      .select("doc_id").distinct()
+      .orderBy("doc_id")
+  }
+
+  /** qd15 — per-source language mix as a pivot (the wide-matrix
+    * reshape a corpus report needs): one row per source, one count
+    * column per language. Explicit value list keeps the output schema
+    * deterministic (and lets Spark skip the extra distinct-values
+    * job a bare pivot() runs).
+    */
+  def sourceLangPivot(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy("source")
+      .pivot("lang", Seq("de", "en", "es", "fr", "zh"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("source")
+
   /** SimHash values for every document — declared in the portable
     * 31-bit form (rolling-poly token hash) so DuckDB can recompute
     * the identical value (xxhash64, the production variant's token

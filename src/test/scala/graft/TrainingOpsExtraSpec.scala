@@ -1,0 +1,50 @@
+package graft
+
+import graft.operators.TrainingOps
+import org.apache.spark.sql.functions._
+
+/** Value-level checks for the round-5 additions (the DuckDB oracle
+  * carries exactness at sf0.01/sf0.1; these pin the semantics
+  * driver-side on sf0.001).
+  */
+class TrainingOpsExtraSpec extends SparkSpec {
+
+  val sf = "/root/testdata/sf0.001"
+
+  private def gramsOf(text: String): Set[String] = {
+    val toks = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+    if (toks.length >= 3) toks.sliding(3).map(_.mkString(" ")).toSet
+    else Set(toks.mkString(" "))
+  }
+
+  test("decontaminate flags exactly the docs sharing a 3-gram with src0") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[String]("text")))
+    val benchGrams = docs.filter(_._2 == "src0").flatMap(d => gramsOf(d._3)).toSet
+    val expected = docs.filter(_._2 != "src0")
+      .filter(d => gramsOf(d._3).exists(benchGrams)).map(_._1).sorted.toSeq
+    val got = TrainingOps.decontaminate(spark, sf)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == expected)
+    assert(got.nonEmpty && got.size < docs.count(_._2 != "src0"),
+      "corpus should be partially, not fully, contaminated")
+  }
+
+  test("source-lang pivot matches groupBy counts and fills absent cells with 0") {
+    val got = TrainingOps.sourceLangPivot(spark, sf)
+    assert(got.columns.toSeq == Seq("source", "de", "en", "es", "fr", "zh"))
+    val wide = got.collect().flatMap { r =>
+      Seq("de", "en", "es", "fr", "zh").map(l =>
+        (r.getAs[String]("source"), l) -> r.getAs[Long](l))
+    }.toMap
+    val long = spark.read.parquet(s"$sf/documents.parquet")
+      .groupBy("source", "lang").agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[String]("lang")) ->
+        r.getAs[Long]("n")).toMap
+    wide.foreach { case (k, v) => assert(v == long.getOrElse(k, 0L), s"$k") }
+    assert(long.values.sum == wide.values.sum, "pivot must conserve counts")
+  }
+}
