@@ -57,6 +57,7 @@ object SparkEntry {
     "qs3_props_json"     -> Events.propsExtract _,
     "qs4_top_spenders"   -> Events.topSpenders _,
     "qs5_percentiles"    -> Events.valuePercentiles _,
+    "qs6_moving_avg"     -> Events.movingAvg _,
     "qd8_source_stats"   -> TrainingOps.sourceStats _,
     "qd9_token_freq"     -> TrainingOps.tokenFreq _,
     "qd10_pair_jaccard"  -> TrainingOps.pairJaccard _,
@@ -305,6 +306,21 @@ object SparkEntry {
       ("SELECT event_type, quantile_cont(value, 0.5) AS med, " +
         "quantile_cont(value, 0.95) AS p95 " +
         "FROM events GROUP BY 1 ORDER BY event_type"),
+    // bounded-frame window: decimal frame sum / exact count, division
+    // in double on both sides; frame order pinned by (ts, event_id)
+    "qs6_moving_avg" ->
+      ("""WITH e AS (SELECT user_id, event_id,
+         |             CAST(ts AS TIMESTAMP) AS ts, value FROM events)
+         |SELECT user_id, event_id,
+         |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,2)))
+         |         OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS DOUBLE)
+         |    / CAST(COUNT(*)
+         |         OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS DOUBLE)
+         |    AS avg5
+         |FROM e ORDER BY user_id, ts_s, event_id""".stripMargin),
     "qd8_source_stats" ->
       ("SELECT source, count(*) AS n_docs, " +
         "count(DISTINCT lang) AS n_langs, CAST(SUM(n_chars) AS BIGINT) AS total_chars " +

@@ -27,6 +27,26 @@ object Events {
         Fns.moneySum(col("value")).cast("double").as("total_value"))
       .orderBy("hour", "event_type")
 
+  /** qs6 — per-user trailing moving average over the last 5 events
+    * (ROWS BETWEEN 4 PRECEDING AND CURRENT ROW): the bounded-frame
+    * window shape (distinct from the partition-wide sums of A1/A2 and
+    * rank of A4). Determinism: frame sum through DECIMAL(18,2) (frame
+    * order is pinned by (ts, event_id), but decimal addition removes
+    * any doubt), count exact, final division done in double by both
+    * engines.
+    */
+  def movingAvg(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-4, Window.currentRow)
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+        (sum(col("value").cast(Fns.Money)).over(w).cast("double") /
+          count(lit(1)).over(w).cast("double")).as("avg5"))
+      .orderBy("user_id", "ts_s", "event_id")
+  }
+
   /** Gap-based sessionization (30-minute inactivity gap): the batch
     * formulation of a session window — lag + cumulative sum of
     * session-start flags per user. Deterministic tie-break on
