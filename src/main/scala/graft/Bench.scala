@@ -10,8 +10,10 @@ import org.apache.spark.sql.SparkSession
   * 8.9→19.8 s across rounds on identical code, purely from local-disk
   * state, which made the gate's only trend signal noise. Failures are
   * never swallowed: a throwing query keeps its `ok:false` flag, lands
-  * in `failures`, and flips the top-level `ok` — it cannot shrink the
-  * total anymore.
+  * in `failures`, flips the top-level `ok`, and its (near-zero
+  * fast-fail) time is EXCLUDED from the total — a regression-to-throw
+  * can no longer read as a speedup; any total with `ok:false` is
+  * non-comparable by construction.
   *
   * The `queries` map stays name→seconds (driver contract); the added
   * `details`/`phases`/`failures` fields ride alongside. q14's write
@@ -107,7 +109,10 @@ object Bench {
       QRes(name, med, runs.min, runs, ok, writeSecs.toSeq)
     }
 
-    def jd(d: Double): String = f"$d%.4f"
+    // Locale.ROOT: f"%.4f" uses the JVM default locale, and a comma
+    // decimal separator would corrupt the driver-contract JSON line
+    def jd(d: Double): String =
+      String.format(java.util.Locale.ROOT, "%.4f", Double.box(d))
     val qs = results.map(r => s""""${r.name}":${jd(r.sec)}""")
       .mkString("{", ",", "}")
     val details = results.map { r =>
@@ -122,7 +127,10 @@ object Bench {
     val failures = results.filterNot(_.ok).map(r => s""""${r.name}"""")
       .mkString("[", ",", "]")
     val allOk = results.forall(_.ok)
-    val total = results.map(_.sec).sum
+    // total counts only OK queries: a fast-failing query's near-zero
+    // median must not masquerade as a speedup; its absence plus
+    // ok:false + the failures list is the signal
+    val total = results.filter(_.ok).map(_.sec).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec"""" +
       s""","queries":$qs,"details":$details,"phases":{$phases}""" +
       s""","failures":$failures,"ok":$allOk,"runs":$repeats,"sf":"$sfDir"}""")

@@ -77,13 +77,14 @@ object SparkEntry {
   )
 
   /** Queries intentionally without an oracle — EMPTY since round 5:
-    * qd6/qe2/qe3/qe4 graduated via provable-equivalence
-    * configurations (threshold-0.9 near-dups with exhaustive
-    * all-pairs oracle; 1-bit-band LSH for both kNN and near-dup
-    * blocking; full-probe IVF == brute force), and qd7 is declared in
-    * the portable 31-bit SimHash form whose every ingredient DuckDB
-    * recomputes exactly (the xxhash64 production variant stays
-    * spec-verified).
+    * qd6/qe2/qe3/qe4 graduated via oracle-parity configurations
+    * (threshold-0.9 near-dups and 1-bit-band LSH, where a qualifying
+    * pair escapes blocking with vanishing probability — <2e-4 for
+    * qd6, ~5e-7 for qe3, verified equal on the gate corpora; and
+    * full-probe IVF, which exactly equals brute force), and qd7 is
+    * declared in the portable 31-bit SimHash form whose every
+    * ingredient DuckDB recomputes exactly (the xxhash64 production
+    * variant stays spec-verified).
     */
   def rowsOnly: Set[String] = Set.empty
 
@@ -196,9 +197,12 @@ object SparkEntry {
     // top-k, so the brute-force SQL is their oracle verbatim.
     "qe2_knn_lsh" -> knnSql,
     "qe4_knn_ivf" -> knnSql,
-    // qe3 at 1-bit-band geometry: blocking is exhaustive for the
-    // declared threshold (a pair escapes only when all 16 sign bits
-    // differ), so the exhaustive all-pairs cosine is its oracle.
+    // qe3 at 1-bit-band geometry: a pair escapes blocking only when
+    // all 16 sign bits differ — p ~ (acos(sim)/pi)^16, ~5e-7 per pair
+    // at the 0.3 threshold and vanishing for higher sims — so the
+    // result equals the exhaustive all-pairs cosine on the gate
+    // corpora (verified at sf0.001/0.01/0.1; probabilistic like qd6's
+    // banding bound, not a geometric guarantee).
     "qe3_embedding_neardups" -> nearDupsSql,
     "qd6_minhash_pairs" -> minhashPairsSql,
     "qd10_pair_jaccard" -> pairJaccardSql,
@@ -518,9 +522,10 @@ object SparkEntry {
   }
 
   /** Exhaustive all-pairs cosine near-dups — sound at gate scale
-    * (n^2/2 dot folds), which the LSH-blocked side must match while
-    * its blocking (at the declared 1-bit-band geometry) provably
-    * catches every qualifying pair. Same dot-fold parity as knnSql.
+    * (n^2/2 dot folds), which the LSH-blocked side must match; at the
+    * declared 1-bit-band geometry a qualifying pair escapes blocking
+    * w.p. ~5e-7 (verified equal on the gate corpora). Same dot-fold
+    * parity as knnSql.
     */
   private val nearDupsSql: String =
     s"""WITH base AS (

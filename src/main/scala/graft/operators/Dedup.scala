@@ -94,6 +94,30 @@ object Dedup {
     */
   def shingleHashes(text: Column): Column = gramHashes(tokenHashes(text))
 
+  /** Distinct word 3-gram string shingles as ROWS (doc_id, g) — the
+    * fully-relational, hash-free gram derivation (explode + two
+    * window leads, codegen end-to-end; docs under 3 tokens fold to
+    * one whole-doc shingle). The single source of truth the DuckDB
+    * shingleCte mirrors; pairJaccard (qd10) and decontaminate (qd14)
+    * both consume it, so tokenization or short-doc changes cannot
+    * drift between them.
+    */
+  def gramsRelational(df: DataFrame, idCol: String,
+                      textCol: String): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val tf = df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("_t"))
+    val long = tf.filter(size(col("_t")) >= 3)
+      .select(col("doc_id"), posexplode(col("_t")).as(Seq("pos", "t")))
+      .withColumn("t2", lead("t", 1).over(w))
+      .withColumn("t3", lead("t", 2).over(w))
+      .filter(col("t3").isNotNull)
+      .select(col("doc_id"),
+        concat_ws(" ", col("t"), col("t2"), col("t3")).as("g"))
+    val short = tf.filter(size(col("_t")) < 3)
+      .select(col("doc_id"), array_join(col("_t"), " ").as("g"))
+    long.union(short).distinct()
+  }
+
   /** Distinct word 3-gram shingles as strings — the hash-free,
     * oracle-parity path (DuckDB re-derives identical string sets, so
     * set sizes and Jaccard values match with no collision caveat).
@@ -250,6 +274,10 @@ object Dedup {
         .join(labels.as("p"), col("n.id") === col("p.id"))
         .filter(col("n.cluster") =!= col("p.cluster"))
         .count()
+      // next is already materialized (eager checkpoint), so the
+      // previous round's blocks can be released — without this each
+      // round orphans a full label snapshot in the block manager
+      labels.unpersist()
       labels = next
     }
     edges.unpersist()

@@ -131,8 +131,9 @@ object Similarity {
     // nBands = nPlanes (1-bit bands) is the oracle-parity geometry —
     // a pair escapes blocking only when EVERY sign bit differs,
     // p ~ (theta/pi)^nPlanes (~5e-7 per pair at sim 0.3 with 16
-    // planes), so the result equals the exhaustive all-pairs oracle
-    // on the gate corpora. In that degenerate case "shares >= 1 band"
+    // planes; probabilistic, not geometric — verified equal to the
+    // exhaustive all-pairs oracle on the gate corpora). In that
+    // degenerate case "shares >= 1 band"
     // is exactly "signatures are not bitwise complements": one packed-
     // signature compare replaces a banded equi-join that would
     // materialize nPlanes * n^2 / 2 intermediate rows to learn the

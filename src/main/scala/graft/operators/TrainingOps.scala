@@ -91,22 +91,8 @@ object TrainingOps {
     * an expensive stage.
     */
   def pairJaccard(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val tf = Tables.documents(s, dir)
-      .select(col("doc_id"), Dedup.tokens(col("text")).as("_t"))
-    // >= 3 tokens: word 3-grams via two leads over token position
-    val w = Window.partitionBy("doc_id").orderBy("pos")
-    val long = tf.filter(size(col("_t")) >= 3)
-      .select(col("doc_id"), posexplode(col("_t")).as(Seq("pos", "t")))
-      .withColumn("t2", lead("t", 1).over(w))
-      .withColumn("t3", lead("t", 2).over(w))
-      .filter(col("t3").isNotNull)
-      .select(col("doc_id"),
-        concat_ws(" ", col("t"), col("t2"), col("t3")).as("g"))
-    // < 3 tokens: one whole-doc shingle (matches Dedup.gramStrings)
-    val short = tf.filter(size(col("_t")) < 3)
-      .select(col("doc_id"), array_join(col("_t"), " ").as("g"))
-    val grams = long.union(short).distinct()
+    val grams =
+      Dedup.gramsRelational(Tables.documents(s, dir), "doc_id", "text")
     val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
     // |A ∩ B| for consecutive-id pairs: gram equi-join + count
     val inter = grams.as("ga")
@@ -150,29 +136,15 @@ object TrainingOps {
     * release. Relational shape: distinct grams of each side,
     * gram-equi-join, semi-style distinct on doc id — never
     * all-pairs, and the benchmark side is the small one (broadcast-
-    * eligible at real scale). Reuses pairJaccard's relational gram
-    * machinery (explode + window leads, codegen end-to-end).
+    * eligible at real scale). Grams come from [[Dedup.gramsRelational]]
+    * — the same derivation qd10 and the DuckDB shingleCte use.
     */
   def decontaminate(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, dir)
-    def grams(df: DataFrame): DataFrame = {
-      val tf = df.select(col("doc_id"), Dedup.tokens(col("text")).as("_t"))
-      val w = Window.partitionBy("doc_id").orderBy("pos")
-      val long = tf.filter(size(col("_t")) >= 3)
-        .select(col("doc_id"), posexplode(col("_t")).as(Seq("pos", "t")))
-        .withColumn("t2", lead("t", 1).over(w))
-        .withColumn("t3", lead("t", 2).over(w))
-        .filter(col("t3").isNotNull)
-        .select(col("doc_id"),
-          concat_ws(" ", col("t"), col("t2"), col("t3")).as("g"))
-      val short = tf.filter(size(col("_t")) < 3)
-        .select(col("doc_id"), array_join(col("_t"), " ").as("g"))
-      long.union(short).distinct()
-    }
-    val bench = docs.filter(col("source") === "src0")
-    val corpusGrams = grams(docs.filter(col("source") =!= "src0"))
-    val benchGrams = grams(bench)
+    val corpusGrams = Dedup.gramsRelational(
+      docs.filter(col("source") =!= "src0"), "doc_id", "text")
+    val benchGrams = Dedup.gramsRelational(
+      docs.filter(col("source") === "src0"), "doc_id", "text")
       .select(col("g")).distinct()
     corpusGrams
       .join(broadcast(benchGrams), "g")
@@ -332,11 +304,12 @@ object TrainingOps {
       nPlanes = 16, nBands = 16)
 
   /** Embedding-cosine near-dup pairs, declared at the oracle-parity
-    * band geometry (nBands = nPlanes = 16, 1-bit bands — same
-    * provable-equivalence move as qe2/qe4): a pair escapes blocking
-    * only when all 16 sign bits differ, p ~ (acos(0.3)/pi)^16 ~ 5e-7
-    * at the 0.3 threshold, so the result equals the exhaustive
-    * all-pairs DuckDB oracle on the gate corpora. The selective
+    * band geometry (nBands = nPlanes = 16, 1-bit bands — same move as
+    * qe2/qd6): a pair escapes blocking only when all 16 sign bits
+    * differ, p ~ (acos(0.3)/pi)^16 ~ 5e-7 at the 0.3 threshold
+    * (vanishing, though not geometrically impossible), and the result
+    * is verified equal to the exhaustive all-pairs DuckDB oracle on
+    * the gate corpora. The selective
     * production geometry (32 planes x 8-bit bands) stays
     * recall-spec'd in SimilaritySpec. Threshold low enough that the
     * synthetic corpus yields pairs at every SF.

@@ -49,6 +49,14 @@ object SessionStream {
     * Source-agnostic (MemoryStream in specs, file/Kafka sources in
     * production); pair with a watermark delay matching the source's
     * disorder bound.
+    *
+    * Disorder limits: a non-late event that lands INSIDE the open
+    * session's gap window merges correctly (both bounds adjusted);
+    * an event older than the open session by more than the gap opens
+    * a new (higher-numbered) session rather than renumbering history —
+    * exact batch parity under arbitrary disorder would require
+    * buffering events in state until the watermark seals them. Specs
+    * assert exact parity for per-user event-time-ordered arrival.
     */
   def sessionizeStream(events: org.apache.spark.sql.Dataset[Evt],
                        gapMinutes: Int = 30,
@@ -84,7 +92,10 @@ object SessionStream {
               val t = e.ts.getTime
               cur match {
                 case Some(s) if (t / 1000L) - (s.endMs / 1000L) <= gapMs / 1000L =>
-                  cur = Some(s.copy(endMs = math.max(s.endMs, t), n = s.n + 1,
+                  // a non-late but out-of-order event may precede the
+                  // open session's start — take min/max of both bounds
+                  cur = Some(s.copy(startMs = math.min(s.startMs, t),
+                    endMs = math.max(s.endMs, t), n = s.n + 1,
                     value = s.value + e.value))
                 case other =>
                   other.foreach(closed += _)
@@ -94,10 +105,17 @@ object SessionStream {
             }
             state.update(ContState(lastId, cur))
             cur.foreach { s =>
-              // re-arm: fire once the watermark proves no extender can
-              // arrive (must stay above the current watermark)
+              // re-arm: fire only once the watermark strictly passes
+              // the last instant an extender could still be on time.
+              // The gap rule compares FLOOR SECONDS, so an event up to
+              // the end of second (endSec + gapSec) extends the
+              // session — arming at endMs + gapMs would flush up to
+              // 999 ms while an on-time extender remains admissible
+              // and diverge from the batch form
+              val lastAdmissibleMs =
+                (s.endMs / 1000L + gapMs / 1000L + 1L) * 1000L
               state.setTimeoutTimestamp(
-                math.max(s.endMs + gapMs, state.getCurrentWatermarkMs() + 1L))
+                math.max(lastAdmissibleMs, state.getCurrentWatermarkMs() + 1L))
             }
             closed.iterator.map(s =>
               SessionOut(user, s.sessionId, s.n, s.startMs, s.endMs, s.value))

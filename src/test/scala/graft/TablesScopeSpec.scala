@@ -18,7 +18,11 @@ class TablesScopeSpec extends SparkSpec {
     // the point is the effective value is back to not-nanos
     assert(spark.conf.get(key) == "false",
       s"conf leaked: ${spark.conf.get(key)}")
-    // the frame built under the scoped conf still executes fully
+    // the frame built under the scoped conf still executes fully —
+    // and must actually DECODE the nanos ts column (a bare count()
+    // would column-prune it and prove nothing about the read path)
+    assert(ev.agg(org.apache.spark.sql.functions.max("ts"))
+      .collect().head.getTimestamp(0) != null)
     assert(ev.count() > 0)
     assert(ev.schema("ts").dataType ==
       org.apache.spark.sql.types.TimestampType)
