@@ -66,6 +66,48 @@ class SessionStreamSpec extends SparkSpec {
       s"got: ${all.toSeq}")
   }
 
+  test("timeout respects the floor-second gap boundary (999ms window)") {
+    // session ends at 500 ms (floor-sec 0); the gap rule admits an
+    // extender through floor-sec 1800, i.e. up to 1800999 ms. Arming
+    // the timeout at endMs + gapMs (= 1800500) would let a watermark
+    // of 1800700 flush the session while the 1800999 extender is
+    // still on time — the batch form merges them into ONE session.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    val spark2 = spark
+    import spark2.implicits._
+    def evt(u: Long, ms: Long, id: Long) =
+      SessionStream.Evt(u, new java.sql.Timestamp(ms), id, 1.0)
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[SessionStream.Evt]
+    val q = SessionStream.sessionizeStream(input.toDS(), gapMinutes = 30)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("cont_sess_boundary").trigger(Trigger.ProcessingTime(0)).start()
+
+    input.addData(evt(1, 500, 1))
+    q.processAllAvailable()
+    // sentinel pushes the watermark into the (endMs+gap, admissible]
+    // window — must NOT flush u1
+    input.addData(evt(999, 1800700, 900))
+    q.processAllAvailable()
+    // on-time extender: floor-sec 1800 - 0 = 1800 <= 1800 -> merges
+    input.addData(evt(1, 1800999, 2))
+    q.processAllAvailable()
+    // flush everything
+    input.addData(evt(999, 999999999, 901))
+    q.processAllAvailable()
+    input.addData(evt(999, 999999999 + 1000, 902))
+    q.processAllAvailable()
+    q.stop()
+
+    val u1 = spark.table("cont_sess_boundary")
+      .as[SessionStream.SessionOut].collect().filter(_.user_id == 1)
+    assert(u1.toSeq == Seq(
+      SessionStream.SessionOut(1, 1, 2, 500, 1800999, 2.0)),
+      s"boundary extender must merge into one session: ${u1.toSeq}")
+  }
+
   test("continuous sessionize over the real corpus in 3 batches equals batch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.Trigger
