@@ -261,19 +261,27 @@ object Dedup {
       require(round <= maxRounds,
         s"dupClusters did not converge in $maxRounds rounds")
       // min over self and neighbors' labels, one shuffle per round;
-      // localCheckpoint truncates the per-round lineage (see scaladoc)
+      // localCheckpoint truncates the per-round lineage (see scaladoc).
+      // The previous label rides along flagged `own` so the
+      // convergence count is an observe() metric on the SAME job that
+      // materializes the checkpoint — one job per round, not two.
       val viaEdges = edges
         .join(labels.select(col("id").as("dst"), col("cluster")), "dst")
-        .select(col("src").as("id"), col("cluster"))
-      val next = labels.select(col("id"), col("cluster"))
+        .select(col("src").as("id"), col("cluster"), lit(0).as("own"))
+      val obs = org.apache.spark.sql.Observation()
+      val next = labels
+        .select(col("id"), col("cluster"), lit(1).as("own"))
         .union(viaEdges)
         .groupBy("id")
-        .agg(min(col("cluster")).as("cluster"))
+        .agg(min(col("cluster")).as("cluster"),
+          // every id has exactly one own=1 row: its previous label
+          max(when(col("own") === 1, col("cluster"))).as("prev"))
+        .observe(obs,
+          sum(when(col("cluster") =!= col("prev"), 1L).otherwise(0L))
+            .as("changed"))
+        .select(col("id"), col("cluster"))
         .localCheckpoint()
-      changed = next.as("n")
-        .join(labels.as("p"), col("n.id") === col("p.id"))
-        .filter(col("n.cluster") =!= col("p.cluster"))
-        .count()
+      changed = obs.get("changed").asInstanceOf[Long]
       // next is already materialized (eager checkpoint), so the
       // previous round's blocks can be released — without this each
       // round orphans a full label snapshot in the block manager
