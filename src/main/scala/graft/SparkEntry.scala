@@ -74,6 +74,7 @@ object SparkEntry {
     "qx9_range_join"     -> graft.operators.RangeJoin.errorClickBurst _,
     "qm1_media_stats"    -> TrainingOps.mediaStats _,
     "qm2_frame_sample"   -> TrainingOps.frameSample _,
+    "qx10_unpivot"       -> TrainingOps.sourceLangUnpivot _,
   )
 
   /** Queries intentionally without an oracle — EMPTY since round 5:
@@ -191,6 +192,14 @@ object SparkEntry {
           s"CAST(SUM(CASE WHEN lang = '$l' THEN 1 ELSE 0 END) AS BIGINT) AS $l")
           .mkString(", ") +
         " FROM documents GROUP BY source ORDER BY source"),
+    // unpivot of the wide matrix == per-(source, lang) conditional
+    // counts, zeros kept
+    "qx10_unpivot" ->
+      (Seq("de", "en", "es", "fr", "zh").map(l =>
+        s"SELECT source, '$l' AS lang, " +
+          s"CAST(SUM(CASE WHEN lang = '$l' THEN 1 ELSE 0 END) AS BIGINT) AS n " +
+          "FROM documents GROUP BY source")
+        .mkString("", " UNION ALL ", " ORDER BY source, lang")),
     "qe1_knn_brute" -> knnSql,
     // qe2 (1-bit-band LSH) and qe4 (full-probe IVF) are declared at
     // provable-equivalence parameters — both reduce to exact cosine

@@ -166,6 +166,18 @@ object TrainingOps {
       .na.fill(0L)
       .orderBy("source")
 
+  /** qx10 — unpivot (melt): the wide per-source language matrix back
+    * to long (source, lang, n) rows, zeros included — the inverse
+    * reshape of [[sourceLangPivot]] and the other half of the
+    * pivot/unpivot operator pair.
+    */
+  def sourceLangUnpivot(s: SparkSession, dir: String): DataFrame =
+    sourceLangPivot(s, dir)
+      .unpivot(Array(col("source")),
+        Array("de", "en", "es", "fr", "zh").map(col),
+        "lang", "n")
+      .orderBy("source", "lang")
+
   /** SimHash values for every document — declared in the portable
     * 31-bit form (rolling-poly token hash) so DuckDB can recompute
     * the identical value (xxhash64, the production variant's token
