@@ -124,6 +124,30 @@ class PlanSpec extends SparkSpec {
       s"no ids-only distinct exchange found: $exchanges")
   }
 
+  test("qd14: benchmark gram side broadcasts, source filters pushed to scans") {
+    val p = plan(graft.operators.TrainingOps.decontaminate(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), "bench-gram join must broadcast")
+    assert(!p.contains("SortMergeJoin"))
+    assert(p.contains("EqualTo(source,src0)"),
+      "benchmark filter must reach the parquet scan")
+    assert(p.contains("Not(EqualTo(source,src0))"),
+      "corpus filter must reach the parquet scan")
+  }
+
+  test("qs6: bounded-frame window is one Window over one partition shuffle") {
+    val p = plan(graft.operators.Events.movingAvg(spark, sf))
+    assert("\\bWindow\\b".r.findAllIn(p).size == 1, p)
+    // both frame aggregates (sum + count) share the single Window node;
+    // shuffles = the user_id partition + the final output sort only
+    assert("Exchange".r.findAllIn(p).size <= 3)
+  }
+
+  test("qd15: explicit-values pivot is partial+final aggregation, one data shuffle") {
+    val p = plan(graft.operators.TrainingOps.sourceLangPivot(spark, sf))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "map-side combine")
+    assert(!p.contains("Expand"), "explicit value list must not Expand")
+  }
+
   test("global sweep: no declared query plans a CartesianProduct") {
     // BroadcastNestedLoopJoin is allowed ONLY where the operator is
     // deliberately O(n^2) at its declared verification config (qe3's
