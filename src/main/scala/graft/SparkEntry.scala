@@ -211,7 +211,10 @@ object SparkEntry {
     // at the 0.3 threshold and vanishing for higher sims — so the
     // result equals the exhaustive all-pairs cosine on the gate
     // corpora (verified at sf0.001/0.01/0.1; probabilistic like qd6's
-    // banding bound, not a geometric guarantee).
+    // banding bound, not a geometric guarantee). If the corpus is ever
+    // regenerated or enlarged, RE-VERIFY this equivalence before
+    // treating a qe3 gate failure as a code regression — a fresh
+    // corpus can realize the ~5e-7 escape with no code change.
     "qe3_embedding_neardups" -> nearDupsSql,
     "qd6_minhash_pairs" -> minhashPairsSql,
     "qd10_pair_jaccard" -> pairJaccardSql,

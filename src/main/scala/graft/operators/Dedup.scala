@@ -283,14 +283,28 @@ object Dedup {
         .localCheckpoint()
       changed = obs.get("changed").asInstanceOf[Long]
       // next is already materialized (eager checkpoint), so the
-      // previous round's blocks can be released — without this each
-      // round orphans a full label snapshot in the block manager
-      labels.unpersist()
+      // previous round's blocks can be released. A localCheckpoint-ed
+      // Dataset's blocks are RDD-level persisted — Dataset.unpersist()
+      // routes through the CacheManager, which never saw them, and is
+      // a no-op (ADVICE r5) — so free the underlying RDD directly.
+      unpersistCheckpointed(labels)
       labels = next
     }
     edges.unpersist()
     labels
   }
+
+  /** RDD-level unpersist for a `localCheckpoint`-ed frame: the
+    * checkpoint persists the physical RDD without registering it with
+    * the CacheManager, so `Dataset.unpersist()` cannot find it — match
+    * the LogicalRDD leaf and drop its blocks directly.
+    */
+  private def unpersistCheckpointed(df: DataFrame): Unit =
+    df.queryExecution.logical match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 
   /** Keep one representative per duplicate cluster (the smallest id),
     * preserving every column of `docs` — the materialization step

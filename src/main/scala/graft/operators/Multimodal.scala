@@ -81,16 +81,21 @@ object Multimodal {
     * the gate-visible input for [[mediaStats]] (qm1). Every attribute
     * is a pure function of (doc_id, text), so a SQL oracle can
     * recompute what the binary round-trip must produce:
-    *  - doc_id % 50 == 0 → corrupt blob (raw text bytes, no header):
-    *    exercises the invalid-decode path a real corpus always hits;
+    *  - doc_id % 50 == 0 → intentionally-invalid blob: a real header
+    *    with an unknown kind byte ('x'), which decodes to valid=false
+    *    for ANY payload — no assumption about document content (the
+    *    pre-r6 form emitted raw text bytes and relied on no text
+    *    starting with the "GFT0" magic; VERDICT r5 #9). Headerless /
+    *    truncated corruption stays exercised by decodeMeta's spec.
     *  - else kind = doc_id % 3 (image/audio/video), width =
     *    16 + doc_id % 1024, height = 16 + (doc_id * 7) % 768,
     *    n_frames = 1 (image) / 0 (audio) / 1 + doc_id % 120 (video),
     *    payload = the document's UTF-8 bytes.
-    * The encode runs partition-mapped like every codec step here —
-    * binary construction per batch, zero shuffle. (Assumes no
-    * document text begins with the "GFT0" magic — verified for the
-    * gate corpora; a real corpus would carry an explicit valid flag.)
+    * Both branches keep payload_bytes == octet_length(text) (the
+    * invalid decode subtracts the header it added), which is what the
+    * qm1 oracle recomputes. The encode runs partition-mapped like
+    * every codec step here — binary construction per batch, zero
+    * shuffle.
     */
   def mediaFromDocs(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
@@ -99,7 +104,7 @@ object Multimodal {
       .mapPartitions(_.map { case (id, text) =>
         val payload = text.getBytes("UTF-8")
         val bytes =
-          if (id % 50 == 0) payload
+          if (id % 50 == 0) FakeMedia.encode('x', 0, 0, 0, payload)
           else {
             val kind = (id % 3) match {
               case 0 => 'i'; case 1 => 'a'; case _ => 'v'

@@ -178,6 +178,11 @@ object Similarity {
     */
   private def packedSignatures(emb: DataFrame, dim: Int,
                                nPlanes: Int): DataFrame = {
+    // signatures pack into one signed long: plane 62 is the last safe
+    // bit (shiftleft(1L, 63) flips the sign, and the complement mask
+    // (1L << 64) - 1 silently becomes 0) — fail loudly, not wrongly
+    require(nPlanes >= 1 && nPlanes <= 62,
+      s"packed-long signatures support 1..62 planes, got $nPlanes")
     val spark = emb.sparkSession
     import spark.implicits._
     val planesDF = planes(nPlanes, dim).zipWithIndex.flatMap {
@@ -199,8 +204,19 @@ object Similarity {
     * the scan side streams and every pair evaluates inside one
     * codegen stage.
     */
+  /** The most recent parity-config base: each invocation unpersists
+    * its predecessor's snapshot (by then consumed — Bench/Verify
+    * materialize between calls), bounding the block-manager footprint
+    * to ONE persisted base instead of one per invocation (ADVICE r5).
+    * The final snapshot is freed on the next call or by session end.
+    */
+  private val lastParityBase =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+
   private def complementPrunedNearDups(emb: DataFrame, threshold: Double,
                                        dim: Int, nPlanes: Int): DataFrame = {
+    require(nPlanes >= 1 && nPlanes <= 62,
+      s"complement mask is a packed long: 1..62 planes, got $nPlanes")
     val mask = (1L << nPlanes) - 1L
     // persist: both self-join sides consume the same signature
     // lineage (explode + two aggregates); without it the plan computes
@@ -210,6 +226,8 @@ object Similarity {
       .select(col("vec_id"), col("embedding"),
         normN(col("embedding")).as("nrm"), col("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Option(lastParityBase.getAndSet(base))
+      .filter(_ ne base).foreach(_.unpersist(false))
     val a = base.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"),
       col("nrm").as("nrm_a"), col("sig").as("sig_a"))
     val b = base.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"),

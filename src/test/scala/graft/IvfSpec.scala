@@ -40,4 +40,24 @@ class IvfSpec extends SparkSpec {
     val mean = recalls.sum / recalls.size
     assert(mean >= 0.3, s"mean recall $mean (recalls=$recalls)")
   }
+
+  test("ivfModel cache retrains when the data under a dir changes") {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = tempDir("ivf_cache")
+    def write(n: Int): Unit =
+      (0 until n).map(i =>
+          (i.toLong, Array.tabulate(8)(d => (1.0f + (i % 7) + d))))
+        .toDF("vec_id", "embedding")
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    write(30)
+    val m1 = graft.operators.TrainingOps.ivfModel(spark, dir)
+    // re-point the SAME dir at a different corpus: the (dir, count)
+    // cache key must miss and retrain (k follows sqrt(n): 5 -> 8)
+    write(80)
+    val m2 = graft.operators.TrainingOps.ivfModel(spark, dir)
+    assert(m1.k == 5 && m2.k == 8)
+    // unchanged data -> cache hit (same instance, no retrain)
+    assert(graft.operators.TrainingOps.ivfModel(spark, dir) eq m2)
+  }
 }

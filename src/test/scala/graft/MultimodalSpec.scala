@@ -67,6 +67,26 @@ class MultimodalSpec extends SparkSpec {
     assert(got.keySet == Set("image", "audio", "video", "unknown"))
   }
 
+  test("corrupt-branch blobs decode invalid even when the text IS a container") {
+    val spark2 = spark
+    import spark2.implicits._
+    // doc_id % 50 == 0 -> the intentionally-invalid branch. The first
+    // text is itself a byte-exact FakeMedia image container (all bytes
+    // ASCII, so UTF-8 round-trips them): the pre-r6 corrupt branch
+    // emitted raw text bytes and would have decoded this as VALID.
+    val evil = new String(FakeMedia.encode('i', 64, 64, 1,
+      "payload".getBytes("US-ASCII")), "ISO-8859-1")
+    val docs = Seq((50L, evil), (100L, "GFT0 looks magic"))
+      .toDF("doc_id", "text")
+    val metas = Multimodal.decodeMeta(Multimodal.mediaFromDocs(docs))
+      .collect().map(m => m.media_id -> m).toMap
+    assert(metas.values.forall(m => !m.valid && m.kind == "unknown"
+      && m.width == 0 && m.n_frames == 0))
+    // payload_bytes == octet_length(text): the oracle's invariant
+    assert(metas(50L).payload_bytes == evil.getBytes("UTF-8").length)
+    assert(metas(100L).payload_bytes == "GFT0 looks magic".length)
+  }
+
   test("frame sampling clips the tail and zero-fills past short payloads") {
     val spark2 = spark
     import spark2.implicits._
