@@ -37,6 +37,7 @@ object SparkEntry {
     "q12_topk_limit"     -> Relational.q12 _,
     "q13_customer_mart"  -> (Marts.customerMart _),
     "q14_partitioned_roundtrip" -> (Marts.partitionedRoundtrip _),
+    "qp1_pruned_read"    -> (Marts.prunedMartRead _),
     "q15_union_fold"     -> Relational.q15 _,
     "qd1_dedup_exact"    -> TrainingOps.dedupExact _,
     "qd2_token_stats"    -> TrainingOps.tokenStats _,
@@ -94,7 +95,10 @@ object SparkEntry {
   private val oMonth = monthExpr.format("o_orderdate")
   private val oMonthQ = monthExpr.format("o.o_orderdate")
 
-  private val q09Sql: String =
+  /** q09's mart without the output ORDER BY — shared by q09/q14
+    * verbatim and wrapped with a partition predicate by qp1.
+    */
+  private val q09SqlCore: String =
     s"""SELECT store, person, month, CAST(total_dec AS DOUBLE) AS total,
        |  CAST(CASE WHEN rnk = 1 THEN round(total_dec * 0.01, 2) ELSE 0 END AS DOUBLE) AS incentive
        |FROM (
@@ -108,8 +112,10 @@ object SparkEntry {
        |    JOIN orders o ON l.l_orderkey = o.o_orderkey
        |    JOIN supplier s ON l.l_suppkey = s.s_suppkey
        |    JOIN nation n ON s.s_nationkey = n.n_nationkey
-       |    GROUP BY 1, 2, 3) g) r
-       |ORDER BY store, month, person""".stripMargin
+       |    GROUP BY 1, 2, 3) g) r""".stripMargin
+
+  private val q09Sql: String =
+    q09SqlCore + "\nORDER BY store, month, person"
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -164,6 +170,12 @@ object SparkEntry {
         "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey " +
         "GROUP BY 1, 2, 3 ORDER BY customer_id, month"),
     "q14_partitioned_roundtrip" -> q09Sql,
+    // qp1 reads q14's hive layout back WITH partition predicates —
+    // the result is q09 restricted to the pruned month x store range
+    "qp1_pruned_read" ->
+      (s"SELECT store, person, month, total, incentive FROM (\n$q09SqlCore) q " +
+        "WHERE month >= '1996-01' AND month < '1997-01' AND store < 5 " +
+        "ORDER BY store, month, person"),
     "q15_union_fold" ->
       "SELECT c_custkey, c_name, c_nationkey FROM customer ORDER BY c_custkey",
     "qd1_dedup_exact" ->

@@ -18,15 +18,32 @@ object Scratch {
     new java.io.File(System.getProperty("java.io.tmpdir"),
       "graft_q14_scratch").getAbsolutePath
 
-  /** Delete all `graft_q14_*` trees under java.io.tmpdir (legacy
-    * random-suffix dirs from earlier rounds plus the fixed path).
+  /** qp1's partitioned-mart layout, one fixed path per sf dir (its
+    * content is a function of the source data, so the path must key
+    * on it — a Bench-at-sf0.1 run after a Verify-at-sf0.01 run must
+    * not read the smaller mart).
+    */
+  def qp1Dir(sfDir: String): String =
+    new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_qp1_" + sfDir.replaceAll("[^A-Za-z0-9._-]", "_"))
+      .getAbsolutePath
+
+  /** qx13's bucketed-table root, keyed like [[qp1Dir]]. */
+  def qx13Dir(sfDir: String): String =
+    new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_qx13_" + sfDir.replaceAll("[^A-Za-z0-9._-]", "_"))
+      .getAbsolutePath
+
+  /** Delete all graft scratch trees under java.io.tmpdir (legacy
+    * random-suffix dirs from earlier rounds plus the fixed paths).
     */
   def reapTmp(): Unit = {
     val tmpRoot = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    val prefixes = Seq("graft_q14_", "graft_qp1_", "graft_qx13_")
     if (java.nio.file.Files.isDirectory(tmpRoot)) {
       val it = java.nio.file.Files.list(tmpRoot)
       try it.forEach { p =>
-        if (p.getFileName.toString.startsWith("graft_q14_"))
+        if (prefixes.exists(p.getFileName.toString.startsWith))
           org.apache.commons.io.FileUtils.deleteQuietly(p.toFile)
       } finally it.close()
     }

@@ -70,4 +70,43 @@ object Marts {
         col("month"), col("total"), col("incentive"))
       .orderBy("store", "month", "person")
   }
+
+  /** sf dirs whose qp1 mart layout was laid down in this JVM — the
+    * write is one-time setup (the measured write cost is q14's job);
+    * qp1 itself measures the PRUNED READ.
+    */
+  private val martWritten =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Write (at most once per JVM per sf dir) the q09 mart in the same
+    * hive `month`/`store` layout q14 writes, at a path keyed by the
+    * sf dir; returns the path. Re-written if an external reap removed
+    * the tree.
+    */
+  def ensurePartitionedMart(s: SparkSession, dir: String): String = {
+    val out = graft.io.Scratch.qp1Dir(dir)
+    if (martWritten.add(out) || !new java.io.File(out).exists())
+      graft.io.Writers.writePartitioned(Relational.q09(s, dir), out,
+        Seq("month", "store"), numTasks = 8)
+    out
+  }
+
+  /** qp1 — partition-pruned read: the payoff of S6's hive layout
+    * (reference main.py:360-365 partitions the mart precisely so
+    * downstream reads can prune). Predicates sit ONLY on the partition
+    * columns, so Catalyst resolves them against directory names at
+    * planning time (PartitionFilters) and the scan never opens the
+    * other ~97% of files (one year x five stores ~ 60 of ~2000 dirs
+    * at sf0.1) — the I/O shape that makes a partitioned layout worth
+    * its write cost at 100 TB. PlanSpec pins the non-empty
+    * PartitionFilters and the pruned file count; the oracle is q09's
+    * SQL plus the same WHERE.
+    */
+  def prunedMartRead(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(ensurePartitionedMart(s, dir))
+      .filter(col("month") >= "1996-01" && col("month") < "1997-01" &&
+        col("store") < 5)
+      .select(col("store").cast("int").as("store"), col("person"),
+        col("month"), col("total"), col("incentive"))
+      .orderBy("store", "month", "person")
 }

@@ -155,6 +155,47 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Expand"), "explicit value list must not Expand")
   }
 
+  test("qp1: month/store predicates prune partitions at the scan") {
+    val df = graft.operators.Marts.prunedMartRead(spark, sf)
+    val p = plan(df)
+    // the predicates must resolve against directory names, not rows
+    assert("PartitionFilters: \\[[^\\]]*month".r.findFirstIn(p).isDefined,
+      s"month predicate did not become a PartitionFilter:\n$p")
+    assert("PartitionFilters: \\[[^\\]]*store".r.findFirstIn(p).isDefined,
+      s"store predicate did not become a PartitionFilter:\n$p")
+    // and the executed scan must open ONLY the matching directories
+    df.collect()
+    def allNodes(sp: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = sp match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        sp +: allNodes(a.executedPlan)
+      // materialized AQE stages hang off .plan, not .children
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        sp +: allNodes(q.plan)
+      case _ => sp +: sp.children.flatMap(allNodes)
+    }
+    val scan = allNodes(df.queryExecution.executedPlan).collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.get
+    val root = new java.io.File(graft.io.Scratch.qp1Dir(sf))
+    def parquetFiles(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(parquetFiles)
+      else if (f.getName.endsWith(".parquet")) Seq(f) else Seq.empty
+    val all = parquetFiles(root)
+    val matching = all.count { f =>
+      val path = f.getAbsolutePath
+      val m = "month=([0-9-]+)".r.findFirstMatchIn(path).get.group(1)
+      val st = "store=([0-9]+)".r.findFirstMatchIn(path).get.group(1).toInt
+      m >= "1996-01" && m < "1997-01" && st < 5
+    }
+    val scanned = scan.metrics("numFiles").value
+    assert(matching > 0 && matching < all.size,
+      s"degenerate layout: $matching of ${all.size} files match")
+    assert(scanned == matching,
+      s"scan opened $scanned files, expected the $matching matching ones " +
+        s"of ${all.size}")
+  }
+
   test("global sweep: no declared query plans a CartesianProduct") {
     // BroadcastNestedLoopJoin is allowed ONLY where the operator is
     // deliberately O(n^2) at its declared verification config (qe3's
