@@ -76,6 +76,9 @@ object SparkEntry {
     "qm1_media_stats"    -> TrainingOps.mediaStats _,
     "qm2_frame_sample"   -> TrainingOps.frameSample _,
     "qx10_unpivot"       -> TrainingOps.sourceLangUnpivot _,
+    "qx11_topk_agg"      -> Events.topSpendersTyped _,
+    "qx12_salted_join"   -> Extras.saltedEnrich _,
+    "qx13_bucketed_join" -> Extras.bucketedJoin _,
   )
 
   /** Queries intentionally without an oracle — EMPTY since round 5:
@@ -126,9 +129,7 @@ object SparkEntry {
     "q02_filter" ->
       ("SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem " +
         "WHERE l_quantity > 30 ORDER BY l_orderkey, l_linenumber"),
-    "q03_join" ->
-      ("SELECT o.o_orderkey, c.c_name, o.o_totalprice FROM orders o " +
-        "JOIN customer c ON o.o_custkey = c.c_custkey ORDER BY o.o_orderkey"),
+    "q03_join" -> q03Sql,
     "q04_join3" ->
       ("SELECT l.l_orderkey, l.l_linenumber, c.c_name, s.s_name FROM lineitem l " +
         "JOIN orders o ON l.l_orderkey = o.o_orderkey " +
@@ -405,15 +406,36 @@ object SparkEntry {
          |  CAST(list_sum(list_transform(range(0, nf, 4),
          |    x -> greatest(0, least(fl, pl - x * fl)))) AS BIGINT) AS sampled_bytes
          |FROM f ORDER BY media_id""".stripMargin),
-    "qs4_top_spenders" ->
-      ("WITH s AS (SELECT event_type, user_id, " +
-        "SUM(CAST(value AS DECIMAL(18,2))) AS spend_dec FROM events GROUP BY 1, 2), " +
-        "r AS (SELECT event_type, user_id, " +
-        "CAST(rank() OVER (PARTITION BY event_type ORDER BY spend_dec DESC, user_id) AS INTEGER) AS rnk, " +
-        "CAST(spend_dec AS DOUBLE) AS spend FROM s) " +
-        "SELECT event_type, user_id, rnk, spend FROM r WHERE rnk <= 5 " +
-        "ORDER BY event_type, rnk, user_id"),
+    "qs4_top_spenders" -> topSpendersSql,
+    // qx11 recomputes qs4 through the typed TopKAggregator — same
+    // result, same oracle (see Events.topSpendersTyped).
+    "qx11_topk_agg" -> topSpendersSql,
+    // qx12's salted join must equal the plain join — the oracle IS
+    // the unsalted form.
+    "qx12_salted_join" ->
+      ("""WITH t AS (SELECT user_id,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS user_total
+         |  FROM events GROUP BY 1)
+         |SELECT e.event_id, e.user_id, t.user_total
+         |FROM events e JOIN t ON e.user_id = t.user_id
+         |ORDER BY e.event_id""".stripMargin),
+    // qx13's bucketed co-located join must equal the plain join —
+    // q03's oracle verbatim.
+    "qx13_bucketed_join" -> q03Sql,
   )
+
+  private val q03Sql: String =
+    "SELECT o.o_orderkey, c.c_name, o.o_totalprice FROM orders o " +
+      "JOIN customer c ON o.o_custkey = c.c_custkey ORDER BY o.o_orderkey"
+
+  private val topSpendersSql: String =
+    "WITH s AS (SELECT event_type, user_id, " +
+      "SUM(CAST(value AS DECIMAL(18,2))) AS spend_dec FROM events GROUP BY 1, 2), " +
+      "r AS (SELECT event_type, user_id, " +
+      "CAST(rank() OVER (PARTITION BY event_type ORDER BY spend_dec DESC, user_id) AS INTEGER) AS rnk, " +
+      "CAST(spend_dec AS DOUBLE) AS spend FROM s) " +
+      "SELECT event_type, user_id, rnk, spend FROM r WHERE rnk <= 5 " +
+      "ORDER BY event_type, rnk, user_id"
 
   /** Gap sessionization: both engines floor epoch seconds before the
     * 30-minute gap compare (Spark's unix_timestamp truncates).

@@ -155,6 +155,30 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Expand"), "explicit value list must not Expand")
   }
 
+  test("qx11: typed top-k is a partial+final object aggregate") {
+    val p = plan(graft.operators.Events.topSpendersTyped(spark, sf))
+    // the TopKAggregator plans as ObjectHashAggregate partial+final —
+    // losers are dropped map-side, never shuffled or sorted
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("qx12: salted join spreads keys over (key, salt), small side replicated") {
+    val p = plan(graft.operators.Extras.saltedEnrich(spark, sf))
+    assert(p.contains("_salt"), p)
+    assert(p.contains("Generate"), s"salt replication (explode) missing:\n$p")
+    noAllPairs(p)
+  }
+
+  test("qx13: bucketed tables join with zero hash-partition exchanges") {
+    val p = plan(graft.operators.Extras.bucketedJoin(spark, sf))
+    assert(p.contains("SortMergeJoin"), p)
+    assert(p.contains("Bucketed: true"), s"scan is not bucketed:\n$p")
+    // the only allowed exchange is the final output sort's range
+    // partitioning — the join itself must be co-located
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"bucketed join still shuffles:\n$p")
+  }
+
   test("qp1: month/store predicates prune partitions at the scan") {
     val df = graft.operators.Marts.prunedMartRead(spark, sf)
     val p = plan(df)
