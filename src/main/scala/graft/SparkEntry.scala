@@ -59,6 +59,7 @@ object SparkEntry {
     "qs4_top_spenders"   -> Events.topSpenders _,
     "qs5_percentiles"    -> Events.valuePercentiles _,
     "qs6_moving_avg"     -> Events.movingAvg _,
+    "qs7_stream_sessionize" -> (graft.streaming.SessionStream.sessionizeGate _),
     "qd8_source_stats"   -> TrainingOps.sourceStats _,
     "qd9_token_freq"     -> TrainingOps.tokenFreq _,
     "qd10_pair_jaccard"  -> TrainingOps.pairJaccard _,
@@ -328,6 +329,9 @@ object SparkEntry {
         "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value " +
         "FROM events GROUP BY 1, 2 ORDER BY hour, event_type"),
     "qs2_sessionize" -> sessionizeSql,
+    // qs7 is qs2 recomputed incrementally (Structured Streaming drain
+    // with per-user session state) — same result, same oracle.
+    "qs7_stream_sessionize" -> sessionizeSql,
     "qs3_props_json" ->
       ("SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k " +
         "FROM events ORDER BY event_id"),

@@ -34,12 +34,20 @@ object Scratch {
       "graft_qx13_" + sfDir.replaceAll("[^A-Za-z0-9._-]", "_"))
       .getAbsolutePath
 
+  /** qs7's streaming landing dir (symlink to the events file), keyed
+    * like [[qp1Dir]].
+    */
+  def qs7Dir(sfDir: String): String =
+    new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_qs7_" + sfDir.replaceAll("[^A-Za-z0-9._-]", "_"))
+      .getAbsolutePath
+
   /** Delete all graft scratch trees under java.io.tmpdir (legacy
     * random-suffix dirs from earlier rounds plus the fixed paths).
     */
   def reapTmp(): Unit = {
     val tmpRoot = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
-    val prefixes = Seq("graft_q14_", "graft_qp1_", "graft_qx13_")
+    val prefixes = Seq("graft_q14_", "graft_qp1_", "graft_qx13_", "graft_qs7_")
     if (java.nio.file.Files.isDirectory(tmpRoot)) {
       val it = java.nio.file.Files.list(tmpRoot)
       try it.forEach { p =>

@@ -19,8 +19,27 @@ object SessionStream {
 
   final case class Evt(user_id: Long, ts: java.sql.Timestamp,
                        event_id: Long, value: Double)
+  /** `valueCents` holds the running session value in DECIMAL(18,2)
+    * cents (exact while < 2^53): raw double accumulation would drift
+    * from the batch form's decimal sum in the last ulp, which the
+    * driver's hash compare sees. [[cents]]/[[fromCents]] mirror
+    * Spark's double→DECIMAL(18,2)→double cast pair bit for bit.
+    */
   final case class SessionState(sessionId: Int, startMs: Long, endMs: Long,
-                                n: Long, value: Double)
+                                n: Long, valueCents: Double)
+
+  /** Exactly Spark's CAST(v AS DECIMAL(18,2)), in cents: BigDecimal
+    * via Double.toString (valueOf) then HALF_UP to scale 2 — the same
+    * construction Cast uses — times 100 (an integer, exact in double).
+    */
+  private[streaming] def cents(v: Double): Double =
+    (BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP) * 100).toDouble
+
+  /** Cents back to the double the batch form emits: IEEE division
+    * rounds the exact quotient to nearest — identical to
+    * CAST(decimal AS DOUBLE) on the exact decimal sum.
+    */
+  private[streaming] def fromCents(c: Double): Double = c / 100.0
   /** Continuous-variant state: the open session plus the last session
     * id ever assigned — numbering must survive a timeout so session
     * ids stay cumulative per user (parity with the batch window's
@@ -78,8 +97,8 @@ object SessionStream {
             // deployment that can key sessions by start time instead
             // would remove the state here)
             val st = state.getOption.getOrElse(ContState(0, None))
-            val out = st.open.map(s =>
-              SessionOut(user, s.sessionId, s.n, s.startMs, s.endMs, s.value))
+            val out = st.open.map(s => SessionOut(user, s.sessionId,
+              s.n, s.startMs, s.endMs, fromCents(s.valueCents)))
             state.update(ContState(st.lastId, None))
             out.iterator
           } else {
@@ -96,11 +115,11 @@ object SessionStream {
                   // open session's start — take min/max of both bounds
                   cur = Some(s.copy(startMs = math.min(s.startMs, t),
                     endMs = math.max(s.endMs, t), n = s.n + 1,
-                    value = s.value + e.value))
+                    valueCents = s.valueCents + cents(e.value)))
                 case other =>
                   other.foreach(closed += _)
                   lastId += 1
-                  cur = Some(SessionState(lastId, t, t, 1, e.value))
+                  cur = Some(SessionState(lastId, t, t, 1, cents(e.value)))
               }
             }
             state.update(ContState(lastId, cur))
@@ -117,8 +136,8 @@ object SessionStream {
               state.setTimeoutTimestamp(
                 math.max(lastAdmissibleMs, state.getCurrentWatermarkMs() + 1L))
             }
-            closed.iterator.map(s =>
-              SessionOut(user, s.sessionId, s.n, s.startMs, s.endMs, s.value))
+            closed.iterator.map(s => SessionOut(user, s.sessionId,
+              s.n, s.startMs, s.endMs, fromCents(s.valueCents)))
           }
       }
   }
@@ -159,20 +178,21 @@ object SessionStream {
             cur match {
               case Some(s) if (t / 1000L) - (s.endMs / 1000L) <= gapMs / 1000L =>
                 cur = Some(s.copy(endMs = t, n = s.n + 1,
-                  value = s.value + e.value))
+                  valueCents = s.valueCents + cents(e.value)))
               case Some(s) =>
                 closed += s
-                cur = Some(SessionState(s.sessionId + 1, t, t, 1, e.value))
+                cur = Some(SessionState(s.sessionId + 1, t, t, 1,
+                  cents(e.value)))
               case None =>
-                cur = Some(SessionState(1, t, t, 1, e.value))
+                cur = Some(SessionState(1, t, t, 1, cents(e.value)))
             }
           }
           state.update(cur.toList)
           // emit closed sessions now; the open one on a later trigger
           // (for the drain-everything spec we emit it too, flagged by
           // being the last per user)
-          (closed ++ cur).iterator.map(s =>
-            SessionOut(user, s.sessionId, s.n, s.startMs, s.endMs, s.value))
+          (closed ++ cur).iterator.map(s => SessionOut(user, s.sessionId,
+            s.n, s.startMs, s.endMs, fromCents(s.valueCents)))
       }
 
     val q = sessions.writeStream
@@ -186,5 +206,47 @@ object SessionStream {
     // conf restored here: AvailableNow fully drained inside the scope,
     // so no micro-batch ever plans without the nanos conf
     }
+  }
+
+  /** Memory-sink names must be unique per start (a terminated query's
+    * name stays registered); one counter per JVM covers repeated
+    * Bench runs.
+    */
+  private val gateRuns = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** qs7 — the gate-visible declared form of streaming sessionization
+    * (the one north-star family that had zero gate rows — VERDICT r5
+    * #2): drain the events table through [[sessionizeAvailableNow]]
+    * and present the result in qs2's exact output shape, so the two
+    * share the sessionize oracle verbatim. Hash parity is exact by
+    * construction: epoch-ms bounds format to the same seconds strings
+    * (micros→ms truncation cannot cross a second), and session values
+    * accumulate as decimal cents in stream state ([[cents]]),
+    * matching the batch DECIMAL(18,2) sum bit for bit.
+    */
+  def sessionizeGate(s: SparkSession, dir: String): DataFrame = {
+    val src = java.nio.file.Paths.get(dir, "events.parquet")
+    val eventsDir =
+      if (java.nio.file.Files.isDirectory(src)) src.toString
+      else {
+        // the file-stream source lists a DIRECTORY; testdata ships the
+        // table as one parquet file — expose it through a symlinked
+        // landing dir (fixed path per sf dir, reaped by Scratch)
+        val landing = java.nio.file.Paths.get(graft.io.Scratch.qs7Dir(dir))
+        java.nio.file.Files.createDirectories(landing)
+        val link = landing.resolve("events.parquet")
+        if (!java.nio.file.Files.exists(link))
+          java.nio.file.Files.createSymbolicLink(link, src)
+        landing.toString
+      }
+    sessionizeAvailableNow(s, eventsDir,
+        s"qs7_sessions_${gateRuns.incrementAndGet()}")
+      .select(col("user_id"), col("session_id"), col("n_events"),
+        date_format(timestamp_millis(col("start_ms")),
+          "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format(timestamp_millis(col("end_ms")),
+          "yyyy-MM-dd HH:mm:ss").as("session_end"),
+        col("session_value"))
+      .orderBy("user_id", "session_id")
   }
 }

@@ -165,6 +165,17 @@ class SessionStreamSpec extends SparkSpec {
     }
   }
 
+  test("qs7 gate form is bit-identical to batch sessionize (decimal cents)") {
+    // no tolerance: stream state accumulates DECIMAL(18,2) cents, so
+    // every column — including the double session_value — must equal
+    // the batch form exactly (the driver hash-compares values)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getLong(0), r.getInt(1), r.getLong(2), r.getString(3),
+        r.getString(4), r.getDouble(5))).toSeq
+    assert(rows(SessionStream.sessionizeGate(spark, sf)) ==
+      rows(Events.sessionize(spark, sf)))
+  }
+
   test("stateful streaming sessionize equals the batch window form") {
     val landing = tempDir("sess_events_")
     java.nio.file.Files.copy(
