@@ -171,6 +171,42 @@ object Similarity {
       .orderBy("id_a", "id_b")
   }
 
+  /** Pick the cheapest sign-LSH band geometry `(nPlanes, nBands)`
+    * whose PREDICTED recall at `threshold` meets `targetRecall`,
+    * preferring the widest band (= most selective against random
+    * pairs) that fits in `maxPlanes`: a pair at cosine t agrees on
+    * one sign bit w.p. p = 1 - acos(t)/pi, collides in an r-bit band
+    * w.p. p^r, and survives blocking in >= 1 of b bands w.p.
+    * 1 - (1 - p^r)^b. Collision probability is monotone in sim, so
+    * the bound holds for every pair at or above `threshold`.
+    *
+    * This is the dial that reconciles "selective" with "recall": the
+    * 32x4-band default is built for strict near-dup thresholds; at a
+    * moderate threshold like 0.3 its predicted recall is ~6%, and the
+    * calibrated geometry (39 planes in 13 3-bit bands for 0.95@0.3)
+    * is what a production near-dup pass at that threshold should run.
+    * SimilaritySpec measures both empirically on the real corpus.
+    */
+  def bandGeometry(threshold: Double, targetRecall: Double,
+                   maxPlanes: Int = 62): (Int, Int) = {
+    require(threshold > 0 && threshold < 1 &&
+      targetRecall > 0 && targetRecall < 1)
+    val pBit = 1.0 - math.acos(threshold) / math.Pi
+    var best: Option[(Int, Int)] = None
+    (1 to maxPlanes).foreach { r =>
+      val pBand = math.pow(pBit, r)
+      // bands needed so 1 - (1 - pBand)^b >= target; kept in double —
+      // wide bands need astronomically many bands and would overflow
+      // an Int before the maxPlanes check could reject them
+      val b = math.ceil(math.log1p(-targetRecall) / math.log1p(-pBand))
+      if (b >= 1 && r * b <= maxPlanes)
+        best = Some((r * b.toInt, b.toInt))
+    }
+    best.getOrElse(throw new IllegalArgumentException(
+      s"no geometry within $maxPlanes planes reaches " +
+        s"recall $targetRecall at sim $threshold"))
+  }
+
   /** Packed sign-bit signature (one long, bit i = plane i's sign):
     * the same relational matmul as [[signatureBands]], aggregated to
     * a single value. Shares the [[planes]] seed, so bit i here equals
