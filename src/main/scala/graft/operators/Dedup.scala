@@ -242,7 +242,8 @@ object Dedup {
     * tree alone OOMs the driver past ~10 rounds (hit in spec, not
     * hypothetically). A cluster deployment with executor loss
     * concerns would use reliable `checkpoint` to HDFS instead, and
-    * large-star/small-star if components can be adversarially long.
+    * [[dupClustersStar]] if components can be adversarially long
+    * (min-label needs diameter-many rounds; the star variant O(log n)).
     *
     * `maxRounds` bounds the loop (throws rather than silently
     * mislabeling if the graph is deeper than expected).
@@ -305,6 +306,97 @@ object Dedup {
         lr.rdd.unpersist(blocking = false)
       case _ => ()
     }
+
+  /** [[dupClusters]] with the alternating large-star/small-star
+    * algorithm (Kiveris et al., "Connected Components in MapReduce
+    * and Beyond"): same API, same output, O(log n) rounds on ANY
+    * graph — the upgrade for adversarial diameters, where min-label
+    * propagation needs diameter-many rounds (a 100-node chain:
+    * 7 star rounds vs 99 label rounds; pinned in DedupSpec).
+    * Use [[dupClusters]] for clique-like duplicate components (fewer,
+    * cheaper rounds); this for graphs whose shape you cannot bound.
+    */
+  def dupClustersStar(nodes: DataFrame, pairs: DataFrame, idCol: String,
+                      maxRounds: Int = 30): DataFrame =
+    starComponents(nodes, pairs, idCol, maxRounds)._1
+
+  /** [[dupClustersStar]] plus the round count (spec introspection). */
+  private[graft] def starComponents(nodes: DataFrame, pairs: DataFrame,
+                                    idCol: String, maxRounds: Int)
+      : (DataFrame, Int) = {
+    import org.apache.spark.sql.DataFrame
+    // large-star: every node u links its LARGER neighbors to the min
+    // of its (symmetrized) neighborhood — long chains fold toward
+    // their minimum from every node at once, halving height per round
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      val mins = sym.groupBy("src").agg(min(col("dst")).as("_mn"))
+        .select(col("src"), least(col("_mn"), col("src")).as("_m"))
+      sym.join(mins, "src")
+        .where(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("_m").as("dst"))
+        .distinct()
+    }
+    // small-star: orient larger -> smaller, then point u and all its
+    // smaller neighbors at the neighborhood min
+    def smallStar(e: DataFrame): DataFrame = {
+      val oriented = e.select(greatest(col("src"), col("dst")).as("src"),
+          least(col("src"), col("dst")).as("dst"))
+        .where(col("src") =!= col("dst"))
+      val j = oriented.join(
+        oriented.groupBy("src").agg(min(col("dst")).as("_m")), "src")
+      j.select(col("dst").as("src"), col("_m").as("dst"))
+        .union(j.select(col("src"), col("_m").as("dst")))
+        .where(col("src") =!= col("dst"))
+        .distinct()
+    }
+    // (count, hash-sum) edge-set signature: one tiny agg job per
+    // round; a changed set colliding on both is ~2^-64 — accepted
+    // (documented) in exchange for not diffing full sets per round.
+    // The sum runs in DECIMAL(38,0): ANSI mode is on, and a long sum
+    // of 64-bit hashes overflows (the repo's standing hash-arithmetic
+    // rule)
+    def sig(e: DataFrame): (Long, String) = {
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val r = e.agg(count(lit(1)),
+        coalesce(sum(xxhash64(col("src"), col("dst")).cast(dec)),
+          lit(0).cast(dec))).head
+      (r.getLong(0), r.getDecimal(1).toPlainString)
+    }
+    var edges = pairs
+      .select(col("doc_a").cast("long").as("src"),
+        col("doc_b").cast("long").as("dst"))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint()
+    var prev = sig(edges)
+    var round = 0
+    var done = prev._1 == 0L // no edges: all singletons, skip the loop
+    while (!done) {
+      round += 1
+      require(round <= maxRounds,
+        s"dupClustersStar did not converge in $maxRounds rounds")
+      // localCheckpoint per round: identical lineage-OOM trade to
+      // dupClusters (see its scaladoc); previous round's blocks are
+      // freed RDD-level below
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val cur = sig(next)
+      done = cur == prev
+      prev = cur
+      unpersistCheckpointed(edges)
+      edges = next
+    }
+    // fixpoint edge set IS the star {(v, componentMin) | v != min}:
+    // left-join it onto the node spine; mins and singletons label
+    // themselves (min-agg guards the pre-convergence-collision case)
+    val labels = nodes.select(col(idCol).as("id"))
+      .join(edges.select(col("src").as("id"), col("dst").as("_c")),
+        Seq("id"), "left")
+      .groupBy("id")
+      .agg(min(col("_c")).as("_c"))
+      .select(col("id"), coalesce(col("_c"), col("id")).as("cluster"))
+    (labels, round)
+  }
 
   /** Keep one representative per duplicate cluster (the smallest id),
     * preserving every column of `docs` — the materialization step

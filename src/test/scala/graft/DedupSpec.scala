@@ -88,6 +88,36 @@ class DedupSpec extends SparkSpec {
     assert(got.forall(_._2 == 0L), s"all on the path label 0: ${got.toSeq}")
   }
 
+  test("dupClustersStar: 100-node chain converges in O(log n) rounds") {
+    // the adversarial-diameter case (VERDICT r5 #7): a 100-node path
+    // needs 99 min-label rounds (dupClusters' default maxRounds=20
+    // would throw); the alternating star algorithm folds it in O(log n)
+    val n = 100
+    val nodes = (0L until n).toDF("doc_id")
+    val pairs = (0L until n - 1).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val (labels, rounds) = Dedup.starComponents(nodes, pairs, "doc_id",
+      maxRounds = 30)
+    val got = labels.collect().map(r => r.getAs[Long]("id") ->
+      r.getAs[Long]("cluster"))
+    assert(got.length == n && got.forall(_._2 == 0L),
+      s"all chain nodes label 0: ${got.filter(_._2 != 0L).toSeq}")
+    assert(rounds <= 2 * (64 - java.lang.Long.numberOfLeadingZeros(n)) + 2,
+      s"$rounds rounds is not O(log n) for a $n-chain")
+  }
+
+  test("dupClustersStar equals min-label dupClusters on a random graph") {
+    val rng = new scala.util.Random(7)
+    val n = 60L
+    val nodes = (0L until n).toDF("doc_id")
+    val pairs = Seq.fill(45)((rng.nextLong(n), rng.nextLong(n)))
+      .filter { case (a, b) => a != b }
+      .toDF("doc_a", "doc_b")
+    def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster")).toMap
+    assert(toMap(Dedup.dupClustersStar(nodes, pairs, "doc_id")) ==
+      toMap(Dedup.dupClusters(nodes, pairs, "doc_id")))
+  }
+
   test("dedupByCluster keeps exactly the smallest doc per component") {
     val docs = Seq((1L, "a"), (2L, "b"), (3L, "c"), (10L, "d"), (20L, "e"))
       .toDF("doc_id", "text")
