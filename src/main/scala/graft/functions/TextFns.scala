@@ -87,12 +87,25 @@ object TextFns {
     * (one byte scan replaces four full-text regex passes; counts are
     * identical, spec-cross-checked).
     */
-  def langId(text: Column): Column = {
-    val m = MarkerWordCounts.of(text)
+  def langId(text: Column): Column =
     // containment test, not a regexp_replace rebuild: rlike early-
     // exits on the first CJK codepoint instead of reconstructing the
     // whole string to measure its length
-    val zh = text.rlike("[\\x{4e00}-\\x{9fff}]")
+    langIdDecision(MarkerWordCounts.of(text),
+      text.rlike("[\\x{4e00}-\\x{9fff}]"))
+
+  /** The language decision tree over an already-computed counts
+    * struct. Pass `m` as a MATERIALIZED column (withColumn in its own
+    * projection), not an inline expression: the struct is read 13
+    * times across the CASE branches, and codegen subexpression
+    * elimination only hoists expressions evaluated on EVERY path — a
+    * conditional branch re-evaluates the inline expression per
+    * reference (the plan showed 13 markerwordcounts(text) calls per
+    * row; materializing dropped qd4 from 1.87 s to ~0.4 s at sf0.1 —
+    * the conditional-branch cousin of the array-lambda inlining trap
+    * in BASELINE.md).
+    */
+  def langIdDecision(m: Column, zh: Column): Column = {
     val Seq(en, de, fr, es) =
       MarkerWordCounts.Langs.map(l => m.getField(l))
     when(zh, lit("zh"))

@@ -37,11 +37,18 @@ object TrainingOps {
       .orderBy("doc_id")
   }
 
-  /** Marker-word language ID (SQL-expressible). */
+  /** Marker-word language ID (SQL-expressible). The counts struct is
+    * materialized in its own projection so the single byte scan runs
+    * ONCE per row — inlined into the CASE it re-evaluates per branch
+    * reference (13x; see TextFns.langIdDecision).
+    */
   def langId(s: SparkSession, dir: String): DataFrame = {
     graft.functions.MarkerWordCounts.register(s)
     Tables.documents(s, dir)
-      .select(col("doc_id"), TextFns.langId(col("text")).as("pred_lang"))
+      .withColumn("_m", graft.functions.MarkerWordCounts.of(col("text")))
+      .withColumn("_zh", col("text").rlike("[\\x{4e00}-\\x{9fff}]"))
+      .select(col("doc_id"),
+        TextFns.langIdDecision(col("_m"), col("_zh")).as("pred_lang"))
       .orderBy("doc_id")
   }
 
