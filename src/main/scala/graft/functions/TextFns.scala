@@ -44,21 +44,36 @@ object TextFns {
     * (the class counts come from the single-pass codegen expression;
     * values are identical to the regex formulation).
     */
-  def qualitySignals(text: Column): Seq[(String, Column)] = {
-    val counts = AsciiClassCounts.of(text)
-    val len = length(text).cast("double")
-    val alphaRatio = when(length(text) === 0, lit(0.0))
+  def qualitySignals(text: Column): Seq[(String, Column)] =
+    qualitySignalsFrom(AsciiClassCounts.of(text), stopwordHits(text),
+      tokenCount(text), length(text))
+
+  /** The qd3 stopword-hit count (shared between the stop_ratio signal
+    * and the composite score; the oracle mirrors this regex exactly).
+    */
+  def stopwordHits(text: Column): Column =
+    size(regexp_extract_all(lower(text),
+      lit("\\b(the|a|of|to|and|in|is|it)\\b"), lit(0))).cast("double")
+
+  /** [[qualitySignals]] over PRE-MATERIALIZED shared inputs (class
+    * counts, stopword hits, token count, length — each via withColumn
+    * in its own projection). Inside when/otherwise branches codegen
+    * subexpression elimination cannot hoist a repeated expression, so
+    * the inline form re-runs the class-count scan five times and the
+    * stopword regex twice per row (the conditional-branch cousin of
+    * the array-lambda inlining trap; see [[langIdDecision]]).
+    */
+  def qualitySignalsFrom(counts: Column, stops: Column, nTok: Column,
+                         chars: Column): Seq[(String, Column)] = {
+    val len = chars.cast("double")
+    val alphaRatio = when(chars === 0, lit(0.0))
       .otherwise(counts.getField("alpha").cast("double") / len)
-    val digitRatio = when(length(text) === 0, lit(0.0))
+    val digitRatio = when(chars === 0, lit(0.0))
       .otherwise(counts.getField("digit").cast("double") / len)
-    val spaceRatio = when(length(text) === 0, lit(0.0))
+    val spaceRatio = when(chars === 0, lit(0.0))
       .otherwise(counts.getField("space").cast("double") / len)
-    val stopRatio = {
-      val stops = size(regexp_extract_all(lower(text),
-        lit("\\b(the|a|of|to|and|in|is|it)\\b"), lit(0))).cast("double")
-      when(tokenCount(text) === 0, lit(0.0))
-        .otherwise(stops / tokenCount(text).cast("double"))
-    }
+    val stopRatio = when(nTok === 0, lit(0.0))
+      .otherwise(stops / nTok.cast("double"))
     val lenScore = least(len / lit(500.0), lit(1.0))
     val score = lit(0.3) * alphaRatio + lit(0.2) * (lit(1.0) - digitRatio) +
       lit(0.2) * stopRatio + lit(0.3) * lenScore

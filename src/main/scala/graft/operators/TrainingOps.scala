@@ -28,12 +28,23 @@ object TrainingOps {
         TextFns.bpeTokenCount(col("text")).as("n_bpe"))
       .orderBy("doc_id")
 
-  /** Quality-scoring signals (SQL-expressible, bit-exact doubles). */
+  /** Quality-scoring signals (SQL-expressible, bit-exact doubles).
+    * Shared subexpressions (class counts, stopword regex, token
+    * count, length) are materialized in their own projection so each
+    * runs once per row — inlined into the signals' when/otherwise
+    * branches they re-evaluate per referencing column (see
+    * TextFns.qualitySignalsFrom).
+    */
   def quality(s: SparkSession, dir: String): DataFrame = {
     graft.functions.AsciiClassCounts.register(s)
-    val base = Tables.documents(s, dir)
-    val sigs = TextFns.qualitySignals(col("text"))
-    base.select(col("doc_id") +: sigs.map { case (n, c) => c.as(n) }: _*)
+    val sigs = TextFns.qualitySignalsFrom(col("_c"), col("_stops"),
+      col("_ntok"), col("_len"))
+    Tables.documents(s, dir)
+      .withColumn("_c", graft.functions.AsciiClassCounts.of(col("text")))
+      .withColumn("_stops", TextFns.stopwordHits(col("text")))
+      .withColumn("_ntok", TextFns.tokenCount(col("text")))
+      .withColumn("_len", length(col("text")))
+      .select(col("doc_id") +: sigs.map { case (n, c) => c.as(n) }: _*)
       .orderBy("doc_id")
   }
 
