@@ -105,17 +105,31 @@ object Dedup {
   def gramsRelational(df: DataFrame, idCol: String,
                       textCol: String): DataFrame = {
     val w = Window.partitionBy("doc_id").orderBy("pos")
-    val tf = df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("_t"))
-    val long = tf.filter(size(col("_t")) >= 3)
-      .select(col("doc_id"), posexplode(col("_t")).as(Seq("pos", "t")))
+    // ONE scan, ONE tokenize. The earlier long/short branch split cost
+    // two full scans, and filter pushdown substituted the token
+    // expression into each branch's Filter condition — the interpreted
+    // tokenize chain (regex replace + split + filter lambda) ran up to
+    // four times per row. Both gram shapes now derive from a single
+    // exploded pass: a 3-gram wherever lead-2 exists, and the
+    // whole-doc shingle on the first row of docs that never get one
+    // (t3 null at pos 0 <=> fewer than 3 tokens). explode_outer keeps
+    // zero-token docs: their null tokens concat_ws to the same "" the
+    // array_join form produced. Measured flat at sf0.1 (~300-char
+    // docs: the window sort dominates, tokenize is noise) — the win
+    // is the scan/tokenize multiplicity at real document sizes, where
+    // regex-splitting the corpus four times is the bill.
+    df.select(col(idCol).as("doc_id"),
+        posexplode_outer(tokens(col(textCol))).as(Seq("pos", "t")))
       .withColumn("t2", lead("t", 1).over(w))
       .withColumn("t3", lead("t", 2).over(w))
-      .filter(col("t3").isNotNull)
-      .select(col("doc_id"),
-        concat_ws(" ", col("t"), col("t2"), col("t3")).as("g"))
-    val short = tf.filter(size(col("_t")) < 3)
-      .select(col("doc_id"), array_join(col("_t"), " ").as("g"))
-    long.union(short).distinct()
+      .withColumn("g",
+        when(col("t3").isNotNull,
+          concat_ws(" ", col("t"), col("t2"), col("t3")))
+          .when(col("pos").isNull || col("pos") === 0,
+            concat_ws(" ", col("t"), col("t2"))))
+      .filter(col("g").isNotNull)
+      .select("doc_id", "g")
+      .distinct()
   }
 
   /** Distinct word 3-gram shingles as strings — the hash-free,
