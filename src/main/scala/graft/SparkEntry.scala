@@ -60,6 +60,8 @@ object SparkEntry {
     "qs5_percentiles"    -> Events.valuePercentiles _,
     "qs6_moving_avg"     -> Events.movingAvg _,
     "qs7_stream_sessionize" -> (graft.streaming.SessionStream.sessionizeGate _),
+    "qs8_stream_hourly"  -> (graft.streaming.EventStream.hourlyStatsGate _),
+    "qs9_stream_dedup"   -> (graft.streaming.EventStream.dedupGate _),
     "qd8_source_stats"   -> TrainingOps.sourceStats _,
     "qd9_token_freq"     -> TrainingOps.tokenFreq _,
     "qd10_pair_jaccard"  -> TrainingOps.pairJaccard _,
@@ -323,11 +325,15 @@ object SparkEntry {
          |FROM e LEFT JOIN c ON c.user_id = e.user_id
          |  AND c.epoch <= e.epoch AND c.epoch > e.epoch - 300
          |GROUP BY 1 ORDER BY e.event_id""".stripMargin),
-    "qs1_event_hourly" ->
-      ("SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour, " +
-        "event_type, count(*) AS n, " +
-        "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value " +
-        "FROM events GROUP BY 1, 2 ORDER BY hour, event_type"),
+    "qs1_event_hourly" -> hourlyStatsSql,
+    // qs8 is qs1 recomputed incrementally (windowed streaming agg;
+    // decimal sums are order-free) — same result, same oracle.
+    "qs8_stream_hourly" -> hourlyStatsSql,
+    // qs9: event_ids are unique in the corpus, so the watermarked
+    // streaming dedup provably equals the plain projection.
+    "qs9_stream_dedup" ->
+      ("SELECT event_id, user_id, event_type FROM events " +
+        "ORDER BY event_id"),
     "qs2_sessionize" -> sessionizeSql,
     // qs7 is qs2 recomputed incrementally (Structured Streaming drain
     // with per-user session state) — same result, same oracle.
@@ -427,6 +433,12 @@ object SparkEntry {
     // q03's oracle verbatim.
     "qx13_bucketed_join" -> q03Sql,
   )
+
+  private val hourlyStatsSql: String =
+    "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour, " +
+      "event_type, count(*) AS n, " +
+      "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value " +
+      "FROM events GROUP BY 1, 2 ORDER BY hour, event_type"
 
   private val q03Sql: String =
     "SELECT o.o_orderkey, c.c_name, o.o_totalprice FROM orders o " +

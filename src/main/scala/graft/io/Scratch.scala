@@ -34,20 +34,40 @@ object Scratch {
       "graft_qx13_" + sfDir.replaceAll("[^A-Za-z0-9._-]", "_"))
       .getAbsolutePath
 
-  /** qs7's streaming landing dir (symlink to the events file), keyed
-    * like [[qp1Dir]].
+  /** Streaming landing dir (symlink to the single-file events table),
+    * keyed like [[qp1Dir]]; shared by the streaming gate queries
+    * (qs7/qs8/qs9).
     */
-  def qs7Dir(sfDir: String): String =
+  def eventsLandingDir(sfDir: String): String =
     new java.io.File(System.getProperty("java.io.tmpdir"),
-      "graft_qs7_" + sfDir.replaceAll("[^A-Za-z0-9._-]", "_"))
+      "graft_stream_" + sfDir.replaceAll("[^A-Za-z0-9._-]", "_"))
       .getAbsolutePath
+
+  /** The file-stream source lists a DIRECTORY; testdata ships events
+    * as one parquet file — expose it through a symlinked landing dir.
+    * Pass-through when the table is already a directory.
+    */
+  def ensureEventsLanding(sfDir: String): String = {
+    val src = java.nio.file.Paths.get(sfDir, "events.parquet")
+    if (java.nio.file.Files.isDirectory(src)) src.toString
+    else {
+      val landing = java.nio.file.Paths.get(eventsLandingDir(sfDir))
+      java.nio.file.Files.createDirectories(landing)
+      val link = landing.resolve("events.parquet")
+      if (!java.nio.file.Files.exists(link))
+        java.nio.file.Files.createSymbolicLink(link, src)
+      landing.toString
+    }
+  }
 
   /** Delete all graft scratch trees under java.io.tmpdir (legacy
     * random-suffix dirs from earlier rounds plus the fixed paths).
     */
   def reapTmp(): Unit = {
     val tmpRoot = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
-    val prefixes = Seq("graft_q14_", "graft_qp1_", "graft_qx13_", "graft_qs7_")
+    // graft_qs7_ covers legacy round-6 landing trees (now graft_stream_)
+    val prefixes = Seq("graft_q14_", "graft_qp1_", "graft_qx13_",
+      "graft_qs7_", "graft_stream_")
     if (java.nio.file.Files.isDirectory(tmpRoot)) {
       val it = java.nio.file.Files.list(tmpRoot)
       try it.forEach { p =>

@@ -24,8 +24,8 @@ object EventStream {
     * result. Production callers would swap the sink and trigger.
     */
   def hourlyStatsAvailableNow(spark: SparkSession, eventsDir: String,
-                              queryName: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+                              queryName: String): DataFrame =
+    graft.core.Tables.withNanosConf(spark) {
     val schema = spark.read.parquet(eventsDir).schema
     val stream = spark.readStream.schema(schema).parquet(eventsDir)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
@@ -44,7 +44,10 @@ object EventStream {
       .start()
     q.awaitTermination()
     spark.table(queryName)
-  }
+    // conf restored here — the AvailableNow drain planned every
+    // micro-batch inside the scope (same discipline as Tables.events;
+    // the unscoped set-and-forget was the r3 #3 defect class)
+    }
 
   /** Streaming exact dedup: `dropDuplicates` keyed on `event_id` with
     * an event-time watermark bounding the dedup state (late
@@ -52,8 +55,8 @@ object EventStream {
     * dedup state is the thing that kills streaming jobs).
     */
   def dedupAvailableNow(spark: SparkSession, eventsDir: String,
-                        queryName: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+                        queryName: String): DataFrame =
+    graft.core.Tables.withNanosConf(spark) {
     val schema = spark.read.parquet(eventsDir).schema
     val stream = spark.readStream.schema(schema).parquet(eventsDir)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
@@ -68,5 +71,31 @@ object EventStream {
       .start()
     q.awaitTermination()
     spark.table(queryName)
-  }
+    }
+
+  /** Memory-sink names must be unique per start; one counter per JVM
+    * covers repeated Bench runs (same pattern as SessionStream).
+    */
+  private val gateRuns = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** qs8 — gate-visible streaming hourly stats: drain the events
+    * table and present qs1's exact output shape (shared oracle —
+    * decimal money sums are order-free, so the incremental
+    * aggregation is bit-equal to the batch groupBy).
+    */
+  def hourlyStatsGate(s: SparkSession, dir: String): DataFrame =
+    hourlyStatsAvailableNow(s, graft.io.Scratch.ensureEventsLanding(dir),
+        s"qs8_hourly_${gateRuns.incrementAndGet()}")
+      .orderBy("hour", "event_type")
+
+  /** qs9 — gate-visible streaming exact dedup. event_ids are unique
+    * in the gate corpora, so the deduped stream provably equals the
+    * plain projection (the oracle) and first-seen nondeterminism
+    * cannot arise; duplicate-bearing input is covered by
+    * StreamingSpec, where arrival order is controlled.
+    */
+  def dedupGate(s: SparkSession, dir: String): DataFrame =
+    dedupAvailableNow(s, graft.io.Scratch.ensureEventsLanding(dir),
+        s"qs9_dedup_${gateRuns.incrementAndGet()}")
+      .orderBy("event_id")
 }

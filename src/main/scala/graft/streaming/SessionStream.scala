@@ -224,22 +224,8 @@ object SessionStream {
     * accumulate as decimal cents in stream state ([[cents]]),
     * matching the batch DECIMAL(18,2) sum bit for bit.
     */
-  def sessionizeGate(s: SparkSession, dir: String): DataFrame = {
-    val src = java.nio.file.Paths.get(dir, "events.parquet")
-    val eventsDir =
-      if (java.nio.file.Files.isDirectory(src)) src.toString
-      else {
-        // the file-stream source lists a DIRECTORY; testdata ships the
-        // table as one parquet file — expose it through a symlinked
-        // landing dir (fixed path per sf dir, reaped by Scratch)
-        val landing = java.nio.file.Paths.get(graft.io.Scratch.qs7Dir(dir))
-        java.nio.file.Files.createDirectories(landing)
-        val link = landing.resolve("events.parquet")
-        if (!java.nio.file.Files.exists(link))
-          java.nio.file.Files.createSymbolicLink(link, src)
-        landing.toString
-      }
-    sessionizeAvailableNow(s, eventsDir,
+  def sessionizeGate(s: SparkSession, dir: String): DataFrame =
+    sessionizeAvailableNow(s, graft.io.Scratch.ensureEventsLanding(dir),
         s"qs7_sessions_${gateRuns.incrementAndGet()}")
       .select(col("user_id"), col("session_id"), col("n_events"),
         date_format(timestamp_millis(col("start_ms")),
@@ -248,5 +234,4 @@ object SessionStream {
           "yyyy-MM-dd HH:mm:ss").as("session_end"),
         col("session_value"))
       .orderBy("user_id", "session_id")
-  }
 }

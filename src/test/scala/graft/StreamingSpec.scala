@@ -56,7 +56,10 @@ class StreamingSpec extends SparkSpec {
     // total events conserved
     val total = sessions.agg(
       org.apache.spark.sql.functions.sum("n_events")).collect()(0).getLong(0)
-    assert(total == spark.read.parquet(s"$sf/events.parquet").count())
+    // via Tables.events (scoped nanos conf) — the raw read only worked
+    // here while EventStream leaked the session-global conf, which it
+    // no longer does
+    assert(total == graft.core.Tables.events(spark, sf).count())
     // no session spans a gap: start of session k+1 is > end of session k
     val spans = sessions.select("user_id", "session_id", "session_start",
       "session_end").as[(Long, Int, String, String)]
