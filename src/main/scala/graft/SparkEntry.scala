@@ -46,6 +46,7 @@ object SparkEntry {
     "qd5_fingerprint"    -> TrainingOps.fingerprint _,
     "qd6_minhash_pairs"  -> TrainingOps.minhashTopPairs _,
     "qd13_dup_clusters"  -> TrainingOps.dupClusters _,
+    "qd16_dup_clusters_star" -> TrainingOps.dupClustersStar _,
     "qd14_decontaminate" -> TrainingOps.decontaminate _,
     "qd15_source_lang_pivot" -> TrainingOps.sourceLangPivot _,
     "qd7_simhash"        -> TrainingOps.simhash _,
@@ -78,6 +79,7 @@ object SparkEntry {
     "qx9_range_join"     -> graft.operators.RangeJoin.errorClickBurst _,
     "qm1_media_stats"    -> TrainingOps.mediaStats _,
     "qm2_frame_sample"   -> TrainingOps.frameSample _,
+    "qm3_resize"         -> TrainingOps.resizeStats _,
     "qx10_unpivot"       -> TrainingOps.sourceLangUnpivot _,
     "qx11_topk_agg"      -> Events.topSpendersTyped _,
     "qx12_salted_join"   -> Extras.saltedEnrich _,
@@ -201,6 +203,9 @@ object SparkEntry {
         "FROM documents ORDER BY doc_id"),
     "qd7_simhash" -> simhashSql,
     "qd13_dup_clusters" -> dupClustersSql,
+    // qd16 computes the same components via large-star/small-star —
+    // identical labels, identical oracle.
+    "qd16_dup_clusters_star" -> dupClustersSql,
     "qd14_decontaminate" -> decontaminateSql,
     "qd15_source_lang_pivot" ->
       ("SELECT source, " +
@@ -416,6 +421,15 @@ object SparkEntry {
          |  CAST(list_sum(list_transform(range(0, nf, 4),
          |    x -> greatest(0, least(fl, pl - x * fl)))) AS BIGINT) AS sampled_bytes
          |FROM f ORDER BY media_id""".stripMargin),
+    // qm3: output sizes are arithmetic over (doc_id, text bytes):
+    // invalid (doc_id%50==0) blobs resize to empty, short payloads
+    // pass through, long ones stride-sample to 16x16 bytes.
+    "qm3_resize" ->
+      ("SELECT doc_id AS media_id, 16 AS width, 16 AS height, " +
+        "CAST(CASE WHEN doc_id % 50 = 0 THEN 0 " +
+        "ELSE least(octet_length(encode(text)), 256) END AS BIGINT) " +
+        "AS resized_bytes_len " +
+        "FROM documents ORDER BY media_id"),
     "qs4_top_spenders" -> topSpendersSql,
     // qx11 recomputes qs4 through the typed TopKAggregator — same
     // result, same oracle (see Events.topSpendersTyped).

@@ -147,6 +147,21 @@ object TrainingOps {
       .orderBy("doc_id")
   }
 
+  /** qd16 — qd13's duplicate clusters through the alternating
+    * large-star/small-star algorithm ([[Dedup.dupClustersStar]]):
+    * identical components by construction, so it shares qd13's
+    * recursive-CTE oracle — the gate proves the adversarial-diameter
+    * variant end to end, not just in specs. O(log n) rounds
+    * regardless of component shape vs min-label's diameter-many.
+    */
+  def dupClustersStar(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val pairs = Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.9)
+    Dedup.dupClustersStar(docs, pairs, "doc_id")
+      .select(col("id").as("doc_id"), col("cluster"))
+      .orderBy("doc_id")
+  }
+
   /** qd14 — benchmark decontamination: flag corpus documents sharing
     * at least one word 3-gram with a held-out "benchmark" slice
     * (here: the src0 documents, standing in for an eval set). The
@@ -312,6 +327,21 @@ object TrainingOps {
       .groupBy("media_id")
       .agg(count(lit(1)).as("n_sampled"),
         sum(length(col("frame_bytes")).cast("long")).as("sampled_bytes"))
+      .orderBy("media_id")
+
+  /** qm3 — stub resize over the media corpus: per-blob output SIZE
+    * semantics are pure arithmetic over (doc_id, octet_length(text))
+    * — invalid blobs resize to empty, short payloads pass through,
+    * long ones stride-sample down to width x height bytes — so the
+    * oracle value-checks the whole decode→resize pipeline's shape
+    * while the Spark side moves real bytes (content determinism is
+    * MultimodalSpec's job; a SQL oracle cannot stride-sample blobs).
+    */
+  def resizeStats(s: SparkSession, dir: String): DataFrame =
+    Multimodal.resizeStub(
+        Multimodal.mediaFromDocs(Tables.documents(s, dir)), 16, 16)
+      .select(col("media_id"), col("width"), col("height"),
+        length(col("resized_bytes")).cast("long").as("resized_bytes_len"))
       .orderBy("media_id")
 
   val knnQueryIds: Seq[Long] = Seq(0L, 1L, 2L, 3L, 4L)
