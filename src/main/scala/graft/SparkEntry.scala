@@ -432,7 +432,13 @@ object SparkEntry {
         "FROM documents ORDER BY media_id"),
     "qs4_top_spenders" -> topSpendersSql,
     // qx11 recomputes qs4 through the typed TopKAggregator — same
-    // result, same oracle (see Events.topSpendersTyped).
+    // result, same oracle (see Events.topSpendersTyped). Data-
+    // dependent caveat, same class as qe3's: a spend tie crossing the
+    // k=5 boundary would make rank() admit more rows than the bounded
+    // buffer keeps (none exist in the gate corpora — decimal sums of
+    // thousands of events). On a regenerated corpus, RE-CHECK for
+    // boundary ties before reading a qx11 gate failure as a
+    // regression.
     "qx11_topk_agg" -> topSpendersSql,
     // qx12's salted join must equal the plain join — the oracle IS
     // the unsalted form.

@@ -54,7 +54,16 @@ object Scratch {
       val landing = java.nio.file.Paths.get(eventsLandingDir(sfDir))
       java.nio.file.Files.createDirectories(landing)
       val link = landing.resolve("events.parquet")
-      if (!java.nio.file.Files.exists(link))
+      // a dangling or re-pointed link must be recreated: Files.exists
+      // FOLLOWS symlinks, so a stale link from a removed/regenerated
+      // testdata tree reads as absent and createSymbolicLink would
+      // throw FileAlreadyExists forever after
+      if (java.nio.file.Files.isSymbolicLink(link) &&
+          (!java.nio.file.Files.exists(link) ||
+            java.nio.file.Files.readSymbolicLink(link) != src))
+        java.nio.file.Files.delete(link)
+      if (!java.nio.file.Files.exists(link,
+          java.nio.file.LinkOption.NOFOLLOW_LINKS))
         java.nio.file.Files.createSymbolicLink(link, src)
       landing.toString
     }

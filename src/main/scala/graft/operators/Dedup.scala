@@ -118,7 +118,12 @@ object Dedup {
     // docs: the window sort dominates, tokenize is noise) — the win
     // is the scan/tokenize multiplicity at real document sizes, where
     // regex-splitting the corpus four times is the bill.
-    df.select(col(idCol).as("doc_id"),
+    // null text contributes NO gram rows — same as the pre-rewrite
+    // two-branch form, where size(null) compared false on both sides
+    // (without this guard, posexplode_outer's (null, null) row would
+    // give null-text docs an "" gram that empty-STRING docs get)
+    df.where(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
         posexplode_outer(tokens(col(textCol))).as(Seq("pos", "t")))
       .withColumn("t2", lead("t", 1).over(w))
       .withColumn("t3", lead("t", 2).over(w))
@@ -402,7 +407,11 @@ object Dedup {
     }
     // fixpoint edge set IS the star {(v, componentMin) | v != min}:
     // left-join it onto the node spine; mins and singletons label
-    // themselves (min-agg guards the pre-convergence-collision case)
+    // themselves (min-agg guards the pre-convergence-collision case).
+    // The final checkpointed edge blocks back the RETURNED frame, so
+    // they cannot be freed here — cleanup defers to the
+    // ContextCleaner once the caller drops the result (same contract
+    // as dupClusters' final labels checkpoint)
     val labels = nodes.select(col(idCol).as("id"))
       .join(edges.select(col("src").as("id"), col("dst").as("_c")),
         Seq("id"), "left")

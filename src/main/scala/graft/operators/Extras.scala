@@ -122,11 +122,17 @@ object Extras {
     * exchange-free shape. Oracle = q03's plain-join SQL verbatim.
     */
   def bucketedJoin(s: SparkSession, dir: String): DataFrame = {
-    val suffix = dir.replaceAll("[^A-Za-z0-9_]", "_")
+    // hex hash keeps the table name injective per exact dir string —
+    // sanitizing alone collapses '.' and '-' to '_', which would let
+    // two different sf dirs share (and silently re-point) one table
+    val suffix = dir.replaceAll("[^A-Za-z0-9_]", "_") + "_" +
+      java.lang.Integer.toHexString(dir.hashCode)
     val root = graft.io.Scratch.qx13Dir(dir)
     val oTab = s"graft_orders_b$suffix"
     val cTab = s"graft_customer_b$suffix"
-    if (bucketedWritten.add(root) || !s.catalog.tableExists(oTab) ||
+    // mark written only after both writes return (see
+    // Marts.ensurePartitionedMart — a partial write must retry)
+    if (!bucketedWritten.contains(root) || !s.catalog.tableExists(oTab) ||
         !s.catalog.tableExists(cTab)) {
       graft.io.Bucketing.writeBucketed(
         Tables.orders(s, dir).select("o_orderkey", "o_custkey", "o_totalprice"),
@@ -134,6 +140,7 @@ object Extras {
       graft.io.Bucketing.writeBucketed(
         Tables.customer(s, dir).select("c_custkey", "c_name"),
         cTab, "c_custkey", buckets = 8, path = Some(s"$root/customer"))
+      bucketedWritten.add(root)
     }
     val o = s.table(oTab)
     val c = s.table(cTab)

@@ -85,9 +85,14 @@ object Marts {
     */
   def ensurePartitionedMart(s: SparkSession, dir: String): String = {
     val out = graft.io.Scratch.qp1Dir(dir)
-    if (martWritten.add(out) || !new java.io.File(out).exists())
+    // mark as written only AFTER the write returns: marking first
+    // would let a failed partial write be silently reused for the
+    // rest of the JVM (the overwrite mode makes retries safe)
+    if (!martWritten.contains(out) || !new java.io.File(out).exists()) {
       graft.io.Writers.writePartitioned(Relational.q09(s, dir), out,
         Seq("month", "store"), numTasks = 8)
+      martWritten.add(out)
+    }
     out
   }
 

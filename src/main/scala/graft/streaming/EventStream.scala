@@ -74,19 +74,28 @@ object EventStream {
     }
 
   /** Memory-sink names must be unique per start; one counter per JVM
-    * covers repeated Bench runs (same pattern as SessionStream).
+    * covers repeated Bench runs. Each family drops its previous run's
+    * view before starting the next — without that every invocation
+    * pins a full result snapshot in driver memory for the JVM
+    * lifetime (qs9's is the whole events projection).
     */
   private val gateRuns = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val lastHourlyView =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+  private val lastDedupView =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
 
   /** qs8 — gate-visible streaming hourly stats: drain the events
     * table and present qs1's exact output shape (shared oracle —
     * decimal money sums are order-free, so the incremental
     * aggregation is bit-equal to the batch groupBy).
     */
-  def hourlyStatsGate(s: SparkSession, dir: String): DataFrame =
-    hourlyStatsAvailableNow(s, graft.io.Scratch.ensureEventsLanding(dir),
-        s"qs8_hourly_${gateRuns.incrementAndGet()}")
+  def hourlyStatsGate(s: SparkSession, dir: String): DataFrame = {
+    val name = s"qs8_hourly_${gateRuns.incrementAndGet()}"
+    Option(lastHourlyView.getAndSet(name)).foreach(s.catalog.dropTempView(_))
+    hourlyStatsAvailableNow(s, graft.io.Scratch.ensureEventsLanding(dir), name)
       .orderBy("hour", "event_type")
+  }
 
   /** qs9 — gate-visible streaming exact dedup. event_ids are unique
     * in the gate corpora, so the deduped stream provably equals the
@@ -94,8 +103,10 @@ object EventStream {
     * cannot arise; duplicate-bearing input is covered by
     * StreamingSpec, where arrival order is controlled.
     */
-  def dedupGate(s: SparkSession, dir: String): DataFrame =
-    dedupAvailableNow(s, graft.io.Scratch.ensureEventsLanding(dir),
-        s"qs9_dedup_${gateRuns.incrementAndGet()}")
+  def dedupGate(s: SparkSession, dir: String): DataFrame = {
+    val name = s"qs9_dedup_${gateRuns.incrementAndGet()}"
+    Option(lastDedupView.getAndSet(name)).foreach(s.catalog.dropTempView(_))
+    dedupAvailableNow(s, graft.io.Scratch.ensureEventsLanding(dir), name)
       .orderBy("event_id")
+  }
 }

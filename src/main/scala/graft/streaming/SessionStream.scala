@@ -210,9 +210,14 @@ object SessionStream {
 
   /** Memory-sink names must be unique per start (a terminated query's
     * name stays registered); one counter per JVM covers repeated
-    * Bench runs.
+    * Bench runs. The previous run's view is dropped before the next
+    * starts — without that, every invocation would pin a full result
+    * snapshot in driver memory for the JVM lifetime (the consumer has
+    * materialized by then; same contract as Similarity's parity base).
     */
   private val gateRuns = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val lastGateView =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
 
   /** qs7 — the gate-visible declared form of streaming sessionization
     * (the one north-star family that had zero gate rows — VERDICT r5
@@ -224,9 +229,10 @@ object SessionStream {
     * accumulate as decimal cents in stream state ([[cents]]),
     * matching the batch DECIMAL(18,2) sum bit for bit.
     */
-  def sessionizeGate(s: SparkSession, dir: String): DataFrame =
-    sessionizeAvailableNow(s, graft.io.Scratch.ensureEventsLanding(dir),
-        s"qs7_sessions_${gateRuns.incrementAndGet()}")
+  def sessionizeGate(s: SparkSession, dir: String): DataFrame = {
+    val name = s"qs7_sessions_${gateRuns.incrementAndGet()}"
+    Option(lastGateView.getAndSet(name)).foreach(s.catalog.dropTempView(_))
+    sessionizeAvailableNow(s, graft.io.Scratch.ensureEventsLanding(dir), name)
       .select(col("user_id"), col("session_id"), col("n_events"),
         date_format(timestamp_millis(col("start_ms")),
           "yyyy-MM-dd HH:mm:ss").as("session_start"),
@@ -234,4 +240,5 @@ object SessionStream {
           "yyyy-MM-dd HH:mm:ss").as("session_end"),
         col("session_value"))
       .orderBy("user_id", "session_id")
+  }
 }
