@@ -32,14 +32,14 @@ object SessionStream {
     * via Double.toString (valueOf) then HALF_UP to scale 2 — the same
     * construction Cast uses — times 100 (an integer, exact in double).
     */
-  private[streaming] def cents(v: Double): Double =
+  private[graft] def cents(v: Double): Double =
     (BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP) * 100).toDouble
 
   /** Cents back to the double the batch form emits: IEEE division
     * rounds the exact quotient to nearest — identical to
     * CAST(decimal AS DOUBLE) on the exact decimal sum.
     */
-  private[streaming] def fromCents(c: Double): Double = c / 100.0
+  private[graft] def fromCents(c: Double): Double = c / 100.0
   /** Continuous-variant state: the open session plus the last session
     * id ever assigned — numbering must survive a timeout so session
     * ids stay cumulative per user (parity with the batch window's

@@ -165,6 +165,32 @@ class SessionStreamSpec extends SparkSpec {
     }
   }
 
+  test("cents/fromCents mirror Spark's double->DECIMAL(18,2)->double bit for bit") {
+    import org.apache.spark.sql.functions._
+    val spark2 = spark
+    import spark2.implicits._
+    val rng = new scala.util.Random(11)
+    // adversarial mix: representable cents, sub-cent noise (exercises
+    // HALF_UP), negatives, half-cent boundaries, large magnitudes
+    val vals = Seq.fill(2000)(
+        math.round(rng.nextDouble() * 1e6).toDouble / 100.0 +
+          (rng.nextDouble() - 0.5) * 1e-3) ++
+      Seq(0.005, -0.005, 0.015, 123.456, -1.115, 2.675, 1e10 + 0.125, 0.0)
+    val sparkSum = vals.toDF("v")
+      .agg(sum(col("v").cast(graft.core.Fns.Money)).cast("double"))
+      .head.getDouble(0)
+    val streamSum = graft.streaming.SessionStream.fromCents(
+      vals.map(graft.streaming.SessionStream.cents).sum)
+    assert(streamSum == sparkSum, s"$streamSum != $sparkSum")
+    // and per-value: each cents() equals Spark's scalar cast
+    val perValue = vals.toDF("v")
+      .select((col("v").cast(graft.core.Fns.Money) * 100).cast("double"))
+      .collect().map(_.getDouble(0))
+    vals.zip(perValue).foreach { case (v, expected) =>
+      assert(graft.streaming.SessionStream.cents(v) == expected, s"at $v")
+    }
+  }
+
   test("qs7 gate form is bit-identical to batch sessionize (decimal cents)") {
     // no tolerance: stream state accumulates DECIMAL(18,2) cents, so
     // every column — including the double session_value — must equal
