@@ -22,6 +22,33 @@ class PipelineSpec extends SparkSpec {
     assert(down.endsWith("payload.txt"))
   }
 
+  test("ensureEventsLanding repairs dangling and re-pointed symlinks") {
+    import java.nio.file.{Files, Paths, LinkOption}
+    val fake = tempDir("landing_src_")
+    val srcA = Paths.get(fake, "a"); Files.createDirectory(srcA)
+    val fileA = srcA.resolve("events.parquet")
+    Files.writeString(fileA, "a")
+    // first ensure: creates the link
+    val landing = graft.io.Scratch.ensureEventsLanding(srcA.toString)
+    val link = Paths.get(landing, "events.parquet")
+    assert(Files.isSymbolicLink(link) && Files.exists(link))
+    // dangling: delete the target — a naive Files.exists check would
+    // see "absent" and then die on createSymbolicLink forever
+    Files.delete(fileA)
+    Files.writeString(fileA, "a2")
+    assert(graft.io.Scratch.ensureEventsLanding(srcA.toString) == landing)
+    assert(Files.exists(link), "dangling link must be recreated")
+    // a link left pointing at an OLD path must be re-pointed, not kept
+    val srcB = Paths.get(fake, "b"); Files.createDirectory(srcB)
+    Files.writeString(srcB.resolve("events.parquet"), "b")
+    Files.delete(link)
+    Files.createSymbolicLink(link, srcB.resolve("events.parquet"))
+    graft.io.Scratch.ensureEventsLanding(srcA.toString)
+    assert(Files.readSymbolicLink(link) == fileA,
+      "re-pointed link must come back to this sf dir's events file")
+    assert(Files.exists(link, LinkOption.NOFOLLOW_LINKS))
+  }
+
   test("end-to-end run: quarantine, marts, archive, ledger lifecycle") {
     val root = tempDir("pipeline_")
     val cfg = PipelineConfig(s"$root/in", s"$root/err", s"$root/done",
