@@ -84,6 +84,10 @@ object SparkEntry {
     "qx11_topk_agg"      -> Events.topSpendersTyped _,
     "qx12_salted_join"   -> Extras.saltedEnrich _,
     "qx13_bucketed_join" -> Extras.bucketedJoin _,
+    "qd17_chunk"         -> (graft.operators.TextPrep.chunkQuery _),
+    "qd18_strip_boilerplate" -> (graft.operators.TextPrep.stripQuery _),
+    "qe5_norm_audit"     -> TrainingOps.normAudit _,
+    "qx14_scd2_history"  -> (graft.operators.Scd2.customerHistory _),
   )
 
   /** Queries intentionally without an oracle — EMPTY since round 5:
@@ -452,6 +456,56 @@ object SparkEntry {
     // qx13's bucketed co-located join must equal the plain join —
     // q03's oracle verbatim.
     "qx13_bucketed_join" -> q03Sql,
+    // 200-char chunks, 150 stride: unnest(generate_series) mirrors
+    // explode(sequence); substr is 1-based in both engines.
+    "qd17_chunk" ->
+      ("""WITH s AS (
+         |  SELECT doc_id, text,
+         |    unnest(generate_series(0, CAST(length(text) AS BIGINT) - 1, 150))
+         |      AS start
+         |  FROM documents WHERE length(text) > 0)
+         |SELECT doc_id, CAST(start // 150 AS INTEGER) AS chunk_idx,
+         |  substr(text, CAST(start + 1 AS INTEGER), 200) AS chunk_text,
+         |  CAST(length(substr(text, CAST(start + 1 AS INTEGER), 200))
+         |    AS INTEGER) AS chunk_chars
+         |FROM s ORDER BY doc_id, chunk_idx""".stripMargin),
+    // Token-equality stopword strip; DuckDB string_split and Spark
+    // split(_, " ") agree on empty-token runs, so the rejoin and the
+    // removed-count are exact mirrors.
+    "qd18_strip_boilerplate" ->
+      ("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+         |  FROM documents),
+         |k AS (SELECT doc_id, toks,
+         |  list_filter(toks, w -> NOT list_contains(
+         |    ['the','a','of','to','and','in','is','it'], lower(w))) AS kept
+         |  FROM t)
+         |SELECT doc_id, array_to_string(kept, ' ') AS kept_text,
+         |  CAST(len(toks) - len(kept) AS INTEGER) AS n_removed
+         |FROM k ORDER BY doc_id""".stripMargin),
+    // L2 norms via the same sequential dot fold as knnSql; min/max
+    // are order-independent, so the group aggregate is exact.
+    "qe5_norm_audit" ->
+      (s"""WITH n AS (SELECT label, CAST(len(embedding) AS INTEGER) AS dim,
+         |  sqrt(${dotSql("embedding", "embedding")}) AS nrm
+         |  FROM embeddings)
+         |SELECT label, count(*) AS n_vecs,
+         |  min(dim) AS min_dim, max(dim) AS max_dim,
+         |  min(nrm) AS min_norm, max(nrm) AS max_norm
+         |FROM n GROUP BY label ORDER BY label""".stripMargin),
+    // SCD2 validity intervals: row_number + lead share one window;
+    // o_totalprice passes through unchanged (no arithmetic), so the
+    // double is bit-exact without the decimal detour.
+    "qx14_scd2_history" ->
+      ("""SELECT o_custkey AS cust,
+         |  CAST(row_number() OVER w AS INTEGER) AS version,
+         |  o_orderstatus AS status, o_totalprice AS total,
+         |  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS valid_from,
+         |  COALESCE(strftime(lead(o_orderdate) OVER w, '%Y-%m-%d %H:%M:%S'),
+         |    '9999-12-31 00:00:00') AS valid_to,
+         |  lead(o_orderdate) OVER w IS NULL AS is_current
+         |FROM orders
+         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+         |ORDER BY cust, version""".stripMargin),
   )
 
   private val hourlyStatsSql: String =

@@ -1,0 +1,84 @@
+package graft.operators
+
+import graft.core.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-preparation operators a training-data pipeline runs between
+  * ingest and tokenization: fixed-size overlapping chunking (context
+  * windows for pre-training) and boilerplate/stopword stripping
+  * (token-level cleaning). Both are map-only — zero shuffle — so they
+  * scale linearly with corpus bytes: at 100 TB each is a single scan
+  * whose output feeds the next stage without any exchange.
+  */
+object TextPrep {
+
+  /** Split each document into fixed-size character chunks with
+    * overlap (`size` chars per chunk, stride `step`, so consecutive
+    * chunks overlap by `size - step`). One generator explode per row
+    * — `sequence` builds the start offsets, `substring` slices — and
+    * everything stays inside whole-stage codegen; no shuffle. The
+    * final chunk is short (whatever remains), matching the usual
+    * pre-training packer contract.
+    *
+    * Empty documents produce no chunks (the `length > 0` guard also
+    * keeps `sequence`'s bounds legal: ANSI `sequence(0, -1, step)`
+    * rejects a positive step with start > stop).
+    */
+  def chunk(df: DataFrame, idCol: String, textCol: String,
+      size: Int, step: Int): DataFrame = {
+    require(size > 0 && step > 0 && step <= size,
+      s"need 0 < step <= size, got size=$size step=$step")
+    df.where(length(col(textCol)) > 0)
+      .select(col(idCol), col(textCol),
+        explode(sequence(lit(0), length(col(textCol)) - 1, lit(step)))
+          .as("start"))
+      .select(col(idCol),
+        expr(s"CAST(start DIV $step AS INT)").as("chunk_idx"),
+        expr(s"substring($textCol, start + 1, $size)").as("chunk_text"))
+      .withColumn("chunk_chars", length(col("chunk_text")))
+  }
+
+  /** The qd17 declared form: 200-char chunks, 150-char stride (50
+    * overlap) over `documents`. Oracle mirrors with
+    * unnest(generate_series) + substr.
+    */
+  def chunkQuery(s: SparkSession, dir: String): DataFrame =
+    chunk(Tables.documents(s, dir), "doc_id", "text", size = 200, step = 150)
+      .orderBy("doc_id", "chunk_idx")
+
+  /** The fixed stop-list shared with the oracle (the same family
+    * qd3's stop_ratio counts). Case-insensitive token equality.
+    */
+  val stopwords: Seq[String] =
+    Seq("the", "a", "of", "to", "and", "in", "is", "it")
+
+  /** Remove stopword tokens from space-delimited text, keeping the
+    * survivors' original order and spacing contract (single-space
+    * rejoin). Returns (kept_text, n_removed) columns appended.
+    *
+    * Shape choice: per-row array filter (interpreted HOF lambda, ~1µs
+    * per token) over the shuffle-free scan, NOT the relational
+    * explode + re-aggregate form — re-assembling documents after an
+    * explode costs a full shuffle of every token plus an ordered
+    * array_agg, which loses to the lambda at any corpus size because
+    * this op has no cross-row work at all. The split and the filtered
+    * array are each materialized once per row (withColumn) so no
+    * branch re-evaluates them (CLAUDE.md CSE rule).
+    */
+  def stripStopwords(df: DataFrame, textCol: String): DataFrame = {
+    val stop = array(stopwords.map(lit): _*)
+    df.withColumn("_toks", split(col(textCol), " "))
+      .withColumn("_kept",
+        filter(col("_toks"), w => !array_contains(stop, lower(w))))
+      .withColumn("kept_text", array_join(col("_kept"), " "))
+      .withColumn("n_removed", size(col("_toks")) - size(col("_kept")))
+      .drop("_toks", "_kept")
+  }
+
+  /** The qd18 declared form over `documents`. */
+  def stripQuery(s: SparkSession, dir: String): DataFrame =
+    stripStopwords(Tables.documents(s, dir), "text")
+      .select("doc_id", "kept_text", "n_removed")
+      .orderBy("doc_id")
+}

@@ -378,6 +378,29 @@ object TrainingOps {
     Similarity.embeddingNearDups(Tables.embeddings(s, dir), threshold = 0.3,
       nPlanes = 16, nBands = 16)
 
+  /** qe5 — embedding hygiene audit: per-label vector counts, dim
+    * extrema (catches ragged arrays before they poison a matmul) and
+    * L2-norm extrema (verifies the corpus is unit-normalized — this
+    * corpus spreads 1.0 ± ~1e-7 across 500 distinct float-sum norms).
+    * min/max are order-independent, so unlike a mean they are exact
+    * under any partitioning; the norm itself is the bit-exact
+    * sequential fold (VecDot == DuckDB list_reduce). One scan + one
+    * shuffle on the tiny label key — at 100 TB the partial aggregate
+    * reduces map-side, so the exchange carries only label-count rows.
+    */
+  def normAudit(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VecDot.register(s)
+    Tables.embeddings(s, dir)
+      .select(col("label"), size(col("embedding")).as("dim"),
+        sqrt(graft.functions.VecDot.of(col("embedding"), col("embedding")))
+          .as("nrm"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        min("dim").as("min_dim"), max("dim").as("max_dim"),
+        min("nrm").as("min_norm"), max("nrm").as("max_norm"))
+      .orderBy("label")
+  }
+
   private val ivfModels =
     new java.util.concurrent.ConcurrentHashMap[(String, String), Ivf.IvfModel]()
 

@@ -1,0 +1,89 @@
+package graft
+
+import graft.operators.{Scd2, TextPrep, TrainingOps}
+import org.apache.spark.sql.functions._
+
+/** Value-level checks for the corpus-prep and SCD2 operators (the
+  * DuckDB oracle carries exactness at sf0.01/sf0.1; these pin the
+  * semantics driver-side on sf0.001).
+  */
+class TextPrepSpec extends SparkSpec {
+
+  val sf = "/root/testdata/sf0.001"
+
+  test("chunking reconstructs every document from stride-aligned slices") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    val chunks = TextPrep.chunkQuery(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("chunk_idx"),
+        r.getAs[String]("chunk_text"), r.getAs[Int]("chunk_chars")))
+
+    chunks.foreach { case (id, idx, text, chars) =>
+      assert(text.length == chars)
+      assert(chars >= 1 && chars <= 200)
+      // each chunk is literally the doc's [idx*150, idx*150+200) slice
+      val doc = docs(id)
+      assert(text == doc.substring(idx * 150,
+        math.min(idx * 150 + 200, doc.length)), s"doc $id chunk $idx")
+    }
+    // stitching strides (drop the 50-char overlap) reconstructs the doc
+    docs.filter(_._2.nonEmpty).foreach { case (id, doc) =>
+      val mine = chunks.filter(_._1 == id).sortBy(_._2)
+      assert(mine.map(_._2).toSeq == mine.indices.toSeq, "contiguous idx")
+      val stitched = mine.map(_._3.take(150)).mkString
+      assert(stitched == doc, s"doc $id reconstruction")
+    }
+  }
+
+  test("stopword strip matches the scala reference filter") {
+    val stop = TextPrep.stopwords.toSet
+    val got = TextPrep.stripQuery(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("kept_text"),
+        r.getAs[Int]("n_removed")))
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(got.length == docs.size)
+    got.foreach { case (id, kept, removed) =>
+      val toks = docs(id).split(" ", -1)
+      val keptRef = toks.filterNot(t => stop(t.toLowerCase))
+      assert(kept == keptRef.mkString(" "), s"doc $id")
+      assert(removed == toks.length - keptRef.length, s"doc $id count")
+    }
+    assert(got.map(_._3).sum > 0, "corpus should contain stopwords")
+  }
+
+  test("scd2 history forms gapless per-key interval chains") {
+    val rows = Scd2.customerHistory(spark, sf).collect()
+      .map(r => (r.getAs[Long]("cust"), r.getAs[Int]("version"),
+        r.getAs[String]("valid_from"), r.getAs[String]("valid_to"),
+        r.getAs[Boolean]("is_current")))
+    val orders = spark.read.parquet(s"$sf/orders.parquet").count()
+    assert(rows.length == orders, "one version row per change-log row")
+    rows.groupBy(_._1).foreach { case (cust, vs) =>
+      val chain = vs.sortBy(_._2)
+      assert(chain.map(_._2).toSeq == (1 to chain.length), s"cust $cust versions")
+      // each valid_to is the next version's valid_from; the chain is gapless
+      chain.sliding(2).filter(_.length == 2).foreach { case Array(a, b) =>
+        assert(a._4 == b._3, s"cust $cust gap at v${a._2}")
+        assert(!a._5, "only the last version is current")
+      }
+      assert(chain.last._5 && chain.last._4 == "9999-12-31 00:00:00")
+      assert(chain.forall(v => v._3 <= v._4), "intervals never invert")
+    }
+  }
+
+  test("norm audit sees the unit-normalized 64-dim corpus") {
+    val rows = TrainingOps.normAudit(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getAs[Long]("n_vecs")).sum
+    assert(total == spark.read.parquet(s"$sf/embeddings.parquet").count())
+    rows.foreach { r =>
+      assert(r.getAs[Int]("min_dim") == 64 && r.getAs[Int]("max_dim") == 64)
+      assert(math.abs(r.getAs[Double]("min_norm") - 1.0) < 1e-5)
+      assert(math.abs(r.getAs[Double]("max_norm") - 1.0) < 1e-5)
+      assert(r.getAs[Double]("min_norm") <= r.getAs[Double]("max_norm"))
+    }
+  }
+}
