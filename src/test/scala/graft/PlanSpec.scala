@@ -220,6 +220,39 @@ class PlanSpec extends SparkSpec {
         s"of ${all.size}")
   }
 
+  test("qd17: chunking is map-only — no exchange before the output sort") {
+    val p = plan(graft.operators.TextPrep.chunkQuery(spark, sf))
+    assert(p.contains("Generate") && p.contains("explode"), p)
+    // the only exchange is the output-order range partitioning
+    assert("Exchange".r.findAllIn(p).size == 1, p)
+    assert(p.contains("rangepartitioning"), p)
+  }
+
+  test("qd18: stopword strip is shuffle-free and evaluates each array once") {
+    val p = plan(graft.operators.TextPrep.stripQuery(spark, sf))
+    assert("Exchange".r.findAllIn(p).size == 1, p)
+    // split and filter each appear once: the materialized _toks/_kept
+    // aliases must not be re-inlined per consumer (CSE rule)
+    assert("split\\(".r.findAllIn(p).size == 1, p)
+    assert("filter\\(".r.findAllIn(p).size == 1, p)
+  }
+
+  test("qe5: norm audit combines map-side; the scan reads two columns") {
+    val p = plan(graft.operators.TrainingOps.normAudit(spark, sf))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "partial+final")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(read.contains("embedding") && read.contains("label"))
+    assert(!read.contains("vec_id"), read)
+  }
+
+  test("qx14: row_number and lead share ONE Window pass over one key exchange") {
+    val p = plan(graft.operators.Scd2.customerHistory(spark, sf))
+    assert("\\bWindow\\b".r.findAllIn(p).size == 1, p)
+    assert("hashpartitioning\\(o_custkey".r.findAllIn(p).size == 1, p)
+    // key exchange + output-order exchange, nothing else
+    assert("Exchange".r.findAllIn(p).size == 2, p)
+  }
+
   test("global sweep: no declared query plans a CartesianProduct") {
     // BroadcastNestedLoopJoin is allowed ONLY where the operator is
     // deliberately O(n^2) at its declared verification config (qe3's
