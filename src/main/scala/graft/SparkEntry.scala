@@ -88,6 +88,8 @@ object SparkEntry {
     "qd18_strip_boilerplate" -> (graft.operators.TextPrep.stripQuery _),
     "qe5_norm_audit"     -> TrainingOps.normAudit _,
     "qx14_scd2_history"  -> (graft.operators.Scd2.customerHistory _),
+    "qd19_pack_bins"     -> (graft.operators.TextPrep.packQuery _),
+    "qx15_upsert"        -> (graft.operators.Scd2.customerUpsert _),
   )
 
   /** Queries intentionally without an oracle — EMPTY since round 5:
@@ -506,6 +508,44 @@ object SparkEntry {
          |FROM orders
          |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
          |ORDER BY cust, version""".stripMargin),
+    // Packing is all-integer math (running sum, DIV, min/max/count),
+    // so the mirror is exact; DuckDB's window SUM widens to HUGEINT,
+    // cast back to BIGINT to match Spark's long.
+    "qd19_pack_bins" ->
+      ("""WITH o AS (SELECT source, doc_id, n_chars,
+         |  SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id) - n_chars
+         |    AS off
+         |  FROM documents)
+         |SELECT source, CAST(off // 2000 AS INTEGER) AS bin,
+         |  count(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS bin_chars,
+         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         |FROM o GROUP BY 1, 2 ORDER BY source, bin""".stripMargin),
+    // The merge's update/insert/carry split mirrors the full-outer
+    // coalesce; latest-per-key on both sides, fixed cutoff.
+    "qx15_upsert" ->
+      ("""WITH snap AS (
+         |  SELECT o_custkey, o_orderstatus AS status, o_totalprice AS total,
+         |    strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS as_of
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+         |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+         |    FROM orders WHERE o_orderdate < TIMESTAMP '2001-06-01') t
+         |  WHERE rn = 1),
+         |upd AS (
+         |  SELECT o_custkey, o_orderstatus AS status, o_totalprice AS total,
+         |    strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS as_of
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+         |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+         |    FROM orders WHERE o_orderdate >= TIMESTAMP '2001-06-01') t
+         |  WHERE rn = 1)
+         |SELECT COALESCE(u.o_custkey, s.o_custkey) AS cust,
+         |  COALESCE(u.status, s.status) AS status,
+         |  COALESCE(u.total, s.total) AS total,
+         |  COALESCE(u.as_of, s.as_of) AS as_of,
+         |  CASE WHEN s.o_custkey IS NULL THEN 'insert'
+         |       WHEN u.o_custkey IS NULL THEN 'carry'
+         |       ELSE 'update' END AS op
+         |FROM snap s FULL OUTER JOIN upd u ON s.o_custkey = u.o_custkey
+         |ORDER BY cust""".stripMargin),
   )
 
   private val hourlyStatsSql: String =

@@ -81,4 +81,41 @@ object TextPrep {
     stripStopwords(Tables.documents(s, dir), "text")
       .select("doc_id", "kept_text", "n_removed")
       .orderBy("doc_id")
+
+  /** Greedy sequence packing: stream each group's rows in id order,
+    * concatenate conceptually, and cut the stream every `budget`
+    * chars — each row's bin is floor(start_offset / budget) where the
+    * start offset is the running size sum EXCLUSIVE of the row. This
+    * is the "concatenate then split" packer pre-training uses to fill
+    * context windows, reduced to a window cumsum + integer division —
+    * all-integer math, so the oracle is exact.
+    *
+    * Scale shape: the running sum is inherently sequential WITHIN a
+    * group — exactly like a real distributed packer, whose shard
+    * (here: `groupCol`) is the parallelism unit. One exchange on the
+    * group key, one window pass, then a partial+final aggregate that
+    * reuses the same partitioning (no second exchange).
+    */
+  def packBins(df: DataFrame, groupCol: String, idCol: String,
+      sizeCol: String, budget: Int): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(idCol)
+    df.select(col(groupCol), col(idCol), col(sizeCol))
+      .withColumn("off", sum(col(sizeCol)).over(w) - col(sizeCol))
+      .withColumn("bin", expr(s"CAST(off DIV $budget AS INT)"))
+      .groupBy(col(groupCol), col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(sizeCol)).as("bin_chars"),
+        min(col(idCol)).as("first_doc"),
+        max(col(idCol)).as("last_doc"))
+      .orderBy(groupCol, "bin")
+  }
+
+  /** The qd19 declared form: pack each source's documents into
+    * 2000-char bins.
+    */
+  def packQuery(s: SparkSession, dir: String): DataFrame =
+    packBins(Tables.documents(s, dir), "source", "doc_id", "n_chars",
+      budget = 2000)
 }

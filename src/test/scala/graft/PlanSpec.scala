@@ -238,7 +238,12 @@ class PlanSpec extends SparkSpec {
   }
 
   test("qe5: norm audit combines map-side; the scan reads two columns") {
-    val p = plan(graft.operators.TrainingOps.normAudit(spark, sf))
+    // sf0.01, not this suite's sf0.001: SimilaritySpec caches the full
+    // sf0.001 embeddings table, and the JVM-shared CacheManager would
+    // legitimately substitute that InMemoryRelation here — hiding the
+    // parquet scan this test pins.
+    val p = plan(graft.operators.TrainingOps.normAudit(
+      spark, "/root/testdata/sf0.01"))
     assert("HashAggregate".r.findAllIn(p).size >= 2, "partial+final")
     val read = p.linesIterator.find(_.contains("ReadSchema")).get
     assert(read.contains("embedding") && read.contains("label"))

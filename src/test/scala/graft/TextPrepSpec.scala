@@ -74,6 +74,55 @@ class TextPrepSpec extends SparkSpec {
     }
   }
 
+  test("packing matches the sequential greedy reference and conserves the corpus") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("source", "doc_id", "n_chars").collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("n_chars")))
+    // sequential reference: per source in doc order, bin = floor(startOffset/2000)
+    val ref = docs.groupBy(_._1).toSeq.flatMap { case (src, rows) =>
+      var off = 0L
+      rows.sortBy(_._2).toSeq.map { case (_, id, n) =>
+        val bin = (off / 2000L).toInt; off += n; (src, bin, id, n)
+      }
+    }
+    val refAgg = ref.groupBy(t => (t._1, t._2)).map { case ((src, bin), rs) =>
+      (src, bin) -> ((rs.size.toLong, rs.map(_._4).sum,
+        rs.map(_._3).min, rs.map(_._3).max))
+    }
+    val got = graft.operators.TextPrep.packQuery(spark, sf).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Int]("bin")) ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("bin_chars"),
+          r.getAs[Long]("first_doc"), r.getAs[Long]("last_doc")))).toMap
+    assert(got == refAgg)
+    assert(got.values.map(_._2).sum == docs.map(_._3).sum, "chars conserved")
+    assert(got.values.map(_._1).sum == docs.length, "docs conserved")
+  }
+
+  test("upsert labels update/insert/carry and the changes batch wins") {
+    import spark.implicits._
+    val snap = Seq((1L, "old", 10.0), (2L, "old", 20.0)).toDF("k", "v", "x")
+    val upd = Seq((2L, "new", 22.0), (3L, "new", 30.0)).toDF("k", "v", "x")
+    val got = graft.operators.Scd2.upsert(snap, upd, "k", Seq("v", "x"))
+      .collect().map(r => r.getAs[Long]("k") ->
+        ((r.getAs[String]("v"), r.getAs[Double]("x"), r.getAs[String]("op"))))
+      .toMap
+    assert(got == Map(
+      1L -> (("old", 10.0, "carry")),
+      2L -> (("new", 22.0, "update")),
+      3L -> (("new", 30.0, "insert"))))
+    // declared form: every customer appears exactly once, and updates
+    // are exactly the customers with post-cutoff orders
+    val rows = graft.operators.Scd2.customerUpsert(spark, sf).collect()
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    assert(rows.map(_.getAs[Long]("cust")).distinct.length == rows.length)
+    val changed = orders
+      .filter(col("o_orderdate") >= to_timestamp(
+        lit(graft.operators.Scd2.mergeCutoff)))
+      .select("o_custkey").distinct.count()
+    assert(rows.count(_.getAs[String]("op") != "carry") == changed)
+  }
+
   test("norm audit sees the unit-normalized 64-dim corpus") {
     val rows = TrainingOps.normAudit(spark, sf).collect()
     assert(rows.nonEmpty)
