@@ -258,6 +258,30 @@ class PlanSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(p).size == 2, p)
   }
 
+  test("qd19: packing reuses the window's exchange for the aggregate") {
+    val p = plan(graft.operators.TextPrep.packQuery(spark, sf))
+    // one hash exchange on the shard key feeds BOTH the window cumsum
+    // and the partial+final aggregate (group keys (source, bin) are
+    // clustered by the source partitioning); the only other exchange
+    // is the output-order range partitioning
+    assert("hashpartitioning\\(source".r.findAllIn(p).size == 1, p)
+    assert("Exchange".r.findAllIn(p).size == 2, p)
+    assert("HashAggregate".r.findAllIn(p).size == 2, "partial+final")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!read.contains("text") && !read.contains("lang"), read)
+  }
+
+  test("qx15: upsert prunes latest-per-key map-side and pushes the cutoff") {
+    val p = plan(graft.operators.Scd2.customerUpsert(spark, sf))
+    // each side gets a WindowGroupLimit BELOW its exchange (map-side
+    // rn=1 prune) and one above: 4 total for the two sides
+    assert("WindowGroupLimit".r.findAllIn(p).size == 4, p)
+    assert(p.contains("SortMergeJoin FullOuter") ||
+      p.contains("SortMergeJoin [o_custkey") || p.contains("FullOuter"), p)
+    // the date cutoff reaches both parquet scans
+    assert("PushedFilters: .*o_orderdate".r.findAllIn(p).size == 2, p)
+  }
+
   test("global sweep: no declared query plans a CartesianProduct") {
     // BroadcastNestedLoopJoin is allowed ONLY where the operator is
     // deliberately O(n^2) at its declared verification config (qe3's
