@@ -2,10 +2,14 @@ package graft
 
 import graft.operators.{Ivf, Similarity}
 
-class IvfSpec extends SparkSpec {
+class IvfSpec extends SparkSpec
+    with org.scalatest.BeforeAndAfterAll {
 
   lazy val emb = spark.read
     .parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+
+  override def afterAll(): Unit =
+    try emb.unpersist(blocking = false) finally super.afterAll()
   val qids: Seq[Long] = Seq(0L, 1L, 2L)
 
   test("training is deterministic") {

@@ -7,9 +7,22 @@ import graft.operators.Relational
   * sort) asserted against the optimized physical plan, so a future
   * refactor can't silently regress them.
   */
-class PlanSpec extends SparkSpec {
+class PlanSpec extends SparkSpec
+    with org.scalatest.BeforeAndAfterAll {
 
   val sf = "/root/testdata/sf0.001"
+
+  /** Plans are audited against uncached state: a raw-table cache left
+    * by an earlier suite in the shared session makes CacheManager
+    * substitute an InMemoryRelation whose rendering embeds the
+    * full-column child FileScan, and every ReadSchema/pruning
+    * assertion then reads the cached scan's line instead of this
+    * query's (qd19 failed exactly this way under full-suite order).
+    */
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    spark.catalog.clearCache()
+  }
 
   private def plan(df: org.apache.spark.sql.DataFrame): String =
     df.queryExecution.executedPlan.toString

@@ -10,7 +10,8 @@ import org.apache.spark.sql.functions._
   * burden: the portable value matches a pure-Scala reference, and
   * both variants rank document similarity the same way.
   */
-class SimhashPortableSpec extends SparkSpec {
+class SimhashPortableSpec extends SparkSpec
+    with org.scalatest.BeforeAndAfterAll {
 
   private def tokensOf(text: String): Seq[String] =
     text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
@@ -32,6 +33,11 @@ class SimhashPortableSpec extends SparkSpec {
 
   lazy val docs = spark.read
     .parquet("/root/testdata/sf0.001/documents.parquet").cache()
+
+  // the raw documents cache was being substituted into PlanSpec's
+  // qd19 plan (full-column InMemoryRelation defeats the pruning pin)
+  override def afterAll(): Unit =
+    try docs.unpersist(blocking = false) finally super.afterAll()
 
   test("portable simhash matches the pure-Scala reference on the corpus") {
     val got = Dedup.simhashPortableFrame(docs, "doc_id", "text", "simhash")

@@ -3,10 +3,16 @@ package graft
 import graft.operators.Similarity
 import org.apache.spark.sql.functions._
 
-class SimilaritySpec extends SparkSpec {
+class SimilaritySpec extends SparkSpec
+    with org.scalatest.BeforeAndAfterAll {
 
   lazy val emb = spark.read
     .parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+
+  // a raw-scan cache left in the shared session gets substituted into
+  // OTHER suites' plans (PlanSpec pruning pins) — release it
+  override def afterAll(): Unit =
+    try emb.unpersist(blocking = false) finally super.afterAll()
   val qids: Seq[Long] = Seq(0L, 1L, 2L)
 
   test("brute-force knn: k rows per query, descending sim, self excluded") {

@@ -8,10 +8,14 @@ import org.apache.spark.sql.functions._
   * reference fold (aggregate/zip_with) — the oracle parity of every
   * qe* query rests on that fold order.
   */
-class VecDotSpec extends SparkSpec {
+class VecDotSpec extends SparkSpec
+    with org.scalatest.BeforeAndAfterAll {
 
   lazy val emb = spark.read
     .parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+
+  override def afterAll(): Unit =
+    try emb.unpersist(blocking = false) finally super.afterAll()
 
   test("vec_dot == HOF fold, bitwise, on the gate corpus") {
     VecDot.register(spark)
