@@ -90,6 +90,11 @@ object SparkEntry {
     "qx14_scd2_history"  -> (graft.operators.Scd2.customerHistory _),
     "qd19_pack_bins"     -> (graft.operators.TextPrep.packQuery _),
     "qx15_upsert"        -> (graft.operators.Scd2.customerUpsert _),
+    "qs10_session_window" -> ((s, d) => Events.sessionWindow(s, d)),
+    "qs11_funnel"        -> (Events.funnel _),
+    "qd20_lexical_diversity" -> TrainingOps.lexicalDiversity _,
+    "qd21_char_entropy"  -> TrainingOps.charEntropy _,
+    "qx16_sql_api"       -> (Extras.sqlMart _),
   )
 
   /** Queries intentionally without an oracle — EMPTY since round 5:
@@ -546,6 +551,73 @@ object SparkEntry {
          |       ELSE 'update' END AS op
          |FROM snap s FULL OUTER JOIN upd u ON s.o_custkey = u.o_custkey
          |ORDER BY cust""".stripMargin),
+    // session_window merges an event landing EXACTLY gap after its
+    // predecessor (verified empirically: sf0.1 has one 1800s-exact
+    // pair and Spark keeps it in-session), so the new-session
+    // condition is strictly > gap — same boundary as qs2's lag form.
+    // Both engines compare second-truncated timestamps so the
+    // nanos/micros precision gap cannot move a boundary. Ties need
+    // event_id in BOTH window orders so lag and the cumsum walk rows
+    // identically.
+    "qs10_session_window" ->
+      ("""WITH e AS (SELECT user_id, event_id, date_trunc('second', ts) AS tsec, value FROM events),
+         |f AS (SELECT *, lag(tsec) OVER (PARTITION BY user_id ORDER BY tsec, event_id) AS prev_t FROM e),
+         |g AS (SELECT *, CASE WHEN prev_t IS NULL THEN 1
+         |                     WHEN CAST(floor(epoch(tsec)) AS BIGINT) - CAST(floor(epoch(prev_t)) AS BIGINT) > 1800 THEN 1
+         |                     ELSE 0 END AS ns FROM f),
+         |h AS (SELECT *, SUM(ns) OVER (PARTITION BY user_id ORDER BY tsec, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM g)
+         |SELECT user_id,
+         |  strftime(min(tsec), '%Y-%m-%d %H:%M:%S') AS session_start,
+         |  strftime(max(tsec) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+         |  count(*) AS n_events,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+         |FROM h GROUP BY user_id, sid
+         |ORDER BY user_id, session_start""".stripMargin),
+    // Strict ordered funnel at (user, day) grain; ">= on floored
+    // epoch seconds" is the tie rule both engines share.
+    "qs11_funnel" ->
+      ("""WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day, event_type,
+         |  CAST(floor(epoch(ts)) AS BIGINT) AS tsec FROM events),
+         |v AS (SELECT user_id, day, min(tsec) AS t_view FROM e
+         |  WHERE event_type = 'view' GROUP BY 1, 2),
+         |c AS (SELECT e.user_id, e.day, min(tsec) AS t_click FROM e
+         |  JOIN v USING (user_id, day)
+         |  WHERE event_type = 'click' AND tsec >= t_view GROUP BY 1, 2),
+         |p AS (SELECT e.user_id, e.day, min(tsec) AS t_purchase FROM e
+         |  JOIN c USING (user_id, day)
+         |  WHERE event_type = 'purchase' AND tsec >= t_click GROUP BY 1, 2)
+         |SELECT '1_view' AS stage, count(*) AS n_user_days FROM v
+         |UNION ALL SELECT '2_view_click' AS stage, count(*) AS n_user_days FROM c
+         |UNION ALL SELECT '3_view_click_purchase' AS stage, count(*) AS n_user_days FROM p
+         |ORDER BY stage""".stripMargin),
+    "qd20_lexical_diversity" ->
+      ("""WITH toks AS (
+         |  SELECT doc_id, list_filter(string_split(
+         |    regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+         |    t -> t != '') AS t
+         |  FROM documents)
+         |SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+         |  CAST(len(list_distinct(t)) AS BIGINT) AS n_types,
+         |  CASE WHEN len(t) > 0 THEN
+         |    CAST(len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE)
+         |  END AS ttr
+         |FROM toks ORDER BY doc_id""".stripMargin),
+    // Entropy terms are quantized to integer micro-nats (qd11's floor
+    // construction over the 1-ulp ln difference), so the per-doc sum
+    // is exact integer arithmetic — order-independent on both sides.
+    "qd21_char_entropy" ->
+      ("""WITH ch AS (SELECT doc_id, n_chars, unnest(string_split(text, '')) AS ch FROM documents),
+         |cnt AS (SELECT doc_id, n_chars, ch, count(*) AS c FROM ch GROUP BY 1, 2, 3),
+         |t AS (SELECT doc_id,
+         |    CAST(floor((CAST(c AS DOUBLE) / CAST(n_chars AS DOUBLE))
+         |      * ln(CAST(c AS DOUBLE) / CAST(n_chars AS DOUBLE))
+         |      * 1000000.0 + 0.5) AS BIGINT) AS tm
+         |  FROM cnt)
+         |SELECT doc_id, count(*) AS n_distinct_chars,
+         |  CAST(-SUM(tm) AS DOUBLE) / 1000000.0 AS entropy
+         |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+    // The SQL-surface query: the oracle IS the Spark-side text.
+    "qx16_sql_api" -> Extras.sqlMartText,
   )
 
   private val hourlyStatsSql: String =

@@ -73,6 +73,99 @@ object Events {
       .orderBy("user_id", "session_id")
   }
 
+  /** qs10 — gap sessionization through Spark's NATIVE `session_window`
+    * (the MergingSessions operator Structured Streaming shares), the
+    * declarative twin of [[sessionize]]'s lag+cumsum formulation.
+    *
+    * Boundary semantics (verified on data, not assumed): an event
+    * landing EXACTLY `gap` after its predecessor is merged — session
+    * intervals touch and MergingSessions coalesces touching windows —
+    * so a new session starts only at diff > gap, the same boundary
+    * as the lag form (sf0.1 contains one 1800s-exact pair that
+    * discriminates; an oracle written with >= fails by one session).
+    * Timestamps are truncated to whole seconds BEFORE windowing so
+    * both engines compare gaps at the same precision (the source is
+    * nanos parquet; Spark reads micros — a sub-second disagreement
+    * would move a boundary).
+    *
+    * Scale: one shuffle on user_id, then sessions merge in the same
+    * sort pass as the aggregation (UpdatingSessionsIterator) — no
+    * second window pass over every row like the lag form, and the
+    * partial aggregate means the exchange carries session fragments,
+    * not raw events.
+    */
+  def sessionWindow(s: SparkSession, dir: String,
+                    gapMinutes: Int = 30): DataFrame =
+    sessionWindowOn(Tables.events(s, dir), gapMinutes)
+
+  /** Core of [[sessionWindow]] over any (user_id, ts, value) frame
+    * (spec entry point for crafted boundary cases).
+    */
+  def sessionWindowOn(events: DataFrame, gapMinutes: Int): DataFrame =
+    events
+      .select(col("user_id"),
+        date_trunc("second", col("ts")).as("tsec"), col("value"))
+      .groupBy(col("user_id"),
+        session_window(col("tsec"), s"$gapMinutes minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        Fns.moneySum(col("value")).cast("double").as("session_value"))
+      .select(col("user_id"),
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("session_start"),
+        date_format(col("session_window.end"), "yyyy-MM-dd HH:mm:ss")
+          .as("session_end"),
+        col("n_events"), col("session_value"))
+      .orderBy("user_id", "session_start")
+
+  /** qs11 — strict ordered conversion funnel at (user, day) grain:
+    * a day converts to stage 2 when a click lands at-or-after the
+    * day's first view, to stage 3 when a purchase lands at-or-after
+    * that first qualifying click. "At-or-after" is evaluated on
+    * floored epoch seconds (both engines see identical integers;
+    * a same-second view+click counts as ordered — documented tie
+    * semantics, deterministic because min() is order-free).
+    *
+    * Scale shape: ONE scan of events (filtered to the three funnel
+    * types at the parquet reader), ONE hash exchange on the
+    * (user_id, day) grain, then three chained Window mins that all
+    * reuse that partitioning — each stage's threshold (t_view,
+    * t_click) is a partition-constant the next window reads, which
+    * is what lets a strictly sequential definition run in a single
+    * pass. (The naive form — per-stage agg + join back — rescans
+    * events once per stage and recomputes the earlier stages inside
+    * each later one: 6 scans for 3 stages.) The stage counts then
+    * reduce to one row and unpivot to the 3-row result.
+    */
+  def funnel(s: SparkSession, dir: String): DataFrame =
+    funnelOn(Tables.events(s, dir))
+
+  /** Core of [[funnel]] over any (user_id, ts, event_type) frame
+    * (spec entry point for ordering/tie cases).
+    */
+  def funnelOn(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id", "day")
+    events
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        col("event_type"), unix_timestamp(col("ts")).as("tsec"))
+      .withColumn("t_view",
+        min(when(col("event_type") === "view", col("tsec"))).over(w))
+      .withColumn("t_click",
+        min(when(col("event_type") === "click" &&
+          col("tsec") >= col("t_view"), col("tsec"))).over(w))
+      .withColumn("t_purchase",
+        min(when(col("event_type") === "purchase" &&
+          col("tsec") >= col("t_click"), col("tsec"))).over(w))
+      .groupBy("user_id", "day")
+      .agg(min("t_view").as("t_view"), min("t_click").as("t_click"),
+        min("t_purchase").as("t_purchase"))
+      .agg(count(col("t_view")).as("c1"), count(col("t_click")).as("c2"),
+        count(col("t_purchase")).as("c3"))
+      .select(expr("stack(3, '1_view', c1, '2_view_click', c2, " +
+        "'3_view_click_purchase', c3) AS (stage, n_user_days)"))
+      .orderBy("stage")
+  }
+
   /** JSON property extraction from the `props` column. */
   def propsExtract(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)

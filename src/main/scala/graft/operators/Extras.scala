@@ -148,4 +148,43 @@ object Extras {
       .select(o("o_orderkey"), c("c_name"), o("o_totalprice"))
       .orderBy("o_orderkey")
   }
+
+  /** qx16 — the SQL surface: ONE ANSI SQL string planned by Spark's
+    * parser over temp views AND run verbatim by DuckDB as its own
+    * oracle. Every other declared query proves the DataFrame/Dataset
+    * API; this one proves a reference user who writes SQL (the
+    * reference drives its marts with spark.sql — SURVEY §2 P7/X4)
+    * can hand the exact same text to this engine. The statement
+    * deliberately crosses the dialect-risk spots our oracles usually
+    * translate: decimal money sums, substring-over-cast month keys,
+    * a rank window, and multi-join grouping — written once in the
+    * common dialect.
+    *
+    * Catalyst plans it identically to the equivalent DataFrame
+    * chain (same optimizer, same codegen), so the scale properties
+    * are q06/q09's: dims broadcast under AQE, partial+final
+    * aggregation, one shuffle on the group keys.
+    */
+  val sqlMartText: String =
+    """WITH m AS (
+      |  SELECT n.n_name AS nation,
+      |    substring(CAST(CAST(o.o_orderdate AS DATE) AS STRING), 1, 7) AS month,
+      |    count(*) AS n_orders,
+      |    CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |  FROM orders o
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |  GROUP BY 1, 2)
+      |SELECT nation, month, n_orders, revenue,
+      |  CAST(rank() OVER (PARTITION BY nation ORDER BY revenue DESC, month) AS INTEGER)
+      |    AS rev_rank
+      |FROM m
+      |ORDER BY nation, month""".stripMargin
+
+  def sqlMart(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("orders")
+    Tables.customer(s, dir).createOrReplaceTempView("customer")
+    Tables.nation(s, dir).createOrReplaceTempView("nation")
+    s.sql(sqlMartText)
+  }
 }

@@ -28,6 +28,74 @@ object TrainingOps {
         TextFns.bpeTokenCount(col("text")).as("n_bpe"))
       .orderBy("doc_id")
 
+  /** qd20 — lexical diversity (type-token ratio): distinct word
+    * types over total tokens, the standard repetition signal a
+    * curation pipeline thresholds on (boilerplate and template spam
+    * sit far below prose). Map-only: the token array is materialized
+    * ONCE per row (a computed Column passed into two size()
+    * expressions would re-tokenize per reference — the qd4 CSE
+    * trap), so the whole query is one codegen scan pass with zero
+    * shuffle before the output sort. The ratio is an exact int/int
+    * double division — deterministic on both engines.
+    */
+  def lexicalDiversity(s: SparkSession, dir: String): DataFrame =
+    lexicalDiversityOn(Tables.documents(s, dir))
+
+  /** Core of [[lexicalDiversity]] over any (doc_id, text) frame. */
+  def lexicalDiversityOn(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("_toks", Dedup.tokens(col("text")))
+      .select(col("doc_id"),
+        size(col("_toks")).cast("long").as("n_tokens"),
+        size(array_distinct(col("_toks"))).cast("long").as("n_types"))
+      .withColumn("ttr",
+        when(col("n_tokens") > 0,
+          col("n_types").cast("double") / col("n_tokens").cast("double")))
+      .orderBy("doc_id")
+
+  /** qd21 — character-entropy quality score: Shannon entropy (nats)
+    * of each document's character distribution — near-zero entropy
+    * flags degenerate/repeated-character junk that length and
+    * stopword ratios miss.
+    *
+    * Parity: each term p·ln(p) is quantized to integer micro-nats by
+    * the same floor construction as qd11's TF-IDF (Math.log vs DuckDB
+    * ln can differ by 1 ulp), and the per-doc sum is then an EXACT
+    * integer sum — order-independent under any partitioning, no
+    * double-accumulation caveat at all.
+    *
+    * Scale: explode(chars) feeds a map-side partial aggregate on
+    * (doc_id, ch), so the exchange carries each doc's character
+    * HISTOGRAM (≤ ~100 rows/doc for ASCII prose), not its
+    * characters; the second aggregate reduces the histogram to one
+    * row per doc. The per-char row expansion never materializes
+    * outside the scan stage.
+    */
+  def charEntropy(s: SparkSession, dir: String): DataFrame =
+    charEntropyOn(Tables.documents(s, dir))
+
+  /** Core of [[charEntropy]] over any (doc_id, text, n_chars) frame. */
+  def charEntropyOn(docs: DataFrame): DataFrame = {
+    val chars = docs
+      .select(col("doc_id"), col("n_chars"),
+        explode(split(col("text"), "")).as("ch"))
+      // Java regex split keeps a trailing "" for zero-width matches;
+      // DuckDB's string_split does not — drop it as a row filter
+      // (cheaper than an array lambda, which re-evaluates its input)
+      .filter(col("ch") =!= "")
+    chars.groupBy("doc_id", "n_chars", "ch")
+      .agg(count(lit(1)).as("c"))
+      .withColumn("_p", col("c").cast("double") / col("n_chars").cast("double"))
+      .withColumn("_tm",
+        floor(col("_p") * log(col("_p")) * lit(1e6) + lit(0.5)).cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_distinct_chars"),
+        (-sum(col("_tm"))).cast("double").as("_microsum"))
+      .select(col("doc_id"), col("n_distinct_chars"),
+        (col("_microsum") / lit(1e6)).as("entropy"))
+      .orderBy("doc_id")
+  }
+
   /** Quality-scoring signals (SQL-expressible, bit-exact doubles).
     * Shared subexpressions (class counts, stopword regex, token
     * count, length) are materialized in their own projection so each

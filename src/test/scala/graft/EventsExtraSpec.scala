@@ -1,0 +1,129 @@
+package graft
+
+import graft.operators.{Events, TrainingOps}
+import org.apache.spark.sql.functions._
+
+/** Value-level semantics for the qs10/qs11/qd20/qd21 declared
+  * queries on crafted inputs — the cases the synthetic corpus only
+  * sometimes discriminates (exact-gap boundary, out-of-order funnel
+  * events, same-second ties, degenerate texts).
+  */
+class EventsExtraSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def eventsOf(rows: (Long, String, String, Double)*) =
+    rows.toDF("user_id", "ts_s", "event_type", "value")
+      .select(col("user_id"), to_timestamp(col("ts_s")).as("ts"),
+        col("event_type"), col("value"))
+
+  test("qs10: an event exactly gap after its predecessor MERGES (boundary is > gap)") {
+    val base = eventsOf(
+      (1L, "2024-01-01 10:00:00", "view", 1.0),
+      (1L, "2024-01-01 10:30:00", "view", 1.0)) // diff == 1800s
+    assert(Events.sessionWindowOn(base, 30).count() == 1,
+      "exact-gap event must stay in-session")
+    val split = eventsOf(
+      (1L, "2024-01-01 10:00:00", "view", 1.0),
+      (1L, "2024-01-01 10:30:01", "view", 1.0)) // diff == 1801s
+    assert(Events.sessionWindowOn(split, 30).count() == 2,
+      "gap+1s must start a new session")
+  }
+
+  test("qs10: session end is last event + gap; value sums exactly") {
+    val out = Events.sessionWindowOn(eventsOf(
+      (1L, "2024-01-01 10:00:00", "view", 0.10),
+      (1L, "2024-01-01 10:10:00", "click", 0.20)), 30).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[String]("session_start") == "2024-01-01 10:00:00")
+    assert(r.getAs[String]("session_end") == "2024-01-01 10:40:00")
+    assert(r.getAs[Long]("n_events") == 2L)
+    assert(r.getAs[Double]("session_value") == 0.30)
+  }
+
+  private def funnelCounts(rows: (Long, String, String)*): Map[String, Long] =
+    Events.funnelOn(eventsOf(rows.map(r => (r._1, r._2, r._3, 0.0)): _*))
+      .collect().map(r => r.getAs[String]("stage") -> r.getAs[Long]("n_user_days"))
+      .toMap
+
+  test("qs11: a click BEFORE the day's first view does not convert") {
+    val m = funnelCounts(
+      (1L, "2024-01-01 09:00:00", "click"),
+      (1L, "2024-01-01 10:00:00", "view"))
+    assert(m("1_view") == 1L && m("2_view_click") == 0L &&
+      m("3_view_click_purchase") == 0L)
+  }
+
+  test("qs11: a LATER click still converts after an early stray click") {
+    val m = funnelCounts(
+      (1L, "2024-01-01 09:00:00", "click"),
+      (1L, "2024-01-01 10:00:00", "view"),
+      (1L, "2024-01-01 11:00:00", "click"),
+      (1L, "2024-01-01 12:00:00", "purchase"))
+    assert(m("1_view") == 1L && m("2_view_click") == 1L &&
+      m("3_view_click_purchase") == 1L)
+  }
+
+  test("qs11: same-second view+click counts as ordered (documented tie rule)") {
+    val m = funnelCounts(
+      (1L, "2024-01-01 10:00:00", "view"),
+      (1L, "2024-01-01 10:00:00", "click"))
+    assert(m("2_view_click") == 1L)
+  }
+
+  test("qs11: purchase must follow the first QUALIFYING click, not any click") {
+    // purchase lands between the stray pre-view click and the
+    // qualifying one -> must not convert stage 3
+    val m = funnelCounts(
+      (1L, "2024-01-01 09:00:00", "click"),
+      (1L, "2024-01-01 10:00:00", "view"),
+      (1L, "2024-01-01 10:30:00", "purchase"),
+      (1L, "2024-01-01 11:00:00", "click"))
+    assert(m("2_view_click") == 1L && m("3_view_click_purchase") == 0L)
+  }
+
+  test("qs11: days are independent grains") {
+    val m = funnelCounts(
+      (1L, "2024-01-01 10:00:00", "view"),
+      (1L, "2024-01-02 10:00:00", "view"),
+      (1L, "2024-01-02 11:00:00", "click"))
+    assert(m("1_view") == 2L && m("2_view_click") == 1L)
+  }
+
+  private def docsOf(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+
+  test("qd20: all-distinct tokens give ttr 1.0; full repetition 1/n") {
+    val out = TrainingOps.lexicalDiversityOn(docsOf(
+        (1L, "alpha beta gamma delta"),
+        (2L, "spam spam spam spam"),
+        (3L, "...")))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_types"),
+          Option(r.getAs[java.lang.Double]("ttr")))).toMap
+    assert(out(1L) == ((4L, 4L, Some(1.0))))
+    assert(out(2L) == ((4L, 1L, Some(0.25))))
+    assert(out(3L) == ((0L, 0L, None)), "token-free text keeps NULL ttr")
+  }
+
+  test("qd21: entropy matches a pure-Scala reference under micro-nat quantization") {
+    val texts = Seq(1L -> "aaaaaaaa", 2L -> "abababab", 3L -> "abcdefgh",
+      4L -> "hello world, hello graft!")
+    val got = TrainingOps.charEntropyOn(docsOf(texts: _*))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_distinct_chars"), r.getAs[Double]("entropy"))).toMap
+    texts.foreach { case (id, t) =>
+      val counts = t.groupBy(identity).view.mapValues(_.length.toLong)
+      val n = t.length.toDouble
+      val micro = counts.values.map { c =>
+        math.floor((c / n) * math.log(c / n) * 1e6 + 0.5).toLong
+      }.sum
+      val want = -micro / 1e6
+      assert(got(id)._1 == counts.size.toLong, s"doc $id distinct chars")
+      assert(got(id)._2 == want, s"doc $id entropy: got ${got(id)._2}, want $want")
+    }
+    assert(got(1L)._2 == 0.0, "single-char text has zero entropy")
+    assert(got(2L)._2 < got(3L)._2, "entropy grows with alphabet size")
+  }
+}

@@ -295,6 +295,48 @@ class PlanSpec extends SparkSpec
     assert("PushedFilters: .*o_orderdate".r.findAllIn(p).size == 2, p)
   }
 
+  test("qs10: native session windows — MergingSessions on one user_id exchange") {
+    val p = plan(graft.operators.Events.sessionWindow(spark, sf))
+    assert(p.contains("MergingSessions"), p)
+    assert("hashpartitioning\\(user_id".r.findAllIn(p).size == 1, p)
+  }
+
+  test("qs11: funnel is ONE event scan, one grain exchange, three chained windows") {
+    val p = plan(graft.operators.Events.funnel(spark, sf))
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      "funnel must not rescan events per stage")
+    assert(p.contains("In(event_type"), "type filter pushed to the scan")
+    assert("\\bWindow\\b".r.findAllIn(p).size == 3, p)
+    assert("hashpartitioning\\(user_id#\\d+L, day".r.findAllIn(p).size == 1, p)
+  }
+
+  test("qd20: lexical diversity is map-only and prunes to (doc_id, text)") {
+    val p = plan(graft.operators.TrainingOps.lexicalDiversity(spark, sf))
+    // only the output-order range exchange — no hash shuffle at all
+    assert(!p.contains("hashpartitioning"), p)
+    val read = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!read.contains("lang") && !read.contains("source") &&
+      !read.contains("n_chars"), read)
+  }
+
+  test("qd21: entropy exchanges carry histograms (partial agg below the shuffle)") {
+    val p = plan(graft.operators.TrainingOps.charEntropy(spark, sf))
+    // explode -> partial agg -> exchange on (doc_id, n_chars, ch),
+    // then final+partial -> exchange on doc_id: two hash exchanges
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2, p)
+    assert("HashAggregate".r.findAllIn(p).size == 4, "partial+final x2")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!read.contains("lang") && !read.contains("source"), read)
+  }
+
+  test("qx16: SQL-surface mart plans like the DataFrame twin (broadcast dims)") {
+    val p = plan(graft.operators.Extras.sqlMart(spark, sf))
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 2, p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "partial+final agg")
+    assert("\\bWindow\\b".r.findAllIn(p).size == 1, p)
+  }
+
   test("global sweep: no declared query plans a CartesianProduct") {
     // BroadcastNestedLoopJoin is allowed ONLY where the operator is
     // deliberately O(n^2) at its declared verification config (qe3's
