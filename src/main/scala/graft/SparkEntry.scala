@@ -95,6 +95,9 @@ object SparkEntry {
     "qd20_lexical_diversity" -> TrainingOps.lexicalDiversity _,
     "qd21_char_entropy"  -> TrainingOps.charEntropy _,
     "qx16_sql_api"       -> (Extras.sqlMart _),
+    "qs12_stream_session_window" ->
+      (graft.streaming.SessionStream.sessionWindowGate _),
+    "qx17_spend_distribution" -> (Events.spendDistribution _),
   )
 
   /** Queries intentionally without an oracle — EMPTY since round 5:
@@ -559,20 +562,20 @@ object SparkEntry {
     // nanos/micros precision gap cannot move a boundary. Ties need
     // event_id in BOTH window orders so lag and the cumsum walk rows
     // identically.
-    "qs10_session_window" ->
-      ("""WITH e AS (SELECT user_id, event_id, date_trunc('second', ts) AS tsec, value FROM events),
-         |f AS (SELECT *, lag(tsec) OVER (PARTITION BY user_id ORDER BY tsec, event_id) AS prev_t FROM e),
-         |g AS (SELECT *, CASE WHEN prev_t IS NULL THEN 1
-         |                     WHEN CAST(floor(epoch(tsec)) AS BIGINT) - CAST(floor(epoch(prev_t)) AS BIGINT) > 1800 THEN 1
-         |                     ELSE 0 END AS ns FROM f),
-         |h AS (SELECT *, SUM(ns) OVER (PARTITION BY user_id ORDER BY tsec, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM g)
-         |SELECT user_id,
-         |  strftime(min(tsec), '%Y-%m-%d %H:%M:%S') AS session_start,
-         |  strftime(max(tsec) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
-         |  count(*) AS n_events,
-         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
-         |FROM h GROUP BY user_id, sid
-         |ORDER BY user_id, session_start""".stripMargin),
+    "qs10_session_window" -> sessionWindowSql,
+    // native STREAMING session windows (MergingSessions state store,
+    // complete-mode drain) — same computation, same oracle
+    "qs12_stream_session_window" -> sessionWindowSql,
+    "qx17_spend_distribution" ->
+      ("""WITH s AS (SELECT event_type, user_id,
+         |  SUM(CAST(value AS DECIMAL(18,2))) AS spend_dec
+         |  FROM events GROUP BY 1, 2)
+         |SELECT event_type, user_id, CAST(spend_dec AS DOUBLE) AS spend,
+         |  CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+         |  percent_rank() OVER w AS pct_rank,
+         |  cume_dist() OVER w AS cume
+         |FROM s WINDOW w AS (PARTITION BY event_type ORDER BY spend_dec DESC, user_id)
+         |ORDER BY event_type, user_id""".stripMargin),
     // Strict ordered funnel at (user, day) grain; ">= on floored
     // epoch seconds" is the tie rule both engines share.
     "qs11_funnel" ->
@@ -654,6 +657,27 @@ object SparkEntry {
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
       |FROM g GROUP BY user_id, session_id
       |ORDER BY user_id, session_id""".stripMargin
+
+  /** Native session-window oracle, shared by batch qs10 and streaming
+    * qs12 (identical computation through two execution paths). The
+    * lag+cumsum CTE mirrors MergingSessions' semantics: strictly
+    * > gap starts a session, end = last event + gap, all on
+    * second-truncated timestamps.
+    */
+  private val sessionWindowSql: String =
+    """WITH e AS (SELECT user_id, event_id, date_trunc('second', ts) AS tsec, value FROM events),
+      |f AS (SELECT *, lag(tsec) OVER (PARTITION BY user_id ORDER BY tsec, event_id) AS prev_t FROM e),
+      |g AS (SELECT *, CASE WHEN prev_t IS NULL THEN 1
+      |                     WHEN CAST(floor(epoch(tsec)) AS BIGINT) - CAST(floor(epoch(prev_t)) AS BIGINT) > 1800 THEN 1
+      |                     ELSE 0 END AS ns FROM f),
+      |h AS (SELECT *, SUM(ns) OVER (PARTITION BY user_id ORDER BY tsec, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM g)
+      |SELECT user_id,
+      |  strftime(min(tsec), '%Y-%m-%d %H:%M:%S') AS session_start,
+      |  strftime(max(tsec) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+      |  count(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+      |FROM h GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin
 
   /** Shared CTE: per-doc distinct word 3-gram shingle sets as strings,
     * mirroring Dedup.tokens + gramStrings (docs under 3 tokens fold to

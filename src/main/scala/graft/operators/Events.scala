@@ -218,6 +218,31 @@ object Events {
       .orderBy("event_type", "rnk", "user_id")
   }
 
+  /** qx17 — distribution window functions (ntile / percent_rank /
+    * cume_dist), the remaining window vocabulary beyond rank /
+    * row_number / lead / frames: per event type, each user's spend
+    * quartile and exact distribution position. Determinism: the
+    * window ORDER BY (spend_dec DESC, user_id) is a total order
+    * (user_id unique within type), so there are no peer groups and
+    * every function is position-exact; spend itself is the decimal
+    * money sum. percent_rank's (rank-1)/(N-1) and cume_dist's
+    * peers/N are integer-over-integer double divisions — bit-equal
+    * across engines. One Window pass on one event_type exchange.
+    */
+  def spendDistribution(s: SparkSession, dir: String): DataFrame = {
+    val spend = Tables.events(s, dir)
+      .groupBy("event_type", "user_id")
+      .agg(Fns.moneySum(col("value")).as("spend_dec"))
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("spend_dec").desc, col("user_id"))
+    spend.select(col("event_type"), col("user_id"),
+        col("spend_dec").cast("double").as("spend"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"))
+      .orderBy("event_type", "user_id")
+  }
+
   /** Top-5 users by spend per event type — groupBy + rank window
     * composition on the events stream table.
     */

@@ -241,4 +241,64 @@ object SessionStream {
         col("session_value"))
       .orderBy("user_id", "session_id")
   }
+
+  /** qs12 — NATIVE streaming session windows: the same
+    * `session_window` expression qs10 runs in batch, executed by the
+    * streaming MergingSessions state-store path (sessions merge
+    * incrementally in store state instead of via custom
+    * flatMapGroupsWithState code — the two streaming sessionizers
+    * bracket the design space).
+    *
+    * Complete output mode is the drain-verify configuration, and
+    * deliberately so: on a FINITE input, append mode can never emit
+    * a user's trailing session — its window end is last_ts + gap,
+    * which is always beyond the final watermark — so a drain would
+    * come up one session short per user. Complete snapshots the full
+    * session state at termination instead; the cost (state holds
+    * every session) is bounded by the drain corpus. A production
+    * continuous pipeline runs append + watermark, where later
+    * arrivals push the watermark past prior sessions and flush them
+    * incrementally.
+    *
+    * Shares qs10's oracle verbatim: same truncate-to-second input,
+    * same > gap merge boundary, decimal money sum inside the
+    * streaming aggregate.
+    */
+  def sessionWindowStream(spark: SparkSession, eventsDir: String,
+                          queryName: String,
+                          gapMinutes: Int = 30): DataFrame =
+    graft.core.Tables.withNanosConf(spark) {
+      val schema = spark.read.parquet(eventsDir).schema
+      val sessions = spark.readStream.schema(schema).parquet(eventsDir)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        .select(col("user_id"),
+          date_trunc("second", col("ts")).as("tsec"), col("value"))
+        .groupBy(col("user_id"),
+          session_window(col("tsec"), s"$gapMinutes minutes"))
+        .agg(count(lit(1)).as("n_events"),
+          graft.core.Fns.moneySum(col("value")).cast("double")
+            .as("session_value"))
+        .select(col("user_id"),
+          date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss")
+            .as("session_start"),
+          date_format(col("session_window.end"), "yyyy-MM-dd HH:mm:ss")
+            .as("session_end"),
+          col("n_events"), col("session_value"))
+      val q = sessions.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(queryName)
+    }
+
+  /** The declared qs12 wrapper (same view lifecycle as qs7). */
+  def sessionWindowGate(s: SparkSession, dir: String): DataFrame = {
+    val name = s"qs12_sessions_${gateRuns.incrementAndGet()}"
+    Option(lastGateView.getAndSet(name)).foreach(s.catalog.dropTempView(_))
+    sessionWindowStream(s, graft.io.Scratch.ensureEventsLanding(dir), name)
+      .orderBy("user_id", "session_start")
+  }
 }

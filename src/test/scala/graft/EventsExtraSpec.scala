@@ -90,6 +90,15 @@ class EventsExtraSpec extends SparkSpec {
     assert(m("1_view") == 2L && m("2_view_click") == 1L)
   }
 
+  test("qs12: streaming session_window drain equals the batch form exactly") {
+    val sf = "/root/testdata/sf0.001"
+    val batch = Events.sessionWindow(spark, sf).collect().toSeq
+    val stream = graft.streaming.SessionStream
+      .sessionWindowGate(spark, sf).collect().toSeq
+    assert(stream == batch,
+      s"stream ${stream.length} rows vs batch ${batch.length}")
+  }
+
   private def docsOf(rows: (Long, String)*) =
     rows.toDF("doc_id", "text")
       .withColumn("n_chars", length(col("text")).cast("long"))

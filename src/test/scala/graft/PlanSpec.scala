@@ -337,6 +337,15 @@ class PlanSpec extends SparkSpec
     assert("\\bWindow\\b".r.findAllIn(p).size == 1, p)
   }
 
+  test("qx17: distribution windows share ONE Window pass") {
+    val p = plan(graft.operators.Events.spendDistribution(spark, sf))
+    // ntile + percent_rank (RowFrame) and cume_dist (RangeFrame) all
+    // evaluate in a single Window node over one sorted pass; the only
+    // hash exchanges are the spend agg's and the window's repartition
+    assert("\\bWindow\\b".r.findAllIn(p).size == 1, p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2, p)
+  }
+
   test("global sweep: no declared query plans a CartesianProduct") {
     // BroadcastNestedLoopJoin is allowed ONLY where the operator is
     // deliberately O(n^2) at its declared verification config (qe3's
