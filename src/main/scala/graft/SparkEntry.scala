@@ -98,6 +98,8 @@ object SparkEntry {
     "qs12_stream_session_window" ->
       (graft.streaming.SessionStream.sessionWindowGate _),
     "qx17_spend_distribution" -> (Events.spendDistribution _),
+    "qx18_grouping_sets" -> (Extras.groupingSetsAgg _),
+    "qd22_prune_vocab"   -> ((s, d) => TrainingOps.pruneVocab(s, d)),
   )
 
   /** Queries intentionally without an oracle — EMPTY since round 5:
@@ -621,6 +623,43 @@ object SparkEntry {
          |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin),
     // The SQL-surface query: the oracle IS the Spark-side text.
     "qx16_sql_api" -> Extras.sqlMartText,
+    // Both engines use the same grouping_id bit convention
+    // (leftmost grouping column = most significant bit, 1 = that
+    // column aggregated out in this row).
+    "qx18_grouping_sets" ->
+      ("""SELECT o_orderstatus, o_orderpriority,
+         |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS INTEGER) AS gid,
+         |  count(*) AS n,
+         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+         |FROM orders
+         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+         |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"""
+        .stripMargin),
+    // list_filter preserves source order, so no position plumbing is
+    // needed on the oracle side; len > 0 mirrors the Spark inner
+    // join dropping fully-pruned documents. The relative min-df
+    // threshold (df >= N/10) is integer cross-multiplied on both
+    // sides — no float rounding in the cut.
+    "qd22_prune_vocab" ->
+      ("""WITH toks AS (
+         |  SELECT doc_id, list_filter(string_split(
+         |    regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+         |    t -> t != '') AS t
+         |  FROM documents),
+         |dfreq AS (
+         |  SELECT token, count(*) AS df FROM (
+         |    SELECT DISTINCT doc_id, unnest(t) AS token FROM toks)
+         |  GROUP BY token),
+         |kv AS (SELECT list(token) AS kept FROM dfreq
+         |       WHERE df * 10 >= (SELECT count(*) FROM documents)),
+         |pruned AS (
+         |  SELECT doc_id,
+         |    list_filter(t, x -> list_contains(kv.kept, x)) AS p
+         |  FROM toks CROSS JOIN kv)
+         |SELECT doc_id, CAST(len(p) AS BIGINT) AS n_kept,
+         |  array_to_string(p, ' ') AS pruned_text
+         |FROM pruned WHERE len(p) > 0
+         |ORDER BY doc_id""".stripMargin),
   )
 
   private val hourlyStatsSql: String =

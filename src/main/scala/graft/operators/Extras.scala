@@ -149,6 +149,27 @@ object Extras {
       .orderBy("o_orderkey")
   }
 
+  /** qx18 — EXPLICIT grouping sets with grouping_id(): the general
+    * form behind qx4's rollup and qx5's cube — two independent
+    * one-dimension aggregates plus the grand total in a single pass
+    * (an Expand of 3 projections feeding one partial+final
+    * aggregate), where computing them separately would scan orders
+    * three times. grouping_id() (bit per column, 1 = aggregated-out)
+    * disambiguates a NULL group key from an aggregated-out one; both
+    * engines use the same bit convention (leftmost column = MSB).
+    */
+  def groupingSetsAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(grouping_id().cast("int").as("gid"),
+        count(lit(1)).as("n"),
+        Fns.moneySum(col("o_totalprice")).cast("double").as("total"))
+      .select("o_orderstatus", "o_orderpriority", "gid", "n", "total")
+      .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
   /** qx16 — the SQL surface: ONE ANSI SQL string planned by Spark's
     * parser over temp views AND run verbatim by DuckDB as its own
     * oracle. Every other declared query proves the DataFrame/Dataset

@@ -96,6 +96,48 @@ object TrainingOps {
       .orderBy("doc_id")
   }
 
+  /** qd22 — min-document-frequency vocabulary pruning: rewrite each
+    * document keeping only tokens that appear in >= 1/`minDfInv` of
+    * all documents (relative min-df, CountVectorizer-style) — the
+    * standard vocab-pruning stage before embedding / n-gram model
+    * training (rare tokens are noise and blow up the vocabulary).
+    * The threshold compare is integer cross-multiplication
+    * (df * minDfInv >= N), so there is no float rounding to disagree
+    * across engines. On the gate corpora this prunes exactly the one
+    * rare token (df 5% vs the ~75-83% cluster — the synthetic vocab
+    * is 31 tokens, not Zipf); documents whose every token is pruned
+    * would drop out (mirrored by the oracle's len > 0 filter).
+    *
+    * Scale shape: distinct-then-count builds the document-frequency
+    * table with map-side partial aggregation; the kept vocabulary —
+    * small after the min-df cut — is BROADCAST into the occurrence
+    * join (qd14's decontamination shape), so the big token stream
+    * never reshuffles for the filter, and the corpus count N rides
+    * the same broadcast as a crossJoin scalar (qd11's pattern);
+    * order is restored by sorting each doc's surviving (pos, token)
+    * pairs inside the final per-doc aggregate, never a global sort.
+    */
+  def pruneVocab(s: SparkSession, dir: String,
+                 minDfInv: Int = 10): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val toks = docs
+      .select(col("doc_id"),
+        posexplode(Dedup.tokens(col("text"))).as(Seq("pos", "token")))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val kept = toks.select("doc_id", "token").distinct()
+      .groupBy("token").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(n))
+      .filter(col("df") * lit(minDfInv.toLong) >= col("n_docs"))
+      .select("token")
+    toks.join(broadcast(kept), "token")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("token")))),
+          x => x.getField("token"))).as("pruned_text"))
+      .orderBy("doc_id")
+  }
+
   /** Quality-scoring signals (SQL-expressible, bit-exact doubles).
     * Shared subexpressions (class counts, stopword regex, token
     * count, length) are materialized in their own projection so each

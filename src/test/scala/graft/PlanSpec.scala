@@ -346,6 +346,23 @@ class PlanSpec extends SparkSpec
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 2, p)
   }
 
+  test("qx18: grouping sets are ONE Expand + one partial+final aggregate") {
+    val p = plan(graft.operators.Extras.groupingSetsAgg(spark, sf))
+    assert("\\bExpand\\b".r.findAllIn(p).size == 1,
+      "three grouping sets must share one Expand, not three scans")
+    assert("Scan parquet".r.findAllIn(p).size == 1, p)
+    assert("HashAggregate".r.findAllIn(p).size == 2, "partial+final")
+  }
+
+  test("qd22: vocab filter is a broadcast join — the token stream never reshuffles") {
+    val p = plan(graft.operators.TrainingOps.pruneVocab(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // docs scanned for the df build and the rewrite (+ the count-star
+    // scalar, satisfied from parquet stats) — never more
+    assert("Scan parquet".r.findAllIn(p).size <= 3, p)
+  }
+
   test("global sweep: no declared query plans a CartesianProduct") {
     // BroadcastNestedLoopJoin is allowed ONLY where the operator is
     // deliberately O(n^2) at its declared verification config (qe3's
@@ -353,7 +370,8 @@ class PlanSpec extends SparkSpec
     // single scalar row (qd11's corpus-count N); a CartesianProduct
     // anywhere means a join lost its keys.
     val bnljAllowed =
-      Set("qe3_embedding_neardups", "qe1_knn_brute", "qd11_doc_keywords")
+      Set("qe3_embedding_neardups", "qe1_knn_brute", "qd11_doc_keywords",
+        "qd22_prune_vocab") // qd22: corpus-count N as a 1-row broadcast
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val p = plan(fn(spark, sf))
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian")
