@@ -100,6 +100,7 @@ object SparkEntry {
     "qx17_spend_distribution" -> (Events.spendDistribution _),
     "qx18_grouping_sets" -> (Extras.groupingSetsAgg _),
     "qd22_prune_vocab"   -> ((s, d) => TrainingOps.pruneVocab(s, d)),
+    "qd23_bigram_lm"     -> (TrainingOps.bigramLm _),
   )
 
   /** Queries intentionally without an oracle — EMPTY since round 5:
@@ -660,6 +661,23 @@ object SparkEntry {
          |  array_to_string(p, ' ') AS pruned_text
          |FROM pruned WHERE len(p) > 0
          |ORDER BY doc_id""".stripMargin),
+    // Per-bigram ln P quantized to integer micro-nats -> exact
+    // per-doc sums; the two trailing double divisions run in the
+    // same order on both engines.
+    "qd23_bigram_lm" ->
+      ("""WITH b AS (
+         |  SELECT doc_id, substr(text, CAST(i AS INTEGER), 2) AS bg
+         |  FROM (SELECT doc_id, text,
+         |          unnest(generate_series(1, CAST(n_chars AS BIGINT) - 1)) AS i
+         |        FROM documents WHERE n_chars >= 2)),
+         |m AS (SELECT bg, count(*) AS c FROM b GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS t FROM m),
+         |q AS (SELECT bg, CAST(floor(ln(CAST(c AS DOUBLE) / (SELECT t FROM tot))
+         |        * 1000000.0 + 0.5) AS BIGINT) AS tm FROM m)
+         |SELECT doc_id, count(*) AS n_bigrams,
+         |  CAST(-SUM(tm) AS DOUBLE) / 1000000.0 / CAST(count(*) AS DOUBLE) AS avg_nll
+         |FROM b JOIN q USING (bg)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
   )
 
   private val hourlyStatsSql: String =

@@ -138,6 +138,67 @@ object TrainingOps {
       .orderBy("doc_id")
   }
 
+  /** qd23 — character-bigram language-model scoring: estimate a
+    * unigram-of-bigrams model from the corpus itself, then score
+    * each document by its average negative log-likelihood — the
+    * classic statistical-LM quality filter (perplexity filtering):
+    * text whose character transitions are unlike the corpus (mojibake,
+    * base64 blobs, wrong-language fragments) scores high and gets
+    * cut. Self-estimated here; production swaps in a reference-corpus
+    * model table, same join.
+    *
+    * Parity: per-bigram ln P is quantized to integer micro-nats
+    * (qd11/qd21's floor construction), so each doc's sum is exact
+    * integer arithmetic; the two final double divisions are performed
+    * in the same order by both engines.
+    *
+    * Scale shape: the model is a tiny aggregate (≤ alphabet² rows) —
+    * it and the corpus total BROADCAST into the scoring join, so the
+    * bigram stream shuffles only for the per-doc reduce; the
+    * bigram explode never materializes outside its stage (map-side
+    * partial aggregation on both consumers).
+    */
+  def bigramLm(s: SparkSession, dir: String): DataFrame =
+    bigramLmOn(Tables.documents(s, dir))
+
+  /** Core of [[bigramLm]] over any (doc_id, text, n_chars) frame.
+    *
+    * The bigram ARRAY is materialized per doc before the explode so
+    * the Generate emits only (doc_id, bg) — exploding positions and
+    * slicing afterwards copies the full text into every position row
+    * (~300x row-size amplification; the first cut of this query
+    * spent 6 s there). The array comes from regexp_extract_all with
+    * an overlapping lookahead — NOT a transform() lambda: array HOFs
+    * are CodegenFallback, and one in the stage drops the whole
+    * explode+aggregate stage to interpreted eval (measured 3.5 s for
+    * the explode alone vs ~0.6 s codegen'd; (?s) keeps dot matching
+    * newlines so the capture equals substring semantics exactly).
+    * Occurrences then reduce to per-(doc, bigram) counts in ONE
+    * pass; both the model and the scoring join derive from those
+    * counts, so nothing ever rescans the bigram stream at full
+    * multiplicity.
+    */
+  def bigramLmOn(docs: DataFrame): DataFrame = {
+    val bcnt = docs.where(col("n_chars") >= 2)
+      .withColumn("_bgs",
+        regexp_extract_all(col("text"), lit("(?s)(?=(..))."), lit(1)))
+      .select(col("doc_id"), explode(col("_bgs")).as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("n"))
+    val model = bcnt.groupBy("bg").agg(sum(col("n")).as("c"))
+    val total = model.agg(sum(col("c")).as("t"))
+    val scored = model.crossJoin(broadcast(total))
+      .withColumn("tm",
+        floor(log(col("c").cast("double") / col("t").cast("double"))
+          * lit(1e6) + lit(0.5)).cast("long"))
+      .select("bg", "tm")
+    bcnt.join(broadcast(scored), "bg")
+      .groupBy("doc_id")
+      .agg(sum(col("n")).as("n_bigrams"),
+        ((-sum(col("n") * col("tm"))).cast("double") / lit(1e6) /
+          sum(col("n")).cast("double")).as("avg_nll"))
+      .orderBy("doc_id")
+  }
+
   /** Quality-scoring signals (SQL-expressible, bit-exact doubles).
     * Shared subexpressions (class counts, stopword regex, token
     * count, length) are materialized in their own projection so each

@@ -116,6 +116,19 @@ class EventsExtraSpec extends SparkSpec {
     assert(out(3L) == ((0L, 0L, None)), "token-free text keeps NULL ttr")
   }
 
+  test("qd23: text made of corpus-frequent bigrams scores lower avg_nll") {
+    // doc 1 is pure 'aa' transitions (dominant in this corpus); doc 2
+    // ends in the rare 'ab' — its average NLL must be strictly higher
+    val got = TrainingOps.bigramLmOn(docsOf(
+        (1L, "aaaaaaaaaa"), (2L, "aaaaaaaaab")))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Double]("avg_nll"))).toMap
+    assert(got(1L)._1 == 9L && got(2L)._1 == 9L)
+    assert(got(1L)._2 < got(2L)._2,
+      s"frequent-bigram text must score lower: $got")
+    assert(got(1L)._2 > 0.0, "NLL of a non-certain model is positive")
+  }
+
   test("qd21: entropy matches a pure-Scala reference under micro-nat quantization") {
     val texts = Seq(1L -> "aaaaaaaa", 2L -> "abababab", 3L -> "abcdefgh",
       4L -> "hello world, hello graft!")

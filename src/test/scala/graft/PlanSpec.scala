@@ -363,6 +363,12 @@ class PlanSpec extends SparkSpec
     assert("Scan parquet".r.findAllIn(p).size <= 3, p)
   }
 
+  test("qd23: the LM model broadcasts into the scoring join") {
+    val p = plan(graft.operators.TrainingOps.bigramLm(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("global sweep: no declared query plans a CartesianProduct") {
     // BroadcastNestedLoopJoin is allowed ONLY where the operator is
     // deliberately O(n^2) at its declared verification config (qe3's
@@ -371,7 +377,8 @@ class PlanSpec extends SparkSpec
     // anywhere means a join lost its keys.
     val bnljAllowed =
       Set("qe3_embedding_neardups", "qe1_knn_brute", "qd11_doc_keywords",
-        "qd22_prune_vocab") // qd22: corpus-count N as a 1-row broadcast
+        // qd22/qd23: corpus-count/total as a 1-row broadcast
+        "qd22_prune_vocab", "qd23_bigram_lm")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val p = plan(fn(spark, sf))
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian")
