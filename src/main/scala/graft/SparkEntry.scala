@@ -101,6 +101,11 @@ object SparkEntry {
     "qx18_grouping_sets" -> (Extras.groupingSetsAgg _),
     "qd22_prune_vocab"   -> ((s, d) => TrainingOps.pruneVocab(s, d)),
     "qd23_bigram_lm"     -> (TrainingOps.bigramLm _),
+    "qp2_dpp_read"       -> (Marts.dppMartRead _),
+    "qs13_hourly_delta"  -> (Events.hourlyDelta _),
+    "qx19_corr_subquery" -> (Extras.corrSubquery _),
+    "qd24_redact"        -> (graft.operators.TextPrep.redactQuery _),
+    "qd25_repetition"    -> (TrainingOps.repetition _),
   )
 
   /** Queries intentionally without an oracle — EMPTY since round 5:
@@ -678,6 +683,75 @@ object SparkEntry {
          |  CAST(-SUM(tm) AS DOUBLE) / 1000000.0 / CAST(count(*) AS DOUBLE) AS avg_nll
          |FROM b JOIN q USING (bg)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+  ) ++ batch8Sql
+
+  private val batch8Sql: Map[String, String] = Map(
+    // qp2: runtime-pruned read — q09 joined to the filtered dim; the
+    // Spark side must produce the same rows while only OPENING the
+    // store partitions the broadcast dim admits (PlanSpec pins the
+    // dynamicpruning PartitionFilter).
+    "qp2_dpp_read" ->
+      (s"""WITH q AS (\n$q09SqlCore)
+         |SELECT q.store, n.n_name AS nation, q.person, q.month,
+         |  q.total, q.incentive
+         |FROM q JOIN nation n ON q.store = n.n_nationkey
+         |WHERE n.n_regionkey = 1
+         |ORDER BY q.store, q.month, q.person""".stripMargin),
+    // qs13: lag window over the (type, hour) grain; delta on the
+    // DECIMAL totals (exact subtraction), NULL for each type's first
+    // hour. DuckDB lag default is NULL — same as Spark's.
+    "qs13_hourly_delta" ->
+      ("""WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hour_ts,
+         |  SUM(CAST(value AS DECIMAL(18,2))) AS total_dec
+         |  FROM events GROUP BY 1, 2)
+         |SELECT event_type, strftime(hour_ts, '%Y-%m-%d %H:00:00') AS hour,
+         |  CAST(total_dec AS DOUBLE) AS total,
+         |  CAST(total_dec - lag(total_dec)
+         |    OVER (PARTITION BY event_type ORDER BY hour_ts) AS DOUBLE) AS delta
+         |FROM h ORDER BY event_type, hour""".stripMargin),
+    // qx19: the oracle IS the Spark-side text (same convention as
+    // qx16) — DuckDB decorrelates it with its own rewrite, landing on
+    // the same values by the subquery's definition.
+    "qx19_corr_subquery" -> Extras.corrSubqueryText,
+    // qd24: RE2 and Java agree on \b + alternation; DuckDB needs the
+    // explicit 'g' flag where Spark's regexp_replace is global by
+    // default.
+    "qd24_redact" ->
+      ("""SELECT doc_id,
+         |  regexp_replace(text, '\b(customer|key|stream)\b', '<PII>', 'g')
+         |    AS redacted_text,
+         |  CAST(len(regexp_extract_all(text, '\b(customer|key|stream)\b'))
+         |    AS INTEGER) AS n_redacted
+         |FROM documents ORDER BY doc_id""".stripMargin),
+    // qd25: same tokenizer as qd9/qd20; bigrams via 1-based list
+    // indexing over range(1, len) = positions 1..len-1; ratios are
+    // int/int double divisions (exact on both engines). Zero-token
+    // docs drop out; single-token docs keep NULL dup_bigram_ratio
+    // via the LEFT JOIN.
+    "qd25_repetition" ->
+      ("""WITH toks AS (
+         |  SELECT doc_id, list_filter(string_split(
+         |    regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+         |    t -> t != '') AS t
+         |  FROM documents),
+         |tok AS (SELECT doc_id, unnest(t) AS token FROM toks WHERE len(t) > 0),
+         |tc AS (SELECT doc_id, token, count(*) AS c FROM tok GROUP BY 1, 2),
+         |top AS (SELECT doc_id, max(c) AS max_c,
+         |          CAST(SUM(c) AS BIGINT) AS n_tokens FROM tc GROUP BY 1),
+         |g AS (SELECT doc_id, unnest(list_transform(range(1, len(t)),
+         |        i -> t[i] || ' ' || t[i+1])) AS gram
+         |      FROM toks WHERE len(t) >= 2),
+         |gc AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2),
+         |du AS (SELECT doc_id,
+         |         SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup,
+         |         SUM(c) AS tot FROM gc GROUP BY 1)
+         |SELECT t.doc_id, t.n_tokens,
+         |  CAST(t.max_c AS DOUBLE) / CAST(t.n_tokens AS DOUBLE)
+         |    AS top_token_ratio,
+         |  CAST(du.dup AS DOUBLE) / CAST(du.tot AS DOUBLE)
+         |    AS dup_bigram_ratio
+         |FROM top t LEFT JOIN du ON t.doc_id = du.doc_id
+         |ORDER BY t.doc_id""".stripMargin),
   )
 
   private val hourlyStatsSql: String =

@@ -166,6 +166,42 @@ object Events {
       .orderBy("stage")
   }
 
+  /** qs13 — hour-over-hour revenue delta per event type: the lag
+    * window standalone (qx14 uses lead inside SCD2; this is the
+    * report shape — "how did this hour compare to the previous one").
+    * The delta is computed on the DECIMAL totals (exact subtraction,
+    * no float cancellation) and cast to double only at the output
+    * boundary; the first hour of each type has no predecessor and
+    * keeps a NULL delta. Hours with zero events for a type are absent
+    * from the grain, so the delta is against the previous PRESENT
+    * hour — documented semantics, mirrored by the oracle.
+    *
+    * Scale shape: the tumbling-window aggregate reduces raw events to
+    * the (type, hour) grain FIRST (partial aggregation map-side), so
+    * the lag window's exchange and sort touch ~720 rows per type, not
+    * the event stream; the window is one pass over that reduced
+    * frame.
+    */
+  def hourlyDelta(s: SparkSession, dir: String): DataFrame =
+    hourlyDeltaOn(Tables.events(s, dir))
+
+  /** Core of [[hourlyDelta]] over any (event_type, ts, value) frame
+    * (spec entry point for crafted gap/first-hour cases).
+    */
+  def hourlyDeltaOn(events: DataFrame): DataFrame = {
+    val hourly = events
+      .groupBy(date_trunc("hour", col("ts")).as("hour_ts"),
+        col("event_type"))
+      .agg(Fns.moneySum(col("value")).as("total_dec"))
+    val w = Window.partitionBy("event_type").orderBy("hour_ts")
+    hourly.select(col("event_type"),
+        date_format(col("hour_ts"), "yyyy-MM-dd HH:00:00").as("hour"),
+        col("total_dec").cast("double").as("total"),
+        (col("total_dec") - lag("total_dec", 1).over(w))
+          .cast("double").as("delta"))
+      .orderBy("event_type", "hour")
+  }
+
   /** JSON property extraction from the `props` column. */
   def propsExtract(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)

@@ -208,4 +208,36 @@ object Extras {
     Tables.nation(s, dir).createOrReplaceTempView("nation")
     s.sql(sqlMartText)
   }
+
+  /** qx19 — CORRELATED scalar subqueries, the SQL shape analysts
+    * write first ("for each customer, how many big orders / the
+    * biggest one"). Naively this is one subquery execution per outer
+    * row — O(customers × orders) at scale. Catalyst's
+    * RewriteCorrelatedScalarSubquery decorrelates both subqueries
+    * into ONE aggregate over orders plus left-outer joins, so the
+    * plan is the qx1 shape regardless of how the user phrased it —
+    * that rewrite is what makes the phrasing survive 100 TB. The
+    * filter empties 202 customers' groups, exercising the two
+    * decorrelation edge cases: COUNT over an empty group must
+    * resurface as 0 (the "COUNT bug" — a bare outer join would leave
+    * NULL), while MAX stays NULL. Oracle: DuckDB runs the same text
+    * verbatim (its own decorrelation produces the same values by
+    * definition of the subquery semantics).
+    */
+  val corrSubqueryText: String =
+    """SELECT c.c_custkey, c.c_name,
+      |  (SELECT count(*) FROM orders o
+      |   WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+      |    AS n_big,
+      |  (SELECT max(o.o_totalprice) FROM orders o
+      |   WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+      |    AS max_big
+      |FROM customer c
+      |ORDER BY c.c_custkey""".stripMargin
+
+  def corrSubquery(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("orders")
+    Tables.customer(s, dir).createOrReplaceTempView("customer")
+    s.sql(corrSubqueryText)
+  }
 }

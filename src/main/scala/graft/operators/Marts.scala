@@ -114,4 +114,31 @@ object Marts {
       .select(col("store").cast("int").as("store"), col("person"),
         col("month"), col("total"), col("incentive"))
       .orderBy("store", "month", "person")
+
+  /** qp2 — DYNAMIC partition pruning: qp1 proves static pruning
+    * (literal predicates on partition columns); this is the other
+    * half — the pruning predicate is only knowable at RUNTIME because
+    * it arrives through a join. The mart is partitioned by store, the
+    * query joins store = n_nationkey against nation filtered to one
+    * region (5 of 25 nations), and no literal store predicate exists
+    * anywhere: Catalyst's DynamicPartitionPruning rule reuses the
+    * dim side's broadcast as a subquery filter inside the scan's
+    * PartitionFilters, so the fact scan opens only the ~20% of
+    * store=... directories that can survive the join. At 100 TB this
+    * is THE mechanism that makes "fact JOIN filtered dim" queries
+    * read less than the whole fact table when the filter column
+    * isn't a partition key itself. PlanSpec pins the dynamicpruning
+    * expression in the scan and the pruned partition count; the
+    * oracle is q09's SQL joined to the same filtered dim.
+    */
+  def dppMartRead(s: SparkSession, dir: String): DataFrame = {
+    val mart = s.read.parquet(ensurePartitionedMart(s, dir))
+    val dim = graft.core.Tables.nation(s, dir)
+      .filter(col("n_regionkey") === 1)
+      .select(col("n_nationkey"), col("n_name").as("nation"))
+    mart.join(dim, mart("store") === dim("n_nationkey"))
+      .select(col("store").cast("int").as("store"), col("nation"),
+        col("person"), col("month"), col("total"), col("incentive"))
+      .orderBy("store", "month", "person")
+  }
 }

@@ -82,6 +82,37 @@ object TextPrep {
       .select("doc_id", "kept_text", "n_removed")
       .orderBy("doc_id")
 
+  /** PII-style pattern redaction: replace every match of `pattern`
+    * with `replacement` and count the redactions — the masking stage
+    * every training-data pipeline runs for emails / phone numbers /
+    * credential-looking strings before text reaches a model. The
+    * pattern is caller-supplied (real deployments chain several);
+    * both columns come from ONE scan pass — regexp_count and
+    * regexp_replace each traverse the row once, map-only, zero
+    * shuffle, so the op scales linearly with corpus bytes.
+    *
+    * Regex dialect note: the pattern must stay in the Java ∩ RE2
+    * common subset for oracle parity (word boundaries, alternation,
+    * classes — no lookbehind, which RE2 lacks).
+    */
+  def redact(df: DataFrame, textCol: String,
+      pattern: String, replacement: String): DataFrame =
+    df.withColumn("n_redacted",
+        regexp_count(col(textCol), lit(pattern)).cast("int"))
+      .withColumn("redacted_text",
+        regexp_replace(col(textCol), pattern, replacement))
+
+  /** The qd24 declared form: mask three entity-ish vocabulary words.
+    * (The synthetic corpus has no real emails/phones — the gate
+    * pattern picks tokens that DO occur, so the oracle check is
+    * value-bearing on every row rather than vacuously identity.)
+    */
+  def redactQuery(s: SparkSession, dir: String): DataFrame =
+    redact(Tables.documents(s, dir), "text",
+      "\\b(customer|key|stream)\\b", "<PII>")
+      .select("doc_id", "redacted_text", "n_redacted")
+      .orderBy("doc_id")
+
   /** Greedy sequence packing: stream each group's rows in id order,
     * concatenate conceptually, and cut the stream every `budget`
     * chars — each row's bin is floor(start_offset / budget) where the

@@ -96,6 +96,59 @@ object TrainingOps {
       .orderBy("doc_id")
   }
 
+  /** qd25 — Gopher-style repetition signals: the two quality filters
+    * that catch template spam and degenerate generations that TTR
+    * (qd20) alone misses — (a) top_token_ratio, the fraction of all
+    * tokens taken by the single most frequent one, and (b)
+    * dup_bigram_ratio, the fraction of word bigrams whose bigram
+    * occurs more than once in the document (the "fraction of text in
+    * duplicated n-grams" family from the Gopher curation rules).
+    * Ratios are exact-integer-over-exact-integer double divisions —
+    * bit-equal across engines. Docs with zero tokens drop out (no
+    * signal to compute); single-token docs keep a NULL bigram ratio.
+    *
+    * Scale shape: ONE posexplode scan pass feeds both signals. The
+    * token counts reduce map-side on (doc_id, token) — the exchange
+    * carries each doc's token histogram, not its tokens. Bigrams
+    * come from a lead window on the (doc_id, pos) stream (one
+    * exchange on doc_id — same partial-shuffle budget as qd10's
+    * relational grams) and reduce the same way. Nothing ever carries
+    * the document text past the scan stage (the Generate-column-carry
+    * trap), and the two per-doc frames join on doc_id at histogram
+    * size.
+    */
+  def repetition(s: SparkSession, dir: String): DataFrame =
+    repetitionOn(Tables.documents(s, dir))
+
+  /** Core of [[repetition]] over any (doc_id, text) frame. */
+  def repetitionOn(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      posexplode(Dedup.tokens(col("text"))).as(Seq("pos", "token")))
+    val top = toks.groupBy("doc_id", "token")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(max("c").as("_max_c"), sum("c").as("n_tokens"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val dup = toks
+      .withColumn("_nxt", lead("token", 1).over(w))
+      .filter(col("_nxt").isNotNull)
+      .select(col("doc_id"),
+        concat_ws(" ", col("token"), col("_nxt")).as("gram"))
+      .groupBy("doc_id", "gram")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum(when(col("c") > 1, col("c")).otherwise(0L)).as("_dup"),
+        sum("c").as("_tot"))
+    top.join(dup, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("_max_c").cast("double") / col("n_tokens").cast("double"))
+          .as("top_token_ratio"),
+        (col("_dup").cast("double") / col("_tot").cast("double"))
+          .as("dup_bigram_ratio"))
+      .orderBy("doc_id")
+  }
+
   /** qd22 — min-document-frequency vocabulary pruning: rewrite each
     * document keeping only tokens that appear in >= 1/`minDfInv` of
     * all documents (relative min-df, CountVectorizer-style) — the

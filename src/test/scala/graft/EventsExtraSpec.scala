@@ -148,4 +148,40 @@ class EventsExtraSpec extends SparkSpec {
     assert(got(1L)._2 == 0.0, "single-char text has zero entropy")
     assert(got(2L)._2 < got(3L)._2, "entropy grows with alphabet size")
   }
+
+  test("qs13: delta is vs the previous PRESENT hour; first hour stays NULL") {
+    val out = Events.hourlyDeltaOn(eventsOf(
+        (1L, "2024-01-01 10:10:00", "click", 1.50),
+        (1L, "2024-01-01 10:50:00", "click", 2.50), // hour 10: 4.00
+        (1L, "2024-01-01 11:05:00", "click", 1.00), // hour 11: 1.00
+        // hour 12 empty — the next delta skips to hour 13
+        (1L, "2024-01-01 13:00:00", "click", 5.00),
+        (1L, "2024-01-01 10:00:00", "view", 9.00)))
+      .collect().map(r => (r.getAs[String]("event_type"),
+        r.getAs[String]("hour")) ->
+        (r.getAs[Double]("total"),
+          Option(r.getAs[java.lang.Double]("delta")))).toMap
+    assert(out(("click", "2024-01-01 10:00:00")) == ((4.0, None)))
+    assert(out(("click", "2024-01-01 11:00:00")) == ((1.0, Some(-3.0))))
+    assert(out(("click", "2024-01-01 13:00:00")) == ((5.0, Some(4.0))),
+      "delta must be against the previous present hour, not the empty one")
+    assert(out(("view", "2024-01-01 10:00:00")) == ((9.0, None)),
+      "each type's first hour restarts the lag")
+  }
+
+  test("qd25: repetition ratios match hand-computed signals") {
+    val out = TrainingOps.repetitionOn(docsOf(
+        (1L, "a a a b"),      // top a: 3/4; bigrams (a a)x2, (a b) -> 2/3
+        (2L, "w x y z"),      // all distinct: 1/4; no repeated bigram
+        (3L, "solo"),         // one token: no bigrams at all
+        (4L, "")))            // no tokens: drops out
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Double]("top_token_ratio"),
+          Option(r.getAs[java.lang.Double]("dup_bigram_ratio")))).toMap
+    assert(out(1L) == ((4L, 0.75, Some(2.0 / 3.0))))
+    assert(out(2L) == ((4L, 0.25, Some(0.0))))
+    assert(out(3L) == ((1L, 1.0, None)),
+      "single-token doc keeps NULL bigram ratio")
+    assert(!out.contains(4L), "token-free doc has no signal row")
+  }
 }

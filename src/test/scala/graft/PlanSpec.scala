@@ -369,6 +369,77 @@ class PlanSpec extends SparkSpec
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("qp2: dim-side filter prunes fact partitions at RUNTIME (DPP)") {
+    val df = graft.operators.Marts.dppMartRead(spark, sf)
+    val p = plan(df)
+    // no literal store predicate exists — pruning must come from the
+    // join's broadcast, as a dynamicpruning expression in the scan
+    assert(p.contains("dynamicpruningexpression"),
+      s"no dynamic partition pruning in plan:\n$p")
+    df.collect()
+    def allNodes(sp: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = sp match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        sp +: allNodes(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        sp +: allNodes(q.plan)
+      case _ => sp +: sp.children.flatMap(allNodes)
+    }
+    val scan = allNodes(df.queryExecution.executedPlan).collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.metrics.contains("staticFilesNum") => f
+    }.get
+    // staticFilesNum = files surviving static pruning (all of them —
+    // there is no literal filter); numFiles = after the runtime DPP
+    // cut. The gap IS the dynamic pruning.
+    val static = scan.metrics("staticFilesNum").value
+    val opened = scan.metrics("numFiles").value
+    assert(opened < static,
+      s"DPP opened $opened of $static files — nothing was pruned")
+  }
+
+  test("qs13: delta is one Window over the pre-reduced hourly grain") {
+    val p = plan(graft.operators.Events.hourlyDelta(spark, sf))
+    assert("\\bWindow\\b".r.findAllIn(p).size == 1, p)
+    // the hourly aggregate reduces BEFORE the lag window's exchange —
+    // partial+final agg, then (agg keys, window key) = 2 hash shuffles
+    assert("HashAggregate".r.findAllIn(p).size == 2, "partial+final")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2, p)
+  }
+
+  test("qx19: correlated subqueries decorrelate to aggregate + broadcast joins") {
+    val p = plan(graft.operators.Extras.corrSubquery(spark, sf))
+    // one aggregate-over-orders per subquery, joined back LeftOuter —
+    // never a per-outer-row subquery execution
+    assert("BroadcastHashJoin .*LeftOuter".r.findAllIn(p).size == 2, p)
+    assert("HashAggregate".r.findAllIn(p).size == 4, "partial+final x2")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("qd24: redaction is map-only and prunes to (doc_id, text)") {
+    val p = plan(graft.operators.TextPrep.redactQuery(spark, sf))
+    assert(!p.contains("hashpartitioning"), p)
+    val read = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!read.contains("lang") && !read.contains("source") &&
+      !read.contains("n_chars"), read)
+  }
+
+  test("qd25: repetition exchanges carry histograms, text never leaves the scan") {
+    val p = plan(graft.operators.TrainingOps.repetition(spark, sf))
+    // both signal branches reduce map-side before their exchanges
+    assert("HashAggregate".r.findAllIn(p).size >= 6, "partial+final x3")
+    // the exploded token stream must not carry the document text: the
+    // generator expression itself reads text (that's the tokenize),
+    // but the CARRIED child columns — the bracket before the output
+    // list — must be doc_id only
+    p.linesIterator.filter(_.contains("Generate posexplode")).foreach { g =>
+      val carried = ", \\[([^\\]]*)\\], (?:false|true), \\[".r
+        .findFirstMatchIn(g).map(_.group(1)).getOrElse("")
+      assert(!carried.contains("text#"),
+        s"Generate carries text past the scan:\n$g")
+    }
+  }
+
   test("global sweep: no declared query plans a CartesianProduct") {
     // BroadcastNestedLoopJoin is allowed ONLY where the operator is
     // deliberately O(n^2) at its declared verification config (qe3's

@@ -36,6 +36,25 @@ class TextPrepSpec extends SparkSpec {
     }
   }
 
+  test("redaction masks every match and counts them; no-match rows pass through") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "call customer at key stream point"),
+      (2L, "the keystream is one word"),   // \b must NOT split keystream
+      (3L, "customer customer customer"),
+      (4L, ""))
+      .toDF("doc_id", "text")
+    val out = TextPrep.redact(df, "text",
+        "\\b(customer|key|stream)\\b", "<PII>")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("redacted_text"), r.getAs[Int]("n_redacted"))).toMap
+    assert(out(1L) == (("call <PII> at <PII> <PII> point", 3)))
+    assert(out(2L) == (("the keystream is one word", 0)),
+      "word boundary must not match inside a longer token")
+    assert(out(3L) == (("<PII> <PII> <PII>", 3)))
+    assert(out(4L) == (("", 0)))
+  }
+
   test("stopword strip matches the scala reference filter") {
     val stop = TextPrep.stopwords.toSet
     val got = TextPrep.stripQuery(spark, sf).collect()
