@@ -106,6 +106,10 @@ object SparkEntry {
     "qx19_corr_subquery" -> (Extras.corrSubquery _),
     "qd24_redact"        -> (graft.operators.TextPrep.redactQuery _),
     "qd25_repetition"    -> (TrainingOps.repetition _),
+    "qd26_nfc_normalize" -> (graft.operators.TextPrep.normalizeQuery _),
+    "qd27_minhash_estimate" -> (TrainingOps.minhashEstimate _),
+    "qs14_stream_segment" ->
+      (graft.streaming.EventStream.segmentSpendGate _),
   )
 
   /** Queries intentionally without an oracle — EMPTY since round 5:
@@ -683,7 +687,7 @@ object SparkEntry {
          |  CAST(-SUM(tm) AS DOUBLE) / 1000000.0 / CAST(count(*) AS DOUBLE) AS avg_nll
          |FROM b JOIN q USING (bg)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
-  ) ++ batch8Sql
+  ) ++ batch8Sql ++ batch9Sql
 
   private val batch8Sql: Map[String, String] = Map(
     // qp2: runtime-pruned read — q09 joined to the filtered dim; the
@@ -752,6 +756,62 @@ object SparkEntry {
          |    AS dup_bigram_ratio
          |FROM top t LEFT JOIN du ON t.doc_id = du.doc_id
          |ORDER BY t.doc_id""".stripMargin),
+  )
+
+  /** qd27's oracle, generated from the SAME [[Dedup.portablePerms]]
+    * constants as the Spark side: per distinct gram, the 31-bit
+    * rolling fingerprint (qd5's fold), then 16 affine minima per doc,
+    * then component-match counts on the consecutive-pair spine.
+    * Empty-gram docs (qd10's whole-doc "" shingle for token-free
+    * text) fingerprint to 0 on both sides.
+    */
+  // lazy: textually above shingleCte's declaration — a strict val
+  // would read it as null at object init
+  private lazy val minhashEstimateSql: String = {
+    val P = graft.functions.DocFingerprint.Modulus
+    val mins = graft.operators.Dedup.portablePerms.zipWithIndex.map {
+      case ((a, b), i) =>
+        s"min((CAST($a AS BIGINT) * fp + $b) % $P) AS h$i"
+    }.mkString(",\n|    ")
+    val matches = graft.operators.Dedup.portablePerms.indices
+      .map(i => s"(CASE WHEN a.h$i = b.h$i THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    val k = graft.operators.Dedup.portablePerms.size
+    s"""$shingleCte,
+       |g AS (SELECT doc_id, unnest(s) AS gram FROM sh),
+       |f AS (SELECT doc_id, CASE WHEN gram = '' THEN 0 ELSE
+       |        list_reduce(list_transform(string_split(gram, ''),
+       |          c -> CAST(unicode(c) AS BIGINT)),
+       |          (acc, x) -> (acc * 31 + x) % 2147483647) END AS fp
+       |      FROM g),
+       |m AS (SELECT doc_id,
+       |    $mins
+       |  FROM f GROUP BY doc_id)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST($matches AS INTEGER) AS n_match,
+       |  CAST($matches AS DOUBLE) / $k.0 AS est_jaccard
+       |FROM m a JOIN m b ON b.doc_id = a.doc_id + 1
+       |ORDER BY doc_a""".stripMargin
+  }
+
+  private lazy val batch9Sql: Map[String, String] = Map(
+    // qd26: nfc_normalize is DuckDB-native; chr(769) = U+0301. The
+    // suffix is decomposed, so every row takes the real rewrite path.
+    "qd26_nfc_normalize" ->
+      ("""SELECT doc_id, norm_text,
+         |  CAST(length(norm_text) AS INTEGER) AS n_chars_nfc
+         |FROM (SELECT doc_id,
+         |        nfc_normalize(text || ' cafe' || chr(769)) AS norm_text
+         |      FROM documents)
+         |ORDER BY doc_id""".stripMargin),
+    "qd27_minhash_estimate" -> minhashEstimateSql,
+    // qs14: stream-static join + aggregate ≡ the batch join+groupBy
+    // (decimal sums are order-free under incremental accumulation)
+    "qs14_stream_segment" ->
+      ("""SELECT c.c_mktsegment AS segment, count(*) AS n,
+         |  CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+         |GROUP BY 1 ORDER BY segment""".stripMargin),
   )
 
   private val hourlyStatsSql: String =

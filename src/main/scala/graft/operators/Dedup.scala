@@ -54,6 +54,19 @@ object Dedup {
       rng.nextInt(Int.MaxValue).toLong))
   }
 
+  /** Affine parameters for the PORTABLE minhash estimate (qd27):
+    * h_i(g) = (a_i·fp(g) + b_i) mod P over the 31-bit rolling
+    * fingerprint, so DuckDB recomputes every component exactly (the
+    * production [[perms]] signatures ride xxhash64, which only Spark
+    * has). Shared by the Spark query and the generated oracle SQL —
+    * one constant list, two engines.
+    */
+  val portablePerms: Seq[(Long, Long)] = {
+    val rng = new scala.util.Random(13)
+    Seq.fill(16)((1L + rng.nextInt(Int.MaxValue - 1).toLong,
+      rng.nextInt(Int.MaxValue).toLong))
+  }
+
   /** Lowercased alphanumeric word tokens. */
   def tokens(text: Column): Column =
     filter(split(regexp_replace(lower(text), "[^a-z0-9]+", " "), " "),

@@ -113,6 +113,30 @@ object TextPrep {
       .select("doc_id", "redacted_text", "n_redacted")
       .orderBy("doc_id")
 
+  /** qd26 — Unicode NFC canonicalization through the custom codegen
+    * [[graft.functions.NfcNormalize]] expression: the cleanup stage
+    * that must run before ANY hashing operator (exact dedup, shingles,
+    * vocab counts) — decomposed "e"+U+0301 and composed "é" are
+    * different bytes but the same text. The declared form appends a
+    * DECOMPOSED suffix to every row first: the synthetic corpus is
+    * pure ASCII (already NFC), so without it the gate would only ever
+    * prove the identity path — with it, every row exercises the real
+    * rewrite and the full normalized text is hash-compared. The
+    * already-normalized fast path (isNormalized pre-check, no
+    * allocation) is spec-covered instead. Map-only, zero shuffle.
+    */
+  def normalizeQuery(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.NfcNormalize.register(s)
+    Tables.documents(s, dir)
+      // the suffix is DECOMPOSED on purpose: 'e' + U+0301 combining
+      // acute (6 codepoints), which NFC composes to " café" (5)
+      .withColumn("_raw", concat(col("text"), lit(" cafe\u0301")))
+      .select(col("doc_id"),
+        graft.functions.NfcNormalize.of(col("_raw")).as("norm_text"))
+      .withColumn("n_chars_nfc", length(col("norm_text")).cast("int"))
+      .orderBy("doc_id")
+  }
+
   /** Greedy sequence packing: stream each group's rows in id order,
     * concatenate conceptually, and cut the stream every `budget`
     * chars — each row's bin is floor(start_offset / budget) where the

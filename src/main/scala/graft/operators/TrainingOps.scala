@@ -355,6 +355,51 @@ object TrainingOps {
       .orderBy("doc_a")
   }
 
+  /** qd27 — MinHash signature Jaccard ESTIMATE over qd10's
+    * consecutive-pair spine: the sketch itself made gate-visible.
+    * qd6 proves the LSH *blocking* finds the right pairs; this
+    * proves the *estimator* — sig agreement fraction ≈ Jaccard — is
+    * computed exactly as declared, component by component, because
+    * the oracle recomputes all 16 portable minima bit-for-bit
+    * ([[Dedup.portablePerms]] affine permutations over the 31-bit
+    * rolling gram fingerprint — every ingredient DuckDB can
+    * reproduce, same construction as qd7's portable SimHash).
+    *
+    * Scale shape: one relational gram pass (qd10's), 16 codegen'd
+    * min-aggregates with map-side partials (qd6's shape at half
+    * width), then an equi-join of the n×16-long signature frames on
+    * doc_b = doc_a + 1 — signatures exchange, grams never do. The
+    * estimate is integer-match-count / 16.0, exact on both engines.
+    */
+  def minhashEstimate(s: SparkSession, dir: String): DataFrame = {
+    DocFingerprint.register(s)
+    minhashEstimateOn(Tables.documents(s, dir))
+  }
+
+  /** Core of [[minhashEstimate]] over any (doc_id, text) frame
+    * (requires DocFingerprint registered on the active session).
+    */
+  def minhashEstimateOn(docs: DataFrame): DataFrame = {
+    val P = DocFingerprint.Modulus
+    val grams =
+      Dedup.gramsRelational(docs, "doc_id", "text")
+        .withColumn("fp", DocFingerprint.of(col("g")))
+    val aggs = Dedup.portablePerms.zipWithIndex.map { case ((a, b), i) =>
+      min((col("fp") * lit(a) + lit(b)) % lit(P)).as(s"h$i")
+    }
+    val sigs = grams.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    val nMatch = Dedup.portablePerms.indices
+      .map(i => when(col(s"ga.h$i") === col(s"gb.h$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    sigs.as("ga")
+      .join(sigs.as("gb"), col("gb.doc_id") === col("ga.doc_id") + lit(1L))
+      .select(col("ga.doc_id").as("doc_a"), col("gb.doc_id").as("doc_b"),
+        nMatch.cast("int").as("n_match"))
+      .withColumn("est_jaccard", col("n_match").cast("double") /
+        lit(Dedup.portablePerms.size.toDouble))
+      .orderBy("doc_a")
+  }
+
   /** qd13 — duplicate clusters: connected components over the
     * threshold-0.9 MinHash near-dup pairs (qd6's edge set), every doc
     * labeled with the smallest doc id in its component. Pairs

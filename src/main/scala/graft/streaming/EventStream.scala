@@ -73,6 +73,38 @@ object EventStream {
     spark.table(queryName)
     }
 
+  /** Streaming stream-static join: every micro-batch of events joins
+    * the STATIC customer dimension (broadcast — the dim is read once
+    * per batch from its snapshot, never shuffled against the stream)
+    * and feeds a per-segment aggregate. This is the canonical
+    * "enrich the stream against reference data" shape: at 100 TB/day
+    * the stream side never repartitions for the join, and the
+    * aggregate's state is bounded by segment cardinality, not stream
+    * volume. Decimal money sums are order-free, so the incremental
+    * result is bit-equal to the batch join+groupBy (the oracle).
+    */
+  def segmentSpendAvailableNow(spark: SparkSession, eventsDir: String,
+                               customers: DataFrame,
+                               queryName: String): DataFrame =
+    graft.core.Tables.withNanosConf(spark) {
+    val schema = spark.read.parquet(eventsDir).schema
+    val stream = spark.readStream.schema(schema).parquet(eventsDir)
+      .select(col("user_id"), col("value"))
+      .join(broadcast(customers),
+        col("user_id") === customers("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("n"),
+        Fns.moneySum(col("value")).cast("double").as("total_value"))
+    val q = stream.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+    }
+
   /** Memory-sink names must be unique per start; one counter per JVM
     * covers repeated Bench runs. Each family drops its previous run's
     * view before starting the next — without that every invocation
@@ -83,6 +115,8 @@ object EventStream {
   private val lastHourlyView =
     new java.util.concurrent.atomic.AtomicReference[String](null)
   private val lastDedupView =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+  private val lastSegmentView =
     new java.util.concurrent.atomic.AtomicReference[String](null)
 
   /** qs8 — gate-visible streaming hourly stats: drain the events
@@ -108,5 +142,18 @@ object EventStream {
     Option(lastDedupView.getAndSet(name)).foreach(s.catalog.dropTempView(_))
     dedupAvailableNow(s, graft.io.Scratch.ensureEventsLanding(dir), name)
       .orderBy("event_id")
+  }
+
+  /** qs14 — gate-visible streaming stream-static segment spend:
+    * drain the events stream against the static customer dim; the
+    * oracle is the plain batch join + groupBy.
+    */
+  def segmentSpendGate(s: SparkSession, dir: String): DataFrame = {
+    val name = s"qs14_segment_${gateRuns.incrementAndGet()}"
+    Option(lastSegmentView.getAndSet(name)).foreach(s.catalog.dropTempView(_))
+    segmentSpendAvailableNow(s, graft.io.Scratch.ensureEventsLanding(dir),
+      graft.core.Tables.customer(s, dir).select("c_custkey", "c_mktsegment"),
+      name)
+      .orderBy("segment")
   }
 }

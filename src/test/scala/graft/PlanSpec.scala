@@ -440,6 +440,26 @@ class PlanSpec extends SparkSpec
     }
   }
 
+  test("qd26: NFC normalization is map-only, one codegen scan pass") {
+    val p = plan(graft.operators.TextPrep.normalizeQuery(spark, sf))
+    assert(!p.contains("hashpartitioning"), p)
+    assert(p.contains("nfcnormalize"), p)
+    val read = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!read.contains("lang") && !read.contains("source"), read)
+  }
+
+  test("qd27: signatures exchange, grams never do — equi-join on the pair spine") {
+    val p = plan(graft.operators.TrainingOps.minhashEstimate(spark, sf))
+    noAllPairs(p)
+    // 16 min-aggregates combine map-side before the doc_id exchange
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "partial+final mins")
+    // the self-join joins SIGNATURE frames (16 longs/doc); the gram
+    // column must not appear in any join output
+    val joinLines = p.linesIterator.filter(_.contains("Join")).toSeq
+    assert(joinLines.nonEmpty && joinLines.forall(!_.contains("g#")),
+      s"gram column crosses the join:\n${joinLines.mkString("\n")}")
+  }
+
   test("global sweep: no declared query plans a CartesianProduct") {
     // BroadcastNestedLoopJoin is allowed ONLY where the operator is
     // deliberately O(n^2) at its declared verification config (qe3's

@@ -40,6 +40,26 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.exceptAll(expected).count() == 0)
   }
 
+  test("streaming stream-static segment spend equals the batch join+groupBy") {
+    val landing = tempDir("segment_events_")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      java.nio.file.Paths.get(landing, "events.parquet"))
+    val customers = graft.core.Tables.customer(spark, sf)
+      .select("c_custkey", "c_mktsegment")
+    val streamed = EventStream.segmentSpendAvailableNow(
+      spark, landing, customers, "stream_segment_test")
+      .collect().map(_.mkString("|")).toSet
+    val batch = graft.core.Tables.events(spark, sf)
+      .join(customers, col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"))
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"),
+        graft.core.Fns.moneySum(col("value")).cast("double").as("total_value"))
+      .collect().map(_.mkString("|")).toSet
+    assert(streamed == batch)
+  }
+
   test("sessionize: sessions respect the inactivity gap") {
     import spark.implicits._
     val sessions = Events.sessionize(spark, sf).cache()

@@ -85,6 +85,36 @@ class TextFnsSpec extends SparkSpec {
     }
   }
 
+  test("nfc_normalize composes decomposed text and passes NFC text through") {
+    graft.functions.NfcNormalize.register(spark)
+    val decomposed = "cafe\u0301 re\u0301sume\u0301" // e + combining acute
+    val composed = "caf\u00e9 r\u00e9sum\u00e9" // precomposed
+    val cases = Seq(
+      1L -> decomposed,
+      2L -> composed,                 // already NFC: fast path, identity
+      3L -> "plain ascii text",       // fast path
+      4L -> "汉字 and 😀",  // CJK + non-BMP emoji: NFC-stable
+      5L -> "")
+    val out = cases.toDF("id", "t")
+      .select(col("id"), graft.functions.NfcNormalize.of(col("t")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    cases.foreach { case (id, t) =>
+      assert(out(id) == graft.functions.NfcNormalize.reference(t),
+        s"case $id diverges from java.text.Normalizer")
+    }
+    assert(out(1L) == composed, "decomposed must compose")
+    assert(out(2L) == composed && out(3L) == "plain ascii text")
+    assert(out(4L) == cases.toMap.apply(4L), "NFC-stable text unchanged")
+    // idempotence: normalizing the normalized output is identity
+    val again = Seq(out(1L)).toDF("t")
+      .select(graft.functions.NfcNormalize.of(col("t"))).head().getString(0)
+    assert(again == out(1L))
+    // null in, null out
+    val nul = Seq[(Long, Option[String])]((9L, None)).toDF("id", "t")
+      .select(graft.functions.NfcNormalize.of(col("t"))).head()
+    assert(nul.isNullAt(0))
+  }
+
   test("langId picks marker languages, CJK, and und") {
     graft.functions.MarkerWordCounts.register(spark)
     def lid(t: String) = one[String](TextFns.langId(col("text")), t)

@@ -17,6 +17,29 @@ class TrainingOpsExtraSpec extends SparkSpec {
     else Set(toks.mkString(" "))
   }
 
+  test("minhash estimate: identical docs estimate 1.0, estimates track exact jaccard") {
+    import spark.implicits._
+    graft.functions.DocFingerprint.register(spark)
+    val near = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, near), (2L, near),                       // identical: J = 1
+      (3L, near + " lambda"),                       // near-dup of 2
+      (4L, "one two three four five six seven"))    // unrelated to 3
+      .toDF("doc_id", "text")
+    val est = TrainingOps.minhashEstimateOn(docs)
+      .collect().map(r => r.getAs[Long]("doc_a") ->
+        (r.getAs[Int]("n_match"), r.getAs[Double]("est_jaccard"))).toMap
+    assert(est(1L) == ((16, 1.0)), "identical docs share every minimum")
+    // a per-component estimate is a Bernoulli(J) mean: with J ~ 0.73
+    // for the planted near-dup and J = 0 for the unrelated pair, the
+    // orderings below hold for any sane permutation set (and the
+    // values are deterministic given portablePerms — the oracle
+    // pins them exactly; this pins the MONOTONICITY)
+    assert(est(2L)._2 > est(3L)._2,
+      s"near-dup must estimate above unrelated: $est")
+    assert(est(3L)._2 < 0.5 && est(2L)._2 > 0.4)
+  }
+
   test("decontaminate flags exactly the docs sharing a 3-gram with src0") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select("doc_id", "source", "text").collect()
