@@ -110,6 +110,10 @@ object SparkEntry {
     "qd27_minhash_estimate" -> (TrainingOps.minhashEstimate _),
     "qs14_stream_segment" ->
       (graft.streaming.EventStream.segmentSpendGate _),
+    "qx20_schema_merge"  -> (Extras.schemaMergeRead _),
+    "qd28_length_filter" -> (TrainingOps.lengthFilter _),
+    "qs15_stream_stream_join" ->
+      (graft.streaming.EventStream.clickAttributionGate _),
   )
 
   /** Queries intentionally without an oracle — EMPTY since round 5:
@@ -812,6 +816,45 @@ object SparkEntry {
          |  CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
          |FROM events e JOIN customer c ON e.user_id = c.c_custkey
          |GROUP BY 1 ORDER BY segment""".stripMargin),
+    // qx20: the merged read == per-era CASE projections (era 1 = even
+    // keys with price, era 2 = odd keys with status; the other
+    // column is each era's NULL fill)
+    "qx20_schema_merge" ->
+      ("""SELECT o_orderkey,
+         |  CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice END AS o_totalprice,
+         |  CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus END AS o_orderstatus
+         |FROM orders ORDER BY o_orderkey""".stripMargin),
+    // qd28: thresholds micro-quantized on both sides (floor
+    // construction) so the integer-vs-interpolated-double band
+    // compare cannot flip on a last-ulp percentile difference
+    "qd28_length_filter" ->
+      ("""WITH p AS (
+         |  SELECT source,
+         |    CAST(floor(quantile_cont(n_chars, 0.05) * 1000000.0 + 0.5)
+         |      AS BIGINT) / 1000000.0 AS p05,
+         |    CAST(floor(quantile_cont(n_chars, 0.95) * 1000000.0 + 0.5)
+         |      AS BIGINT) / 1000000.0 AS p95
+         |  FROM documents GROUP BY source)
+         |SELECT d.doc_id, d.source, d.n_chars
+         |FROM documents d JOIN p ON d.source = p.source
+         |WHERE d.n_chars >= p.p05 AND d.n_chars <= p.p95
+         |ORDER BY d.doc_id""".stripMargin),
+    // qs15: batch interval join on the same micros-truncated
+    // timestamps (qx8's CAST convention); INTERVAL arithmetic is
+    // exact micros on both engines
+    "qs15_stream_stream_join" ->
+      ("""WITH ev AS (SELECT event_id, user_id, event_type,
+         |              CAST(ts AS TIMESTAMP) AS ts FROM events),
+         |c AS (SELECT event_id AS click_id, user_id, ts AS c_ts
+         |      FROM ev WHERE event_type = 'click'),
+         |p AS (SELECT event_id AS purchase_id, user_id AS p_user,
+         |        ts AS p_ts
+         |      FROM ev WHERE event_type = 'purchase')
+         |SELECT c.click_id, p.purchase_id, c.user_id
+         |FROM c JOIN p ON c.user_id = p.p_user
+         |  AND p.p_ts >= c.c_ts
+         |  AND p.p_ts <= c.c_ts + INTERVAL 30 MINUTE
+         |ORDER BY click_id, purchase_id""".stripMargin),
   )
 
   private val hourlyStatsSql: String =

@@ -209,6 +209,46 @@ object Extras {
     s.sql(sqlMartText)
   }
 
+  /** sf dirs whose qx20 era trees were laid down in this JVM (setup,
+    * like qx13's tables — the declared query measures the merged
+    * READ, not the one-time writes).
+    */
+  private val evolvedWritten =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** qx20 — schema-evolution read: two parquet "eras" of the same
+    * table written with DIFFERENT schemas (era 1 carries
+    * o_totalprice, era 2 o_orderstatus — the column drift every
+    * long-lived 100 TB lake accumulates), read back as ONE frame with
+    * `mergeSchema`. Spark merges the footers into the union schema
+    * and fills each file's missing columns with NULL — no rewrite of
+    * historical data, which is the entire point at scale: the
+    * alternative is recopying every era on every schema change.
+    * (mergeSchema reads one footer per file at planning; production
+    * keeps it off and pins the merged schema explicitly — the read
+    * itself is identical.) Oracle: the same union-by-name, expressed
+    * as per-era CASE projections over the source table.
+    */
+  def schemaMergeRead(s: SparkSession, dir: String): DataFrame = {
+    val root = graft.io.Scratch.qx20Dir(dir)
+    val era1 = s"$root/era1"
+    val era2 = s"$root/era2"
+    if (!evolvedWritten.contains(root) || !new java.io.File(era1).exists()
+        || !new java.io.File(era2).exists()) {
+      val o = Tables.orders(s, dir)
+      o.filter(col("o_orderkey") % 2 === 0)
+        .select("o_orderkey", "o_totalprice")
+        .write.mode("overwrite").parquet(era1)
+      o.filter(col("o_orderkey") % 2 === 1)
+        .select("o_orderkey", "o_orderstatus")
+        .write.mode("overwrite").parquet(era2)
+      evolvedWritten.add(root)
+    }
+    s.read.option("mergeSchema", "true").parquet(era1, era2)
+      .select("o_orderkey", "o_totalprice", "o_orderstatus")
+      .orderBy("o_orderkey")
+  }
+
   /** qx19 — CORRELATED scalar subqueries, the SQL shape analysts
     * write first ("for each customer, how many big orders / the
     * biggest one"). Naively this is one subquery execution per outer

@@ -400,6 +400,43 @@ object TrainingOps {
       .orderBy("doc_a")
   }
 
+  /** qd28 — per-source length-outlier filter: keep documents whose
+    * n_chars sits inside their OWN source's [p05, p95] band — the
+    * relative-threshold curation rule (a length that's normal for
+    * web text is an outlier for reference text, so global cutoffs
+    * misfire; every large corpus cleanup stratifies by source).
+    *
+    * Parity: exact percentiles (qs5's operator) land on interpolated
+    * doubles whose last ulp can differ across engines, and an
+    * integer n_chars could sit exactly on an integral threshold — so
+    * both engines quantize the thresholds to micro-units with the
+    * shared floor construction (qd11/qd21), making the band compare
+    * deterministic.
+    *
+    * Scale shape: the percentile frame is one row per source —
+    * broadcast back into the doc scan, so the corpus never
+    * reshuffles for the filter (qd22's shape). Exact percentile sorts
+    * per group; at 100 TB swap in approx_percentile and keep the
+    * identical join shape.
+    */
+  def lengthFilter(s: SparkSession, dir: String): DataFrame =
+    lengthFilterOn(Tables.documents(s, dir))
+
+  /** Core of [[lengthFilter]] over any (doc_id, source, n_chars)
+    * frame (spec entry point for exact-interpolation cases).
+    */
+  def lengthFilterOn(docs: DataFrame): DataFrame = {
+    val pct = docs.groupBy("source").agg(
+      (floor(expr("percentile(n_chars, 0.05D)") * lit(1e6) + lit(0.5)) /
+        lit(1e6)).as("p05"),
+      (floor(expr("percentile(n_chars, 0.95D)") * lit(1e6) + lit(0.5)) /
+        lit(1e6)).as("p95"))
+    docs.join(broadcast(pct), "source")
+      .filter(col("n_chars") >= col("p05") && col("n_chars") <= col("p95"))
+      .select("doc_id", "source", "n_chars")
+      .orderBy("doc_id")
+  }
+
   /** qd13 — duplicate clusters: connected components over the
     * threshold-0.9 MinHash near-dup pairs (qd6's edge set), every doc
     * labeled with the smallest doc id in its component. Pairs

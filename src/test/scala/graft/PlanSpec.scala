@@ -460,6 +460,26 @@ class PlanSpec extends SparkSpec
       s"gram column crosses the join:\n${joinLines.mkString("\n")}")
   }
 
+  test("qd28: per-source thresholds broadcast — the corpus never reshuffles") {
+    val p = plan(graft.operators.TrainingOps.lengthFilter(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    val read = p.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(read.forall(l => !l.contains("text") && !l.contains("lang")),
+      s"scan must prune to (doc_id, source, n_chars):\n${read.mkString("\n")}")
+  }
+
+  test("qx20: merged read is ONE scan over both era paths, union schema") {
+    val p = plan(graft.operators.Extras.schemaMergeRead(spark, sf))
+    // no per-era Union: the file index holds both paths and the
+    // reader NULL-fills each file's missing columns — one FileScan
+    assert("FileScan parquet".r.findAllIn(p).size == 1, p)
+    assert(p.contains("InMemoryFileIndex(2 paths)"), p)
+    val read = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(read.contains("o_totalprice") && read.contains("o_orderstatus"),
+      s"merged union schema expected:\n$read")
+  }
+
   test("global sweep: no declared query plans a CartesianProduct") {
     // BroadcastNestedLoopJoin is allowed ONLY where the operator is
     // deliberately O(n^2) at its declared verification config (qe3's

@@ -54,6 +54,24 @@ class ScaleOpsSpec extends SparkSpec {
     assert(joined.count() == expected)
   }
 
+  test("schema-merge read unions eras by name with NULL fill") {
+    val df = graft.operators.Extras.schemaMergeRead(
+      spark, "/root/testdata/sf0.001")
+    assert(df.columns.toSeq ==
+      Seq("o_orderkey", "o_totalprice", "o_orderstatus"))
+    val rows = df.collect()
+    val orders = spark.read
+      .parquet("/root/testdata/sf0.001/orders.parquet").count()
+    assert(rows.length == orders, "every era row survives the merge")
+    rows.foreach { r =>
+      val even = r.getAs[Long]("o_orderkey") % 2 == 0
+      assert(r.isNullAt(r.fieldIndex("o_orderstatus")) == even,
+        "era-1 rows must NULL-fill the era-2 column")
+      assert(r.isNullAt(r.fieldIndex("o_totalprice")) == !even,
+        "era-2 rows must NULL-fill the era-1 column")
+    }
+  }
+
   test("credentials roundtrip and tamper-detect (X10 parity)") {
     val c = new Credentials("pipeline-secret", "salt1234".getBytes)
     val enc = c.encrypt("jdbc:mysql://db/retail?user=app")

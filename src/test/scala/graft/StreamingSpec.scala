@@ -60,6 +60,54 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("stream-stream click attribution: window boundaries are [c_ts, c_ts + 30 min]") {
+    import spark.implicits._
+    val t0 = java.time.Instant.parse("2024-01-01T10:00:00Z")
+    def nanos(plusSec: Long): Long =
+      (t0.getEpochSecond + plusSec) * 1000000000L
+    // schema mirrors the testdata events table: ts as NANOS long
+    val landing = tempDir("attrib_events_")
+    Seq(
+      (100L, nanos(0), 1L, "click", 0.0, "{}"),
+      (200L, nanos(-1), 1L, "purchase", 1.0, "{}"),   // before click: out
+      (201L, nanos(0), 1L, "purchase", 1.0, "{}"),    // same second: in
+      (202L, nanos(1800), 1L, "purchase", 1.0, "{}"), // exactly +30min: in
+      (203L, nanos(1801), 1L, "purchase", 1.0, "{}"), // +30min+1s: out
+      (204L, nanos(60), 2L, "purchase", 1.0, "{}"))   // other user: out
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(s"$landing/batch1")
+    val got = EventStream.clickAttributionAvailableNow(
+      spark, s"$landing/batch1", "stream_attrib_test")
+      .collect().map(r => (r.getAs[Long]("click_id"),
+        r.getAs[Long]("purchase_id"))).toSet
+    assert(got == Set((100L, 201L), (100L, 202L)),
+      s"attribution window must be inclusive [c_ts, c_ts+30min]: $got")
+  }
+
+  test("stream-stream attribution equals the batch interval join on real data") {
+    val landing = tempDir("attrib_real_")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      java.nio.file.Paths.get(landing, "events.parquet"))
+    val streamed = EventStream.clickAttributionAvailableNow(
+      spark, landing, "stream_attrib_real")
+      .collect().map(_.mkString("|")).toSet
+    val ev = graft.core.Tables.events(spark, sf)
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("c_ts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user"), col("ts").as("p_ts"))
+    val batch = c.join(p, col("user_id") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + org.apache.spark.sql.functions
+          .expr("INTERVAL 30 MINUTES"))
+      .select("click_id", "purchase_id", "user_id")
+      .collect().map(_.mkString("|")).toSet
+    assert(streamed == batch)
+  }
+
   test("sessionize: sessions respect the inactivity gap") {
     import spark.implicits._
     val sessions = Events.sessionize(spark, sf).cache()

@@ -40,6 +40,25 @@ class TrainingOpsExtraSpec extends SparkSpec {
     assert(est(3L)._2 < 0.5 && est(2L)._2 > 0.4)
   }
 
+  test("length filter keeps each source's own [p05, p95] band") {
+    import spark.implicits._
+    // source A: 1..100 chars -> p05 = 5.95, p95 = 95.05 (linear
+    // interpolation at pos q*(n-1)) -> kept lengths 6..95
+    // source B: 1001..1100 -> kept 1006..1095 (same band, own scale —
+    // a 100-char doc is normal in A and would be an outlier in B)
+    val docs =
+      (1L to 100L).map(i => (i, "A", i)) ++
+        (1001L to 1100L).map(i => (i, "B", i))
+    val kept = TrainingOps.lengthFilterOn(
+        docs.toDF("doc_id", "source", "n_chars"))
+      .collect().map(r => r.getAs[String]("source") ->
+        r.getAs[Long]("n_chars"))
+    val a = kept.filter(_._1 == "A").map(_._2).sorted
+    val b = kept.filter(_._1 == "B").map(_._2).sorted
+    assert(a.head == 6L && a.last == 95L && a.length == 90)
+    assert(b.head == 1006L && b.last == 1095L && b.length == 90)
+  }
+
   test("decontaminate flags exactly the docs sharing a 3-gram with src0") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select("doc_id", "source", "text").collect()
