@@ -28,6 +28,8 @@ object Bench {
       math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      // deployment config: graft functions injected at construction
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       // local scratch writes: skip Hadoop .crc sidecars (4x faster

@@ -114,6 +114,9 @@ object SparkEntry {
     "qd28_length_filter" -> (TrainingOps.lengthFilter _),
     "qs15_stream_stream_join" ->
       (graft.streaming.EventStream.clickAttributionGate _),
+    "qx21_nullsafe_join" -> (Extras.nullSafeJoin _),
+    "qs16_foreachbatch_sink" ->
+      (graft.streaming.EventStream.foreachBatchGate _),
   )
 
   /** Queries intentionally without an oracle — EMPTY since round 5:
@@ -855,6 +858,25 @@ object SparkEntry {
          |  AND p.p_ts >= c.c_ts
          |  AND p.p_ts <= c.c_ts + INTERVAL 30 MINUTE
          |ORDER BY click_id, purchase_id""".stripMargin),
+    // qx21: <=> == IS NOT DISTINCT FROM — the NULL group must match
+    // across the two aggregates (plain = would drop it)
+    "qx21_nullsafe_join" ->
+      ("""WITH a AS (
+         |  SELECT CASE WHEN o_orderstatus = 'P' THEN NULL
+         |           ELSE o_orderstatus END AS k, count(*) AS n_all
+         |  FROM orders GROUP BY 1),
+         |b AS (
+         |  SELECT CASE WHEN o_orderstatus = 'P' THEN NULL
+         |           ELSE o_orderstatus END AS k, count(*) AS n_big
+         |  FROM orders WHERE o_totalprice > 200000 GROUP BY 1)
+         |SELECT a.k AS status_key, a.n_all, b.n_big
+         |FROM a LEFT JOIN b ON a.k IS NOT DISTINCT FROM b.k
+         |ORDER BY status_key NULLS FIRST""".stripMargin),
+    // qs16: unique event_ids make the batch-dir union provably the
+    // plain projection; value is pass-through (bit-exact doubles)
+    "qs16_foreachbatch_sink" ->
+      ("SELECT event_id, user_id, event_type, value FROM events " +
+        "ORDER BY event_id"),
   )
 
   private val hourlyStatsSql: String =

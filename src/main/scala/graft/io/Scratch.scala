@@ -42,6 +42,14 @@ object Scratch {
       "graft_qx20_" + sfDir.replaceAll("[^A-Za-z0-9._-]", "_"))
       .getAbsolutePath
 
+  /** qs16's foreachBatch sink root (one subdir per micro-batch id),
+    * keyed like [[qp1Dir]].
+    */
+  def qs16Dir(sfDir: String): String =
+    new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_qs16_" + sfDir.replaceAll("[^A-Za-z0-9._-]", "_"))
+      .getAbsolutePath
+
   /** Streaming landing dir (symlink to the single-file events table),
     * keyed like [[qp1Dir]]; shared by the streaming gate queries
     * (qs7/qs8/qs9).
@@ -84,7 +92,7 @@ object Scratch {
     val tmpRoot = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
     // graft_qs7_ covers legacy round-6 landing trees (now graft_stream_)
     val prefixes = Seq("graft_q14_", "graft_qp1_", "graft_qx13_",
-      "graft_qx20_", "graft_qs7_", "graft_stream_")
+      "graft_qx20_", "graft_qs16_", "graft_qs7_", "graft_stream_")
     if (java.nio.file.Files.isDirectory(tmpRoot)) {
       val it = java.nio.file.Files.list(tmpRoot)
       try it.forEach { p =>

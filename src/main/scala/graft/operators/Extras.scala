@@ -249,6 +249,31 @@ object Extras {
       .orderBy("o_orderkey")
   }
 
+  /** qx21 — NULL-SAFE equi-join (`<=>` / IS NOT DISTINCT FROM): the
+    * join trap every warehouse hits — plain `=` silently DROPS rows
+    * whose key is NULL (NULL = NULL is not true), so two aggregates
+    * of the same table stop reconciling the moment a key is nullable.
+    * Here both sides group orders by a nullable status key ('P'
+    * masked to NULL, the "unknown status" shape); the null-safe
+    * condition keeps the NULL group matched. Catalyst plans `<=>` as
+    * a HASHABLE join key (EqualNullSafe is part of the equi-join key
+    * extraction) — this stays a broadcast/shuffled HASH join, never
+    * the nested-loop a non-equi condition would force, which is why
+    * it is safe at any scale. PlanSpec pins the hash join.
+    */
+  def nullSafeJoin(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    def keyed(df: DataFrame): org.apache.spark.sql.RelationalGroupedDataset =
+      df.groupBy(when(col("o_orderstatus") === "P", lit(null))
+        .otherwise(col("o_orderstatus")).as("k"))
+    val all = keyed(o).agg(count(lit(1)).as("n_all"))
+    val big = keyed(o.filter(col("o_totalprice") > 200000))
+      .agg(count(lit(1)).as("n_big"))
+    all.join(big, all("k") <=> big("k"), "left")
+      .select(all("k").as("status_key"), col("n_all"), col("n_big"))
+      .orderBy(asc_nulls_first("status_key"))
+  }
+
   /** qx19 — CORRELATED scalar subqueries, the SQL shape analysts
     * write first ("for each customer, how many big orders / the
     * biggest one"). Naively this is one subquery execution per outer

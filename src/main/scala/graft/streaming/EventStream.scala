@@ -156,6 +156,47 @@ object EventStream {
     }
     }
 
+  /** foreachBatch parquet sink with per-batch-id IDEMPOTENCE: each
+    * micro-batch overwrites its own `batch=<id>` directory, so a
+    * retried batch (executor loss, driver restart from checkpoint)
+    * lands on the same path instead of duplicating rows — the
+    * standard exactly-once recipe for sinks without transactional
+    * commit. The memory sink every other gate uses is test-only;
+    * THIS is the shape a production job ships: arbitrary writer
+    * logic per batch, dedup key = batchId. The `batch=` naming makes
+    * the read-back a partitioned discovery (batch id recoverable as
+    * a column, pruned away here).
+    */
+  def foreachBatchSink(spark: SparkSession, eventsDir: String,
+                       outDir: String): DataFrame =
+    graft.core.Tables.withNanosConf(spark) {
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(outDir))
+    val schema = spark.read.parquet(eventsDir).schema
+    val stream = spark.readStream.schema(schema).parquet(eventsDir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"))
+    val q = stream.writeStream
+      .foreachBatch { (df: DataFrame, batchId: Long) =>
+        df.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(outDir)
+      .select("event_id", "user_id", "event_type", "value")
+    }
+
+  /** qs16 — gate-visible foreachBatch sink roundtrip: event_ids are
+    * unique, so the sink's union across batch dirs provably equals
+    * the plain projection (the oracle); value passes through with no
+    * arithmetic, so the doubles are bit-exact.
+    */
+  def foreachBatchGate(s: SparkSession, dir: String): DataFrame =
+    foreachBatchSink(s, graft.io.Scratch.ensureEventsLanding(dir),
+      graft.io.Scratch.qs16Dir(dir))
+      .orderBy("event_id")
+
   /** Run `body` with spark.sql.shuffle.partitions overridden, then
     * restore (same scoped discipline as Tables.withNanosConf — a
     * leaked session conf was the r3 #3 defect class). The streaming

@@ -480,6 +480,13 @@ class PlanSpec extends SparkSpec
       s"merged union schema expected:\n$read")
   }
 
+  test("qx21: null-safe equality stays a HASH join (EqualNullSafe is a join key)") {
+    val p = plan(graft.operators.Extras.nullSafeJoin(spark, sf))
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "<=> must extract as an equi-join key, not a loop-join condition")
+  }
+
   test("global sweep: no declared query plans a CartesianProduct") {
     // BroadcastNestedLoopJoin is allowed ONLY where the operator is
     // deliberately O(n^2) at its declared verification config (qe3's

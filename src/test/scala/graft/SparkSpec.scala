@@ -10,6 +10,10 @@ trait SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
     .appName("graft-test")
+    // the library's deployment config: custom functions injected at
+    // session construction (GraftExtensionsSpec proves resolution in
+    // a registry-fresh child session)
+    .config("spark.sql.extensions", "graft.GraftExtensions")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")

@@ -108,6 +108,25 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("foreachBatch sink is idempotent: reprocessing lands on the same dirs") {
+    val landing = tempDir("fb_events_")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      java.nio.file.Paths.get(landing, "events.parquet"))
+    val out = tempDir("fb_out_")
+    val first = EventStream.foreachBatchSink(spark, landing, out)
+      .collect().map(_.mkString("|")).toSet
+    // a full reprocess (fresh checkpoint, same input) must overwrite
+    // the same batch=<id> dirs, not append duplicates
+    val second = EventStream.foreachBatchSink(spark, landing, out)
+      .collect().map(_.mkString("|")).toSet
+    assert(first == second)
+    val batch = graft.core.Tables.events(spark, sf)
+      .select("event_id", "user_id", "event_type", "value")
+      .collect().map(_.mkString("|")).toSet
+    assert(first == batch)
+  }
+
   test("sessionize: sessions respect the inactivity gap") {
     import spark.implicits._
     val sessions = Events.sessionize(spark, sf).cache()
