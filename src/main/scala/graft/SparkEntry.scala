@@ -117,6 +117,9 @@ object SparkEntry {
     "qx21_nullsafe_join" -> (Extras.nullSafeJoin _),
     "qs16_foreachbatch_sink" ->
       (graft.streaming.EventStream.foreachBatchGate _),
+    "qs17_gap_fill"      -> (Events.gapFillHourly _),
+    "qs18_retention"     -> (Events.retention _),
+    "qs19_trailing_hour" -> (Events.trailingHourSpend _),
   )
 
   /** Queries intentionally without an oracle — EMPTY since round 5:
@@ -877,6 +880,64 @@ object SparkEntry {
     "qs16_foreachbatch_sink" ->
       ("SELECT event_id, user_id, event_type, value FROM events " +
         "ORDER BY event_id"),
+    // qs17: per-type hourly spine (generate_series between that
+    // type's min/max present hour) + IGNORE NULLS forward fill —
+    // same frame, same decimal totals; `total` keeps NULL on
+    // synthesized hours, exactly like the Spark left join.
+    "qs17_gap_fill" ->
+      ("""WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hour_ts,
+         |  SUM(CAST(value AS DECIMAL(18,2))) AS total_dec
+         |  FROM events GROUP BY 1, 2),
+         |b AS (SELECT event_type, min(hour_ts) AS h0, max(hour_ts) AS h1
+         |  FROM h GROUP BY 1),
+         |s AS (SELECT event_type,
+         |  unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour_ts
+         |  FROM b)
+         |SELECT s.event_type, strftime(s.hour_ts, '%Y-%m-%d %H:00:00') AS hour,
+         |  CAST(h.total_dec AS DOUBLE) AS total,
+         |  CAST(last_value(h.total_dec IGNORE NULLS) OVER (
+         |    PARTITION BY s.event_type ORDER BY s.hour_ts
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         |    AS filled,
+         |  h.total_dec IS NULL AS was_gap
+         |FROM s LEFT JOIN h
+         |  ON s.event_type = h.event_type AND s.hour_ts = h.hour_ts
+         |ORDER BY s.event_type, hour""".stripMargin),
+    // qs18: both engines truncate weeks to Monday; offsets are
+    // day-diff DIV 7 on week-truncated dates (always a multiple of
+    // 7); count(*) at the distinct (user, week) grain IS the
+    // distinct-user count; rate is int/int double division.
+    "qs18_retention" ->
+      ("""WITH uw AS (SELECT DISTINCT user_id,
+         |    date_trunc('week', ts) AS week FROM events),
+         |c AS (SELECT user_id, week,
+         |    min(week) OVER (PARTITION BY user_id) AS cohort_week
+         |  FROM uw),
+         |m AS (SELECT cohort_week,
+         |    CAST(date_diff('day', cohort_week, week) // 7 AS INTEGER)
+         |      AS week_offset,
+         |    count(*) AS n_users
+         |  FROM c GROUP BY 1, 2)
+         |SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort, week_offset,
+         |  n_users,
+         |  max(CASE WHEN week_offset = 0 THEN n_users END)
+         |    OVER (PARTITION BY cohort_week) AS cohort_size,
+         |  CAST(n_users AS DOUBLE) /
+         |    CAST(max(CASE WHEN week_offset = 0 THEN n_users END)
+         |      OVER (PARTITION BY cohort_week) AS DOUBLE) AS retention
+         |FROM m ORDER BY cohort, week_offset""".stripMargin),
+    // qs19: RANGE frame on floored epoch seconds — peer-inclusive on
+    // both engines, so same-second ties need no ordering tie-break;
+    // the sum rides DECIMAL(18,2).
+    "qs19_trailing_hour" ->
+      ("""SELECT user_id, event_id,
+         |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+         |    PARTITION BY user_id
+         |    ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+         |    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS DOUBLE)
+         |    AS trailing_1h
+         |FROM events ORDER BY user_id, event_id""".stripMargin),
   )
 
   private val hourlyStatsSql: String =

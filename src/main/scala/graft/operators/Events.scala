@@ -279,6 +279,140 @@ object Events {
       .orderBy("event_type", "user_id")
   }
 
+  /** qs17 — hourly gap fill + forward fill: re-grain each event
+    * type's hourly revenue onto a COMPLETE hourly spine (every hour
+    * between the type's first and last active hour) and carry the
+    * last observed total forward across the silent hours. This is the
+    * time-series regularization step every downstream model/report
+    * needs — qs13 documents that its delta skips absent hours; this
+    * operator is the other contract, where absence is materialized.
+    *
+    * Shape: the spine is generated per type with
+    * `sequence(min, max, interval 1 hour)` + explode off the
+    * ALREADY-AGGREGATED hourly frame — no driver-side range, no
+    * cartesian (spine × types cross join would trip the global
+    * no-cartesian sweep and is also the wrong scale shape: per-type
+    * bounds come from the same partial aggregate that produced the
+    * hourly grain). The left join back is dim-sized (≤ hours × types
+    * rows) and AQE broadcasts it; the forward fill is
+    * `last(ignoreNulls)` over an UNBOUNDED PRECEDING row frame — one
+    * window pass that reuses the per-type partitioning. At 100 TB the
+    * raw scan still reduces map-side to the (type, hour) grain before
+    * anything else happens, so spine + fill cost is O(hours), not
+    * O(events).
+    *
+    * `was_gap` marks synthesized hours; `total` keeps NULL there
+    * (observed vs imputed stays distinguishable) while `filled`
+    * carries the imputation. The first spine hour per type is always
+    * observed (the bounds come from present hours), so `filled` is
+    * never NULL.
+    */
+  def gapFillHourly(s: SparkSession, dir: String): DataFrame =
+    gapFillOn(Tables.events(s, dir))
+
+  /** Core of [[gapFillHourly]] over any (event_type, ts, value) frame
+    * (spec entry point for crafted gap patterns).
+    */
+  def gapFillOn(events: DataFrame): DataFrame = {
+    val hourly = events
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour_ts"))
+      .agg(Fns.moneySum(col("value")).as("total_dec"))
+    val spine = hourly.groupBy("event_type")
+      .agg(min("hour_ts").as("h0"), max("hour_ts").as("h1"))
+      .select(col("event_type"),
+        explode(sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR")))
+          .as("hour_ts"))
+    val w = Window.partitionBy("event_type").orderBy("hour_ts")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(hourly, Seq("event_type", "hour_ts"), "left")
+      .withColumn("filled_dec", last(col("total_dec"), ignoreNulls = true).over(w))
+      .select(col("event_type"),
+        date_format(col("hour_ts"), "yyyy-MM-dd HH:00:00").as("hour"),
+        col("total_dec").cast("double").as("total"),
+        col("filled_dec").cast("double").as("filled"),
+        col("total_dec").isNull.as("was_gap"))
+      .orderBy("event_type", "hour")
+  }
+
+  /** qs18 — weekly cohort retention: assign each user to the week of
+    * their first activity, then count how many of each cohort are
+    * still active k weeks later. THE standard product-analytics
+    * matrix (cohort × offset), and a shape the reference's
+    * report-mart family gestures at but never reaches.
+    *
+    * Determinism: both engines truncate to Monday week starts
+    * (`date_trunc('week')`), offsets are integer day-diffs DIV 7, and
+    * the retention rate is an integer-over-integer double division —
+    * bit-equal across engines.
+    *
+    * Scale shape: events reduce FIRST to the distinct (user, week)
+    * grain (map-side partial distinct, then one exchange); the cohort
+    * assignment is a window min over user_id on that reduced frame —
+    * no self-join back to raw events — and the per-(cohort, offset)
+    * count(1) IS the distinct-user count because the grain is already
+    * distinct. cohort_size rides a second small window (cohort
+    * partitions) over the matrix rows (≤ weeks² rows), not the data.
+    */
+  def retention(s: SparkSession, dir: String): DataFrame =
+    retentionOn(Tables.events(s, dir))
+
+  /** Core of [[retention]] over any (user_id, ts) frame. */
+  def retentionOn(events: DataFrame): DataFrame = {
+    val weeks = events
+      .select(col("user_id"), date_trunc("week", col("ts")).as("week"))
+      .distinct()
+      .withColumn("cohort_week",
+        min("week").over(Window.partitionBy("user_id")))
+      .withColumn("week_offset",
+        expr("CAST(datediff(week, cohort_week) DIV 7 AS INT)"))
+    weeks.groupBy("cohort_week", "week_offset")
+      .agg(count(lit(1)).as("n_users"))
+      .withColumn("cohort_size",
+        max(when(col("week_offset") === 0, col("n_users")))
+          .over(Window.partitionBy("cohort_week")))
+      .select(date_format(col("cohort_week"), "yyyy-MM-dd").as("cohort"),
+        col("week_offset"), col("n_users"), col("cohort_size"),
+        (col("n_users").cast("double") / col("cohort_size").cast("double"))
+          .as("retention"))
+      .orderBy("cohort", "week_offset")
+  }
+
+  /** qs19 — trailing one-hour spend per event row: a RANGE frame over
+    * floored epoch seconds (`RANGE BETWEEN 3600 PRECEDING AND CURRENT
+    * ROW`), the value-based frame vocabulary qs6's ROWS frame doesn't
+    * cover. A row's window is "everything this user did in the last
+    * hour of event time" — rate-limiting / velocity features use
+    * exactly this shape.
+    *
+    * Determinism: RANGE frames are peer-inclusive — same-second
+    * events are all in or all out together regardless of their
+    * physical order — so no tie-break column is needed for the SUM
+    * (the decimal cast removes summation-order doubt anyway). Output
+    * order pins (user_id, event_id).
+    *
+    * Scale shape: one exchange on user_id, one sort on the integer
+    * second, one window pass; the frame bound walk is O(n) amortized
+    * per partition (two monotone pointers), not O(n · frame).
+    */
+  def trailingHourSpend(s: SparkSession, dir: String): DataFrame =
+    trailingHourOn(Tables.events(s, dir))
+
+  /** Core of [[trailingHourSpend]] over any (user_id, event_id, ts,
+    * value) frame (spec entry point for boundary/peer cases).
+    */
+  def trailingHourOn(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("tsec"))
+      .rangeBetween(-3600L, Window.currentRow)
+    events
+      .select(col("user_id"), col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+        unix_timestamp(col("ts")).as("tsec"), col("value"))
+      .withColumn("trailing_1h",
+        sum(col("value").cast(Fns.Money)).over(w).cast("double"))
+      .select("user_id", "event_id", "ts_s", "trailing_1h")
+      .orderBy("user_id", "event_id")
+  }
+
   /** Top-5 users by spend per event type — groupBy + rank window
     * composition on the events stream table.
     */

@@ -169,6 +169,77 @@ class EventsExtraSpec extends SparkSpec {
       "each type's first hour restarts the lag")
   }
 
+  test("qs17: gaps synthesize spine hours, forward-fill carries the last present total") {
+    val out = Events.gapFillOn(eventsOf(
+        (1L, "2024-01-01 10:10:00", "click", 1.50),
+        (1L, "2024-01-01 10:50:00", "click", 2.50), // hour 10: 4.00
+        // hours 11, 12 silent
+        (1L, "2024-01-01 13:00:00", "click", 5.00),
+        (1L, "2024-01-01 11:00:00", "view", 9.00))) // view spine: just hour 11
+      .collect().map(r => (r.getAs[String]("event_type"),
+        r.getAs[String]("hour")) ->
+        (Option(r.getAs[java.lang.Double]("total")),
+          r.getAs[Double]("filled"), r.getAs[Boolean]("was_gap")))
+      .toMap
+    assert(out.size == 5, "click spine has 4 hours, view spine 1")
+    assert(out(("click", "2024-01-01 10:00:00")) == ((Some(4.0), 4.0, false)))
+    assert(out(("click", "2024-01-01 11:00:00")) == ((None, 4.0, true)),
+      "silent hour keeps NULL total but carries 4.0 forward")
+    assert(out(("click", "2024-01-01 12:00:00")) == ((None, 4.0, true)))
+    assert(out(("click", "2024-01-01 13:00:00")) == ((Some(5.0), 5.0, false)),
+      "a present hour resets the fill")
+    assert(out(("view", "2024-01-01 11:00:00")) == ((Some(9.0), 9.0, false)),
+      "each type gets its own spine bounds")
+  }
+
+  test("qs18: cohorts are per-user first weeks; offsets count from each cohort") {
+    // 2024-01-01 is a Monday: W0=01-01, W1=01-08, W2=01-15, W3=01-22
+    val out = Events.retentionOn(eventsOf(
+        (1L, "2024-01-03 10:00:00", "view", 0.0), // u1: cohort W0
+        (1L, "2024-01-09 10:00:00", "view", 0.0), // u1 active W1
+        (1L, "2024-01-22 10:00:00", "view", 0.0), // u1 active W3
+        (2L, "2024-01-01 00:00:00", "view", 0.0), // u2: cohort W0 only
+        (3L, "2024-01-14 23:59:59", "view", 0.0), // u3: cohort W1 (Sunday of W1)
+        (3L, "2024-01-15 00:00:00", "view", 0.0))) // u3 active W2
+      .collect().map(r => (r.getAs[String]("cohort"),
+        r.getAs[Int]("week_offset")) ->
+        (r.getAs[Long]("n_users"), r.getAs[Long]("cohort_size"),
+          r.getAs[Double]("retention"))).toMap
+    assert(out(("2024-01-01", 0)) == ((2L, 2L, 1.0)))
+    assert(out(("2024-01-01", 1)) == ((1L, 2L, 0.5)))
+    assert(out(("2024-01-01", 3)) == ((1L, 2L, 0.5)),
+      "a skipped week leaves no offset-2 row")
+    assert(!out.contains(("2024-01-01", 2)))
+    assert(out(("2024-01-08", 0)) == ((1L, 1L, 1.0)),
+      "u3's Sunday event lands in the Monday-started W1")
+    assert(out(("2024-01-08", 1)) == ((1L, 1L, 1.0)))
+    assert(out.size == 5)
+  }
+
+  private def idEventsOf(rows: (Long, Long, String, Double)*) =
+    rows.toDF("event_id", "user_id", "ts_s", "value")
+      .select(col("event_id"), col("user_id"),
+        to_timestamp(col("ts_s")).as("ts"), lit("view").as("event_type"),
+        col("value"))
+
+  test("qs19: RANGE frame includes the exact-3600s bound and all same-second peers") {
+    val out = Events.trailingHourOn(idEventsOf(
+        (1L, 7L, "2024-01-01 10:00:00", 1.0),
+        (2L, 7L, "2024-01-01 10:30:00", 2.0),
+        (3L, 7L, "2024-01-01 11:00:00", 4.0),  // exactly 3600s after #1
+        (4L, 7L, "2024-01-01 11:00:01", 8.0),  // #1 ages out
+        (5L, 7L, "2024-01-01 11:00:01", 16.0), // same-second peer of #4
+        (6L, 9L, "2024-01-01 10:30:00", 99.0)))
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        r.getAs[Double]("trailing_1h")).toMap
+    assert(out(1L) == 1.0)
+    assert(out(2L) == 3.0)
+    assert(out(3L) == 7.0, "3600s-old event is still inside the frame")
+    assert(out(4L) == 30.0, "frame drops #1 and includes BOTH same-second peers")
+    assert(out(5L) == 30.0, "peers share one frame regardless of row order")
+    assert(out(6L) == 99.0, "partitions are per user")
+  }
+
   test("qd25: repetition ratios match hand-computed signals") {
     val out = TrainingOps.repetitionOn(docsOf(
         (1L, "a a a b"),      // top a: 3/4; bigrams (a a)x2, (a b) -> 2/3
