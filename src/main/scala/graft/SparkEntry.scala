@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Events, Extras, Marts, Relational, TrainingOps}
+import graft.operators.{Dedup, Events, Extras, Marts, Relational, TrainingOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -120,6 +120,9 @@ object SparkEntry {
     "qs17_gap_fill"      -> (Events.gapFillHourly _),
     "qs18_retention"     -> (Events.retention _),
     "qs19_trailing_hour" -> (Events.trailingHourSpend _),
+    "qd29_chunk_dedup"   -> (Dedup.chunkDedupQuery _),
+    "qd30_hot_spans"     -> (TrainingOps.hotSpansQuery _),
+    "qd31_temperature_sample" -> (TrainingOps.temperatureSampleQuery _),
   )
 
   /** Queries intentionally without an oracle — EMPTY since round 5:
@@ -938,6 +941,82 @@ object SparkEntry {
          |    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS DOUBLE)
          |    AS trailing_1h
          |FROM events ORDER BY user_id, event_id""".stripMargin),
+    // qd29: same slicing as qd17's oracle (generate_series stride =
+    // size), keep-first on (doc_id, chunk_idx) — window partition by
+    // the chunk TEXT (Spark's extra xxhash64 prefix key only
+    // re-buckets the same groups); string_agg rebuilds in chunk
+    // order, LEFT JOIN keeps chunk-free docs as empty text.
+    "qd29_chunk_dedup" ->
+      ("""WITH c AS (
+         |  SELECT doc_id, CAST((i-1)//120 AS INTEGER) AS chunk_idx,
+         |    substr(text, i, 120) AS chunk_text
+         |  FROM documents, unnest(generate_series(1, len(text), 120)) AS u(i)
+         |  WHERE len(text) > 0),
+         |k AS (SELECT * FROM (
+         |    SELECT doc_id, chunk_idx, chunk_text, row_number() OVER (
+         |      PARTITION BY chunk_text ORDER BY doc_id, chunk_idx) AS rn
+         |    FROM c) WHERE rn = 1)
+         |SELECT d.doc_id,
+         |  COALESCE(string_agg(k.chunk_text, '' ORDER BY k.chunk_idx), '')
+         |    AS dedup_text,
+         |  CAST(count(k.doc_id) AS INTEGER) AS n_chunks_kept
+         |FROM documents d LEFT JOIN k ON d.doc_id = k.doc_id
+         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin),
+    // qd30: same tokenizer as the shingle family; positions are
+    // 0-based on both sides (posexplode vs i-1); a token is cut iff
+    // ANY hot 4-gram occurrence covers its position.
+    "qd30_hot_spans" ->
+      ("""WITH toks AS (
+         |  SELECT doc_id, list_filter(string_split(
+         |    regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+         |    x -> x != '') AS t
+         |  FROM documents),
+         |tok AS (SELECT doc_id, i-1 AS pos, t[i] AS tk
+         |  FROM toks, unnest(range(1, len(t)+1)) AS u(i)),
+         |g AS (SELECT doc_id, i-1 AS pos,
+         |    t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3] AS gram
+         |  FROM toks, unnest(range(1, len(t)-2)) AS u(i)
+         |  WHERE len(t) >= 4),
+         |hot AS (SELECT gram FROM (
+         |    SELECT gram, count(DISTINCT doc_id) AS df FROM g GROUP BY 1)
+         |  WHERE df >= 3),
+         |cov AS (SELECT DISTINCT g.doc_id, g.pos + j AS pos
+         |  FROM g JOIN hot USING (gram), unnest([0,1,2,3]) AS v(j)),
+         |marked AS (SELECT t.doc_id, t.pos, t.tk,
+         |    c.pos IS NOT NULL AS hit
+         |  FROM tok t LEFT JOIN cov c
+         |    ON t.doc_id = c.doc_id AND t.pos = c.pos)
+         |SELECT d.doc_id,
+         |  COALESCE(string_agg(CASE WHEN NOT m.hit THEN m.tk END,
+         |    ' ' ORDER BY m.pos), '') AS clean_text,
+         |  CAST(COALESCE(SUM(CASE WHEN m.hit THEN 1 ELSE 0 END), 0)
+         |    AS INTEGER) AS n_removed
+         |FROM documents d LEFT JOIN marked m ON d.doc_id = m.doc_id
+         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin),
+    // qd31: all-integer quota arithmetic (floor(sqrt·1e6) weights,
+    // integer sum, (target·w) // Σw) — no summation-order hazard;
+    // rank rides the shared 31-bit rolling fingerprint (qd5/qd12).
+    "qd31_temperature_sample" ->
+      ("""WITH f AS (
+         |  SELECT doc_id, lang,
+         |    CAST(CASE WHEN length(text) = 0 THEN 0 ELSE
+         |      list_reduce(list_transform(string_split(text, ''),
+         |        c -> CAST(unicode(c) AS BIGINT)),
+         |        (acc, x) -> (acc * 31 + x) % 2147483647) END
+         |      AS BIGINT) AS fp
+         |  FROM documents),
+         |s AS (SELECT lang, count(*) AS n_docs,
+         |    CAST(floor(sqrt(count(*)) * 1e6) AS BIGINT) AS w
+         |  FROM documents GROUP BY 1),
+         |q AS (SELECT lang,
+         |    CAST((250 * w) // SUM(w) OVER () AS BIGINT) AS quota
+         |  FROM s),
+         |r AS (SELECT doc_id, lang, fp, row_number() OVER (
+         |    PARTITION BY lang ORDER BY fp, doc_id) AS rn FROM f)
+         |SELECT r.lang, r.doc_id, CAST(rn AS INTEGER) AS rnk,
+         |  CAST(quota AS INTEGER) AS quota
+         |FROM r JOIN q USING (lang) WHERE rn <= quota
+         |ORDER BY lang, doc_id""".stripMargin),
   )
 
   private val hourlyStatsSql: String =

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -544,5 +544,59 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxDist)
   }
+
+  /** qd29 — sub-document (chunk-level) deduplication with document
+    * reassembly: slice every document into fixed non-overlapping
+    * chunks, keep only the corpus-wide FIRST occurrence of each
+    * distinct chunk text (ordered by (doc_id, chunk_idx) — the same
+    * keep-first contract as [[dedupExact]]), and rebuild each document
+    * from its surviving chunks in order. This is the paragraph-dedup
+    * shape (RefinedWeb/CCNet run it between exact and fuzzy dedup) on
+    * a corpus whose documents have no paragraph breaks — the unit is
+    * a fixed slice instead of a newline block, the machinery is
+    * identical.
+    *
+    * Scale shape: the chunk explode is map-only ([[TextPrep.chunk]]);
+    * first-occurrence selection is ONE shuffle — a row_number window
+    * partitioned by (xxhash64(chunk), chunk) so the sort compares
+    * 8-byte longs first (qd1's trick) and WindowGroupLimit prunes
+    * losers map-side; reassembly re-shuffles only the SURVIVING
+    * chunks to their documents. Nothing is ever all-pairs, and no
+    * stage holds more than one chunk per row. The in-aggregate
+    * array_sort/transform runs per document over its own ≤ dozens of
+    * chunks — interpreted HOF, but on group-sized arrays, not corpus
+    * rows.
+    */
+  def chunkDedup(docs: DataFrame, idCol: String, textCol: String,
+                 size: Int): DataFrame = {
+    val chunks = TextPrep.chunk(docs, idCol, textCol, size, size)
+    val first = Window
+      .partitionBy(xxhash64(col("chunk_text")), col("chunk_text"))
+      .orderBy(idCol, "chunk_idx")
+    val kept = chunks
+      .withColumn("rn", row_number().over(first))
+      .where(col("rn") === 1)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept"),
+        collect_list(struct(col("chunk_idx"), col("chunk_text"))).as("cl"))
+      .withColumn("sorted", array_sort(col("cl")))
+      .withColumn("dedup_text",
+        array_join(transform(col("sorted"), c => c("chunk_text")), ""))
+    docs.select(col(idCol))
+      .join(kept, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("dedup_text"), lit("")).as("dedup_text"),
+        coalesce(col("n_kept"), lit(0L)).cast("int").as("n_chunks_kept"))
+      .orderBy(idCol)
+  }
+
+  /** The qd29 declared form: 120-char chunks over `documents` (the
+    * gate corpus' planted near-duplicates share aligned chunks, so
+    * the keep-first rule is value-bearing — 48 chunks drop at
+    * sf0.01).
+    */
+  def chunkDedupQuery(s: SparkSession, dir: String): DataFrame =
+    chunkDedup(graft.core.Tables.documents(s, dir), "doc_id", "text",
+      size = 120)
 
 }

@@ -3,6 +3,7 @@ package graft.operators
 import graft.core.Tables
 import graft.functions.{DocFingerprint, TextFns}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Declared queries for the training-data-pipeline operators
@@ -751,5 +752,128 @@ object TrainingOps {
     val emb = Tables.embeddings(s, dir)
     val model = ivfModel(s, dir)
     Ivf.search(emb, model, knnQueryIds, k = 10, nProbe = model.k)
+  }
+
+  /** qd30 — corpus-frequent span removal (the C4/Gopher "repeated
+    * span" cleanup): every token covered by a word 4-gram that occurs
+    * in ≥ `minDf` distinct documents is boilerplate and is cut; the
+    * document is rebuilt from the surviving tokens in order. Exact
+    * dedup removes whole duplicate documents, chunk dedup (qd29)
+    * duplicate slices — this removes the duplicated PHRASES that
+    * survive both.
+    *
+    * Scale shape: the hot-gram set is a two-level aggregate
+    * (distinct (gram, doc) map-side, then the df count) and is tiny
+    * by construction (df ≥ minDf grams), so it BROADCASTS back into
+    * the occurrence join — the token stream is never reshuffled for
+    * the membership test. Covered positions explode at most `n` rows
+    * per hot occurrence; the rebuild is one groupBy over kept
+    * tokens. Nothing is all-pairs; every join is an equi-join.
+    *
+    * The tokenize+lead subtree appears in both the hot-df branch and
+    * the coverage branch; executed unpersisted, Catalyst prunes each
+    * copy to its own columns and recomputes the scan (~3 tokenize
+    * passes — measured cheaper than a persist at gate scale, and a
+    * declared query must not leak persisted blocks). At 100 TB,
+    * persist the `grams` frame across the two consumers — the shape
+    * of the joins does not change.
+    */
+  def hotSpans(docs: DataFrame, minDf: Int, n: Int = 4): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val tok = docs.where(col("text").isNotNull)
+      .select(col("doc_id"),
+        posexplode(Dedup.tokens(col("text"))).as(Seq("pos", "t")))
+    val grams = tok
+      .withColumn("t2", lead("t", 1).over(w))
+      .withColumn("t3", lead("t", 2).over(w))
+      .withColumn("t4", lead("t", 3).over(w))
+      .where(col("t4").isNotNull)
+      .select(col("doc_id"), col("pos"),
+        concat_ws(" ", col("t"), col("t2"), col("t3"), col("t4")).as("g"))
+    val hot = grams.select("doc_id", "g").distinct()
+      .groupBy("g").agg(count(lit(1)).as("df"))
+      .where(col("df") >= minDf)
+      .select("g")
+    val covered = grams.join(broadcast(hot), Seq("g"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (n - 1))).as("pos"))
+      .distinct()
+      .withColumn("hit", lit(1))
+    val rebuilt = tok
+      .join(covered, Seq("doc_id", "pos"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("hit").isNotNull, 1L).otherwise(0L)).as("n_removed"),
+        collect_list(when(col("hit").isNull,
+          struct(col("pos"), col("t")))).as("cl"))
+      .withColumn("clean_text",
+        array_join(transform(array_sort(col("cl")), c => c("t")), " "))
+    docs.select(col("doc_id"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_removed"), lit(0L)).cast("int").as("n_removed"))
+      .orderBy("doc_id")
+  }
+
+  /** The qd30 declared form: word 4-grams seen in ≥ 3 documents
+    * (exactly 100 hot grams on the sf0.01 corpus — value-bearing,
+    * not a full gut).
+    */
+  def hotSpansQuery(s: SparkSession, dir: String): DataFrame =
+    hotSpans(Tables.documents(s, dir), minDf = 3)
+
+  /** qd31 — temperature-scaled mixture sampling: per-stratum quotas
+    * ∝ n_s^(1/2) (the multilingual-training upsampling rule — small
+    * strata keep proportionally more), filled deterministically by
+    * content fingerprint rank. qd12 samples each document
+    * independently at a per-source rate; this is the other mixture
+    * contract, where the TARGET SIZE is fixed and strata compete for
+    * it.
+    *
+    * Oracle-exactness: the weight is floor(sqrt(n_s)·1e6) as a LONG
+    * (sqrt is IEEE correctly-rounded on both engines, the float dies
+    * there), the weight SUM is integer, and each quota is
+    * (target·w_s) DIV Σw — all-integer from there on, so no
+    * summation-order or ulp hazard anywhere. Rank order is
+    * (fingerprint, doc_id): the same portable 31-bit rolling hash
+    * qd5/qd12 share with the oracle.
+    *
+    * Scale shape: strata stats are one partial+final aggregate; the
+    * whole-frame window that totals the weights runs over
+    * #strata rows, not the corpus; quotas broadcast back into the
+    * rank join. The per-stratum row_number is the only corpus-scale
+    * exchange — the same single-shuffle shape as qd1 — and at 100 TB
+    * a skewed stratum salts exactly like any other hot key.
+    */
+  def temperatureSample(docs: DataFrame, strataCol: String,
+                        target: Long): DataFrame = {
+    val quota = docs.groupBy(col(strataCol))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("w",
+        floor(sqrt(col("n_docs").cast("double")) * 1e6).cast("long"))
+      .withColumn("tw", sum("w").over(Window.partitionBy(lit(1))))
+      .withColumn("quota", expr(s"CAST(($target * w) DIV tw AS BIGINT)"))
+      .select(col(strataCol), col("quota"))
+    val ranked = docs
+      .select(col("doc_id"), col(strataCol),
+        graft.functions.DocFingerprint.of(col("text")).as("fp"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(strataCol).orderBy("fp", "doc_id")))
+    ranked.join(broadcast(quota), Seq(strataCol))
+      .where(col("rn") <= col("quota"))
+      .select(col(strataCol), col("doc_id"),
+        col("rn").cast("int").as("rnk"),
+        col("quota").cast("int").as("quota"))
+      .orderBy(strataCol, "doc_id")
+  }
+
+  /** The qd31 declared form: lang strata (imbalanced 218/75/73/70/64
+    * at sf0.01 — sqrt temperature visibly reshapes the mix), target
+    * 250 documents.
+    */
+  def temperatureSampleQuery(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.DocFingerprint.register(s)
+    temperatureSample(Tables.documents(s, dir), "lang", target = 250L)
   }
 }

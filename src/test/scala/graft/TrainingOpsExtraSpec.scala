@@ -74,6 +74,81 @@ class TrainingOpsExtraSpec extends SparkSpec {
       "corpus should be partially, not fully, contaminated")
   }
 
+  test("qd29: duplicate chunks keep only the (doc_id, chunk_idx)-first copy; docs reassemble in order") {
+    import spark.implicits._
+    val A = "a" * 10
+    val B = "b" * 10
+    val C = "c" * 10
+    val docs = Seq(
+      (1L, A + B),        // chunks: A, B
+      (2L, B + C + "zz"), // B duplicates doc 1's -> dropped; C + "zz" kept
+      (3L, C))            // C first seen in doc 2 (lower id) -> dropped here
+      .toDF("doc_id", "text")
+    val got = graft.operators.Dedup.chunkDedup(docs, "doc_id", "text", size = 10)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("dedup_text"), r.getAs[Int]("n_chunks_kept"))).toMap
+    assert(got(1L) == ((A + B, 2)), "first occurrences all survive")
+    assert(got(2L) == ((C + "zz", 2)),
+      "duplicate chunk drops; survivors keep original order")
+    assert(got(3L) == (("", 0)),
+      "a doc whose every chunk is seen earlier reassembles empty")
+  }
+
+  test("qd30: tokens under hot 4-grams are cut; short docs and cold grams survive") {
+    import spark.implicits._
+    val hot = "alpha beta gamma delta" // will appear in 3 docs
+    val docs = Seq(
+      (1L, s"intro $hot outro one"),
+      (2L, s"$hot tail piece here"),
+      (3L, s"pre text $hot"),
+      (4L, "alpha beta gamma"),        // < 4 tokens: no grams, untouched
+      (5L, "cold phrase four tokens")) // unique 4-gram: df 1, untouched
+      .toDF("doc_id", "text")
+    val got = graft.operators.TrainingOps.hotSpans(docs, minDf = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("clean_text"), r.getAs[Int]("n_removed"))).toMap
+    assert(got(1L) == (("intro outro one", 4)))
+    assert(got(2L) == (("tail piece here", 4)))
+    assert(got(3L) == (("pre text", 4)))
+    assert(got(4L) == (("alpha beta gamma", 0)),
+      "a doc shorter than the gram can never be cut")
+    assert(got(5L) == (("cold phrase four tokens", 0)),
+      "df below the threshold leaves text intact")
+  }
+
+  test("qd30: overlapping hot-gram occurrences cut the union of positions, not double-count") {
+    import spark.implicits._
+    // "x x x x x" in 3 docs: grams at pos 0 and 1 overlap on pos 1-3
+    val docs = Seq((1L, "x x x x x end"), (2L, "x x x x x"), (3L, "x x x x x"))
+      .toDF("doc_id", "text")
+    val got = graft.operators.TrainingOps.hotSpans(docs, minDf = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("clean_text"), r.getAs[Int]("n_removed"))).toMap
+    assert(got(1L) == (("end", 5)), "union of covered positions, each counted once")
+    assert(got(2L) == (("", 5)), "fully-hot doc reassembles empty")
+  }
+
+  test("qd31: integer quotas follow sqrt weights; each stratum fills exactly its quota") {
+    import spark.implicits._
+    graft.functions.DocFingerprint.register(spark)
+    // strata sizes 9 / 4 / 1 -> weights 3e6 / 2e6 / 1e6, target 7
+    // -> quotas (7*3) DIV 6 = 3, (7*2) DIV 6 = 2, 7 DIV 6 = 1
+    val docs = (1 to 9).map(i => (i.toLong, "big", s"text b$i")) ++
+      (10 to 13).map(i => (i.toLong, "mid", s"text m$i")) ++
+      Seq((14L, "tiny", "text t"))
+    val df = docs.toDF("doc_id", "lang", "text")
+    val got = graft.operators.TrainingOps.temperatureSample(df, "lang", target = 7L)
+      .collect()
+    val byStratum = got.groupBy(_.getAs[String]("lang"))
+    assert(byStratum("big").length == 3 && byStratum("mid").length == 2 &&
+      byStratum("tiny").length == 1, "quota per stratum")
+    assert(got.forall(r => r.getAs[Int]("rnk") <= r.getAs[Int]("quota")))
+    val again = graft.operators.TrainingOps.temperatureSample(df, "lang", 7L)
+      .collect().map(_.getAs[Long]("doc_id")).sorted
+    assert(again.sameElements(got.map(_.getAs[Long]("doc_id")).sorted),
+      "fingerprint rank makes the sample deterministic")
+  }
+
   test("source-lang pivot matches groupBy counts and fills absent cells with 0") {
     val got = TrainingOps.sourceLangPivot(spark, sf)
     assert(got.columns.toSeq == Seq("source", "de", "en", "es", "fr", "zh"))
