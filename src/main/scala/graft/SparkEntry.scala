@@ -123,6 +123,7 @@ object SparkEntry {
     "qd29_chunk_dedup"   -> (Dedup.chunkDedupQuery _),
     "qd30_hot_spans"     -> (TrainingOps.hotSpansQuery _),
     "qd31_temperature_sample" -> (TrainingOps.temperatureSampleQuery _),
+    "qp3_bloom_join"     -> (Marts.bloomJoinRead _),
   )
 
   /** Queries intentionally without an oracle — EMPTY since round 5:
@@ -996,6 +997,18 @@ object SparkEntry {
     // qd31: all-integer quota arithmetic (floor(sqrt·1e6) weights,
     // integer sum, (target·w) // Σw) — no summation-order hazard;
     // rank rides the shared 31-bit rolling fingerprint (qd5/qd12).
+    // qp3: the bloom filter is a pure pruning device — result
+    // semantics are the plain filtered join+agg (money rule on both
+    // double measures).
+    "qp3_bloom_join" ->
+      ("""SELECT p.p_partkey, count(*) AS n_items,
+         |  CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+         |    AS sum_qty,
+         |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+         |    AS total_price
+         |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+         |WHERE p.p_brand = 'Brand#12'
+         |GROUP BY p.p_partkey ORDER BY p.p_partkey""".stripMargin),
     "qd31_temperature_sample" ->
       ("""WITH f AS (
          |  SELECT doc_id, lang,

@@ -141,4 +141,72 @@ object Marts {
         col("person"), col("month"), col("total"), col("incentive"))
       .orderBy("store", "month", "person")
   }
+
+  /** qp3 — runtime BLOOM-FILTER join pruning: the shuffle-join
+    * counterpart of qp2's partition pruning. A selective dim filter
+    * (one brand, ~4% of parts) can't prune the fact side's FILES
+    * (l_partkey isn't a partition key), but Catalyst's
+    * InjectRuntimeFilter can build a bloom filter over the filtered
+    * dim's join keys and evaluate `bloom_filter_might_contain` at the
+    * fact SCAN — ~96% of lineitem rows die before the exchange
+    * instead of after it. At 100 TB this is the difference between
+    * shuffling the whole fact table and shuffling the matching 4%;
+    * with broadcast disabled (the big-big join shape this models) it
+    * is the only pre-shuffle kill available.
+    *
+    * Scoped-conf mechanics: the injection rule reads its thresholds
+    * at OPTIMIZATION time, which for a lazily-returned frame happens
+    * after this function restores the session confs — so the result
+    * is materialized eagerly (localCheckpoint) while the scope holds,
+    * the same in-scope-materialization discipline as the streaming
+    * gates (their micro-batches drain inside their conf scope). The
+    * applicationSide threshold is lowered because the rule demands a
+    * ≥ 10 GB fact scan before it bothers — the gate corpus is smaller,
+    * the plan shape is what's declared; creation-side threshold is
+    * untouched (the filtered dim must genuinely be small, and is).
+    * Broadcast is disabled inside the scope only, to pin the
+    * shuffle-join shape the operator exists for.
+    */
+  def bloomJoinRead(s: SparkSession, dir: String): DataFrame =
+    withBloomConfs(s) { bloomJoinPlan(s, dir).localCheckpoint(true) }
+
+  /** The unmaterialized qp3 frame — [[bloomJoinRead]] checkpoints it
+    * inside the conf scope; PlanSpec optimizes it inside the same
+    * scope to pin the injected `bloom_filter_might_contain`.
+    */
+  def bloomJoinPlan(s: SparkSession, dir: String): DataFrame = {
+    val part = graft.core.Tables.part(s, dir)
+      .filter(col("p_brand") === "Brand#12")
+    val li = graft.core.Tables.lineitem(s, dir)
+    li.join(part, li("l_partkey") === part("p_partkey"))
+      .groupBy(col("p_partkey"))
+      .agg(count(lit(1)).as("n_items"),
+        graft.core.Fns.moneySum(col("l_quantity")).cast("double")
+          .as("sum_qty"),
+        graft.core.Fns.moneySum(col("l_extendedprice")).cast("double")
+          .as("total_price"))
+      .orderBy("p_partkey")
+  }
+
+  /** qp3's conf scope (see [[bloomJoinRead]] for why each key). */
+  def withBloomConfs[A](s: SparkSession)(body: => A): A =
+    withConfs(s, Map(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1"))(body)
+
+  /** Run `body` with session confs overridden, then restore each to
+    * its previous value (the scoped discipline of
+    * Tables.withNanosConf, generalized to a set).
+    */
+  private def withConfs[A](s: SparkSession, confs: Map[String, String])
+      (body: => A): A = {
+    val prev = confs.keys.map(k => k -> s.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => s.conf.set(k, v) }
+    try body
+    finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
 }

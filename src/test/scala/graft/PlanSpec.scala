@@ -398,6 +398,30 @@ class PlanSpec extends SparkSpec
       s"DPP opened $opened of $static files — nothing was pruned")
   }
 
+  test("qp3: runtime bloom filter kills fact rows at the scan, inside the conf scope only") {
+    graft.operators.Marts.withBloomConfs(spark) {
+      val df = graft.operators.Marts.bloomJoinPlan(spark, sf)
+      val p = plan(df)
+      assert(p.contains("might_contain") && p.contains("bloom_filter_agg"),
+        s"no injected runtime bloom filter in plan:\n$p")
+      // the shape the filter exists for: a SHUFFLE join (broadcast is
+      // scope-disabled), with the might_contain predicate evaluated
+      // at the lineitem side BEFORE its exchange
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+      val mightContainAboveScan = p.linesIterator
+        .dropWhile(!_.contains("might_contain("))
+        .exists(_.contains("lineitem.parquet"))
+      assert(mightContainAboveScan,
+        "might_contain must sit on the scan side, not post-join")
+    }
+    // outside the scope the thresholds are back to defaults: the same
+    // frame plans WITHOUT the bloom filter (10 GB application-side
+    // floor) — proving the conf scope restored
+    val after = plan(graft.operators.Marts.bloomJoinPlan(spark, sf))
+    assert(!after.contains("might_contain"),
+      "bloom conf leaked out of the query scope")
+  }
+
   test("qs13: delta is one Window over the pre-reduced hourly grain") {
     val p = plan(graft.operators.Events.hourlyDelta(spark, sf))
     assert("\\bWindow\\b".r.findAllIn(p).size == 1, p)
