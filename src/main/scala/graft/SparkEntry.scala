@@ -124,6 +124,7 @@ object SparkEntry {
     "qd30_hot_spans"     -> (TrainingOps.hotSpansQuery _),
     "qd31_temperature_sample" -> (TrainingOps.temperatureSampleQuery _),
     "qp3_bloom_join"     -> (Marts.bloomJoinRead _),
+    "qd32_pack_sequences" -> (graft.operators.TextPrep.packSeqQuery _),
   )
 
   /** Queries intentionally without an oracle — EMPTY since round 5:
@@ -1009,6 +1010,22 @@ object SparkEntry {
          |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
          |WHERE p.p_brand = 'Brand#12'
          |GROUP BY p.p_partkey ORDER BY p.p_partkey""".stripMargin),
+    // qd32: qd19's integer window-cumsum bin assignment, then the
+    // sequences themselves — string_agg in id order with the literal
+    // <eos> glue (unique doc_id makes RANGE==ROWS in both engines'
+    // default frames, same as qd19).
+    "qd32_pack_sequences" ->
+      ("""WITH o AS (SELECT source, doc_id, text,
+         |    SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id)
+         |      - n_chars AS off
+         |  FROM documents),
+         |b AS (SELECT source, doc_id, text,
+         |    CAST(off // 2000 AS INTEGER) AS bin FROM o)
+         |SELECT source, bin, count(*) AS n_docs,
+         |  CAST(length(string_agg(text, '<eos>' ORDER BY doc_id))
+         |    AS INTEGER) AS seq_chars,
+         |  string_agg(text, '<eos>' ORDER BY doc_id) AS seq_text
+         |FROM b GROUP BY 1, 2 ORDER BY source, bin""".stripMargin),
     "qd31_temperature_sample" ->
       ("""WITH f AS (
          |  SELECT doc_id, lang,

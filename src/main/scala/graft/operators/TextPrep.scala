@@ -173,4 +173,46 @@ object TextPrep {
   def packQuery(s: SparkSession, dir: String): DataFrame =
     packBins(Tables.documents(s, dir), "source", "doc_id", "n_chars",
       budget = 2000)
+
+  /** qd32 — packed-sequence EMISSION: the other half of qd19. packBins
+    * reports bin statistics; this materializes the training sequences
+    * themselves — each bin's documents concatenated in id order with
+    * an explicit separator token, which is the exact artifact a
+    * pre-training data loader consumes (documents glued with <eos>,
+    * cut near the context budget). Same window cumsum bin assignment
+    * as qd19 (all-integer, oracle-exact), then one partial+final
+    * aggregate on (group, bin) that reuses the window's partitioning
+    * for its exchange.
+    *
+    * The in-aggregate array_sort/transform/array_join run per BIN
+    * over its own few documents — group-sized arrays, not corpus
+    * rows (the concatenated text never crosses an exchange unsorted:
+    * collect_list gathers exactly the rows that will be emitted).
+    */
+  def packSequences(df: DataFrame, groupCol: String, idCol: String,
+      textCol: String, sizeCol: String, budget: Int,
+      sep: String): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(idCol)
+    df.select(col(groupCol), col(idCol), col(textCol), col(sizeCol))
+      .withColumn("off", sum(col(sizeCol)).over(w) - col(sizeCol))
+      .withColumn("bin", expr(s"CAST(off DIV $budget AS INT)"))
+      .groupBy(col(groupCol), col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        collect_list(struct(col(idCol), col(textCol))).as("cl"))
+      .withColumn("seq_text",
+        array_join(transform(array_sort(col("cl")), c => c(textCol)), sep))
+      .select(col(groupCol), col("bin"), col("n_docs"),
+        length(col("seq_text")).cast("int").as("seq_chars"),
+        col("seq_text"))
+      .orderBy(groupCol, "bin")
+  }
+
+  /** The qd32 declared form: 2000-char bins per source (qd19's
+    * grouping), documents glued with the literal `<eos>` marker.
+    */
+  def packSeqQuery(s: SparkSession, dir: String): DataFrame =
+    packSequences(Tables.documents(s, dir), "source", "doc_id", "text",
+      "n_chars", budget = 2000, sep = "<eos>")
 }

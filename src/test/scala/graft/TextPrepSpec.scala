@@ -118,6 +118,32 @@ class TextPrepSpec extends SparkSpec {
     assert(got.values.map(_._1).sum == docs.length, "docs conserved")
   }
 
+  test("qd32: emitted sequences glue each bin's docs in id order and agree with qd19's bins") {
+    import spark.implicits._
+    // sizes 3,3,3,2,4 with budget 6: offsets 0,3,6,9,11 -> bins 0,0,1,1,1
+    val docs = Seq(
+      (1L, "g1", "aaa", 3L), (2L, "g1", "bbb", 3L), (3L, "g1", "ccc", 3L),
+      (4L, "g1", "dd", 2L), (5L, "g1", "eeee", 4L),
+      (6L, "g2", "zz", 2L))
+      .toDF("doc_id", "source", "text", "n_chars")
+    val got = graft.operators.TextPrep.packSequences(
+        docs, "source", "doc_id", "text", "n_chars", budget = 6, sep = "|")
+      .collect().map(r => (r.getAs[String]("source"), r.getAs[Int]("bin")) ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Int]("seq_chars"),
+          r.getAs[String]("seq_text")))).toMap
+    assert(got(("g1", 0)) == ((2L, 7, "aaa|bbb")))
+    assert(got(("g1", 1)) == ((3L, 11, "ccc|dd|eeee")),
+      "doc 3 starts at offset 6 == budget -> bin 1; id order inside the bin")
+    assert(got(("g2", 0)) == ((1L, 2, "zz")), "groups pack independently")
+    // the emission's (group, bin, n_docs) grain must equal qd19's
+    val stats = graft.operators.TextPrep.packBins(
+        docs, "source", "doc_id", "n_chars", budget = 6)
+      .collect().map(r => (r.getAs[String]("source"), r.getAs[Int]("bin")) ->
+        r.getAs[Long]("n_docs")).toMap
+    assert(stats == got.view.mapValues(_._1).toMap,
+      "packSequences and packBins must assign identical bins")
+  }
+
   test("upsert labels update/insert/carry and the changes batch wins") {
     import spark.implicits._
     val snap = Seq((1L, "old", 10.0), (2L, "old", 20.0)).toDF("k", "v", "x")
