@@ -26,6 +26,11 @@ object EventStream {
   def hourlyStatsAvailableNow(spark: SparkSession, eventsDir: String,
                               queryName: String): DataFrame =
     graft.core.Tables.withNanosConf(spark) {
+    // 8 shuffle partitions => 8 state-store instances: the same
+    // per-batch store-fleet overhead qs15 measured (32 partitions of
+    // byte-small state are pure startup cost at drain scale; a
+    // production deployment sizes this to cluster cores)
+    withShufflePartitions(spark, 8) {
     val schema = spark.read.parquet(eventsDir).schema
     val stream = spark.readStream.schema(schema).parquet(eventsDir)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
@@ -44,9 +49,10 @@ object EventStream {
       .start()
     q.awaitTermination()
     spark.table(queryName)
-    // conf restored here — the AvailableNow drain planned every
+    // confs restored here — the AvailableNow drain planned every
     // micro-batch inside the scope (same discipline as Tables.events;
     // the unscoped set-and-forget was the r3 #3 defect class)
+    }
     }
 
   /** Streaming exact dedup: `dropDuplicates` keyed on `event_id` with
@@ -57,6 +63,7 @@ object EventStream {
   def dedupAvailableNow(spark: SparkSession, eventsDir: String,
                         queryName: String): DataFrame =
     graft.core.Tables.withNanosConf(spark) {
+    withShufflePartitions(spark, 8) {  // state-store fleet sizing, see qs8
     val schema = spark.read.parquet(eventsDir).schema
     val stream = spark.readStream.schema(schema).parquet(eventsDir)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
@@ -71,6 +78,7 @@ object EventStream {
       .start()
     q.awaitTermination()
     spark.table(queryName)
+    }
     }
 
   /** Streaming stream-static join: every micro-batch of events joins
@@ -87,6 +95,7 @@ object EventStream {
                                customers: DataFrame,
                                queryName: String): DataFrame =
     graft.core.Tables.withNanosConf(spark) {
+    withShufflePartitions(spark, 8) {  // state-store fleet sizing, see qs8
     val schema = spark.read.parquet(eventsDir).schema
     val stream = spark.readStream.schema(schema).parquet(eventsDir)
       .select(col("user_id"), col("value"))
@@ -103,6 +112,7 @@ object EventStream {
       .start()
     q.awaitTermination()
     spark.table(queryName)
+    }
     }
 
   /** STREAM-STREAM join: clicks and purchases are two live streams;
@@ -203,7 +213,7 @@ object EventStream {
     * drain completes inside the scope, so every micro-batch plans
     * with the override.
     */
-  private def withShufflePartitions[A](s: SparkSession, n: Int)
+  private[streaming] def withShufflePartitions[A](s: SparkSession, n: Int)
       (body: => A): A = {
     val key = "spark.sql.shuffle.partitions"
     val prev = s.conf.getOption(key)

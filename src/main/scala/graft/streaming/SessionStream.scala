@@ -154,6 +154,8 @@ object SessionStream {
                              gapMinutes: Int = 30): DataFrame = {
     import spark.implicits._
     graft.core.Tables.withNanosConf(spark) {
+    // state-store fleet sizing, same measurement as qs8/qs15
+    EventStream.withShufflePartitions(spark, 8) {
     val gapMs = gapMinutes * 60L * 1000L
     val schema = spark.read.parquet(eventsDir).schema
 
@@ -203,8 +205,9 @@ object SessionStream {
       .start()
     q.awaitTermination()
     spark.table(queryName)
-    // conf restored here: AvailableNow fully drained inside the scope,
+    // confs restored here: AvailableNow fully drained inside the scope,
     // so no micro-batch ever plans without the nanos conf
+    }
     }
   }
 
@@ -268,6 +271,8 @@ object SessionStream {
                           queryName: String,
                           gapMinutes: Int = 30): DataFrame =
     graft.core.Tables.withNanosConf(spark) {
+      // state-store fleet sizing, same measurement as qs8/qs15
+      EventStream.withShufflePartitions(spark, 8) {
       val schema = spark.read.parquet(eventsDir).schema
       val sessions = spark.readStream.schema(schema).parquet(eventsDir)
         .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
@@ -292,6 +297,7 @@ object SessionStream {
         .start()
       q.awaitTermination()
       spark.table(queryName)
+      }
     }
 
   /** The declared qs12 wrapper (same view lifecycle as qs7). */
