@@ -125,6 +125,7 @@ object SparkEntry {
     "qd31_temperature_sample" -> (TrainingOps.temperatureSampleQuery _),
     "qp3_bloom_join"     -> (Marts.bloomJoinRead _),
     "qd32_pack_sequences" -> (graft.operators.TextPrep.packSeqQuery _),
+    "qx22_moment_corr"   -> (Events.valueHourCorr _),
   )
 
   /** Queries intentionally without an oracle — EMPTY since round 5:
@@ -1010,6 +1011,33 @@ object SparkEntry {
          |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
          |WHERE p.p_brand = 'Brand#12'
          |GROUP BY p.p_partkey ORDER BY p.p_partkey""".stripMargin),
+    // qx22: exact integer cents/hour moments, then the identical
+    // closed-form double expression — corr() itself could never
+    // hash-match (order-dependent double accumulation); the moments
+    // can.
+    "qx22_moment_corr" ->
+      ("""WITH m AS (
+         |  SELECT event_type, count(*) AS n,
+         |    SUM(xc) AS sx, SUM(y) AS sy,
+         |    SUM(xc * xc) AS sxx, SUM(xc * y) AS sxy, SUM(y * y) AS syy
+         |  FROM (SELECT event_type,
+         |      CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS xc,
+         |      CAST(hour(ts) AS BIGINT) AS y
+         |    FROM events)
+         |  GROUP BY 1)
+         |SELECT event_type, n,
+         |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+         |     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+         |  (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+         |     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+         |   sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+         |     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr,
+         |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+         |     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+         |  (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+         |     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+         |    AS beta_hours_per_cent
+         |FROM m ORDER BY event_type""".stripMargin),
     // qd32: qd19's integer window-cumsum bin assignment, then the
     // sequences themselves — string_agg in id order with the literal
     // <eos> glue (unique doc_id makes RANGE==ROWS in both engines'

@@ -413,6 +413,42 @@ object Events {
       .orderBy("user_id", "event_id")
   }
 
+  /** qx22 — Pearson correlation + regression slope (value vs
+    * hour-of-day per event type) via EXACT integer moment sums: the
+    * deterministic twin of `DataFrame.stat.corr` / `corr()`, which
+    * accumulate doubles and are therefore order-dependent — fine for
+    * analytics, impossible to oracle-check bit-for-bit. Here value
+    * routes to integer cents through DECIMAL (the money rule), the
+    * six moments (n, Σx, Σy, Σx², Σxy, Σy²) are exact BIGINT sums —
+    * order-free under any partitioning — and both engines then apply
+    * the identical closed-form double expression to identical
+    * integers, so corr and beta are bit-equal.
+    *
+    * Scale shape: this IS the single-pass distributed statistics
+    * pattern — one partial+final aggregate carries the whole moment
+    * vector, no second pass for the means, nothing but the 6-number
+    * state per group crosses the exchange. (Spark's own corr() has
+    * the same shape; what it lacks is cross-engine determinism.)
+    */
+  def valueHourCorr(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .select(col("event_type"),
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("xc"),
+        hour(col("ts")).cast("long").as("y"))
+    val nD = "CAST(n AS DOUBLE)"
+    val cov = s"($nD * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    val varX = s"($nD * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    val varY = s"($nD * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))"
+    e.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("xc").as("sx"), sum("y").as("sy"),
+        sum(expr("xc * xc")).as("sxx"), sum(expr("xc * y")).as("sxy"),
+        sum(expr("y * y")).as("syy"))
+      .select(col("event_type"), col("n"),
+        expr(s"$cov / (sqrt($varX) * sqrt($varY))").as("corr"),
+        expr(s"$cov / $varX").as("beta_hours_per_cent"))
+      .orderBy("event_type")
+  }
+
   /** Top-5 users by spend per event type — groupBy + rank window
     * composition on the events stream table.
     */

@@ -240,6 +240,47 @@ class EventsExtraSpec extends SparkSpec {
     assert(out(6L) == 99.0, "partitions are per user")
   }
 
+  test("qx22: moment-sum corr agrees with Spark's corr() and nails a crafted slope") {
+    val sf001 = "/root/testdata/sf0.001"
+    val ours = graft.operators.Events.valueHourCorr(spark, sf001)
+      .collect().map(r => r.getAs[String]("event_type") ->
+        r.getAs[Double]("corr")).toMap
+    val ref = graft.core.Tables.events(spark, sf001)
+      .groupBy("event_type")
+      .agg(corr(col("value"), hour(col("ts")).cast("double")).as("c"))
+      .collect().map(r => r.getAs[String]("event_type") ->
+        r.getAs[Double]("c")).toMap
+    ours.foreach { case (t, c) =>
+      assert(math.abs(c - ref(t)) < 1e-9,
+        s"$t: moment corr $c vs corr() ${ref(t)}")
+    }
+    // crafted: value = 1.00 * hour exactly -> corr 1, beta = 1 hour
+    // per 100 cents = 0.01 hours/cent
+    import spark.implicits._
+    val crafted = Seq.tabulate(12)(h =>
+        (h.toLong, f"2024-01-01 $h%02d:30:00", "view", h.toDouble))
+      .toDF("event_id", "ts_s", "event_type", "value")
+      .select(col("event_id"), lit(7L).as("user_id"),
+        to_timestamp(col("ts_s")).as("ts"), col("event_type"), col("value"))
+    // reuse the operator body through a temp parquet-free path: the
+    // declared query reads Tables.events, so replicate its projection
+    val e = crafted.select(col("event_type"),
+      expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("xc"),
+      hour(col("ts")).cast("long").as("y"))
+    val m = e.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("xc").as("sx"), sum("y").as("sy"),
+        sum(expr("xc * xc")).as("sxx"), sum(expr("xc * y")).as("sxy"),
+        sum(expr("y * y")).as("syy"))
+      .select(
+        expr("(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))").as("corr"),
+        expr("(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))").as("beta"))
+      .head()
+    assert(math.abs(m.getAs[Double]("corr") - 1.0) < 1e-12,
+      "exact linear relation must give corr 1")
+    assert(math.abs(m.getAs[Double]("beta") - 0.01) < 1e-12,
+      "slope of hour on cents is 1/100")
+  }
+
   test("qd25: repetition ratios match hand-computed signals") {
     val out = TrainingOps.repetitionOn(docsOf(
         (1L, "a a a b"),      // top a: 3/4; bigrams (a a)x2, (a b) -> 2/3
