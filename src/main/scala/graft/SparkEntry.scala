@@ -126,6 +126,8 @@ object SparkEntry {
     "qp3_bloom_join"     -> (Marts.bloomJoinRead _),
     "qd32_pack_sequences" -> (graft.operators.TextPrep.packSeqQuery _),
     "qx22_moment_corr"   -> (Events.valueHourCorr _),
+    "qs20_stream_dedup_ww" ->
+      (graft.streaming.EventStream.dedupWwGate _),
   )
 
   /** Queries intentionally without an oracle — EMPTY since round 5:
@@ -379,6 +381,12 @@ object SparkEntry {
     // qs9: event_ids are unique in the corpus, so the watermarked
     // streaming dedup provably equals the plain projection.
     "qs9_stream_dedup" ->
+      ("SELECT event_id, user_id, event_type FROM events " +
+        "ORDER BY event_id"),
+    // qs20: dropDuplicatesWithinWatermark — unique gate event_ids
+    // make it the plain projection too (qs9's argument); the
+    // differing-event-time duplicate model is StreamingSpec's.
+    "qs20_stream_dedup_ww" ->
       ("SELECT event_id, user_id, event_type FROM events " +
         "ORDER BY event_id"),
     "qs2_sessionize" -> sessionizeSql,

@@ -55,10 +55,17 @@ object EventStream {
     }
     }
 
-  /** Streaming exact dedup: `dropDuplicates` keyed on `event_id` with
-    * an event-time watermark bounding the dedup state (late
-    * duplicates beyond 1 hour age out — at 100 TB/day unbounded
-    * dedup state is the thing that kills streaming jobs).
+  /** Streaming exact dedup: `dropDuplicates` keyed on `event_id`
+    * under an event-time watermark. Honest state caveat: because the
+    * event-time column is NOT among the dedup keys, this state never
+    * expires — exact forever-dedup is only viable when the key space
+    * is bounded (or retention is handled by restarting from
+    * compacted state). The production-scale variants are qs20's
+    * `dropDuplicatesWithinWatermark` (state bounded by event time +
+    * delay, retries with fresh timestamps still dedup) or keying on
+    * (id, event-time) (state bounded, but a fresh-timestamp retry
+    * re-emits) — StreamingSpec pins the three-way contract
+    * difference.
     */
   def dedupAvailableNow(spark: SparkSession, eventsDir: String,
                         queryName: String): DataFrame =
@@ -69,6 +76,40 @@ object EventStream {
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       .withWatermark("ts", "1 hour")
       .dropDuplicates("event_id")
+      .select(col("event_id"), col("user_id"), col("event_type"))
+    val q = stream.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+    }
+    }
+
+  /** Streaming dedup through `dropDuplicatesWithinWatermark`
+    * (Spark 3.5+) — the BOUNDED-STATE dedup contract: state keys on
+    * the id alone, expires at event time + watermark delay, and any
+    * retry arriving with a fresh timestamp inside the delay window
+    * still dedups (the at-least-once-ingest case, where a redelivered
+    * record carries a new timestamp). Contrast qs9's plain
+    * dropDuplicates: id-only keys never expire (unbounded state),
+    * and adding the event-time column to bound state makes a
+    * fresh-timestamp retry a NEW key that re-emits — StreamingSpec
+    * pins the three-way difference. At 100 TB/day this operator is
+    * the deployable one. Emission (first seen wins) is deterministic
+    * on the gate corpus (unique event_ids, qs9's argument).
+    */
+  def dedupWithinWatermarkAvailableNow(spark: SparkSession,
+      eventsDir: String, queryName: String): DataFrame =
+    graft.core.Tables.withNanosConf(spark) {
+    withShufflePartitions(spark, 8) {  // state-store fleet sizing, see qs8
+    val schema = spark.read.parquet(eventsDir).schema
+    val stream = spark.readStream.schema(schema).parquet(eventsDir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
       .select(col("event_id"), col("user_id"), col("event_type"))
     val q = stream.writeStream
       .outputMode("append")
@@ -234,6 +275,8 @@ object EventStream {
   private val gateRuns = new java.util.concurrent.atomic.AtomicLong(0L)
   private val lastHourlyView =
     new java.util.concurrent.atomic.AtomicReference[String](null)
+  private val lastDedupWwView =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
   private val lastDedupView =
     new java.util.concurrent.atomic.AtomicReference[String](null)
   private val lastSegmentView =
@@ -263,6 +306,21 @@ object EventStream {
     val name = s"qs9_dedup_${gateRuns.incrementAndGet()}"
     Option(lastDedupView.getAndSet(name)).foreach(s.catalog.dropTempView(_))
     dedupAvailableNow(s, graft.io.Scratch.ensureEventsLanding(dir), name)
+      .orderBy("event_id")
+  }
+
+  /** qs20 — gate-visible `dropDuplicatesWithinWatermark` dedup.
+    * Unique gate event_ids make it provably the plain projection
+    * (same argument as qs9); the DISCRIMINATING case — duplicates
+    * whose event times differ inside the delay — is StreamingSpec's,
+    * where plain dropDuplicates keeps both and WithinWatermark drops
+    * one.
+    */
+  def dedupWwGate(s: SparkSession, dir: String): DataFrame = {
+    val name = s"qs20_dedupww_${gateRuns.incrementAndGet()}"
+    Option(lastDedupWwView.getAndSet(name)).foreach(s.catalog.dropTempView(_))
+    dedupWithinWatermarkAvailableNow(
+      s, graft.io.Scratch.ensureEventsLanding(dir), name)
       .orderBy("event_id")
   }
 

@@ -4,6 +4,8 @@ import graft.operators.Events
 import graft.streaming.EventStream
 import org.apache.spark.sql.functions.col
 
+case class DupEvt(event_id: Long, ts: java.sql.Timestamp)
+
 class StreamingSpec extends SparkSpec {
 
   val sf = "/root/testdata/sf0.001"
@@ -158,5 +160,50 @@ class StreamingSpec extends SparkSpec {
         case _ =>
       }
     }
+  }
+
+  test("qs20: WithinWatermark drops the re-delivered record plain dropDuplicates re-emits") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    def t(min: Int) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+    // The two watermark-bounded dedup contracts:
+    //  - plain dropDuplicates can only expire state when the EVENT
+    //    TIME COLUMN is among the keys — so a retried record with a
+    //    fresh timestamp is a DIFFERENT key and re-emits;
+    //  - dropDuplicatesWithinWatermark keys on the id alone, holds
+    //    state until event time + delay, and so drops any retry
+    //    arriving within the delay window.
+    // (Keying plain dropDuplicates on the id alone dedups the retry
+    // but its state NEVER expires — the unbounded-state production
+    // bug WithinWatermark exists to fix; qs9's Scaladoc documents
+    // that trade.)
+    def run(within: Boolean, name: String): Seq[Long] = {
+      val input = MemoryStream[DupEvt]
+      val base = input.toDS().withWatermark("ts", "1 hour")
+      val dedup = if (within) base.dropDuplicatesWithinWatermark("event_id")
+                  else base.dropDuplicates("event_id", "ts")
+      val q = dedup.writeStream.outputMode("append").format("memory")
+        .queryName(name).trigger(Trigger.ProcessingTime(0)).start()
+      input.addData(DupEvt(1L, t(0)))
+      q.processAllAvailable()
+      // the retry: same id, fresh timestamp 40 min later — inside
+      // the 1 h dedup guarantee window
+      input.addData(DupEvt(1L, t(40)))
+      q.processAllAvailable()
+      val out = spark.table(name).as[DupEvt].collect().map(_.event_id).toSeq
+      q.stop()
+      spark.catalog.dropTempView(name)
+      out
+    }
+    val plain = run(within = false, "qs20_plain")
+    val within = run(within = true, "qs20_within")
+    assert(plain.count(_ == 1L) == 2,
+      s"(id, ts)-keyed dedup sees the fresh-timestamp retry as new: $plain")
+    assert(within.count(_ == 1L) == 1,
+      s"WithinWatermark keys the id alone and drops the retry: $within")
   }
 }
