@@ -128,6 +128,7 @@ object SparkEntry {
     "qx22_moment_corr"   -> (Events.valueHourCorr _),
     "qs20_stream_dedup_ww" ->
       (graft.streaming.EventStream.dedupWwGate _),
+    "qd33_bpe_merge"     -> (TrainingOps.bpeMergeQuery _),
   )
 
   /** Queries intentionally without an oracle — EMPTY since round 5:
@@ -1019,6 +1020,27 @@ object SparkEntry {
          |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
          |WHERE p.p_brand = 'Brand#12'
          |GROUP BY p.p_partkey ORDER BY p.p_partkey""".stripMargin),
+    // qd33: adjacency-counted pairs via the char-list mirror (the
+    // Spark side's overlapping lookahead is not RE2-expressible);
+    // the winning pair is a literal alnum regex on both sides, and
+    // greedy non-overlapping replace semantics agree (Java Matcher
+    // and RE2 both scan left-to-right from each match end).
+    "qd33_bpe_merge" ->
+      ("""WITH ch AS (SELECT doc_id, string_split(text, '') AS cs
+         |  FROM documents),
+         |bg AS (SELECT unnest(list_filter(
+         |    list_transform(range(1, len(cs)), i -> cs[i] || cs[i+1]),
+         |    p -> regexp_matches(p, '^[a-z0-9]{2}$'))) AS pair
+         |  FROM ch WHERE len(cs) >= 2),
+         |cnt AS (SELECT pair, count(*) AS c FROM bg GROUP BY 1),
+         |top AS (SELECT pair, c AS pair_count FROM cnt
+         |  ORDER BY c DESC, pair LIMIT 1)
+         |SELECT d.doc_id, t.pair, t.pair_count,
+         |  CAST(len(regexp_extract_all(d.text, t.pair)) AS INTEGER)
+         |    AS n_merges,
+         |  regexp_replace(d.text, t.pair, '#', 'g') AS merged_text
+         |FROM documents d CROSS JOIN top t
+         |ORDER BY doc_id""".stripMargin),
     // qx22: exact integer cents/hour moments, then the identical
     // closed-form double expression — corr() itself could never
     // hash-match (order-dependent double accumulation); the moments

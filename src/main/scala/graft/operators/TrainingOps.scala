@@ -868,6 +868,47 @@ object TrainingOps {
       .orderBy(strataCol, "doc_id")
   }
 
+  /** qd33 — one BPE merge round: the counting-and-merge core of
+    * tokenizer training. Candidate pairs are ADJACENCY-counted
+    * corpus-wide (qd23's overlapping-bigram machinery — "aaa" yields
+    * two (a,a) adjacencies, the classic BPE statistic), the winner is
+    * picked by (count DESC, pair ASC) — a total order, so the merge
+    * choice is deterministic — and every document is rewritten by a
+    * greedy LEFT-TO-RIGHT non-overlapping replace ("aaa" merges once),
+    * which is exactly how a real BPE tokenizer applies a learned
+    * merge. Full training = this round iterated with the merged
+    * symbol fed back into the alphabet; one round is the
+    * gate-verifiable unit (the iteration is a driver loop over the
+    * same operator, the qd13 pattern).
+    *
+    * Scale shape: pair counting is a map-side-combined aggregate over
+    * a bounded alphabet (≤ |Σ|² pairs survive the partial agg — the
+    * exchange carries pair HISTOGRAMS, not characters); the winner is
+    * a 1-row frame cross-joined in broadcast form (qd23's scalar
+    * pattern); the rewrite is map-only. One corpus scan per phase.
+    */
+  def bpeMergeRound(docs: DataFrame): DataFrame = {
+    val pairs = docs.where(col("n_chars") >= 2)
+      .withColumn("_bgs", regexp_extract_all(col("text"),
+        lit("(?s)(?=([a-z0-9]{2}))."), lit(1)))
+      .select(explode(col("_bgs")).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("c"))
+    val top = pairs
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("c").desc, col("pair"))))
+      .where(col("rn") === 1)
+      .select(col("pair"), col("c").as("pair_count"))
+    docs.crossJoin(broadcast(top))
+      .select(col("doc_id"), col("pair"), col("pair_count"),
+        regexp_count(col("text"), col("pair")).cast("int").as("n_merges"),
+        regexp_replace(col("text"), col("pair"), lit("#")).as("merged_text"))
+      .orderBy("doc_id")
+  }
+
+  /** The qd33 declared form over `documents`. */
+  def bpeMergeQuery(s: SparkSession, dir: String): DataFrame =
+    bpeMergeRound(Tables.documents(s, dir))
+
   /** The qd31 declared form: lang strata (imbalanced 218/75/73/70/64
     * at sf0.01 — sqrt temperature visibly reshapes the mix), target
     * 250 documents.

@@ -149,6 +149,34 @@ class TrainingOpsExtraSpec extends SparkSpec {
       "fingerprint rank makes the sample deterministic")
   }
 
+  test("qd33: adjacency counting picks the BPE pair, greedy merge applies it once per span") {
+    import spark.implicits._
+    // adjacencies: "aaa" -> (aa, aa); "aab" -> (aa, ab); "xy" -> (xy)
+    // counts: aa=3, ab=1, xy=1 -> winner aa
+    val docs = Seq((1L, "aaa"), (2L, "aab"), (3L, "xy"))
+      .toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val got = TrainingOps.bpeMergeRound(docs)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("pair"), r.getAs[Long]("pair_count"),
+          r.getAs[Int]("n_merges"), r.getAs[String]("merged_text"))).toMap
+    assert(got(1L) == (("aa", 3L, 1, "#a")),
+      "adjacency count sees both (a,a) pairs in 'aaa'; greedy replace merges ONE")
+    assert(got(2L) == (("aa", 3L, 1, "#b")))
+    assert(got(3L) == (("aa", 3L, 0, "xy")), "no occurrence, text unchanged")
+  }
+
+  test("qd33: equal counts tie-break to the lexicographically smallest pair") {
+    import spark.implicits._
+    // zz and aa both appear twice (adjacency): winner must be aa
+    val docs = Seq((1L, "zzz aaa"))
+      .toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val got = TrainingOps.bpeMergeRound(docs).collect().head
+    assert(got.getAs[String]("pair") == "aa", "tie-break (count DESC, pair ASC)")
+    assert(got.getAs[String]("merged_text") == "zzz #a")
+  }
+
   test("source-lang pivot matches groupBy counts and fills absent cells with 0") {
     val got = TrainingOps.sourceLangPivot(spark, sf)
     assert(got.columns.toSeq == Seq("source", "de", "en", "es", "fr", "zh"))
