@@ -511,6 +511,72 @@ class PlanSpec extends SparkSpec
       "<=> must extract as an equi-join key, not a loop-join condition")
   }
 
+  test("qs17: per-type spine join broadcasts, one forward-fill Window, no cartesian") {
+    val p = plan(graft.operators.Events.gapFillHourly(spark, sf))
+    assert("\\bWindow\\b".r.findAllIn(p).size == 1, p)
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftOuter"),
+      "spine join must broadcast")
+    noAllPairs(p)
+  }
+
+  test("qs18: retention needs NO join — cohorts come from a window over the reduced grain") {
+    val p = plan(graft.operators.Events.retention(spark, sf))
+    assert(!p.contains("Join"), s"self-join crept into retention:\n$p")
+    assert("\\bWindow\\b".r.findAllIn(p).size == 2,
+      "cohort min + cohort_size windows only")
+  }
+
+  test("qs19: trailing range frame is one Window over one hash exchange") {
+    val p = plan(graft.operators.Events.trailingHourSpend(spark, sf))
+    assert("\\bWindow\\b".r.findAllIn(p).size == 1, p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
+  test("qd29: keep-first prunes map-side (WindowGroupLimit) and the rebuild join broadcasts") {
+    val p = plan(graft.operators.Dedup.chunkDedupQuery(spark, sf))
+    assert(p.contains("WindowGroupLimit"), "losing chunks must prune pre-shuffle")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftOuter"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("qd30: hot-gram membership and coverage joins broadcast — token stream never reshuffles for them") {
+    val p = plan(graft.operators.TrainingOps.hotSpansQuery(spark, sf))
+    assert(!p.contains("SortMergeJoin"), p)
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      "hot-set membership + coverage anti/outer joins must broadcast")
+    noAllPairs(p)
+  }
+
+  test("qd31: quotas broadcast into the rank join; one corpus-scale exchange") {
+    val df = graft.operators.TrainingOps.temperatureSampleQuery(spark, sf)
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("qd32: emission reuses the packing window's exchange — one hash shuffle total") {
+    val p = plan(graft.operators.TextPrep.packSeqQuery(spark, sf))
+    assert("\\bWindow\\b".r.findAllIn(p).size == 1, p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      "the (group, bin) aggregate must ride the window's group partitioning")
+    assert("ObjectHashAggregate".r.findAllIn(p).size == 2, "partial+final collect")
+  }
+
+  test("qx22: moment statistics are one partial+final aggregate, nothing else") {
+    val p = plan(graft.operators.Events.valueHourCorr(spark, sf))
+    assert("HashAggregate".r.findAllIn(p).size == 2, p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("qd33: pair counting combines map-side; the merge pair broadcasts as one row") {
+    val p = plan(graft.operators.TrainingOps.bpeMergeQuery(spark, sf))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "pair histogram partial agg")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "1-row winner joins in broadcast form")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("global sweep: no declared query plans a CartesianProduct") {
     // BroadcastNestedLoopJoin is allowed ONLY where the operator is
     // deliberately O(n^2) at its declared verification config (qe3's
@@ -520,7 +586,9 @@ class PlanSpec extends SparkSpec
     val bnljAllowed =
       Set("qe3_embedding_neardups", "qe1_knn_brute", "qd11_doc_keywords",
         // qd22/qd23: corpus-count/total as a 1-row broadcast
-        "qd22_prune_vocab", "qd23_bigram_lm")
+        "qd22_prune_vocab", "qd23_bigram_lm",
+        // qd33: the winning merge pair as a 1-row broadcast
+        "qd33_bpe_merge")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val p = plan(fn(spark, sf))
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian")
