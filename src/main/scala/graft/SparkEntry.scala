@@ -129,6 +129,7 @@ object SparkEntry {
     "qs20_stream_dedup_ww" ->
       (graft.streaming.EventStream.dedupWwGate _),
     "qd33_bpe_merge"     -> (TrainingOps.bpeMergeQuery _),
+    "qe6_pq_audit"       -> (graft.operators.Similarity.pqAuditQuery _),
   )
 
   /** Queries intentionally without an oracle — EMPTY since round 5:
@@ -1020,6 +1021,28 @@ object SparkEntry {
          |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
          |WHERE p.p_brand = 'Brand#12'
          |GROUP BY p.p_partkey ORDER BY p.p_partkey""".stripMargin),
+    // qe6: integer codes from identical double arithmetic; the MSE
+    // reduction is an integer micro-sum (qd21's device) so no
+    // accumulation order exists to disagree.
+    "qe6_pq_audit" ->
+      ("""WITH el AS (SELECT vec_id, i-1 AS dim,
+         |    CAST(embedding[i] AS DOUBLE) AS x
+         |  FROM embeddings, unnest(range(1, len(embedding)+1)) u(i)),
+         |st AS (SELECT dim, min(x) AS lo, max(x) AS hi FROM el GROUP BY 1),
+         |j AS (SELECT vec_id, x, lo, hi,
+         |    CASE WHEN hi = lo THEN 0 ELSE
+         |      CAST(least(floor((x - lo) / (hi - lo) * 256.0), 255.0)
+         |        AS INTEGER) END AS code
+         |  FROM el JOIN st USING (dim)),
+         |d AS (SELECT vec_id, code,
+         |    lo + (CAST(code AS DOUBLE) + 0.5) * (hi - lo) / 256.0 AS deq,
+         |    x FROM j),
+         |e AS (SELECT vec_id, code,
+         |    CAST(floor((x - deq) * (x - deq) * 1e12 + 0.5) AS BIGINT) AS em
+         |  FROM d)
+         |SELECT vec_id, CAST(SUM(code) AS BIGINT) AS code_sum,
+         |  CAST(SUM(em) AS DOUBLE) / 1e12 / CAST(count(*) AS DOUBLE) AS mse
+         |FROM e GROUP BY vec_id ORDER BY vec_id""".stripMargin),
     // qd33: adjacency-counted pairs via the char-list mirror (the
     // Spark side's overlapping lookahead is not RE2-expressible);
     // the winning pair is a literal alnum regex on both sides, and

@@ -315,4 +315,56 @@ object Similarity {
       .select("query_id", "vec_id", "rnk", "sim")
       .orderBy("query_id", "rnk", "vec_id")
   }
+
+  /** qe6 — 8-bit scalar-quantization audit: per-dimension uniform
+    * quantizer (code = floor((x−lo)/w·256) clamped to 255, cell width
+    * w = (hi−lo)/256, midpoint dequantization ⇒ max error exactly
+    * w/2), with per-vector code sums and reconstruction MSE. This is
+    * the memory-bound ANN building block — a 64-dim float corpus
+    * drops 4× to one byte per dim, and THIS audit (codes + error) is
+    * how a pipeline qualifies the compression before switching its
+    * search to quantized vectors.
+    *
+    * Determinism: codes are INTEGERS from identical double arithmetic
+    * (float→double widening is exact, /·· op order mirrored in the
+    * oracle) — exact on both engines; the MSE sum rides qd21's
+    * micro-quantization (floor(err·1e12+0.5) per element, integer
+    * sum — order-free under any partitioning), so not even the
+    * reduction order can move a bit.
+    *
+    * Scale shape: one posexplode scan; per-dim stats are a
+    * partial+final aggregate over a BOUNDED key space (64 dims) that
+    * broadcasts back; the per-vector reduction is a partial+final
+    * aggregate on vec_id. The element stream shuffles once.
+    */
+  def pqAudit(emb: DataFrame): DataFrame = {
+    val el = emb
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .withColumn("x", col("x").cast("double"))
+    val stats = el.groupBy("dim").agg(min("x").as("lo"), max("x").as("hi"))
+    el.join(broadcast(stats), Seq("dim"))
+      .withColumn("code",
+        when(col("hi") === col("lo"), 0)
+          .otherwise(least(
+            floor((col("x") - col("lo")) / (col("hi") - col("lo")) * 256.0),
+            lit(255.0)).cast("int")))
+      .withColumn("deq",
+        col("lo") + (col("code").cast("double") + 0.5)
+          * (col("hi") - col("lo")) / 256.0)
+      .withColumn("em",
+        floor((col("x") - col("deq")) * (col("x") - col("deq"))
+          * lit(1e12) + lit(0.5)).cast("long"))
+      .groupBy("vec_id")
+      .agg(sum("code").as("code_sum"), sum("em").as("_micro"),
+        count(lit(1)).as("_n"))
+      .select(col("vec_id"), col("code_sum"),
+        (col("_micro").cast("double") / lit(1e12)
+          / col("_n").cast("double")).as("mse"))
+      .orderBy("vec_id")
+  }
+
+  /** The qe6 declared form over `embeddings`. */
+  def pqAuditQuery(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    pqAudit(graft.core.Tables.embeddings(s, dir))
 }

@@ -167,4 +167,41 @@ class SimilaritySpec extends SparkSpec
       assert(bruteSims(key) == r.getAs[Double]("sim"), s"sim mismatch at $key")
     }
   }
+
+  test("qe6: hand-computed codes; reconstruction error bounded by half a cell") {
+    import spark.implicits._
+    // dim 0 spans [0, 256] -> w = 1: x=0 -> code 0, deq 0.5;
+    // x=100 -> code 100, deq 100.5; x=256 -> clamp 255, deq 255.5
+    // dim 1 is constant -> code 0, deq = lo, zero error
+    val emb = Seq(
+      (1L, Array(0.0f, 7.0f)),
+      (2L, Array(100.0f, 7.0f)),
+      (3L, Array(256.0f, 7.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.pqAudit(emb)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("code_sum"), r.getAs[Double]("mse"))).toMap
+    assert(got(1L) == ((0L, 0.125)), "errors 0.5^2 and 0 average to 0.125")
+    assert(got(2L) == ((100L, 0.125)))
+    assert(got(3L) == ((255L, 0.125)), "top-of-range clamps to 255, err 0.5")
+
+    // real corpus: every dimension's reconstruction error must respect
+    // the uniform-quantizer bound |x - deq| <= w/2 (+ micro-rounding)
+    val embReal = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val el = embReal.select(col("vec_id"),
+        posexplode(col("embedding")).as(Seq("dim", "x")))
+      .withColumn("x", col("x").cast("double"))
+    val stats = el.groupBy("dim").agg(min("x").as("lo"), max("x").as("hi"))
+    val worst = el.join(broadcast(stats), Seq("dim"))
+      .withColumn("code", when(col("hi") === col("lo"), 0)
+        .otherwise(least(floor((col("x") - col("lo")) /
+          (col("hi") - col("lo")) * 256.0), lit(255.0)).cast("int")))
+      .withColumn("deq", col("lo") + (col("code").cast("double") + 0.5)
+        * (col("hi") - col("lo")) / 256.0)
+      .withColumn("relerr", abs(col("x") - col("deq"))
+        / ((col("hi") - col("lo")) / 256.0))
+      .agg(max("relerr")).head().getDouble(0)
+    assert(worst <= 0.5 + 1e-9,
+      s"uniform quantizer must stay within half a cell, worst $worst cells")
+  }
 }
