@@ -130,6 +130,7 @@ object SparkEntry {
       (graft.streaming.EventStream.dedupWwGate _),
     "qd33_bpe_merge"     -> (TrainingOps.bpeMergeQuery _),
     "qe6_pq_audit"       -> (graft.operators.Similarity.pqAuditQuery _),
+    "qd34_curation"      -> (TrainingOps.curationVerdict _),
   )
 
   /** Queries intentionally without an oracle — EMPTY since round 5:
@@ -1021,6 +1022,33 @@ object SparkEntry {
          |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
          |WHERE p.p_brand = 'Brand#12'
          |GROUP BY p.p_partkey ORDER BY p.p_partkey""".stripMargin),
+    // qd34: three verified stage oracles composed — qd1's keep-first
+    // window, qd28's micro-quantized band, qd2's token count.
+    "qd34_curation" ->
+      ("""WITH p AS (
+         |  SELECT source,
+         |    CAST(floor(quantile_cont(n_chars, 0.05) * 1000000.0 + 0.5)
+         |      AS BIGINT) / 1000000.0 AS p05,
+         |    CAST(floor(quantile_cont(n_chars, 0.95) * 1000000.0 + 0.5)
+         |      AS BIGINT) / 1000000.0 AS p95
+         |  FROM documents GROUP BY source),
+         |c AS (SELECT doc_id, row_number() OVER (
+         |    PARTITION BY text ORDER BY doc_id) AS rn FROM documents),
+         |t AS (SELECT doc_id,
+         |    CASE WHEN length(trim(text)) = 0 THEN 0 ELSE
+         |      CAST(len(regexp_split_to_array(trim(text), '\s+'))
+         |        AS INTEGER) END AS n_tokens
+         |  FROM documents)
+         |SELECT d.doc_id, c.rn = 1 AS canonical,
+         |  d.n_chars >= p.p05 AND d.n_chars <= p.p95 AS in_band,
+         |  t.n_tokens >= 30 AS enough_tokens,
+         |  (c.rn = 1 AND d.n_chars >= p.p05 AND d.n_chars <= p.p95
+         |    AND t.n_tokens >= 30) AS kept
+         |FROM documents d
+         |JOIN p ON d.source = p.source
+         |JOIN c ON d.doc_id = c.doc_id
+         |JOIN t ON d.doc_id = t.doc_id
+         |ORDER BY d.doc_id""".stripMargin),
     // qe6: integer codes from identical double arithmetic; the MSE
     // reduction is an integer micro-sum (qd21's device) so no
     // accumulation order exists to disagree.

@@ -868,6 +868,51 @@ object TrainingOps {
       .orderBy(strataCol, "doc_id")
   }
 
+  /** qd34 — the curation verdict: the end-to-end document filter a
+    * training-data pipeline actually ships, composed from three
+    * already-verified stages in ONE query — exact-dup canonicality
+    * (qd1's keep-first window), per-source length band (qd28's
+    * micro-quantized percentiles), and a token floor (qd2's
+    * tokenizer). Per-doc booleans rather than a filtered corpus so
+    * every stage's individual verdict is hash-checked, not just the
+    * conjunction.
+    *
+    * Scale shape: one corpus scan feeds everything; the dedup window
+    * is qd1's single (xxhash64, text) shuffle; the percentile frame
+    * is one-row-per-source and broadcasts; the token floor is
+    * map-only. Stage composition adds NO new corpus-scale exchange —
+    * which is the point: a curation pipeline that rescans per stage
+    * pays the corpus bill per filter.
+    */
+  def curationVerdict(s: SparkSession, dir: String): DataFrame =
+    curationVerdictOn(Tables.documents(s, dir))
+
+  /** Core of [[curationVerdict]] over any (doc_id, source, text,
+    * n_chars) frame — the crafted-duplicate spec entry point (the
+    * gate corpus has no exact-duplicate texts, so `canonical` is
+    * value-bearing only in the spec, same situation as qd1).
+    */
+  def curationVerdictOn(docs: DataFrame): DataFrame = {
+    val firstOfText = Window
+      .partitionBy(xxhash64(col("text")), col("text")).orderBy("doc_id")
+    val pct = docs.groupBy("source").agg(
+      (floor(expr("percentile(n_chars, 0.05D)") * lit(1e6) + lit(0.5)) /
+        lit(1e6)).as("p05"),
+      (floor(expr("percentile(n_chars, 0.95D)") * lit(1e6) + lit(0.5)) /
+        lit(1e6)).as("p95"))
+    docs
+      .withColumn("canonical", row_number().over(firstOfText) === 1)
+      .join(broadcast(pct), "source")
+      .withColumn("in_band",
+        col("n_chars") >= col("p05") && col("n_chars") <= col("p95"))
+      .withColumn("enough_tokens", TextFns.tokenCount(col("text")) >= 30)
+      .select(col("doc_id"), col("canonical"), col("in_band"),
+        col("enough_tokens"),
+        (col("canonical") && col("in_band") && col("enough_tokens"))
+          .as("kept"))
+      .orderBy("doc_id")
+  }
+
   /** qd33 — one BPE merge round: the counting-and-merge core of
     * tokenizer training. Candidate pairs are ADJACENCY-counted
     * corpus-wide (qd23's overlapping-bigram machinery — "aaa" yields

@@ -177,6 +177,30 @@ class TrainingOpsExtraSpec extends SparkSpec {
     assert(got.getAs[String]("merged_text") == "zzz #a")
   }
 
+  test("qd34: each stage's verdict is independent; duplicates lose canonicality") {
+    import spark.implicits._
+    val long30 = (1 to 30).map(i => s"w$i").mkString(" ")     // 30 tokens
+    val docs = Seq(
+      (1L, "s1", long30),            // canonical, 30 tokens -> kept if in band
+      (2L, "s1", long30),            // exact duplicate of 1 -> NOT canonical
+      (3L, "s1", "short text"),      // 2 tokens -> fails token floor
+      (4L, "s1", long30 + " extra")) // unique, 31 tokens
+      .toDF("doc_id", "source", "text")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val got = TrainingOps.curationVerdictOn(docs)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Boolean]("canonical"), r.getAs[Boolean]("in_band"),
+          r.getAs[Boolean]("enough_tokens"), r.getAs[Boolean]("kept")))).toMap
+    assert(got(1L)._1 && !got(2L)._1,
+      "the lower doc_id of an identical pair is the canonical one")
+    assert(!got(2L)._4, "a non-canonical doc is never kept")
+    assert(!got(3L)._3 && !got(3L)._4, "token floor fails short docs")
+    assert(got(4L)._1 && got(4L)._3)
+    // in_band is a per-source percentile cut: with these four lengths
+    // the p05/p95 band excludes the extremes (interpolated percentiles)
+    assert(!got(3L)._2, "the 10-char doc sits below its source's p05")
+  }
+
   test("source-lang pivot matches groupBy counts and fills absent cells with 0") {
     val got = TrainingOps.sourceLangPivot(spark, sf)
     assert(got.columns.toSeq == Seq("source", "de", "en", "es", "fr", "zh"))
