@@ -332,7 +332,7 @@ object Dedup {
     * the CacheManager, so `Dataset.unpersist()` cannot find it — match
     * the LogicalRDD leaf and drop its blocks directly.
     */
-  private def unpersistCheckpointed(df: DataFrame): Unit =
+  private[operators] def unpersistCheckpointed(df: DataFrame): Unit =
     df.queryExecution.logical match {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
         lr.rdd.unpersist(blocking = false)
