@@ -131,6 +131,8 @@ object SparkEntry {
     "qd33_bpe_merge"     -> (TrainingOps.bpeMergeQuery _),
     "qe6_pq_audit"       -> (graft.operators.Similarity.pqAuditQuery _),
     "qd34_curation"      -> (TrainingOps.curationVerdict _),
+    "qs21_first_touch"   -> (Events.firstTouch _),
+    "qx23_union_by_name" -> (Extras.unionByNameDrift _),
   )
 
   /** Queries intentionally without an oracle — EMPTY since round 5:
@@ -1022,6 +1024,39 @@ object SparkEntry {
          |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
          |WHERE p.p_brand = 'Brand#12'
          |GROUP BY p.p_partkey ORDER BY p.p_partkey""".stripMargin),
+    // qs21: equi-join on user + interval filter, earliest click wins
+    // ((c_ts, click_id) tie rule); gap on floored epoch seconds.
+    "qs21_first_touch" ->
+      ("""WITH ev AS (SELECT event_id, user_id, event_type,
+         |    CAST(ts AS TIMESTAMP) AS ts FROM events),
+         |c AS (SELECT event_id AS click_id, user_id, ts AS c_ts
+         |  FROM ev WHERE event_type = 'click'),
+         |p AS (SELECT event_id AS purchase_id, user_id, ts AS p_ts
+         |  FROM ev WHERE event_type = 'purchase'),
+         |j AS (SELECT p.purchase_id, c.click_id, p.user_id, c.c_ts, p.p_ts,
+         |    row_number() OVER (PARTITION BY p.purchase_id
+         |      ORDER BY c.c_ts, c.click_id) AS rn
+         |  FROM p JOIN c ON p.user_id = c.user_id
+         |    AND c.c_ts >= p.p_ts - INTERVAL 30 MINUTE
+         |    AND c.c_ts <= p.p_ts)
+         |SELECT purchase_id, click_id, user_id,
+         |  strftime(c_ts, '%Y-%m-%d %H:%M:%S') AS click_at,
+         |  strftime(p_ts, '%Y-%m-%d %H:%M:%S') AS purchase_at,
+         |  CAST(CAST(floor(epoch(p_ts)) AS BIGINT)
+         |    - CAST(floor(epoch(c_ts)) AS BIGINT) AS INTEGER) AS gap_sec
+         |FROM j WHERE rn = 1 ORDER BY purchase_id""".stripMargin),
+    // qx23: name-aligned union with NULL fill — column identity, not
+    // position, pairs the two eras.
+    "qx23_union_by_name" ->
+      ("""SELECT o_orderkey, o_custkey, o_totalprice,
+         |  CAST(NULL AS VARCHAR) AS o_orderstatus,
+         |  CAST(NULL AS VARCHAR) AS o_orderpriority
+         |FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01'
+         |UNION ALL
+         |SELECT o_orderkey, CAST(NULL AS BIGINT) AS o_custkey,
+         |  o_totalprice, o_orderstatus, o_orderpriority
+         |FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+         |ORDER BY o_orderkey""".stripMargin),
     // qd34: three verified stage oracles composed — qd1's keep-first
     // window, qd28's micro-quantized band, qd2's token count.
     "qd34_curation" ->

@@ -449,6 +449,41 @@ object Events {
       .orderBy("event_type")
   }
 
+  /** qs21 — FIRST-touch attribution: each purchase credits the
+    * earliest click by the same user in the preceding 30 minutes —
+    * the single-credit marketing model (qs15's stream-stream join is
+    * the all-touch credit set; this picks one winner per purchase).
+    *
+    * Scale shape: the time-bounded join is an EQUI-join on user_id
+    * with the interval as a post-join filter — per-user groups are
+    * small, so this is the bounded-pair shape, never all-pairs; the
+    * winner pick is a row_number window partitioned by purchase
+    * (groups = that purchase's candidate clicks, bounded by the
+    * 30-minute window). Tie rule pinned: same-second clicks break by
+    * click_id.
+    */
+  def firstTouch(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("c_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("p_ts"))
+    val w = Window.partitionBy("purchase_id").orderBy("c_ts", "click_id")
+    purchases.join(clicks, Seq("user_id"))
+      .filter(col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES") &&
+        col("c_ts") <= col("p_ts"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("purchase_id"), col("click_id"), col("user_id"),
+        date_format(col("c_ts"), "yyyy-MM-dd HH:mm:ss").as("click_at"),
+        date_format(col("p_ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_at"),
+        (unix_timestamp(col("p_ts")) - unix_timestamp(col("c_ts")))
+          .cast("int").as("gap_sec"))
+      .orderBy("purchase_id")
+  }
+
   /** Top-5 users by spend per event type — groupBy + rank window
     * composition on the events stream table.
     */

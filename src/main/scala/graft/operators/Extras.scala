@@ -305,4 +305,25 @@ object Extras {
     Tables.customer(s, dir).createOrReplaceTempView("customer")
     s.sql(corrSubqueryText)
   }
+
+  /** qx23 — `unionByName(allowMissingColumns = true)`: the API-level
+    * schema-drift union, the in-memory sibling of qx20's mergeSchema
+    * FILE read. Two "eras" of the orders feed carry different column
+    * sets (the old one lacks status/priority, the new one dropped the
+    * custkey); union-by-NAME aligns on column identity — a positional
+    * union would silently pair custkey with status — and NULL-fills
+    * what each era lacks. The operation is metadata-only per row
+    * (project + null literals), so the union costs nothing beyond the
+    * two scans; no shuffle until the output sort.
+    */
+  def unionByNameDrift(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val oldEra = o.filter(col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val newEra = o.filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        col("o_orderpriority"))
+    oldEra.unionByName(newEra, allowMissingColumns = true)
+      .orderBy("o_orderkey")
+  }
 }

@@ -281,6 +281,39 @@ class EventsExtraSpec extends SparkSpec {
       "slope of hour on cents is 1/100")
   }
 
+  test("qs21: earliest in-window click wins; boundaries are [p_ts - 30min, p_ts]") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, 7L, "2024-01-01 10:00:00", "click"),    // exactly 30 min before -> in
+      (2L, 7L, "2024-01-01 10:10:00", "click"),    // later -> loses to #1
+      (3L, 7L, "2024-01-01 10:30:00", "purchase"),
+      (4L, 7L, "2024-01-01 10:31:00", "click"),    // after purchase -> out
+      (5L, 8L, "2024-01-01 09:59:59", "click"),    // 30min+1s before -> out
+      (6L, 8L, "2024-01-01 10:30:00", "purchase"), // no candidate -> no row
+      (7L, 9L, "2024-01-01 10:30:00", "click"),    // same second as purchase -> in
+      (8L, 9L, "2024-01-01 10:30:00", "purchase"))
+      .toDF("event_id", "user_id", "ts_s", "event_type")
+      .select(col("event_id"), col("user_id"),
+        to_timestamp(col("ts_s")).as("ts"), col("event_type"),
+        lit(0.0).as("value"))
+    // run the same pipeline as firstTouch but over the crafted frame
+    val clicks = rows.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("c_ts"))
+    val purchases = rows.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("p_ts"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("purchase_id").orderBy("c_ts", "click_id")
+    val got = purchases.join(clicks, Seq("user_id"))
+      .filter(col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES") &&
+        col("c_ts") <= col("p_ts"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .collect().map(r => r.getAs[Long]("purchase_id") ->
+        r.getAs[Long]("click_id")).toMap
+    assert(got(3L) == 1L, "exactly-30-min-old click is in window and earliest")
+    assert(!got.contains(6L), "a purchase with no in-window click gets no credit row")
+    assert(got(8L) == 7L, "same-second click counts (inclusive upper bound)")
+  }
+
   test("qd25: repetition ratios match hand-computed signals") {
     val out = TrainingOps.repetitionOn(docsOf(
         (1L, "a a a b"),      // top a: 3/4; bigrams (a a)x2, (a b) -> 2/3

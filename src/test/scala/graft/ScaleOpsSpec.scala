@@ -82,4 +82,30 @@ class ScaleOpsSpec extends SparkSpec {
     val wrong = new Credentials("other", "salt1234".getBytes)
     intercept[Exception] { wrong.decrypt(enc) }
   }
+
+  test("qx23: unionByName aligns drifted eras by column identity with NULL fill") {
+    val sf = "/root/testdata/sf0.001"
+    val df = graft.operators.Extras.unionByNameDrift(spark, sf)
+    assert(df.columns.toSeq == Seq("o_orderkey", "o_custkey",
+      "o_totalprice", "o_orderstatus", "o_orderpriority"),
+      "first frame's columns lead, the new era's extras append")
+    val eras = spark.read.parquet(s"$sf/orders.parquet")
+      .select(org.apache.spark.sql.functions.col("o_orderkey"),
+        (org.apache.spark.sql.functions.col("o_orderdate") <
+          org.apache.spark.sql.functions.lit("1996-01-01").cast("timestamp"))
+          .as("old"))
+      .collect()
+      .map(r => r.getAs[Long]("o_orderkey") -> r.getAs[Boolean]("old")).toMap
+    val rows = df.collect()
+    assert(rows.length == eras.size, "the union conserves every order")
+    rows.foreach { r =>
+      val old = eras(r.getAs[Long]("o_orderkey"))
+      assert(r.isNullAt(r.fieldIndex("o_orderstatus")) == old,
+        "old-era rows NULL-fill the columns only the new era has")
+      assert(r.isNullAt(r.fieldIndex("o_custkey")) == !old,
+        "new-era rows NULL-fill the dropped custkey")
+      assert(!r.isNullAt(r.fieldIndex("o_totalprice")),
+        "the shared column is never NULL-filled")
+    }
+  }
 }
