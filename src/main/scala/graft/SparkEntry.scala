@@ -133,6 +133,7 @@ object SparkEntry {
     "qd34_curation"      -> (TrainingOps.curationVerdict _),
     "qs21_first_touch"   -> (Events.firstTouch _),
     "qx23_union_by_name" -> (Extras.unionByNameDrift _),
+    "qp4_compaction"     -> (Marts.compactionRoundtrip _),
   )
 
   /** Queries intentionally without an oracle — EMPTY since round 5:
@@ -1024,6 +1025,11 @@ object SparkEntry {
          |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
          |WHERE p.p_brand = 'Brand#12'
          |GROUP BY p.p_partkey ORDER BY p.p_partkey""".stripMargin),
+    // qp4: compaction is a pure layout change — the read-back of the
+    // compacted tree equals the plain projection.
+    "qp4_compaction" ->
+      ("SELECT event_id, event_type, user_id, value FROM events " +
+        "ORDER BY event_id"),
     // qs21: equi-join on user + interval filter, earliest click wins
     // ((c_ts, click_id) tie rule); gap on floored epoch seconds.
     "qs21_first_touch" ->

@@ -50,6 +50,14 @@ object Scratch {
       "graft_qs16_" + sfDir.replaceAll("[^A-Za-z0-9._-]", "_"))
       .getAbsolutePath
 
+  /** qp4's compaction roots (fragmented + compacted trees), keyed
+    * like [[qp1Dir]].
+    */
+  def qp4Dir(sfDir: String): String =
+    new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_qp4_" + sfDir.replaceAll("[^A-Za-z0-9._-]", "_"))
+      .getAbsolutePath
+
   /** Streaming landing dir (symlink to the single-file events table),
     * keyed like [[qp1Dir]]; shared by the streaming gate queries
     * (qs7/qs8/qs9).

@@ -201,6 +201,47 @@ object Marts {
       .orderBy("p_partkey")
   }
 
+  /** qp4 — small-file COMPACTION roundtrip: the layout-maintenance
+    * job every partitioned data lake runs. Phase 1 deliberately
+    * fragments the events table into a many-small-files hive layout
+    * (64 writer tasks × 5 event_type dirs — the shape an unbatched
+    * streaming ingest leaves behind); phase 2 compacts it with the
+    * cluster-by-partition-keys write ([[graft.io.Writers.writePartitioned]]
+    * with one writer task per target file), landing on ONE file per
+    * directory. The declared result is the read-back of the COMPACTED
+    * tree — hash-equal to the never-written projection (the oracle),
+    * proving compaction is a pure layout change. File counts
+    * (64×dirs → 1×dirs) are pinned in PipelineSpec, and at 100 TB
+    * the same two-phase shape runs per-partition-subtree as a rolling
+    * maintenance job (the small-files problem is a metadata+open-cost
+    * tax on every subsequent scan — the reason this op exists).
+    *
+    * `ts` is excluded: the source column is nanos parquet, and a
+    * write would silently micros-truncate it — the projection keeps
+    * the roundtrip type-exact.
+    */
+  def compactionRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val root = graft.io.Scratch.qp4Dir(dir)
+    val frag = s"$root/fragmented"
+    val compact = s"$root/compacted"
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("event_type"), col("user_id"),
+        col("value"))
+    // phase 1: the pathological layout — every writer task touches
+    // every partition dir (round-robin repartition spreads rows
+    // arbitrarily), yielding tasks×dirs files
+    ev.repartition(64).write.mode("overwrite")
+      .partitionBy("event_type").parquet(frag)
+    // phase 2: compact = re-cluster by the partition keys, one writer
+    // per directory
+    graft.io.Writers.writePartitioned(
+      s.read.parquet(frag), compact, Seq("event_type"), numTasks = 5)
+    s.read.parquet(compact)
+      .select(col("event_id"), col("event_type"), col("user_id"),
+        col("value"))
+      .orderBy("event_id")
+  }
+
   /** qp3's conf scope (see [[bloomJoinRead]] for why each key). */
   def withBloomConfs[A](s: SparkSession)(body: => A): A =
     withConfs(s, Map(

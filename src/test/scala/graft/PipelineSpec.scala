@@ -134,4 +134,25 @@ class PipelineSpec extends SparkSpec {
     assert(report.goodFiles.isEmpty && report.quarantined.isEmpty)
     assert(report.customerMartRows == 0)
   }
+
+  test("qp4: compaction collapses the fragmented layout to one file per partition dir") {
+    val sf = "/root/testdata/sf0.001"
+    graft.operators.Marts.compactionRoundtrip(spark, sf).count()
+    val root = new java.io.File(graft.io.Scratch.qp4Dir(sf))
+    def parquetFiles(tree: String): Map[String, Int] = {
+      val dirs = new java.io.File(root, tree).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("event_type="))
+      dirs.map(d => d.getName ->
+        d.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+    }
+    val frag = parquetFiles("fragmented")
+    val compact = parquetFiles("compacted")
+    assert(frag.keySet == compact.keySet, "same partition dirs")
+    assert(frag.values.forall(_ > 1),
+      s"phase 1 must fragment (files per dir: $frag)")
+    assert(frag.values.sum > 10 * compact.values.sum,
+      "compaction must collapse an order of magnitude of files")
+    assert(compact.values.forall(_ == 1),
+      s"one writer per dir -> one file per dir, got $compact")
+  }
 }
