@@ -134,6 +134,7 @@ object SparkEntry {
     "qs21_first_touch"   -> (Events.firstTouch _),
     "qx23_union_by_name" -> (Extras.unionByNameDrift _),
     "qp4_compaction"     -> (Marts.compactionRoundtrip _),
+    "qs22_cumulative_users" -> (Events.cumulativeUsers _),
   )
 
   /** Queries intentionally without an oracle — EMPTY since round 5:
@@ -1025,6 +1026,22 @@ object SparkEntry {
          |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
          |WHERE p.p_brand = 'Brand#12'
          |GROUP BY p.p_partkey ORDER BY p.p_partkey""".stripMargin),
+    // qs22: running distinct = Σ n_new on the day grain (first-seen
+    // identity), mirrored exactly; both engines run the cumsum over
+    // the tiny report frame.
+    "qs22_cumulative_users" ->
+      ("""WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+         |  FROM events),
+         |f AS (SELECT user_id, day,
+         |    min(day) OVER (PARTITION BY user_id) AS first_day FROM ud),
+         |d AS (SELECT day, count(*) AS n_active,
+         |    SUM(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS n_new
+         |  FROM f GROUP BY 1)
+         |SELECT strftime(day, '%Y-%m-%d') AS day, n_active, n_new,
+         |  SUM(n_new) OVER (ORDER BY day
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |    AS cum_users
+         |FROM d ORDER BY day""".stripMargin),
     // qp4: compaction is a pure layout change — the read-back of the
     // compacted tree equals the plain projection.
     "qp4_compaction" ->

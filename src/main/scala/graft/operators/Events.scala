@@ -484,6 +484,38 @@ object Events {
       .orderBy("purchase_id")
   }
 
+  /** qs22 — daily actives, new users, and CUMULATIVE distinct users:
+    * the running-uniques report every growth dashboard carries.
+    * COUNT(DISTINCT) over a running frame is unsupported (and would
+    * be quadratic anyway); the scalable identity is
+    * cumulative_distinct(d) = Σ n_new over days ≤ d, where a user is
+    * "new" on their first-seen day — so the whole report reduces to
+    * the distinct (user, day) grain, one window min per user, a
+    * per-day aggregate, and a running sum over the DAY GRAIN (≤ a few
+    * thousand rows at any horizon — the single-partition window is on
+    * the report, not the data).
+    */
+  def cumulativeUsers(s: SparkSession, dir: String): DataFrame =
+    cumulativeUsersOn(Tables.events(s, dir))
+
+  /** Core of [[cumulativeUsers]] over any (user_id, ts) frame. */
+  def cumulativeUsersOn(events: DataFrame): DataFrame = {
+    val days = events
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+      .withColumn("first_day",
+        min("day").over(Window.partitionBy("user_id")))
+    days.groupBy("day")
+      .agg(count(lit(1)).as("n_active"),
+        sum(when(col("day") === col("first_day"), 1L).otherwise(0L))
+          .as("n_new"))
+      .withColumn("cum_users", sum("n_new").over(Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n_active"), col("n_new"), col("cum_users"))
+      .orderBy("day")
+  }
+
   /** Top-5 users by spend per event type — groupBy + rank window
     * composition on the events stream table.
     */

@@ -314,6 +314,24 @@ class EventsExtraSpec extends SparkSpec {
     assert(got(8L) == 7L, "same-second click counts (inclusive upper bound)")
   }
 
+  test("qs22: cumulative uniques equal running first-seen sums; returning users don't recount") {
+    val out = Events.cumulativeUsersOn(eventsOf(
+        (1L, "2024-01-01 10:00:00", "view", 0.0),
+        (2L, "2024-01-01 11:00:00", "view", 0.0),
+        (1L, "2024-01-02 10:00:00", "view", 0.0),  // returning, not new
+        (3L, "2024-01-02 11:00:00", "view", 0.0),
+        (1L, "2024-01-04 10:00:00", "view", 0.0))) // only returning users
+      .collect().map(r => r.getAs[String]("day") ->
+        ((r.getAs[Long]("n_active"), r.getAs[Long]("n_new"),
+          r.getAs[Long]("cum_users")))).toMap
+    assert(out("2024-01-01") == ((2L, 2L, 2L)))
+    assert(out("2024-01-02") == ((2L, 1L, 3L)),
+      "user 1 is active but not new; cumulative grows by the new user only")
+    assert(out("2024-01-04") == ((1L, 0L, 3L)),
+      "a returning-only day leaves the cumulative count flat")
+    assert(!out.contains("2024-01-03"), "silent days have no report row")
+  }
+
   test("qd25: repetition ratios match hand-computed signals") {
     val out = TrainingOps.repetitionOn(docsOf(
         (1L, "a a a b"),      // top a: 3/4; bigrams (a a)x2, (a b) -> 2/3

@@ -108,6 +108,30 @@ class SessionStreamSpec extends SparkSpec {
       s"boundary extender must merge into one session: ${u1.toSeq}")
   }
 
+  test("RocksDB state store: streaming session windows land on identical results") {
+    // the production state backend for large state (HDFS-backed
+    // in-memory maps stop scaling when per-partition state outgrows
+    // the executor heap; RocksDB spills to local SSD) — the engine's
+    // streaming gates must be backend-agnostic, proven by strict
+    // result equality on a real corpus drain
+    val sf = "/root/testdata/sf0.001"
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val rocks = graft.streaming.SessionStream
+        .sessionWindowGate(spark, sf).collect().toSeq
+      val batch = graft.operators.Events.sessionWindow(spark, sf)
+        .collect().toSeq
+      assert(rocks == batch,
+        s"RocksDB drain ${rocks.length} rows vs batch ${batch.length}")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("continuous sessionize over the real corpus in 3 batches equals batch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.Trigger
