@@ -429,6 +429,12 @@ object Events {
     * vector, no second pass for the means, nothing but the 6-number
     * state per group crosses the exchange. (Spark's own corr() has
     * the same shape; what it lacks is cross-engine determinism.)
+    *
+    * Headroom: Σx² in BIGINT holds ~3·10⁹ rows per group at these
+    * value magnitudes (xc² ≤ ~3·10⁹, Long.Max ≈ 9.2·10¹⁸) — ANSI
+    * mode fails LOUDLY past that, never silently wraps; for
+    * larger-than-that groups swap the moment sums to DECIMAL(38,0)
+    * (still exact, same oracle shape).
     */
   def valueHourCorr(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(s, dir)
