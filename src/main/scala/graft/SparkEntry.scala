@@ -135,6 +135,7 @@ object SparkEntry {
     "qx23_union_by_name" -> (Extras.unionByNameDrift _),
     "qp4_compaction"     -> (Marts.compactionRoundtrip _),
     "qs22_cumulative_users" -> (Events.cumulativeUsers _),
+    "qd35_bpe_train"     -> (TrainingOps.bpeTrainQuery _),
   )
 
   /** Queries intentionally without an oracle — EMPTY since round 5:
@@ -1214,7 +1215,43 @@ object SparkEntry {
          |  CAST(quota AS INTEGER) AS quota
          |FROM r JOIN q USING (lang) WHERE rn <= quota
          |ORDER BY lang, doc_id""".stripMargin),
+    // qd35: qd33's char-list adjacency mirror, CHAINED for three
+    // training rounds — each round's corpus CTE (t1/t2) feeds the
+    // next round's candidate count with the merge symbol admitted
+    // into the char class, exactly the Spark driver loop unrolled.
+    "qd35_bpe_train" -> bpeTrainSql,
   )
+
+  /** qd35 unrolled 3-round BPE trainer (see qd33 for the per-round
+    * parity argument: adjacency counts via the char-list mirror,
+    * literal alnum winners, RE2/Java-identical greedy replace).
+    */
+  private val bpeTrainSql: String = {
+    def round(r: Int, src: String, charset: String, sym: String) =
+      s"""b$r AS (SELECT unnest(list_filter(
+         |    list_transform(range(1, len(cs)), i -> cs[i] || cs[i+1]),
+         |    p -> regexp_matches(p, '^[$charset]{2}$$'))) AS pair
+         |  FROM (SELECT string_split(text, '') AS cs FROM $src)
+         |  WHERE len(cs) >= 2),
+         |w$r AS (SELECT pair, count(*) AS c FROM b$r GROUP BY 1
+         |  ORDER BY c DESC, pair LIMIT 1),
+         |s$r AS (SELECT CAST($r AS INTEGER) AS round, w.pair,
+         |    CAST(w.c AS BIGINT) AS pair_count,
+         |    CAST(SUM(CASE WHEN regexp_matches(t.text, w.pair)
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS docs_touched,
+         |    CAST(SUM(len(regexp_replace(t.text, w.pair, '$sym', 'g')))
+         |      AS BIGINT) AS corpus_len_after
+         |  FROM $src t CROSS JOIN w$r w GROUP BY w.pair, w.c),
+         |t$r AS (SELECT t.doc_id,
+         |    regexp_replace(t.text, w.pair, '$sym', 'g') AS text
+         |  FROM $src t CROSS JOIN w$r w)""".stripMargin
+    s"""WITH t0 AS (SELECT doc_id, text FROM documents),
+       |${round(1, "t0", "a-z0-9", "A")},
+       |${round(2, "t1", "a-z0-9A", "B")},
+       |${round(3, "t2", "a-z0-9AB", "C")}
+       |SELECT * FROM s1 UNION ALL SELECT * FROM s2
+       |UNION ALL SELECT * FROM s3 ORDER BY round""".stripMargin
+  }
 
   private val hourlyStatsSql: String =
     "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour, " +

@@ -954,6 +954,84 @@ object TrainingOps {
   def bpeMergeQuery(s: SparkSession, dir: String): DataFrame =
     bpeMergeRound(Tables.documents(s, dir))
 
+  /** qd35 — the FULL BPE training loop: qd33's gate-verified merge
+    * round iterated with the learned symbol fed back into the
+    * alphabet (the driver-loop-over-one-operator pattern qd13 uses
+    * for connected components). Each round (1) adjacency-counts
+    * candidate pairs over the CURRENT corpus — the alphabet grows by
+    * one merged symbol per round, so round r admits pairs over
+    * [a-z0-9] ∪ {A..} — (2) picks the winner by the total order
+    * (count DESC, pair ASC), and (3) rewrites every document with a
+    * greedy left-to-right non-overlapping replace of the winner by a
+    * fresh single-char symbol ('A','B','C', … — provably absent from
+    * the corpus alphabet, which is space + a-y). This is exactly
+    * Sennrich et al.'s BPE learner: vocab grows one merge per
+    * iteration, later merges can consume earlier merge symbols
+    * (a learned 'A' can win round 2 as 'Ax').
+    *
+    * Per round the output row carries the learned merge AND two
+    * corpus-wide rewrite checksums (docs_touched, corpus_len_after),
+    * so the gate hash covers the full rewritten corpus at every
+    * round, not just the winner choice.
+    *
+    * Scale shape: the pair histogram is map-side combined to
+    * ≤ |Σ|² rows per partition before the exchange (the shuffle
+    * carries pair HISTOGRAMS, never characters), the winner and the
+    * round stats are two 1-row driver actions per round, and the
+    * rewrite is a chain of ≤ r literal map-only replaces recomputed
+    * from the immutable source scan — no cached lineage, no
+    * checkpoint blocks to leak across Bench's 3 invocations. N merge
+    * rounds = 2N bounded-output corpus scans, the canonical
+    * distributed BPE trainer layout.
+    */
+  def bpeTrain(docs0: DataFrame, rounds: Int = 3): DataFrame = {
+    val spark = docs0.sparkSession
+    require(rounds >= 1 && rounds <= bpeSymbols.length,
+      s"rounds must be in [1, ${bpeSymbols.length}]")
+    var charset = "a-z0-9"
+    var cur = docs0.select(col("doc_id"), col("text"))
+    val stats = Seq.newBuilder[(Int, String, Long, Long, Long)]
+    for (r <- 1 to rounds) {
+      val winner = cur
+        .withColumn("_bgs", regexp_extract_all(col("text"),
+          lit(s"(?s)(?=([$charset]{2}))."), lit(1)))
+        .select(explode(col("_bgs")).as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("pair")).limit(1)
+        .collect()(0)
+      val pair = winner.getString(0)
+      val sym = bpeSymbols(r - 1)
+      // pair is two alnum/symbol chars — regex-metacharacter-free, so
+      // the literal replace below has DuckDB-identical greedy
+      // left-to-right non-overlapping semantics (the qd33 parity)
+      val roundStats = cur.agg(
+        sum(when(col("text").rlike(pair), 1L).otherwise(0L))
+          .as("docs_touched"),
+        sum(length(regexp_replace(col("text"), pair, sym)))
+          .cast("long").as("corpus_len_after"))
+        .collect()(0)
+      stats += ((r, pair, winner.getLong(1),
+        roundStats.getLong(0), roundStats.getLong(1)))
+      cur = cur.withColumn("text",
+        regexp_replace(col("text"), pair, sym))
+      charset += sym
+    }
+    import spark.implicits._
+    stats.result().toDF(
+      "round", "pair", "pair_count", "docs_touched", "corpus_len_after")
+      .orderBy("round")
+  }
+
+  /** Merge-symbol vocabulary for [[bpeTrain]]: uppercase is absent
+    * from the documents alphabet at every shipped SF (space + a-y),
+    * so each learned merge gets a collision-free single char.
+    */
+  private val bpeSymbols = "ABCDEFGH".map(_.toString)
+
+  /** The qd35 declared form: 3 training rounds over `documents`. */
+  def bpeTrainQuery(s: SparkSession, dir: String): DataFrame =
+    bpeTrain(Tables.documents(s, dir), rounds = 3)
+
   /** The qd31 declared form: lang strata (imbalanced 218/75/73/70/64
     * at sf0.01 — sqrt temperature visibly reshapes the mix), target
     * 250 documents.

@@ -177,6 +177,27 @@ class TrainingOpsExtraSpec extends SparkSpec {
     assert(got.getAs[String]("merged_text") == "zzz #a")
   }
 
+  test("qd35: training feeds each merge symbol back — a learned symbol can win the next round") {
+    import spark.implicits._
+    // "abcabcabcabc": round 1 counts ab=4, bc=4, ca=3 -> tie-break
+    // picks "ab" -> "AcAcAcAc". Round 2 admits 'A': Ac=4, cA=3 ->
+    // winner "Ac" (a pair CONTAINING round 1's symbol) -> "BBBB".
+    // Round 3 admits 'B': BB=3 (adjacency-counted overlaps) -> greedy
+    // non-overlapping replace merges twice -> "CC".
+    val docs = Seq((1L, "abcabcabcabc"), (2L, "xy")).toDF("doc_id", "text")
+    val got = TrainingOps.bpeTrain(docs, rounds = 3)
+      .collect().map(r => r.getAs[Int]("round") ->
+        ((r.getAs[String]("pair"), r.getAs[Long]("pair_count"),
+          r.getAs[Long]("docs_touched"),
+          r.getAs[Long]("corpus_len_after")))).toMap
+    assert(got(1) == (("ab", 4L, 1L, 10L)),
+      "round 1: tie ab/bc breaks to ab; 12 chars -> 8 + untouched 'xy'")
+    assert(got(2) == (("Ac", 4L, 1L, 6L)),
+      "round 2 winner contains round 1's merge symbol — the BPE feedback")
+    assert(got(3) == (("BB", 3L, 1L, 4L)),
+      "adjacency counts overlaps (3 in BBBB) but greedy replace merges 2")
+  }
+
   test("qd34: each stage's verdict is independent; duplicates lose canonicality") {
     import spark.implicits._
     val long30 = (1 to 30).map(i => s"w$i").mkString(" ")     // 30 tokens
