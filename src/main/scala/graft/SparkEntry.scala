@@ -136,6 +136,7 @@ object SparkEntry {
     "qp4_compaction"     -> (Marts.compactionRoundtrip _),
     "qs22_cumulative_users" -> (Events.cumulativeUsers _),
     "qd35_bpe_train"     -> (TrainingOps.bpeTrainQuery _),
+    "qx24_federation"    -> (graft.operators.Federation.federatedNation _),
   )
 
   /** Queries intentionally without an oracle — EMPTY since round 5:
@@ -1215,6 +1216,19 @@ object SparkEntry {
          |  CAST(quota AS INTEGER) AS quota
          |FROM r JOIN q USING (lang) WHERE rn <= quota
          |ORDER BY lang, doc_id""".stripMargin),
+    // qx24: the csv and jdbc legs are written FROM the parquet table
+    // inside the query, so federation reduces to the parquet table
+    // tagged three times — the oracle needs no csv/jdbc reader.
+    "qx24_federation" ->
+      ("""WITH legs AS (
+         |  SELECT 'parquet' AS source, n_nationkey, n_name, n_regionkey
+         |    FROM nation
+         |  UNION ALL
+         |  SELECT 'csv', n_nationkey, n_name, n_regionkey FROM nation
+         |  UNION ALL
+         |  SELECT 'jdbc', n_nationkey, n_name, n_regionkey FROM nation)
+         |SELECT source, n_nationkey, n_name, n_regionkey FROM legs
+         |ORDER BY source, n_nationkey""".stripMargin),
     // qd35: qd33's char-list adjacency mirror, CHAINED for three
     // training rounds — each round's corpus CTE (t1/t2) feeds the
     // next round's candidate count with the merge symbol admitted

@@ -73,4 +73,28 @@ class JdbcSpec extends SparkSpec {
     ledger.markInactive(Seq("b.csv"))
     assert(ledger.activeFiles(Seq("a.csv", "b.csv")).isEmpty)
   }
+
+  test("qx24: each federation leg round-trips the parquet rows and types exactly") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val fed = graft.operators.Federation.federatedNation(spark, sf)
+    val rows = fed.collect()
+    assert(rows.length == 75, "25 nations x 3 legs")
+    val bySource = rows.groupBy(_.getAs[String]("source"))
+    assert(bySource.keySet == Set("parquet", "csv", "jdbc"))
+    // the union compiled at all => schemas aligned by name; now prove
+    // VALUES: every leg carries exactly the parquet rows
+    val parquetLeg = bySource("parquet")
+      .map(r => (r.getAs[Int]("n_nationkey"), r.getAs[String]("n_name"),
+        r.getAs[Int]("n_regionkey"))).toSet
+    for (leg <- Seq("csv", "jdbc")) {
+      val got = bySource(leg)
+        .map(r => (r.getAs[Int]("n_nationkey"), r.getAs[String]("n_name"),
+          r.getAs[Int]("n_regionkey"))).toSet
+      assert(got == parquetLeg, s"$leg leg differs from parquet")
+    }
+    // overwrite discipline: a second invocation (Bench runs 3x) must
+    // not double the jdbc leg or re-append csv part files
+    assert(graft.operators.Federation.federatedNation(spark, sf).count() == 75)
+  }
 }
