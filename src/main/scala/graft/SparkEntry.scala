@@ -137,6 +137,7 @@ object SparkEntry {
     "qs22_cumulative_users" -> (Events.cumulativeUsers _),
     "qd35_bpe_train"     -> (TrainingOps.bpeTrainQuery _),
     "qx24_federation"    -> (graft.operators.Federation.federatedNation _),
+    "qp5_zorder"         -> (Marts.zorderBoxRead _),
   )
 
   /** Queries intentionally without an oracle — EMPTY since round 5:
@@ -1216,6 +1217,17 @@ object SparkEntry {
          |  CAST(quota AS INTEGER) AS quota
          |FROM r JOIN q USING (lang) WHERE rn <= quota
          |ORDER BY lang, doc_id""".stripMargin),
+    // qp5: the z-ordered layout is a pure clustering change — the
+    // box read's content equals the same filter on the source table
+    // (and the hash proves the clustered write lost nothing).
+    "qp5_zorder" ->
+      ("""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+         |  l_quantity, l_extendedprice
+         |FROM lineitem
+         |WHERE l_partkey BETWEEN 100 AND 199
+         |  AND l_suppkey BETWEEN 1 AND 4
+         |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey,
+         |  l_quantity, l_extendedprice""".stripMargin),
     // qx24: the csv and jdbc legs are written FROM the parquet table
     // inside the query, so federation reduces to the parquet table
     // tagged three times — the oracle needs no csv/jdbc reader.

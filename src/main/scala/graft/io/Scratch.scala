@@ -50,6 +50,12 @@ object Scratch {
       "graft_qs16_" + sfDir.replaceAll("[^A-Za-z0-9._-]", "_"))
       .getAbsolutePath
 
+  /** qp5's z-ordered lineitem layout, keyed like [[qp1Dir]]. */
+  def qp5Dir(sfDir: String): String =
+    new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_qp5_" + sfDir.replaceAll("[^A-Za-z0-9._-]", "_"))
+      .getAbsolutePath
+
   /** qx24's federation scratch (csv leg), keyed like [[qp1Dir]]. */
   def qx24Dir(sfDir: String): String =
     new java.io.File(System.getProperty("java.io.tmpdir"),
@@ -107,7 +113,7 @@ object Scratch {
     // graft_qs7_ covers legacy round-6 landing trees (now graft_stream_)
     val prefixes = Seq("graft_q14_", "graft_qp1_", "graft_qx13_",
       "graft_qx20_", "graft_qs16_", "graft_qs7_", "graft_stream_",
-      "graft_qx24_", "graft_qp4_")
+      "graft_qx24_", "graft_qp4_", "graft_qp5_")
     if (java.nio.file.Files.isDirectory(tmpRoot)) {
       val it = java.nio.file.Files.list(tmpRoot)
       try it.forEach { p =>

@@ -253,6 +253,42 @@ object Marts {
     * its previous value (the scoped discipline of
     * Tables.withNanosConf, generalized to a set).
     */
+  /** qp5 — Z-ORDER clustered layout + 2-D box read: lineitem written
+    * along the Morton curve of (l_partkey, l_suppkey)
+    * ([[graft.io.ZOrder.writeZOrdered]]), read back under a box
+    * predicate on both keys. Each file holds a contiguous curve
+    * segment = a compact rectangle of the key space, so the file- and
+    * row-group-level min/max stats kill most of the layout before any
+    * row is materialized (ZOrderSpec counts it: the same box
+    * intersects ~every file of an orderkey-sorted layout). Content is
+    * layout-invariant — the oracle is the plain filter on the source
+    * table — while the gate's hash ALSO proves the clustered write
+    * lost/duplicated nothing.
+    *
+    * Scale: the one-time clustering cost is a single range exchange;
+    * every subsequent 2-D selective read prunes to ~√selectivity of
+    * the files. The read-side filter is pushed to parquet
+    * (PushedFilters pinned in PlanSpec), so pruning happens in the
+    * scan, not in Spark.
+    */
+  def zorderBoxRead(s: SparkSession, dir: String): DataFrame = {
+    val root = graft.io.Scratch.qp5Dir(dir)
+    val li = Tables.lineitem(s, dir).select("l_orderkey", "l_linenumber",
+      "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice")
+    graft.io.ZOrder.writeZOrdered(li, "l_partkey", "l_suppkey", root,
+      numFiles = 16)
+    s.read.parquet(root)
+      // box bounds live inside EVERY sf's key range (sf0.001 tops out
+      // at partkey 199 / suppkey 9) so the gate never goes vacuous
+      .filter(col("l_partkey").between(100, 199) &&
+        col("l_suppkey").between(1, 4))
+      // (l_orderkey, l_linenumber) is NOT unique in the synthetic
+      // data — sort on every output column so ties can't reorder
+      // non-identical rows between engines
+      .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+        "l_quantity", "l_extendedprice")
+  }
+
   private def withConfs[A](s: SparkSession, confs: Map[String, String])
       (body: => A): A = {
     val prev = confs.keys.map(k => k -> s.conf.getOption(k)).toMap

@@ -233,6 +233,26 @@ class PlanSpec extends SparkSpec
         s"of ${all.size}")
   }
 
+  test("qp5: box predicate is pushed into the z-ordered scan") {
+    val df = graft.operators.Marts.zorderBoxRead(spark, sf)
+    // both range bounds of both keys must reach parquet — row-group
+    // stats pruning over the z-clustered layout happens in the scan.
+    // Read the scan node's metadata (plan toString truncates the list).
+    def scans(sp: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = sp match {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan)
+      case _ => sp.children.flatMap(scans)
+    }
+    val pushed = scans(df.queryExecution.executedPlan)
+      .map(_.metadata("PushedFilters")).mkString("\n")
+    assert(pushed.contains("GreaterThanOrEqual(l_partkey,100)"), pushed)
+    assert(pushed.contains("LessThanOrEqual(l_partkey,199)"), pushed)
+    assert(pushed.contains("GreaterThanOrEqual(l_suppkey,1)"), pushed)
+    assert(pushed.contains("LessThanOrEqual(l_suppkey,4)"), pushed)
+  }
+
   test("qd17: chunking is map-only — no exchange before the output sort") {
     val p = plan(graft.operators.TextPrep.chunkQuery(spark, sf))
     assert(p.contains("Generate") && p.contains("explode"), p)
