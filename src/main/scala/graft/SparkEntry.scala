@@ -138,6 +138,9 @@ object SparkEntry {
     "qd35_bpe_train"     -> (TrainingOps.bpeTrainQuery _),
     "qx24_federation"    -> (graft.operators.Federation.federatedNation _),
     "qp5_zorder"         -> (Marts.zorderBoxRead _),
+    "qx25_snapshot_diff" -> (graft.operators.Scd2.customerDiff _),
+    "qp6_profile"        -> (graft.operators.Profile.ordersProfile _),
+    "qs23_sliding_window" -> (Events.slidingHourly _),
   )
 
   /** Queries intentionally without an oracle — EMPTY since round 5:
@@ -1228,6 +1231,64 @@ object SparkEntry {
          |  AND l_suppkey BETWEEN 1 AND 4
          |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey,
          |  l_quantity, l_extendedprice""".stripMargin),
+    // qx25: CDC diff of the 2000-vs-2001 latest-state snapshots —
+    // change predicate on status only (IS DISTINCT FROM mirrors
+    // Spark's <=> negation), totals carried old/new without
+    // triggering updates, no-change rows suppressed. Totals pass
+    // through unchanged (no arithmetic) so doubles are bit-exact
+    // without the decimal detour (qx14's argument).
+    "qx25_snapshot_diff" ->
+      ("""WITH b AS (
+         |  SELECT o_custkey, o_orderstatus AS status, o_totalprice AS total
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+         |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+         |    FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+         |      AND o_orderdate < TIMESTAMP '2001-01-01') t
+         |  WHERE rn = 1),
+         |a AS (
+         |  SELECT o_custkey, o_orderstatus AS status, o_totalprice AS total
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+         |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+         |    FROM orders WHERE o_orderdate >= TIMESTAMP '2001-01-01') t
+         |  WHERE rn = 1)
+         |SELECT COALESCE(b.o_custkey, a.o_custkey) AS cust,
+         |  CASE WHEN b.o_custkey IS NULL THEN 'insert'
+         |       WHEN a.o_custkey IS NULL THEN 'delete'
+         |       ELSE 'update' END AS op,
+         |  b.status AS old_status, b.total AS old_total,
+         |  a.status AS new_status, a.total AS new_total
+         |FROM b FULL OUTER JOIN a ON b.o_custkey = a.o_custkey
+         |WHERE b.o_custkey IS NULL OR a.o_custkey IS NULL
+         |  OR b.status IS DISTINCT FROM a.status
+         |ORDER BY cust""".stripMargin),
+    // qp6: per-column profile — exact counts/NDV, min/max rendered
+    // AFTER the typed aggregate (money via DECIMAL(18,2), timestamps
+    // via the canonical format) so string casts can't reorder.
+    "qp6_profile" ->
+      (Seq(
+        ("o_orderkey", "CAST(%s AS VARCHAR)"),
+        ("o_custkey", "CAST(%s AS VARCHAR)"),
+        ("o_orderstatus", "%s"),
+        ("o_totalprice", "CAST(CAST(%s AS DECIMAL(18,2)) AS VARCHAR)"),
+        ("o_orderdate", "strftime(%s, '%%Y-%%m-%%d %%H:%%M:%%S')"),
+        ("o_orderpriority", "%s"))
+        .map { case (c, r) =>
+          s"SELECT '$c' AS col_name, count($c) AS n_nonnull, " +
+            s"count(DISTINCT $c) AS ndv, " +
+            s"${r.format(s"min($c)")} AS min_val, " +
+            s"${r.format(s"max($c)")} AS max_val FROM orders"
+        }
+        .mkString("", " UNION ALL ", " ORDER BY col_name")),
+    // qs23: each event belongs to exactly the two epoch-aligned
+    // 2-hour windows starting at trunc_hour(ts) and trunc_hour(ts)-1h
+    // — the cross join against (0,1) materializes that assignment.
+    "qs23_sliding_window" ->
+      ("""SELECT strftime(date_trunc('hour', ts) - k.k * INTERVAL 1 HOUR,
+         |    '%Y-%m-%d %H:00:00') AS wstart,
+         |  count(*) AS n,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+         |FROM events CROSS JOIN (VALUES (0), (1)) k(k)
+         |GROUP BY 1 ORDER BY wstart""".stripMargin),
     // qx24: the csv and jdbc legs are written FROM the parquet table
     // inside the query, so federation reduces to the parquet table
     // tagged three times — the oracle needs no csv/jdbc reader.

@@ -27,6 +27,30 @@ object Events {
         Fns.moneySum(col("value")).cast("double").as("total_value"))
       .orderBy("hour", "event_type")
 
+  /** qs23 — SLIDING (overlapping) windows: 2-hour windows advancing
+    * every hour, so each event lands in exactly two windows and each
+    * output row covers [start, start+2h). The overlapping-assignment
+    * shape qs1's tumbling hour cannot express — `window(ts, len,
+    * slide)` plans it as a Generate (one output row per covering
+    * window) BEFORE the aggregation, so the shuffle carries
+    * (window, partial-state) pairs, never duplicated events plus a
+    * second pass. Windows are epoch-aligned: starts are whole hours,
+    * matching the oracle's trunc-hour-minus-k construction.
+    * Determinism: decimal value sums (order-free), count exact.
+    */
+  def slidingHourly(s: SparkSession, dir: String): DataFrame =
+    slidingHourlyOn(Tables.events(s, dir))
+
+  def slidingHourlyOn(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "2 hours", "1 hour"))
+      .agg(count(lit(1)).as("n"),
+        Fns.moneySum(col("value")).cast("double").as("total_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:00:00").as("wstart"),
+        col("n"), col("total_value"))
+      .orderBy("wstart")
+
   /** qs6 — per-user trailing moving average over the last 5 events
     * (ROWS BETWEEN 4 PRECEDING AND CURRENT ROW): the bounded-frame
     * window shape (distinct from the partition-wide sums of A1/A2 and

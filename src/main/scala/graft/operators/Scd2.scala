@@ -108,4 +108,66 @@ object Scd2 {
       .withColumnRenamed("o_custkey", "cust")
       .orderBy("cust")
   }
+
+  /** Change-data-capture snapshot diff: given a `before` and an
+    * `after` snapshot keyed by `keyCol`, emit ONLY the changes —
+    * `insert` (key only in after), `delete` (key only in before),
+    * `update` (key in both, some column of `compareCols` changed) —
+    * with the old and new payload side by side. Rows whose compared
+    * columns are unchanged are suppressed: this no-change suppression
+    * is what distinguishes CDC extraction from [[upsert]]'s merge
+    * (which carries unchanged rows through). `compareCols` is the
+    * change predicate; `carryCols` ride along old/new without
+    * affecting it — the usual CDC contract where audit columns
+    * (load timestamps etc.) must not generate spurious updates.
+    *
+    * Null-safe: comparison is `<=>` negated, so NULL→value and
+    * value→NULL both count as changes and NULL→NULL does not.
+    *
+    * Scale: one full-outer join on the key — both sides shuffle
+    * (full-outer cannot broadcast); the suppression filter runs
+    * post-join, so nothing extra crosses the exchange. Bucketing
+    * both snapshots on the key (io.Bucketing) removes both
+    * exchanges for repeated diffs of the same tables.
+    */
+  def snapshotDiff(before: DataFrame, after: DataFrame, keyCol: String,
+      compareCols: Seq[String], carryCols: Seq[String] = Nil): DataFrame = {
+    val b = before.as("b"); val a = after.as("a")
+    val op = when(col(s"b.$keyCol").isNull, lit("insert"))
+      .when(col(s"a.$keyCol").isNull, lit("delete"))
+      .otherwise(lit("update"))
+    val changed = compareCols
+      .map(c => !(col(s"b.$c") <=> col(s"a.$c")))
+      .reduce(_ || _)
+    val payload = compareCols ++ carryCols
+    b.join(a, col(s"b.$keyCol") === col(s"a.$keyCol"), "full_outer")
+      .filter(col(s"b.$keyCol").isNull || col(s"a.$keyCol").isNull || changed)
+      .select(coalesce(col(s"b.$keyCol"), col(s"a.$keyCol")).as(keyCol) +:
+        op.as("op") +:
+        (payload.map(c => col(s"b.$c").as(s"old_$c")) ++
+          payload.map(c => col(s"a.$c").as(s"new_$c"))): _*)
+  }
+
+  /** qx25 declared form: CDC between the year-2000 and year-2001
+    * customer-activity snapshots (latest observed state per customer
+    * within each window; disjoint windows make all three ops real —
+    * sf0.01: 480 deletes, 200 inserts, and both update and suppressed
+    * no-change rows among the 685 customers active in both years).
+    * The change predicate is `status` alone; totals are carried
+    * old/new without triggering updates, which exercises the
+    * compare/carry split (near-unique doubles would otherwise make
+    * suppression vacuous).
+    */
+  def customerDiff(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(s, dir)
+    val y2000 = col("o_orderdate") >= to_timestamp(lit("2000-01-01")) &&
+      col("o_orderdate") < to_timestamp(lit("2001-01-01"))
+    val y2001 = col("o_orderdate") >= to_timestamp(lit("2001-01-01"))
+    snapshotDiff(
+      latestState(orders, y2000).drop("as_of"),
+      latestState(orders, y2001).drop("as_of"),
+      "o_custkey", compareCols = Seq("status"), carryCols = Seq("total"))
+      .withColumnRenamed("o_custkey", "cust")
+      .orderBy("cust")
+  }
 }

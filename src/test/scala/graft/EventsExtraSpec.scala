@@ -16,6 +16,21 @@ class EventsExtraSpec extends SparkSpec {
       .select(col("user_id"), to_timestamp(col("ts_s")).as("ts"),
         col("event_type"), col("value"))
 
+  test("qs23: each event lands in exactly its two covering sliding windows") {
+    val ev = eventsOf(
+      (1L, "2024-01-01 10:00:00", "view", 1.0),   // windows 09:00, 10:00
+      (1L, "2024-01-01 10:59:59", "view", 2.0),   // windows 09:00, 10:00
+      (1L, "2024-01-01 11:00:00", "view", 4.0))   // windows 10:00, 11:00
+    val got = Events.slidingHourlyOn(ev).collect()
+      .map(r => r.getAs[String]("wstart") ->
+        ((r.getAs[Long]("n"), r.getAs[Double]("total_value")))).toMap
+    assert(got == Map(
+      "2024-01-01 09:00:00" -> ((2L, 3.0)),
+      "2024-01-01 10:00:00" -> ((3L, 7.0)),
+      "2024-01-01 11:00:00" -> ((1L, 4.0))),
+      s"2h/1h epoch-aligned windows: $got")
+  }
+
   test("qs10: an event exactly gap after its predecessor MERGES (boundary is > gap)") {
     val base = eventsOf(
       (1L, "2024-01-01 10:00:00", "view", 1.0),

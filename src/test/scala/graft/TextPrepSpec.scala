@@ -168,6 +168,27 @@ class TextPrepSpec extends SparkSpec {
     assert(rows.count(_.getAs[String]("op") != "carry") == changed)
   }
 
+  test("snapshotDiff: op tags, no-change suppression, null-safe compare, carry cols") {
+    import spark.implicits._
+    val before = Seq((1L, Option("a"), 1.0), (2L, Option("b"), 2.0),
+      (3L, Option("c"), 3.0), (4L, Option.empty[String], 4.0))
+      .toDF("k", "v", "x")
+    val after = Seq((2L, Option("b"), 22.0), (3L, Option("C"), 3.0),
+      (4L, Option.empty[String], 44.0), (5L, Option("e"), 5.0))
+      .toDF("k", "v", "x")
+    val got = graft.operators.Scd2
+      .snapshotDiff(before, after, "k", Seq("v"), Seq("x"))
+      .collect().map(r => r.getAs[Long]("k") -> r.getAs[String]("op")).toMap
+    // 2 (v unchanged; carry-col x changed but must NOT trigger) and
+    // 4 (NULL <=> NULL) are suppressed
+    assert(got == Map(1L -> "delete", 3L -> "update", 5L -> "insert"))
+    val upd = graft.operators.Scd2
+      .snapshotDiff(before, after, "k", Seq("v"), Seq("x"))
+      .filter(col("k") === 3L).collect()(0)
+    assert(upd.getAs[String]("old_v") == "c" && upd.getAs[String]("new_v") == "C")
+    assert(upd.getAs[Double]("old_x") == 3.0 && upd.getAs[Double]("new_x") == 3.0)
+  }
+
   test("norm audit sees the unit-normalized 64-dim corpus") {
     val rows = TrainingOps.normAudit(spark, sf).collect()
     assert(rows.nonEmpty)
