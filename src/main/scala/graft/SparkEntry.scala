@@ -141,6 +141,10 @@ object SparkEntry {
     "qx25_snapshot_diff" -> (graft.operators.Scd2.customerDiff _),
     "qp6_profile"        -> (graft.operators.Profile.ordersProfile _),
     "qs23_sliding_window" -> (Events.slidingHourly _),
+    "qd36_leakage_split" -> (TrainingOps.leakageSplit _),
+    "qe7_centroid_outlier" -> (graft.operators.Similarity.centroidOutlierQuery _),
+    "qd37_source_overlap" -> (TrainingOps.sourceOverlap _),
+    "qd38_bpe_encode"    -> (TrainingOps.bpeEncodeQuery _),
   )
 
   /** Queries intentionally without an oracle — EMPTY since round 5:
@@ -264,6 +268,28 @@ object SparkEntry {
     // identical labels, identical oracle.
     "qd16_dup_clusters_star" -> dupClustersSql,
     "qd14_decontaminate" -> decontaminateSql,
+    "qd36_leakage_split" -> leakageSplitSql,
+    // qd37: the oracle takes the plain self-join formulation — same
+    // distinct (source, gram) rows, same counts; the Spark side's
+    // one-pass pair explode is an implementation choice, not a
+    // semantic one. Jaccard is one double division over exact longs.
+    "qd37_source_overlap" ->
+      (s"""$shingleCte,
+         |sg AS (SELECT DISTINCT source, g FROM (
+         |  SELECT d.source, unnest(sh.s) AS g
+         |  FROM sh JOIN documents d USING (doc_id))),
+         |cnt AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+         |  FROM sg GROUP BY 1),
+         |p AS (SELECT a.source AS src_a, b.source AS src_b,
+         |    CAST(count(*) AS BIGINT) AS shared
+         |  FROM sg a JOIN sg b ON a.g = b.g AND a.source < b.source
+         |  GROUP BY 1, 2)
+         |SELECT src_a, src_b, ca.n AS grams_a, cb.n AS grams_b, shared,
+         |  CAST(shared AS DOUBLE)
+         |    / CAST(ca.n + cb.n - shared AS DOUBLE) AS gram_jaccard
+         |FROM p JOIN cnt ca ON ca.source = p.src_a
+         |JOIN cnt cb ON cb.source = p.src_b
+         |ORDER BY src_a, src_b""".stripMargin),
     "qd15_source_lang_pivot" ->
       ("SELECT source, " +
         Seq("de", "en", "es", "fr", "zh").map(l =>
@@ -1135,6 +1161,29 @@ object SparkEntry {
          |SELECT vec_id, CAST(SUM(code) AS BIGINT) AS code_sum,
          |  CAST(SUM(em) AS DOUBLE) / 1e12 / CAST(count(*) AS DOUBLE) AS mse
          |FROM e GROUP BY vec_id ORDER BY vec_id""".stripMargin),
+    // qe7: the centroid is exact integer sums (floor(v*1e6) longs)
+    // divided back to double ONCE — no float accumulation order to
+    // disagree on; the cosine then rides the usual sequential fold.
+    "qe7_centroid_outlier" ->
+      (s"""WITH el AS (SELECT label, vec_id, i AS d,
+         |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS q
+         |  FROM embeddings, unnest(range(1, len(embedding)+1)) u(i)),
+         |s AS (SELECT label, d, CAST(SUM(q) AS BIGINT) AS qsum,
+         |    count(*) AS n
+         |  FROM el GROUP BY 1, 2),
+         |c AS (SELECT label, list(
+         |    CAST(qsum AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0)
+         |    ORDER BY d) AS centroid
+         |  FROM s GROUP BY label),
+         |x AS (SELECT label, e.vec_id,
+         |    ${dotSql("e.embedding", "c.centroid")}
+         |      / (sqrt(${dotSql("e.embedding", "e.embedding")})
+         |         * sqrt(${dotSql("c.centroid", "c.centroid")})) AS cos
+         |  FROM embeddings e JOIN c USING (label))
+         |SELECT label, vec_id, cos,
+         |  CAST(rank() OVER (PARTITION BY label ORDER BY cos, vec_id)
+         |    AS INTEGER) AS outlier_rank
+         |FROM x ORDER BY label, outlier_rank""".stripMargin),
     // qd33: adjacency-counted pairs via the char-list mirror (the
     // Spark side's overlapping lookahead is not RE2-expressible);
     // the winning pair is a literal alnum regex on both sides, and
@@ -1307,38 +1356,60 @@ object SparkEntry {
     // next round's candidate count with the merge symbol admitted
     // into the char class, exactly the Spark driver loop unrolled.
     "qd35_bpe_train" -> bpeTrainSql,
+    "qd38_bpe_encode" -> bpeEncodeSql,
   )
 
   /** qd35 unrolled 3-round BPE trainer (see qd33 for the per-round
     * parity argument: adjacency counts via the char-list mirror,
     * literal alnum winners, RE2/Java-identical greedy replace).
     */
-  private val bpeTrainSql: String = {
-    def round(r: Int, src: String, charset: String, sym: String) =
-      s"""b$r AS (SELECT unnest(list_filter(
-         |    list_transform(range(1, len(cs)), i -> cs[i] || cs[i+1]),
-         |    p -> regexp_matches(p, '^[$charset]{2}$$'))) AS pair
-         |  FROM (SELECT string_split(text, '') AS cs FROM $src)
-         |  WHERE len(cs) >= 2),
-         |w$r AS (SELECT pair, count(*) AS c FROM b$r GROUP BY 1
-         |  ORDER BY c DESC, pair LIMIT 1),
-         |s$r AS (SELECT CAST($r AS INTEGER) AS round, w.pair,
-         |    CAST(w.c AS BIGINT) AS pair_count,
-         |    CAST(SUM(CASE WHEN regexp_matches(t.text, w.pair)
-         |      THEN 1 ELSE 0 END) AS BIGINT) AS docs_touched,
-         |    CAST(SUM(len(regexp_replace(t.text, w.pair, '$sym', 'g')))
-         |      AS BIGINT) AS corpus_len_after
-         |  FROM $src t CROSS JOIN w$r w GROUP BY w.pair, w.c),
-         |t$r AS (SELECT t.doc_id,
-         |    regexp_replace(t.text, w.pair, '$sym', 'g') AS text
-         |  FROM $src t CROSS JOIN w$r w)""".stripMargin
+  /** One unrolled BPE round as CTEs (b$r candidates, w$r winner,
+    * s$r stats, t$r rewritten corpus) — shared by the qd35 trainer
+    * and the qd38 encoder oracles. Unreferenced CTEs (s$r for the
+    * encoder) are never executed by DuckDB.
+    */
+  private def bpeRoundCte(r: Int, src: String, charset: String,
+      sym: String): String =
+    s"""b$r AS (SELECT unnest(list_filter(
+       |    list_transform(range(1, len(cs)), i -> cs[i] || cs[i+1]),
+       |    p -> regexp_matches(p, '^[$charset]{2}$$'))) AS pair
+       |  FROM (SELECT string_split(text, '') AS cs FROM $src)
+       |  WHERE len(cs) >= 2),
+       |w$r AS (SELECT pair, count(*) AS c FROM b$r GROUP BY 1
+       |  ORDER BY c DESC, pair LIMIT 1),
+       |s$r AS (SELECT CAST($r AS INTEGER) AS round, w.pair,
+       |    CAST(w.c AS BIGINT) AS pair_count,
+       |    CAST(SUM(CASE WHEN regexp_matches(t.text, w.pair)
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS docs_touched,
+       |    CAST(SUM(len(regexp_replace(t.text, w.pair, '$sym', 'g')))
+       |      AS BIGINT) AS corpus_len_after
+       |  FROM $src t CROSS JOIN w$r w GROUP BY w.pair, w.c),
+       |t$r AS (SELECT t.doc_id,
+       |    regexp_replace(t.text, w.pair, '$sym', 'g') AS text
+       |  FROM $src t CROSS JOIN w$r w)""".stripMargin
+
+  private val bpeRounds3: String =
     s"""WITH t0 AS (SELECT doc_id, text FROM documents),
-       |${round(1, "t0", "a-z0-9", "A")},
-       |${round(2, "t1", "a-z0-9A", "B")},
-       |${round(3, "t2", "a-z0-9AB", "C")}
+       |${bpeRoundCte(1, "t0", "a-z0-9", "A")},
+       |${bpeRoundCte(2, "t1", "a-z0-9A", "B")},
+       |${bpeRoundCte(3, "t2", "a-z0-9AB", "C")}""".stripMargin
+
+  private val bpeTrainSql: String =
+    s"""$bpeRounds3
        |SELECT * FROM s1 UNION ALL SELECT * FROM s2
        |UNION ALL SELECT * FROM s3 ORDER BY round""".stripMargin
-  }
+
+  /** qd38: encode = the trainer's t3 corpus; compression guards the
+    * empty doc (DuckDB 0/0 is NULL, Spark NaN — both sides pin 1.0).
+    */
+  private val bpeEncodeSql: String =
+    s"""$bpeRounds3
+       |SELECT t0.doc_id, CAST(len(t0.text) AS BIGINT) AS len_before,
+       |  CAST(len(t3.text) AS BIGINT) AS len_after,
+       |  CASE WHEN len(t0.text) = 0 THEN 1.0
+       |    ELSE CAST(len(t3.text) AS DOUBLE) / CAST(len(t0.text) AS DOUBLE)
+       |  END AS compression
+       |FROM t0 JOIN t3 USING (doc_id) ORDER BY t0.doc_id""".stripMargin
 
   private val hourlyStatsSql: String =
     "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour, " +
@@ -1442,7 +1513,12 @@ object SparkEntry {
     * component's smallest member (UNION dedups, so the walk
     * terminates). Every doc keeps a row; singletons label themselves.
     */
-  private val dupClustersSql: String = {
+  /** Connected components over the exhaustive-jaccard edge set as a
+    * reusable CTE chain ending in `cl(doc_id, cluster)` — shared by
+    * qd13/qd16 (the clusters themselves) and qd36 (the cluster-keyed
+    * split).
+    */
+  private val componentsCte: String = {
     val cte = shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ")
     s"""$cte,
        |e AS (
@@ -1453,10 +1529,31 @@ object SparkEntry {
        |walk(id, lbl) AS (
        |  SELECT doc_id, doc_id FROM documents
        |  UNION
-       |  SELECT edges.dst, walk.lbl FROM walk JOIN edges ON edges.src = walk.id)
-       |SELECT id AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster
-       |FROM walk GROUP BY id ORDER BY doc_id""".stripMargin
+       |  SELECT edges.dst, walk.lbl FROM walk JOIN edges ON edges.src = walk.id),
+       |cl AS (
+       |  SELECT id AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster
+       |  FROM walk GROUP BY id)""".stripMargin
   }
+
+  private val dupClustersSql: String =
+    s"""$componentsCte
+       |SELECT doc_id, cluster FROM cl ORDER BY doc_id""".stripMargin
+
+  /** qd36: split = fingerprint of the CLUSTER id (same polynomial
+    * fold as qd12, digits are ASCII so codepoints == UTF-8 bytes),
+    * so near-duplicates can never straddle train/test by
+    * construction. DuckDB list_reduce seeds acc with the first
+    * element — equal to Spark's h=0 fold since 0*31+b = b.
+    */
+  private val leakageSplitSql: String =
+    s"""$componentsCte
+       |SELECT doc_id, cluster,
+       |  CASE WHEN list_reduce(
+       |      list_transform(string_split(CAST(cluster AS VARCHAR), ''),
+       |        c -> CAST(unicode(c) AS BIGINT)),
+       |      (acc, x) -> (acc * 31 + x) % 2147483647) % 100 < 80
+       |    THEN 'train' ELSE 'test' END AS split
+       |FROM cl ORDER BY doc_id""".stripMargin
 
   /** Decontamination oracle: same word-3-gram derivation as the
     * jaccard family (shingleCte), benchmark = src0 grams, corpus =

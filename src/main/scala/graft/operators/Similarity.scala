@@ -367,4 +367,54 @@ object Similarity {
   def pqAuditQuery(s: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame =
     pqAudit(graft.core.Tables.embeddings(s, dir))
+
+  /** qe7 — per-label centroid outlier score: each vector's cosine to
+    * its label's centroid, ranked ascending (rank 1 = the vector
+    * least like its own cluster — the mislabeled/garbage-embedding
+    * candidate every curation pass wants surfaced).
+    *
+    * Determinism: a double mean over a shuffled group is
+    * order-dependent, so the centroid is built from EXACT integer
+    * sums — elements quantized `floor(v * 1e6)` to longs, summed
+    * per (label, dim), divided back to double once (one IEEE
+    * division, no fold). The cosine then rides the usual
+    * sequential-fold [[graft.functions.VecDot]] against the centroid
+    * array, so the oracle reproduces every bit.
+    *
+    * Scale shape: one posexplode scan into a (label × 64)-key
+    * partial+final aggregate (bounded output), centroids assembled
+    * per label and BROADCAST back to the full scan — the fact-side
+    * never shuffles for the join; the rank window partitions on
+    * label. At 100 TB the only corpus-scale exchange is the per-dim
+    * partial aggregate's final hop.
+    */
+  def centroidOutliers(emb: DataFrame): DataFrame = {
+    val spark = emb.sparkSession
+    graft.functions.VecDot.register(spark)
+    val sums = emb
+      .select(col("label"), posexplode(col("embedding")).as(Seq("d", "v")))
+      .select(col("label"), col("d"),
+        floor(col("v").cast("double") * lit(1e6)).cast("long").as("q"))
+      .groupBy("label", "d")
+      .agg(sum("q").as("qsum"), count(lit(1)).as("n"))
+    val centroids = sums.groupBy("label")
+      .agg(transform(
+        array_sort(collect_list(struct(col("d"), col("qsum"), col("n")))),
+        x => x.getField("qsum").cast("double")
+          / (x.getField("n").cast("double") * lit(1e6))).as("centroid"))
+    emb.join(broadcast(centroids), "label")
+      .select(col("label"), col("vec_id"),
+        (dotN(col("embedding"), col("centroid"))
+          / (normN(col("embedding")) * normN(col("centroid")))).as("cos"))
+      .withColumn("outlier_rank",
+        rank().over(org.apache.spark.sql.expressions.Window
+          .partitionBy("label").orderBy(col("cos"), col("vec_id")))
+          .cast("int"))
+      .orderBy("label", "outlier_rank")
+  }
+
+  /** The qe7 declared form over `embeddings`. */
+  def centroidOutlierQuery(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    centroidOutliers(graft.core.Tables.embeddings(s, dir))
 }

@@ -469,6 +469,40 @@ object TrainingOps {
       .orderBy("doc_id")
   }
 
+  /** qd36 — leakage-free train/test split: assign each document to a
+    * split by hashing its duplicate-CLUSTER id (qd13's connected
+    * components), not its own id. Hashing doc_id would let two
+    * near-duplicate documents land on opposite sides of the boundary
+    * — the classic eval-contamination leak a dedup pipeline exists to
+    * prevent; keying the hash by the cluster representative makes
+    * straddling impossible BY CONSTRUCTION (split is a pure function
+    * of cluster), not by post-hoc filtering. The 80/20 assignment is
+    * the same portable polynomial fingerprint as qd12, applied to the
+    * cluster id's decimal digits, so the oracle reproduces it
+    * exactly and re-runs are stable under corpus growth (a cluster's
+    * split never changes when unrelated documents arrive).
+    *
+    * Scale: clusters are qd13's label propagation (one shuffle per
+    * round, bounded rounds); the assignment itself is a codegen
+    * projection — no extra exchange.
+    */
+  def leakageSplit(s: SparkSession, dir: String): DataFrame =
+    leakageSplitOn(Tables.documents(s, dir))
+
+  /** Core of [[leakageSplit]] over an explicit `(doc_id, text)`
+    * frame; `trainPct` is the train share in [0,100].
+    */
+  def leakageSplitOn(docs: DataFrame, trainPct: Int = 80): DataFrame = {
+    graft.functions.DocFingerprint.register(docs.sparkSession)
+    val pairs = Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.9)
+    Dedup.dupClusters(docs, pairs, "doc_id")
+      .select(col("id").as("doc_id"), col("cluster"),
+        when(pmod(graft.functions.DocFingerprint.of(
+            col("cluster").cast("string")), lit(100L)) < trainPct,
+          lit("train")).otherwise(lit("test")).as("split"))
+      .orderBy("doc_id")
+  }
+
   /** qd14 — benchmark decontamination: flag corpus documents sharing
     * at least one word 3-gram with a held-out "benchmark" slice
     * (here: the src0 documents, standing in for an eval set). The
@@ -490,6 +524,55 @@ object TrainingOps {
       .join(broadcast(benchGrams), "g")
       .select("doc_id").distinct()
       .orderBy("doc_id")
+  }
+
+  /** qd37 — cross-source gram-overlap matrix: for every source pair,
+    * the distinct word-3-grams they share, each side's distinct gram
+    * count, and the gram-set Jaccard — the corpus-level contamination
+    * audit (qd14 answers "is THIS doc contaminated"; this answers
+    * "how entangled are my SOURCES before I mix them").
+    *
+    * Shape: gram-KEYED, never doc-all-pairs. One pass derives both
+    * matrix halves: per gram, the sorted source set explodes into
+    * ordered (src_a <= src_b) pairs — the DIAGONAL (a = a) counts
+    * grams per source, the off-diagonal counts shared grams; both
+    * land in the same (src_a, src_b) aggregate, so per-source totals
+    * cost no second corpus pass. The three consumers of that
+    * aggregate differ only ABOVE its exchange — ReuseExchange
+    * collapses the corpus-scale subtree to one execution (pinned in
+    * PlanSpec). Per-gram fanout is bounded by (#sources+1 choose 2),
+    * not corpus size; hot grams cannot explode the join the way a
+    * doc-keyed self-join would.
+    */
+  def sourceOverlap(s: SparkSession, dir: String): DataFrame =
+    sourceOverlapOn(Tables.documents(s, dir))
+
+  /** Core of [[sourceOverlap]] over an explicit
+    * `(doc_id, source, text)` frame.
+    */
+  def sourceOverlapOn(docs: DataFrame): DataFrame = {
+    val sg = Dedup.gramsRelational(docs, "doc_id", "text")
+      .join(docs.select("doc_id", "source"), "doc_id")
+      .select("source", "g").distinct()
+    val pairs = sg
+      .groupBy("g").agg(sort_array(collect_set("source")).as("ss"))
+      .select(explode(flatten(transform(col("ss"), (a, i) =>
+        transform(slice(col("ss"), i + lit(1), size(col("ss"))),
+          b => struct(a.as("src_a"), b.as("src_b")))))).as("p"))
+      .groupBy(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"))
+      .agg(count(lit(1)).as("shared"))
+    val diag = pairs.filter(col("src_a") === col("src_b"))
+    pairs.filter(col("src_a") =!= col("src_b"))
+      .join(broadcast(diag.select(col("src_a"),
+        col("shared").as("grams_a"))), "src_a")
+      .join(broadcast(diag.select(col("src_b"),
+        col("shared").as("grams_b"))), "src_b")
+      .select(col("src_a"), col("src_b"), col("grams_a"), col("grams_b"),
+        col("shared"),
+        (col("shared").cast("double")
+          / (col("grams_a") + col("grams_b") - col("shared")).cast("double"))
+          .as("gram_jaccard"))
+      .orderBy("src_a", "src_b")
   }
 
   /** qd15 — per-source language mix as a pivot (the wide-matrix
@@ -1031,6 +1114,54 @@ object TrainingOps {
   /** The qd35 declared form: 3 training rounds over `documents`. */
   def bpeTrainQuery(s: SparkSession, dir: String): DataFrame =
     bpeTrain(Tables.documents(s, dir), rounds = 3)
+
+  /** qd38 — tokenizer APPLICATION, the other half of BPE: learn the
+    * merge table exactly as [[bpeTrain]] does, then ENCODE every
+    * document with it and report the per-doc compression
+    * (len_after / len_before — each remaining char is one token in
+    * this single-char-symbol alphabet). Training tells you WHAT the
+    * tokenizer is; this is the pass every pipeline actually runs at
+    * corpus scale afterwards, and the compression column is the
+    * number packing/costing consumes (qd19's bin budget is in
+    * TOKENS once a real tokenizer exists).
+    *
+    * Scale shape: per round one bounded-histogram driver action (the
+    * winner — same as qd35); the encode itself is a chain of ≤ r
+    * literal map-only replaces over one corpus scan, zero joins
+    * (len_before rides the frame instead of re-joining the source).
+    * Empty docs define compression = 1.0 (0/0 is NULL in DuckDB but
+    * NaN in Spark — the guard keeps both engines on the same value).
+    */
+  def bpeEncode(docs0: DataFrame, rounds: Int = 3): DataFrame = {
+    require(rounds >= 1 && rounds <= bpeSymbols.length,
+      s"rounds must be in [1, ${bpeSymbols.length}]")
+    var charset = "a-z0-9"
+    var cur = docs0.select(col("doc_id"), col("text"),
+      length(col("text")).cast("long").as("len_before"))
+    for (r <- 1 to rounds) {
+      val winner = cur
+        .withColumn("_bgs", regexp_extract_all(col("text"),
+          lit(s"(?s)(?=([$charset]{2}))."), lit(1)))
+        .select(explode(col("_bgs")).as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("pair")).limit(1)
+        .collect()(0)
+      val sym = bpeSymbols(r - 1)
+      cur = cur.withColumn("text",
+        regexp_replace(col("text"), winner.getString(0), sym))
+      charset += sym
+    }
+    cur.select(col("doc_id"), col("len_before"),
+      length(col("text")).cast("long").as("len_after"),
+      when(col("len_before") === 0L, lit(1.0))
+        .otherwise(length(col("text")).cast("double")
+          / col("len_before").cast("double")).as("compression"))
+      .orderBy("doc_id")
+  }
+
+  /** The qd38 declared form: encode with the 3-round merge table. */
+  def bpeEncodeQuery(s: SparkSession, dir: String): DataFrame =
+    bpeEncode(Tables.documents(s, dir), rounds = 3)
 
   /** The qd31 declared form: lang strata (imbalanced 218/75/73/70/64
     * at sf0.01 — sqrt temperature visibly reshapes the mix), target

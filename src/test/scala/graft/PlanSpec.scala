@@ -597,6 +597,18 @@ class PlanSpec extends SparkSpec
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("qd37: corpus-scale pair aggregate runs once — branches reuse its exchange") {
+    // the per-source (diagonal) and shared (off-diagonal) counts both
+    // read the same (src_a, src_b) aggregate; if exchange reuse broke,
+    // the tokenize+distinct+explode corpus work would execute three
+    // times and this query would silently triple its scan cost
+    val df = graft.operators.TrainingOps.sourceOverlap(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage"),
+      s"no exchange reuse in the executed plan:\n$p")
+  }
+
   test("global sweep: no declared query plans a CartesianProduct") {
     // BroadcastNestedLoopJoin is allowed ONLY where the operator is
     // deliberately O(n^2) at its declared verification config (qe3's

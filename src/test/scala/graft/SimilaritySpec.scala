@@ -204,4 +204,34 @@ class SimilaritySpec extends SparkSpec
     assert(worst <= 0.5 + 1e-9,
       s"uniform quantizer must stay within half a cell, worst $worst cells")
   }
+
+  test("qe7: planted outlier ranks 1; scores are shuffle-order invariant") {
+    import spark.implicits._
+    // label 0: three vectors near +x, one pointing -x (the outlier);
+    // label 1: two identical vectors (both rank 1 by cosine, vec_id
+    // breaks the rank ORDER so ranks are 1,2 with equal cos)
+    val d = Seq(
+      (0, 10L, Array(1.0f, 0.1f)),
+      (0, 11L, Array(0.9f, 0.2f)),
+      (0, 12L, Array(1.1f, 0.0f)),
+      (0, 13L, Array(-1.0f, 0.0f)),
+      (1, 20L, Array(0.0f, 1.0f)),
+      (1, 21L, Array(0.0f, 1.0f)))
+      .toDF("label", "vec_id", "embedding")
+    val got = Similarity.centroidOutliers(d).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Int]("outlier_rank"), r.getAs[Double]("cos")))).toMap
+    assert(got(13L)._1 == 1, s"the -x vector must rank 1: $got")
+    assert(got(13L)._2 < 0 && Seq(10L, 11L, 12L).forall(got(_)._2 > 0.9),
+      s"outlier below zero, cluster members near 1: $got")
+    assert(got(20L)._2 == got(21L)._2 && got(20L)._1 == 1 && got(21L)._1 == 2,
+      "identical vectors score identically; vec_id orders the window")
+
+    // exact integer centroid sums make the score independent of
+    // partitioning (a double-mean centroid would NOT survive this)
+    val shuffled = Similarity.centroidOutliers(d.repartition(7)).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("cos")).toMap
+    got.foreach { case (id, (_, cos)) =>
+      assert(shuffled(id) == cos, s"vec $id moved under repartition") }
+  }
 }

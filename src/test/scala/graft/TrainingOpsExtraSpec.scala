@@ -237,4 +237,80 @@ class TrainingOpsExtraSpec extends SparkSpec {
     wide.foreach { case (k, v) => assert(v == long.getOrElse(k, 0L), s"$k") }
     assert(long.values.sum == wide.values.sum, "pivot must conserve counts")
   }
+
+  test("qd36: near-duplicates never straddle the split; assignment is the cluster fingerprint") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog near the " +
+      "river bank while the sun sets slowly behind the tall mountains"
+    val docs = Seq(
+      (1L, base), (2L, base),                 // exact dups -> cluster 1
+      (7L, base + " tonight"),                // near-dup -> cluster 1 too
+      (40L, "completely different content about spark shuffle " +
+        "partitions and broadcast joins across many executors today"),
+      (90L, "a third unrelated text on tokenizer vocabularies and " +
+        "byte pair encoding merges applied to large corpora"))
+      .toDF("doc_id", "text")
+    val got = TrainingOps.leakageSplitOn(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("cluster"), r.getAs[String]("split")))).toMap
+    // the dup component collapses to min-id 1 and moves as one unit
+    assert(got(1L)._1 == 1L && got(2L)._1 == 1L && got(7L)._1 == 1L)
+    assert(Set(got(1L)._2, got(2L)._2, got(7L)._2).size == 1,
+      s"near-duplicates split apart: $got")
+    // assignment is exactly the portable fingerprint of the cluster id
+    got.values.foreach { case (cl, split) =>
+      val expect = if (graft.functions.DocFingerprint
+        .reference(cl.toString) % 100 < 80) "train" else "test"
+      assert(split == expect, s"cluster $cl")
+    }
+  }
+
+  test("qd38: encode applies the learned merge chain; empty docs pin compression 1.0") {
+    import spark.implicits._
+    // round 1: pairs ab:3, ba:1 -> merge ab->A ("abab"->"AA", "ab"->"A")
+    // round 2: only AA:1 survives -> AA->B ("AA"->"B")
+    val docs = Seq((1L, "abab"), (2L, "ab"), (3L, ""))
+      .toDF("doc_id", "text")
+    val got = TrainingOps.bpeEncode(docs, rounds = 2).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("len_before"), r.getAs[Long]("len_after"),
+          r.getAs[Double]("compression")))).toMap
+    assert(got(1L) == ((4L, 1L, 0.25)), s"abab -> AA -> B: $got")
+    assert(got(2L) == ((2L, 1L, 0.5)), s"ab -> A: $got")
+    assert(got(3L) == ((0L, 0L, 1.0)), "empty doc defines compression 1.0")
+  }
+
+  test("qd37: hand-computed gram matrix; zero-overlap pairs drop out") {
+    import spark.implicits._
+    // a: {one two three, two three four}   (2 grams)
+    // b: {two three four, three four five} (2 grams, 1 shared with a)
+    // c: {alpha beta gamma}                (disjoint from both)
+    val docs = Seq(
+      (1L, "srcA", "one two three four"),
+      (2L, "srcB", "two three four five"),
+      (3L, "srcC", "alpha beta gamma"))
+      .toDF("doc_id", "source", "text")
+    val got = TrainingOps.sourceOverlapOn(docs).collect()
+    assert(got.length == 1, s"only the overlapping pair surfaces: ${got.toSeq}")
+    val r = got.head
+    assert((r.getAs[String]("src_a"), r.getAs[String]("src_b"),
+      r.getAs[Long]("grams_a"), r.getAs[Long]("grams_b"),
+      r.getAs[Long]("shared")) == (("srcA", "srcB", 2L, 2L, 1L)))
+    assert(r.getAs[Double]("gram_jaccard") == 1.0 / 3.0)
+  }
+
+  test("qd36: a cluster's split is stable under unrelated corpus growth") {
+    import spark.implicits._
+    val near = "alpha beta gamma delta epsilon zeta eta theta iota " +
+      "kappa lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val core = Seq((3L, near), (4L, near))
+    val extra = (100L until 112L).map(i =>
+      (i, s"unique filler document number $i with entirely disjoint " +
+        s"vocabulary token$i marker$i payload$i"))
+    def splitOf(rows: Seq[(Long, String)], id: Long): String =
+      TrainingOps.leakageSplitOn(rows.toDF("doc_id", "text"))
+        .where(col("doc_id") === id).collect().head.getAs[String]("split")
+    // growing the corpus with unrelated docs must not move cluster 3
+    assert(splitOf(core, 3L) == splitOf(core ++ extra, 3L))
+  }
 }
