@@ -145,6 +145,10 @@ object SparkEntry {
     "qe7_centroid_outlier" -> (graft.operators.Similarity.centroidOutlierQuery _),
     "qd37_source_overlap" -> (TrainingOps.sourceOverlap _),
     "qd38_bpe_encode"    -> (TrainingOps.bpeEncodeQuery _),
+    "qd39_gram_novelty"  -> (TrainingOps.gramNovelty _),
+    "qs24_hourly_anomaly" -> (Events.hourlyAnomaly _),
+    "qs25_type_transitions" -> (Events.typeTransitions _),
+    "qe8_knn_pq"         -> (TrainingOps.knnPq _),
   )
 
   /** Queries intentionally without an oracle — EMPTY since round 5:
@@ -290,6 +294,58 @@ object SparkEntry {
          |FROM p JOIN cnt ca ON ca.source = p.src_a
          |JOIN cnt cb ON cb.source = p.src_b
          |ORDER BY src_a, src_b""".stripMargin),
+    // qd39: both engines derive the identical distinct-gram sets
+    // (shingleCte == gramsRelational), so first-occurrence is an
+    // exact min over BIGINT doc ids and novelty one division of
+    // exact longs.
+    "qd39_gram_novelty" ->
+      (s"""$shingleCte,
+         |g AS (SELECT doc_id, unnest(s) AS gram FROM sh),
+         |f AS (SELECT gram, CAST(min(doc_id) AS BIGINT) AS first_doc
+         |  FROM g GROUP BY 1)
+         |SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         |  CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_novel,
+         |  CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+         |      AS DOUBLE) / CAST(count(*) AS DOUBLE) AS novelty
+         |FROM g JOIN f USING (gram) GROUP BY g.doc_id
+         |ORDER BY doc_id""".stripMargin),
+    // qs24: the qx22 exact-moment construction — counts and moment
+    // sums are exact BIGINTs, z is ONE closed-form double expression
+    // over them on both engines; zero variance pins z = 0.
+    "qs24_hourly_anomaly" ->
+      ("""WITH hc AS (
+         |  SELECT event_type, date_trunc('hour', ts) AS h,
+         |    CAST(count(*) AS BIGINT) AS cnt
+         |  FROM events GROUP BY 1, 2),
+         |st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(SUM(cnt) AS BIGINT) AS sx,
+         |    CAST(SUM(cnt * cnt) AS BIGINT) AS sxx
+         |  FROM hc GROUP BY 1),
+         |zt AS (SELECT hc.event_type, hc.h, hc.cnt,
+         |    CASE WHEN n * sxx - sx * sx = 0 THEN 0.0
+         |      ELSE CAST(n * hc.cnt - sx AS DOUBLE)
+         |        / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) END AS z
+         |  FROM hc JOIN st USING (event_type))
+         |SELECT event_type, strftime(h, '%Y-%m-%d %H:00:00') AS hour,
+         |  cnt, z, abs(z) >= 2.0 AS is_anomaly
+         |FROM zt ORDER BY event_type, hour""".stripMargin),
+    // qs25: identical per-user (ts, event_id) step ordering, exact
+    // pair counts, probability one division of exact longs.
+    "qs25_type_transitions" ->
+      ("""WITH pr AS (
+         |  SELECT event_type AS from_type,
+         |    lead(event_type) OVER (
+         |      PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+         |  FROM events),
+         |c AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+         |  FROM pr WHERE to_type IS NOT NULL GROUP BY 1, 2),
+         |t AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS tot
+         |  FROM c GROUP BY 1)
+         |SELECT c.from_type, c.to_type, c.n,
+         |  CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE) AS p
+         |FROM c JOIN t USING (from_type)
+         |ORDER BY from_type, to_type""".stripMargin),
     "qd15_source_lang_pivot" ->
       ("SELECT source, " +
         Seq("de", "en", "es", "fr", "zh").map(l =>
@@ -310,6 +366,9 @@ object SparkEntry {
     // top-k, so the brute-force SQL is their oracle verbatim.
     "qe2_knn_lsh" -> knnSql,
     "qe4_knn_ivf" -> knnSql,
+    // qe8 (full-shortlist PQ/ADC) re-ranks every candidate with exact
+    // cosines — equal to brute for ANY codebook, same oracle again.
+    "qe8_knn_pq" -> knnSql,
     // qe3 at 1-bit-band geometry: a pair escapes blocking only when
     // all 16 sign bits differ — p ~ (acos(sim)/pi)^16, ~5e-7 per pair
     // at the 0.3 threshold and vanishing for higher sims — so the

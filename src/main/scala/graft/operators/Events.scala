@@ -546,6 +546,79 @@ object Events {
       .orderBy("day")
   }
 
+  /** qs24 — hourly volume anomalies per event type: each hour's
+    * event count scored as a z-score against that type's own hourly
+    * distribution, |z| >= 2 flagged — the ops-dashboard "traffic
+    * spike/drop" detector. Deterministic by the qx22 construction:
+    * counts are exact longs, the population moments (n, Σc, Σc²) are
+    * exact BIGINT sums, and z collapses to ONE closed-form double
+    * expression over integers — z = (n·c − Σc) / √(n·Σc² − (Σc)²) —
+    * identical on both engines bit for bit (a running avg/stddev
+    * would be shuffle-order dependent). A zero-variance type (every
+    * hour identical) pins z = 0 on both sides (0/0 is NaN in Spark,
+    * NULL in DuckDB).
+    *
+    * Scale shape: two-level aggregate — corpus-scale partial+final
+    * count per (type, hour), then a per-type moment aggregate over
+    * the tiny hourly frame, broadcast back. One corpus-scale
+    * exchange total; the anomaly projection is codegen.
+    */
+  def hourlyAnomaly(s: SparkSession, dir: String): DataFrame =
+    hourlyAnomalyOn(Tables.events(s, dir))
+
+  /** Core of [[hourlyAnomaly]] over an explicit `(event_type, ts)`
+    * frame.
+    */
+  def hourlyAnomalyOn(events: DataFrame): DataFrame = {
+    val hc = events
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("cnt"))
+    val stats = hc.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("cnt").as("sx"),
+        sum(expr("cnt * cnt")).as("sxx"))
+    hc.join(broadcast(stats), "event_type")
+      .select(col("event_type"),
+        date_format(col("h"), "yyyy-MM-dd HH:00:00").as("hour"),
+        col("cnt"),
+        expr("""CASE WHEN n * sxx - sx * sx = 0 THEN 0.0
+                ELSE CAST(n * cnt - sx AS DOUBLE)
+                  / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) END""").as("z"))
+      .withColumn("is_anomaly", abs(col("z")) >= 2.0)
+      .orderBy("event_type", "hour")
+  }
+
+  /** qs25 — event-type Markov transition matrix: per user, order
+    * events by time and count consecutive (from_type → to_type)
+    * steps; the per-from-type transition probability is the
+    * one-division exact ratio — the sequence-modeling prior every
+    * behavioral pipeline derives before training on event streams.
+    * Same-timestamp steps tie-break on event_id (pinned both sides).
+    *
+    * Scale shape: one per-user window sort (users are the natural
+    * partition key — bounded groups), one 25-key pair aggregate, and
+    * a 5-row broadcast for the denominators. No corpus-scale join.
+    */
+  def typeTransitions(s: SparkSession, dir: String): DataFrame =
+    typeTransitionsOn(Tables.events(s, dir))
+
+  /** Core of [[typeTransitions]] over an explicit `(user_id,
+    * event_type, ts, event_id)` frame.
+    */
+  def typeTransitionsOn(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val pairs = events
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("to_type", lead("event_type", 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy("from_type").agg(sum("n").as("tot"))
+    pairs.join(broadcast(totals), "from_type")
+      .select(col("from_type"), col("to_type"), col("n"),
+        (col("n").cast("double") / col("tot").cast("double")).as("p"))
+      .orderBy("from_type", "to_type")
+  }
+
   /** Top-5 users by spend per event type — groupBy + rank window
     * composition on the events stream table.
     */

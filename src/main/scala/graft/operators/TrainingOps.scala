@@ -575,6 +575,45 @@ object TrainingOps {
       .orderBy("src_a", "src_b")
   }
 
+  /** qd39 — gram novelty: for each document, the fraction of its
+    * distinct word 3-grams appearing for the FIRST time in the corpus
+    * (first = the smallest doc_id carrying the gram). The
+    * incremental-crawl contribution score: a near-zero novelty doc
+    * adds nothing the corpus doesn't already have, independent of
+    * whether any single document duplicates it (qd6/qd10 score
+    * pairwise similarity; this scores marginal content against the
+    * WHOLE corpus at once).
+    *
+    * Scale shape: gram-KEYED, join-free — one distinct-gram derive
+    * (shared [[Dedup.gramsRelational]]), then first-occurrence as a
+    * whole-partition window MIN over the gram (the qd1 trick:
+    * partitioning on (xxhash64(g), g) makes the window sort compare
+    * 8-byte longs, not strings), then one per-doc count. An
+    * agg-plus-self-join formulation shuffles the gram frame TWICE
+    * (the join cannot reuse the aggregate's exchange — measured);
+    * the window form pays one gram exchange and one doc exchange,
+    * period. Never doc-all-pairs, no corpus-scale broadcast.
+    */
+  def gramNovelty(s: SparkSession, dir: String): DataFrame =
+    gramNoveltyOn(Tables.documents(s, dir))
+
+  /** Core of [[gramNovelty]] over an explicit `(doc_id, text)`
+    * frame.
+    */
+  def gramNoveltyOn(docs: DataFrame): DataFrame = {
+    val g = Dedup.gramsRelational(docs, "doc_id", "text")
+    val w = Window.partitionBy(xxhash64(col("g")), col("g"))
+    g.withColumn("first_doc", min("doc_id").over(w))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"),
+        (col("n_novel").cast("double") / col("n_grams").cast("double"))
+          .as("novelty"))
+      .orderBy("doc_id")
+  }
+
   /** qd15 — per-source language mix as a pivot (the wide-matrix
     * reshape a corpus report needs): one row per source, one count
     * column per language. Explicit value list keeps the output schema
@@ -836,6 +875,30 @@ object TrainingOps {
     val model = ivfModel(s, dir)
     Ivf.search(emb, model, knnQueryIds, k = 10, nProbe = model.k)
   }
+
+  private val pqModels =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Pq.PqModel]()
+
+  /** Cached PQ codebooks per (sf dir, corpus stamp) — same
+    * amortize-and-invalidate contract as [[ivfModel]]. 8 subspaces of
+    * the 64-dim corpus, 16 codes each: a 64-float vector compresses
+    * to 8 nibble-sized codes.
+    */
+  def pqModel(s: SparkSession, dir: String): Pq.PqModel = {
+    if (pqModels.size > 16) pqModels.clear()
+    pqModels.computeIfAbsent((dir, corpusStamp(dir)), _ =>
+      Pq.train(Tables.embeddings(s, dir), m = 8, kCodes = 16, iters = 2))
+  }
+
+  /** qe8 — PQ/ADC ANN, same queries, declared at a full-corpus
+    * shortlist: every candidate is exact-cosine re-ranked, so the
+    * result provably equals brute force for ANY codebook (the qe4
+    * full-probe move) and shares its DuckDB oracle. Honest-shortlist
+    * recall — the production trade-off — is measured in PqSpec.
+    */
+  def knnPq(s: SparkSession, dir: String): DataFrame =
+    Pq.search(Tables.embeddings(s, dir), pqModel(s, dir), knnQueryIds,
+      k = 10, shortlist = Int.MaxValue)
 
   /** qd30 — corpus-frequent span removal (the C4/Gopher "repeated
     * span" cleanup): every token covered by a word 4-gram that occurs

@@ -347,6 +347,64 @@ class EventsExtraSpec extends SparkSpec {
     assert(!out.contains("2024-01-03"), "silent days have no report row")
   }
 
+  test("qs24: hand-computed z-scores; zero-variance type pins z = 0") {
+    // typeA hours: counts 1, 1, 4 -> n=3, sx=6, sxx=18
+    //   denom = sqrt(3*18 - 36) = sqrt(18); z(1) = (3-6)/sqrt(18),
+    //   z(4) = (12-6)/sqrt(18) ~ 1.414 -> nothing flagged at |z|>=2
+    // typeB: two hours of 1 each -> variance 0 -> z pinned 0.0
+    val ev = Seq(
+      (1L, 101L, "2024-01-01 10:05:00", "typeA", 0.0),
+      (2L, 101L, "2024-01-01 11:05:00", "typeA", 0.0),
+      (3L, 101L, "2024-01-01 12:01:00", "typeA", 0.0),
+      (4L, 101L, "2024-01-01 12:02:00", "typeA", 0.0),
+      (5L, 101L, "2024-01-01 12:03:00", "typeA", 0.0),
+      (6L, 101L, "2024-01-01 12:04:00", "typeA", 0.0),
+      (7L, 102L, "2024-01-01 10:30:00", "typeB", 0.0),
+      (8L, 102L, "2024-01-01 11:30:00", "typeB", 0.0))
+      .toDF("event_id", "user_id", "ts_s", "event_type", "value")
+      .select(col("event_id"), col("user_id"),
+        to_timestamp(col("ts_s")).as("ts"), col("event_type"), col("value"))
+    val got = Events.hourlyAnomalyOn(ev).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[String]("hour")) ->
+        ((r.getAs[Long]("cnt"), r.getAs[Double]("z"),
+          r.getAs[Boolean]("is_anomaly")))).toMap
+    val d = math.sqrt(18.0)
+    assert(got(("typeA", "2024-01-01 10:00:00")) == ((1L, -3.0 / d, false)))
+    assert(got(("typeA", "2024-01-01 12:00:00")) == ((4L, 6.0 / d, false)))
+    assert(got(("typeB", "2024-01-01 10:00:00")) == ((1L, 0.0, false)),
+      "zero-variance type pins z = 0, never NaN")
+    assert(got.size == 5)
+  }
+
+  test("qs25: transition counts and probabilities; ties break on event_id") {
+    // user 1: view -> click -> purchase; user 2: view -> view
+    // user 3: two SAME-timestamp events -> event_id orders them
+    //         (5 before 6: click -> view), plus a trailing error
+    val ev = Seq(
+      (1L, 1L, "2024-01-01 10:00:00", "view", 0.0),
+      (2L, 1L, "2024-01-01 10:01:00", "click", 0.0),
+      (3L, 1L, "2024-01-01 10:02:00", "purchase", 0.0),
+      (4L, 2L, "2024-01-01 09:00:00", "view", 0.0),
+      (5L, 2L, "2024-01-01 09:30:00", "view", 0.0),
+      (6L, 3L, "2024-01-01 08:00:00", "click", 0.0),
+      (7L, 3L, "2024-01-01 08:00:00", "view", 0.0),
+      (8L, 3L, "2024-01-01 08:10:00", "error", 0.0))
+      .toDF("event_id", "user_id", "ts_s", "event_type", "value")
+      .select(col("event_id"), col("user_id"),
+        to_timestamp(col("ts_s")).as("ts"), col("event_type"), col("value"))
+    val got = Events.typeTransitionsOn(ev).collect()
+      .map(r => (r.getAs[String]("from_type"), r.getAs[String]("to_type")) ->
+        ((r.getAs[Long]("n"), r.getAs[Double]("p")))).toMap
+    // view steps: view->click (u1), view->view (u2), view->error (u3)
+    assert(got(("view", "click")) == ((1L, 1.0 / 3.0)))
+    assert(got(("view", "view")) == ((1L, 1.0 / 3.0)))
+    assert(got(("view", "error")) == ((1L, 1.0 / 3.0)))
+    // click steps: click->purchase (u1), click->view (u3 tie by id)
+    assert(got(("click", "purchase")) == ((1L, 0.5)))
+    assert(got(("click", "view")) == ((1L, 0.5)))
+    assert(got.size == 5, s"terminal events emit no row: $got")
+  }
+
   test("qd25: repetition ratios match hand-computed signals") {
     val out = TrainingOps.repetitionOn(docsOf(
         (1L, "a a a b"),      // top a: 3/4; bigrams (a a)x2, (a b) -> 2/3

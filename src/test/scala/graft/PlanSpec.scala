@@ -609,6 +609,15 @@ class PlanSpec extends SparkSpec
       s"no exchange reuse in the executed plan:\n$p")
   }
 
+  test("qd39: join-free — first-occurrence rides a window, not a self-join") {
+    // the agg+self-join formulation shuffles the corpus-scale gram
+    // frame twice (its join cannot reuse the aggregate's exchange —
+    // measured 1.93 s vs 1.60 s at sf0.1); the window form must stay
+    val df = graft.operators.TrainingOps.gramNovelty(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), s"qd39 regressed to a join plan:\n$p")
+  }
+
   test("global sweep: no declared query plans a CartesianProduct") {
     // BroadcastNestedLoopJoin is allowed ONLY where the operator is
     // deliberately O(n^2) at its declared verification config (qe3's

@@ -299,6 +299,24 @@ class TrainingOpsExtraSpec extends SparkSpec {
     assert(r.getAs[Double]("gram_jaccard") == 1.0 / 3.0)
   }
 
+  test("qd39: novelty counts grams at their first doc_id only") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d"),   // grams "a b c","b c d" — both first here -> 1.0
+      (2L, "b c d e"),   // "b c d" seen in 1, "c d e" novel -> 0.5
+      (3L, "a b c"),     // exactly 3 tokens: one gram, seen in 1 -> 0.0
+      (4L, "xy"))        // short doc: whole-doc shingle, novel -> 1.0
+      .toDF("doc_id", "text")
+    val got = TrainingOps.gramNoveltyOn(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_grams"), r.getAs[Long]("n_novel"),
+          r.getAs[Double]("novelty")))).toMap
+    assert(got(1L) == ((2L, 2L, 1.0)))
+    assert(got(2L) == ((2L, 1L, 0.5)))
+    assert(got(3L) == ((1L, 0L, 0.0)))
+    assert(got(4L) == ((1L, 1L, 1.0)))
+  }
+
   test("qd36: a cluster's split is stable under unrelated corpus growth") {
     import spark.implicits._
     val near = "alpha beta gamma delta epsilon zeta eta theta iota " +
