@@ -149,6 +149,9 @@ object SparkEntry {
     "qs24_hourly_anomaly" -> (Events.hourlyAnomaly _),
     "qs25_type_transitions" -> (Events.typeTransitions _),
     "qe8_knn_pq"         -> (TrainingOps.knnPq _),
+    "qd40_incremental_dedup" -> (TrainingOps.incrementalDedup _),
+    "qs26_winsorized"    -> (Events.winsorizedStats _),
+    "qs27_burst_detect"  -> (Events.burstDetect _),
   )
 
   /** Queries intentionally without an oracle — EMPTY since round 5:
@@ -330,6 +333,58 @@ object SparkEntry {
          |SELECT event_type, strftime(h, '%Y-%m-%d %H:00:00') AS hour,
          |  cnt, z, abs(z) >= 2.0 AS is_anomaly
          |FROM zt ORDER BY event_type, hour""".stripMargin),
+    // qd40: the qd6 banding-parity argument at threshold 0.9 — the
+    // oracle is the exhaustive batch×corpus jaccard join (string
+    // shingles; the Spark side blocks on hashed-shingle MinHash bands
+    // with the same collision caveat qd6 documents).
+    "qd40_incremental_dedup" ->
+      (s"""$shingleCte,
+         |m AS (SELECT sh.doc_id, d.source = 'src0' AS corp, sh.s
+         |  FROM sh JOIN documents d USING (doc_id)),
+         |x AS (SELECT b.doc_id, CAST(min(c.doc_id) AS BIGINT) AS dup_of
+         |  FROM m b JOIN m c ON NOT b.corp AND c.corp
+         |    AND CAST(len(list_intersect(b.s, c.s)) AS DOUBLE)
+         |      / CAST(len(list_distinct(list_concat(b.s, c.s)))
+         |          AS DOUBLE) >= 0.9
+         |  GROUP BY 1)
+         |SELECT m.doc_id, x.dup_of, x.dup_of IS NOT NULL AS is_dup
+         |FROM m LEFT JOIN x USING (doc_id) WHERE NOT m.corp
+         |ORDER BY doc_id""".stripMargin),
+    // qs26: money through cents (exact ints), percentile bounds from
+    // identical ints (the qs5 parity), quantized back to cents via
+    // ceil/floor of identical doubles, clip+sum pure BIGINT, mean one
+    // shared division chain.
+    "qs26_winsorized" ->
+      ("""WITH e AS (SELECT event_type,
+         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+         |  FROM events),
+         |b AS (SELECT event_type,
+         |    CAST(ceil(quantile_cont(c, 0.01)) AS BIGINT) AS lo,
+         |    CAST(floor(quantile_cont(c, 0.99)) AS BIGINT) AS hi
+         |  FROM e GROUP BY 1),
+         |w AS (SELECT e.event_type, b.lo, b.hi,
+         |    CAST(count(*) AS BIGINT) AS n,
+         |    CAST(SUM(GREATEST(LEAST(e.c, b.hi), b.lo)) AS BIGINT) AS wsum
+         |  FROM e JOIN b USING (event_type) GROUP BY 1, 2, 3)
+         |SELECT event_type, n, CAST(lo AS DOUBLE) / 100.0 AS p01,
+         |  CAST(hi AS DOUBLE) / 100.0 AS p99,
+         |  CAST(wsum AS DOUBLE) / CAST(n AS DOUBLE) / 100.0
+         |    AS winsorized_avg
+         |FROM w ORDER BY event_type""".stripMargin),
+    // qs27: RANGE frame on floored epoch seconds (the qs19
+    // convention), exact counts; same-second events are peers on
+    // both engines.
+    "qs27_burst_detect" ->
+      ("""WITH e AS (SELECT user_id,
+         |    CAST(floor(epoch(ts)) AS BIGINT) AS tsec FROM events),
+         |w AS (SELECT user_id, count(*) OVER (
+         |    PARTITION BY user_id ORDER BY tsec
+         |    RANGE BETWEEN CURRENT ROW AND 59 FOLLOWING) AS in_window
+         |  FROM e)
+         |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+         |  CAST(max(in_window) AS INTEGER) AS burst,
+         |  max(in_window) >= 5 AS is_bot
+         |FROM w GROUP BY user_id ORDER BY user_id""".stripMargin),
     // qs25: identical per-user (ts, event_id) step ordering, exact
     // pair counts, probability one division of exact longs.
     "qs25_type_transitions" ->

@@ -619,6 +619,81 @@ object Events {
       .orderBy("from_type", "to_type")
   }
 
+  /** qs26 — winsorized (outlier-clipped) value statistics per event
+    * type: exact p01/p99 bounds, then the mean of values CLIPPED to
+    * those bounds — the robust-mean every metrics pipeline prefers
+    * over a raw average one fat-fingered refund can drag. Exactness
+    * chain: values route to integer cents (the money rule), the
+    * interpolated percentile is computed from identical exact ints on
+    * both engines (the qs5 parity), its fractional bound is quantized
+    * back to cents with ceil/floor (identical doubles → identical
+    * longs), the clip is then pure BIGINT least/greatest, the sum
+    * exact, and the mean one shared division chain.
+    *
+    * Scale shape: two corpus passes (exact percentile needs its own
+    * sort-based aggregate; at 100 TB swap stage one for a t-digest
+    * sketch bound and keep stage two unchanged) joined by a 5-row
+    * broadcast. The clip+sum pass is one codegen partial+final
+    * aggregate.
+    */
+  def winsorizedStats(s: SparkSession, dir: String): DataFrame =
+    winsorizedStatsOn(Tables.events(s, dir))
+
+  /** Core of [[winsorizedStats]] over an explicit
+    * `(event_type, value)` frame.
+    */
+  def winsorizedStatsOn(events: DataFrame): DataFrame = {
+    val e = events.select(col("event_type"),
+      expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("c"))
+    val bounds = e.groupBy("event_type")
+      .agg(ceil(expr("percentile(c, 0.01D)")).cast("long").as("lo"),
+        floor(expr("percentile(c, 0.99D)")).cast("long").as("hi"))
+    e.join(broadcast(bounds), "event_type")
+      .groupBy("event_type", "lo", "hi")
+      .agg(count(lit(1)).as("n"),
+        sum(greatest(least(col("c"), col("hi")), col("lo"))).as("wsum"))
+      .select(col("event_type"), col("n"),
+        (col("lo").cast("double") / 100.0).as("p01"),
+        (col("hi").cast("double") / 100.0).as("p99"),
+        expr("CAST(wsum AS DOUBLE) / CAST(n AS DOUBLE) / 100.0")
+          .as("winsorized_avg"))
+      .orderBy("event_type")
+  }
+
+  /** qs27 — burst detection: per user, the maximum number of events
+    * falling in ANY 60-second window anchored at one of their events
+    * — the bot/scraper signal (humans click, scripts hammer). The
+    * anchored-window form is exact for this max: the densest window
+    * can always be slid left until its left edge touches an event.
+    *
+    * Scale shape: one RANGE-frame window over floored epoch seconds
+    * partitioned by the natural user key (bounded groups — the qs19
+    * trailing-frame shape, forward-facing), then a per-user max
+    * aggregate reusing the SAME (user_id) partitioning — the window's
+    * exchange carries straight into the agg, no second corpus
+    * shuffle. Counts are exact ints.
+    */
+  def burstDetect(s: SparkSession, dir: String): DataFrame =
+    burstDetectOn(Tables.events(s, dir))
+
+  /** Core of [[burstDetect]] over an explicit `(user_id, ts)` frame;
+    * `botFloor` is the burst count at which `is_bot` flips.
+    */
+  def burstDetectOn(events: DataFrame, botFloor: Int = 5): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("tsec"))
+      .rangeBetween(0, 59)
+    events
+      .select(col("user_id"), unix_timestamp(col("ts")).as("tsec"))
+      .withColumn("in_window", count(lit(1)).over(w))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        max("in_window").cast("int").as("burst"))
+      .select(col("user_id"), col("n_events"), col("burst"),
+        (col("burst") >= botFloor).as("is_bot"))
+      .orderBy("user_id")
+  }
+
   /** Top-5 users by spend per event type — groupBy + rank window
     * composition on the events stream table.
     */

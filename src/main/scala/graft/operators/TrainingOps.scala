@@ -614,6 +614,15 @@ object TrainingOps {
       .orderBy("doc_id")
   }
 
+  /** The qd40 declared form: src0 documents stand in for the
+    * existing (already-deduped) corpus, every other source is the
+    * incoming batch; threshold 0.9 rides the qd6 banding-parity
+    * argument.
+    */
+  def incrementalDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.incrementalDedup(Tables.documents(s, dir),
+      col("source") === "src0", threshold = 0.9)
+
   /** qd15 — per-source language mix as a pivot (the wide-matrix
     * reshape a corpus report needs): one row per source, one count
     * column per language. Explicit value list keeps the output schema

@@ -405,6 +405,41 @@ class EventsExtraSpec extends SparkSpec {
     assert(got.size == 5, s"terminal events emit no row: $got")
   }
 
+  test("qs26: winsorized mean clips at hand-computed quantized percentile bounds") {
+    import spark.implicits._
+    // cents 100, 200, 10000; pos = q*(n-1):
+    //   p01 at 0.02 -> 100 + 0.02*(200-100) = 102 -> ceil 102
+    //   p99 at 1.98 -> 200 + 0.98*(10000-200) = 9804 -> floor 9804
+    //   clipped sum = 102 + 200 + 9804 = 10106
+    val ev = Seq(("view", 1.00), ("view", 2.00), ("view", 100.00))
+      .toDF("event_type", "value")
+    val r = Events.winsorizedStatsOn(ev).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[Long]("n") == 3L)
+    assert(row.getAs[Double]("p01") == 1.02)
+    assert(row.getAs[Double]("p99") == 98.04)
+    assert(row.getAs[Double]("winsorized_avg") == 10106.0 / 3.0 / 100.0)
+  }
+
+  test("qs27: burst is the densest anchored 60s window; 59 in, 60 out") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 0L), (1L, 10L), (1L, 59L),   // [0,59] holds all 3
+      (2L, 0L), (2L, 60L),              // 60 is OUTSIDE [0,59] -> burst 1
+      (3L, 0L), (3L, 59L), (3L, 60L))   // [0,59]={0,59}, [59,118]={59,60}
+      .toDF("user_id", "sec")
+      .select(col("user_id"), timestamp_seconds(col("sec")).as("ts"))
+    val got = Events.burstDetectOn(ev, botFloor = 3).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Long]("n_events"), r.getAs[Int]("burst"),
+          r.getAs[Boolean]("is_bot")))).toMap
+    assert(got(1L) == ((3L, 3, true)))
+    assert(got(2L) == ((2L, 1, false)),
+      "an event 60s later is outside the [t, t+59] window")
+    assert(got(3L) == ((3L, 2, false)))
+  }
+
   test("qd25: repetition ratios match hand-computed signals") {
     val out = TrainingOps.repetitionOn(docsOf(
         (1L, "a a a b"),      // top a: 3/4; bigrams (a a)x2, (a b) -> 2/3

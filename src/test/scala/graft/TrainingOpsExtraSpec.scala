@@ -317,6 +317,35 @@ class TrainingOpsExtraSpec extends SparkSpec {
     assert(got(4L) == ((1L, 1L, 1.0)))
   }
 
+  test("qd40: batch docs flag against corpus only; batch-internal dups don't flag") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog near the " +
+      "river bank while the sun sets slowly behind the tall mountains"
+    val other = "completely different content about spark shuffle " +
+      "partitions and broadcast joins across many executors today " +
+      "with adaptive execution and skew handling enabled everywhere"
+    val docs = Seq(
+      (1L, base),             // corpus
+      (2L, "unrelated corpus text on tokenizer vocabularies and byte " +
+        "pair encoding merges applied to large corpora daily"), // corpus
+      (10L, base),            // batch: exact dup of corpus 1
+      (11L, other),           // batch: novel
+      (12L, other))           // batch: dups 11 (batch-internal) only
+      .toDF("doc_id", "text")
+    val got = graft.operators.Dedup
+      .incrementalDedup(docs, col("doc_id") < 10L, threshold = 0.9)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((Option(r.getAs[java.lang.Long]("dup_of")),
+          r.getAs[Boolean]("is_dup")))).toMap
+    assert(got(10L) == ((Some(1L), true)), s"exact dup must flag: $got")
+    assert(got(11L) == ((None, false)))
+    assert(got(12L) == ((None, false)),
+      "batch-internal duplication must NOT count as a corpus dup")
+    assert(!got.contains(1L) && !got.contains(2L),
+      "corpus docs emit no rows")
+  }
+
   test("qd36: a cluster's split is stable under unrelated corpus growth") {
     import spark.implicits._
     val near = "alpha beta gamma delta epsilon zeta eta theta iota " +
