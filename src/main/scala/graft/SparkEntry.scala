@@ -152,6 +152,9 @@ object SparkEntry {
     "qd40_incremental_dedup" -> (TrainingOps.incrementalDedup _),
     "qs26_winsorized"    -> (Events.winsorizedStats _),
     "qs27_burst_detect"  -> (Events.burstDetect _),
+    "qd41_containment"   -> (TrainingOps.containment _),
+    "qs28_mad_stats"     -> (Events.madStats _),
+    "qe9_mmr_rerank"     -> (graft.operators.Similarity.mmrQuery _),
   )
 
   /** Queries intentionally without an oracle — EMPTY since round 5:
@@ -385,6 +388,46 @@ object SparkEntry {
          |  CAST(max(in_window) AS INTEGER) AS burst,
          |  max(in_window) >= 5 AS is_bot
          |FROM w GROUP BY user_id ORDER BY user_id""".stripMargin),
+    // qd41: identical distinct-gram sets both engines; shared counts
+    // are exact longs, containment one division, the >= 0.8 filter
+    // compares identical doubles.
+    "qd41_containment" ->
+      (s"""$shingleCte,
+         |g AS (SELECT doc_id, unnest(s) AS gram FROM sh),
+         |n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS grams_a
+         |  FROM g GROUP BY 1),
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    CAST(count(*) AS BIGINT) AS shared
+         |  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id != b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, n.grams_a, shared,
+         |  CAST(shared AS DOUBLE) / CAST(n.grams_a AS DOUBLE) AS containment
+         |FROM p JOIN n ON n.doc_id = p.doc_a
+         |WHERE CAST(shared AS DOUBLE) / CAST(n.grams_a AS DOUBLE) >= 0.8
+         |ORDER BY doc_a, doc_b""".stripMargin),
+    // qs28: cents ints -> interpolated median (qs5 parity) -> exact
+    // double deviations -> second interpolated median; ratio one
+    // guarded shared division.
+    "qs28_mad_stats" ->
+      ("""WITH e AS (SELECT event_type,
+         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+         |  FROM events),
+         |m AS (SELECT event_type, quantile_cont(c, 0.5) AS med
+         |  FROM e GROUP BY 1),
+         |d AS (SELECT e.event_type, m.med,
+         |    abs(CAST(e.c AS DOUBLE) - m.med) AS ad
+         |  FROM e JOIN m USING (event_type)),
+         |s AS (SELECT event_type, med, CAST(count(*) AS BIGINT) AS n,
+         |    quantile_cont(ad, 0.5) AS mad_raw FROM d GROUP BY 1, 2)
+         |SELECT event_type, n, med / 100.0 AS median,
+         |  mad_raw / 100.0 AS mad,
+         |  CASE WHEN med = 0 THEN 0.0 ELSE mad_raw / med END AS robust_cv
+         |FROM s ORDER BY event_type""".stripMargin),
+    // qe9: the 5 greedy rounds unrolled as CTEs; rel and pairwise
+    // sims are the same sequential folds as knnSql, the MMR update
+    // is one IEEE multiply-subtract over them on both engines, ties
+    // pinned on vec_id every round.
+    "qe9_mmr_rerank" -> mmrSql,
     // qs25: identical per-user (ts, event_id) step ordering, exact
     // pair counts, probability one division of exact longs.
     "qs25_type_transitions" ->
@@ -1738,6 +1781,50 @@ object SparkEntry {
        |  FROM base a JOIN base b ON a.vec_id < b.vec_id)
        |SELECT id_a, id_b, sim FROM p WHERE sim >= 0.3
        |ORDER BY id_a, id_b""".stripMargin
+
+  /** qe9 oracle: pool = exact top-20 cosine for query 0 (ties on
+    * vec_id), pairwise pool sims, then the 5 greedy MMR rounds
+    * unrolled — each sel_i picks the remaining candidate maximizing
+    * `0.7*rel - (1-0.7)*max(sim to sel_1..sel_{i-1})`. All doubles
+    * derive from the knnSql folds, so the Spark driver-greedy over
+    * the collected matrix reproduces them bit for bit.
+    */
+  private lazy val mmrSql: String = {
+    val lambda = 0.7
+    def prevIds(i: Int) =
+      (1 until i).map(j => s"SELECT vec_id FROM sel$j").mkString(" UNION ALL ")
+    val rounds = (1 to 5).map { i =>
+      if (i == 1)
+        s"""sel1 AS (SELECT vec_id, rel,
+           |    $lambda * rel - (CAST(1 AS DOUBLE) - $lambda) * 0.0 AS score
+           |  FROM pool ORDER BY score DESC, vec_id LIMIT 1)""".stripMargin
+      else
+        s"""sel$i AS (SELECT vec_id, rel, score FROM (
+           |  SELECT p.vec_id, p.rel, $lambda * p.rel - (CAST(1 AS DOUBLE) - $lambda) * (
+           |      SELECT max(s2.s) FROM sims s2 WHERE s2.ia = p.vec_id
+           |        AND s2.ib IN (${prevIds(i)})) AS score
+           |  FROM pool p WHERE p.vec_id NOT IN (${prevIds(i)}))
+           |  ORDER BY score DESC, vec_id LIMIT 1)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to 5).map(i =>
+      s"SELECT CAST($i AS INTEGER) AS sel_rank, vec_id, rel, " +
+        s"score AS mmr_score FROM sel$i").mkString("\nUNION ALL ")
+    s"""WITH b AS (SELECT vec_id, embedding,
+       |    sqrt(${dotSql("embedding", "embedding")}) AS nrm
+       |  FROM embeddings),
+       |q AS (SELECT embedding AS q_emb, nrm AS q_nrm FROM b
+       |  WHERE vec_id = 0),
+       |pool AS (SELECT b.vec_id, b.embedding, b.nrm,
+       |    ${dotSql("b.embedding", "q.q_emb")} / (b.nrm * q.q_nrm) AS rel
+       |  FROM b, q WHERE b.vec_id != 0
+       |  ORDER BY rel DESC, vec_id LIMIT 20),
+       |sims AS (SELECT a.vec_id AS ia, b2.vec_id AS ib,
+       |    ${dotSql("a.embedding", "b2.embedding")} / (a.nrm * b2.nrm) AS s
+       |  FROM pool a JOIN pool b2 ON a.vec_id != b2.vec_id),
+       |$rounds
+       |$out
+       |ORDER BY sel_rank""".stripMargin
+  }
 
   private val knnSql: String = {
     val ids = graft.operators.TrainingOps.knnQueryIds.mkString(", ")

@@ -280,6 +280,58 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** qd41 — gram-containment pairs: directed `|A∩B| / |A|` over the
+    * distinct word 3-gram sets, reported where containment >=
+    * `threshold`. The ASYMMETRIC dedup signal Jaccard structurally
+    * misses: a short document wholly quoted inside a much longer one
+    * has near-zero Jaccard (union is huge) but containment ~1 — the
+    * quote-expansion / boilerplate-embedding case a curation pass
+    * needs surfaced. (This is why the substring-dedup literature
+    * scores containment, not Jaccard, for asymmetric sizes.)
+    *
+    * Scale shape: gram-KEYED equi-join (pairs exist only where a gram
+    * is shared — never all-pairs), one (doc_a, doc_b) count
+    * aggregate, per-doc gram counts joined back. Fanout is
+    * Σ_g df(g)² — bounded when grams are discriminative (gate corpus:
+    * 2.8M pairs, hottest df 25); at 100 TB cap hot grams the way
+    * [[minhashCandidates]]' maxBucket does, or pre-drop df-saturated
+    * grams (qd30's hot-span logic) — both documented trades of recall
+    * on boilerplate-only overlap.
+    */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       threshold: Double): DataFrame = {
+    val g = gramsRelational(docs, idCol, textCol)
+    // Shuffle the 64-bit gram hash, not the string: the corpus-scale
+    // exchange carries 8-byte keys and the pair rows no gram payload.
+    // An xxhash64 collision would merge two distinct grams' doc lists
+    // — p ~ (distinct grams)^2 / 2^65, ~1e-10 on the gate corpus, the
+    // qd6 documented-caveat class; the string-exact join is the
+    // drop-in replacement if a corpus ever makes that material.
+    // Shape: ONE per-gram aggregate; both consumers (ordered-pair
+    // explode AND per-doc gram counts) re-derive from it, so the
+    // tokenize+aggregate corpus subtree executes once via exchange
+    // reuse (the qd37 pattern, PlanSpec-pinned).
+    val gh = g.select(col("doc_id"), xxhash64(col("g")).as("gh"))
+    val byGram = gh.groupBy("gh").agg(collect_list("doc_id").as("ids"))
+    val shared = byGram
+      .select(explode(col("ids")).as("doc_a"), col("ids"))
+      .select(col("doc_a"), explode(col("ids")).as("doc_b"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("shared"))
+    val sizes = byGram
+      .select(explode(col("ids")).as("doc_a"))
+      .groupBy("doc_a")
+      .agg(count(lit(1)).as("grams_a"))
+    shared
+      .join(sizes, "doc_a")
+      .withColumn("containment",
+        col("shared").cast("double") / col("grams_a").cast("double"))
+      .filter(col("containment") >= threshold)
+      .select("doc_a", "doc_b", "grams_a", "shared", "containment")
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Exact n-gram Jaccard for an explicit pair list (the verify step
     * decoupled, usable with candidates from any blocking scheme).
     */

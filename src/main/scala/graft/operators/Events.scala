@@ -660,6 +660,43 @@ object Events {
       .orderBy("event_type")
   }
 
+  /** qs28 — median / MAD robust dispersion per event type: the
+    * outlier-immune (median, MAD, MAD/median) triple that qs26's
+    * winsorized mean complements — MAD survives up to 50%
+    * contamination where stddev is dragged by one bad row. Exactness:
+    * cents ints, interpolated median from identical ints (qs5
+    * parity), absolute deviations exact in double (cents magnitudes
+    * « 2⁵³), second interpolated median over identical doubles,
+    * ratio one shared guarded division.
+    *
+    * Scale shape: two corpus aggregates bridged by a 5-row broadcast
+    * (exact sort-based percentiles; both stages swap to t-digest
+    * bounds at 100 TB, shape unchanged).
+    */
+  def madStats(s: SparkSession, dir: String): DataFrame =
+    madStatsOn(Tables.events(s, dir))
+
+  /** Core of [[madStats]] over an explicit `(event_type, value)`
+    * frame.
+    */
+  def madStatsOn(events: DataFrame): DataFrame = {
+    val e = events.select(col("event_type"),
+      expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("c"))
+    val med = e.groupBy("event_type")
+      .agg(expr("percentile(c, 0.5D)").as("med"))
+    e.join(broadcast(med), "event_type")
+      .select(col("event_type"), col("med"),
+        abs(col("c").cast("double") - col("med")).as("ad"))
+      .groupBy("event_type", "med")
+      .agg(count(lit(1)).as("n"), expr("percentile(ad, 0.5D)").as("mad_raw"))
+      .select(col("event_type"), col("n"),
+        (col("med") / 100.0).as("median"),
+        (col("mad_raw") / 100.0).as("mad"),
+        when(col("med") === 0.0, 0.0)
+          .otherwise(col("mad_raw") / col("med")).as("robust_cv"))
+      .orderBy("event_type")
+  }
+
   /** qs27 — burst detection: per user, the maximum number of events
     * falling in ANY 60-second window anchored at one of their events
     * — the bot/scraper signal (humans click, scripts hammer). The

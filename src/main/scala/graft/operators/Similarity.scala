@@ -417,4 +417,85 @@ object Similarity {
   def centroidOutlierQuery(s: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame =
     centroidOutliers(graft.core.Tables.embeddings(s, dir))
+
+  /** qe9 — MMR (maximal-marginal-relevance) diversified re-rank:
+    * greedily pick `k` results for one query, each round's winner
+    * maximizing `lambda * rel(v) − (1 − lambda) * max sim(v,
+    * selected)` — plain top-k returns five copies of the same
+    * near-dup cluster; MMR is the standard retrieval answer (and the
+    * RAG-context/eval-sampling selector a training pipeline reaches
+    * for). Ties break on the lower vec_id, every round.
+    *
+    * Scale shape: the corpus-scale work is the relevance scan (one
+    * broadcast query row, codegen VecDot cosines) reduced by
+    * sort+limit — TakeOrderedAndProject, the distributed partial
+    * top-k, NOT a single-partition window. Everything after operates
+    * on the `pool`-row shortlist: pairwise sims are a
+    * pool×pool broadcast join (bounded), and the greedy loop runs on
+    * the driver over the collected k×pool score matrix — bounded
+    * exactly like [[Ivf]]'s centroid collect, never corpus-sized.
+    *
+    * Determinism: rel and pairwise sims are the bit-exact sequential
+    * VecDot folds (== DuckDB list_reduce); the greedy update is one
+    * IEEE multiply-subtract over them (identical on JVM and DuckDB),
+    * and max-over-selected is order-independent. The oracle unrolls
+    * the k rounds as CTEs.
+    */
+  def mmrDiversify(emb: DataFrame, queryId: Long, k: Int, pool: Int,
+                   lambda: Double): DataFrame = {
+    val spark = emb.sparkSession
+    graft.functions.VecDot.register(spark)
+    import spark.implicits._
+    val base = emb.select(col("vec_id"), col("embedding"),
+      normN(col("embedding")).as("nrm"))
+    val q = base.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+    val poolDf = base.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .withColumn("rel",
+        dotN(col("embedding"), col("q_emb")) / (col("nrm") * col("q_nrm")))
+      .orderBy(col("rel").desc, col("vec_id"))
+      .limit(pool)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("rel"))
+      // three consumers (rel collect + both sim sides) — persist so
+      // the corpus top-k runs once; unpersisted before returning (the
+      // result frame is driver-built, no lazy reference survives)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (relOf, simOf) =
+      try {
+        val a = poolDf.select(col("vec_id").as("ia"),
+          col("embedding").as("ea"), col("nrm").as("na"))
+        val b = poolDf.select(col("vec_id").as("ib"),
+          col("embedding").as("eb"), col("nrm").as("nb"))
+        val sims = a.join(broadcast(b), col("ia") =!= col("ib"))
+          .select(col("ia"), col("ib"),
+            (dotN(col("ea"), col("eb")) / (col("na") * col("nb"))).as("s"))
+        (poolDf.select("vec_id", "rel").collect()
+            .map(r => r.getLong(0) -> r.getDouble(1)).toMap,
+          sims.collect()
+            .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap)
+      } finally poolDf.unpersist(blocking = false)
+    var selected = Vector.empty[(Long, Double, Double)] // (id, rel, score)
+    var remaining = relOf.keySet
+    (1 to math.min(k, relOf.size)).foreach { _ =>
+      val best = remaining.toSeq.map { v =>
+        val maxSim =
+          if (selected.isEmpty) 0.0
+          else selected.map(s => simOf((v, s._1))).max
+        (v, lambda * relOf(v) - (1 - lambda) * maxSim)
+      }.minBy { case (v, score) => (-score, v) }
+      selected :+= ((best._1, relOf(best._1), best._2))
+      remaining -= best._1
+    }
+    selected.zipWithIndex
+      .map { case ((v, rel, score), i) => (i + 1, v, rel, score) }
+      .toDF("sel_rank", "vec_id", "rel", "mmr_score")
+  }
+
+  /** The qe9 declared form: query vector 0, top-5 of a 20-pool at
+    * the canonical lambda 0.7.
+    */
+  def mmrQuery(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    mmrDiversify(graft.core.Tables.embeddings(s, dir), queryId = 0L,
+      k = 5, pool = 20, lambda = 0.7)
 }

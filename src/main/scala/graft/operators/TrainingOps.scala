@@ -623,6 +623,14 @@ object TrainingOps {
     Dedup.incrementalDedup(Tables.documents(s, dir),
       col("source") === "src0", threshold = 0.9)
 
+  /** The qd41 declared form: containment >= 0.8 over the corpus —
+    * the quote-expansion surfacing threshold (planted dups score ~1
+    * in both directions; asymmetric embeddings only A→B).
+    */
+  def containment(s: SparkSession, dir: String): DataFrame =
+    Dedup.containmentPairs(Tables.documents(s, dir), "doc_id", "text",
+      threshold = 0.8)
+
   /** qd15 — per-source language mix as a pivot (the wide-matrix
     * reshape a corpus report needs): one row per source, one count
     * column per language. Explicit value list keeps the output schema

@@ -440,6 +440,22 @@ class EventsExtraSpec extends SparkSpec {
     assert(got(3L) == ((3L, 2, false)))
   }
 
+  test("qs28: hand-computed even-n interpolated median and MAD") {
+    import spark.implicits._
+    // cents 100, 200, 300, 1000: med = 250 (interpolated);
+    // |c - med| = 150, 50, 50, 750 -> sorted 50, 50, 150, 750 ->
+    // mad = (50 + 150) / 2 = 100; robust_cv = 100 / 250 = 0.4
+    val ev = Seq(("view", 1.00), ("view", 2.00), ("view", 3.00),
+      ("view", 10.00)).toDF("event_type", "value")
+    val r = Events.madStatsOn(ev).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[Long]("n") == 4L)
+    assert(row.getAs[Double]("median") == 2.5)
+    assert(row.getAs[Double]("mad") == 1.0)
+    assert(row.getAs[Double]("robust_cv") == 0.4)
+  }
+
   test("qd25: repetition ratios match hand-computed signals") {
     val out = TrainingOps.repetitionOn(docsOf(
         (1L, "a a a b"),      // top a: 3/4; bigrams (a a)x2, (a b) -> 2/3

@@ -618,6 +618,17 @@ class PlanSpec extends SparkSpec
     assert(!p.contains("Join"), s"qd39 regressed to a join plan:\n$p")
   }
 
+  test("qd41: the per-gram aggregate runs once — pair and size branches reuse it") {
+    // both consumers (ordered-pair explode, per-doc gram counts)
+    // re-derive from the SAME groupBy(gh) aggregate; without reuse the
+    // corpus tokenize would execute twice (measured 5.3 s vs 3.3 s)
+    val df = graft.operators.TrainingOps.containment(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage"),
+      s"no exchange reuse in qd41's executed plan:\n$p")
+  }
+
   test("global sweep: no declared query plans a CartesianProduct") {
     // BroadcastNestedLoopJoin is allowed ONLY where the operator is
     // deliberately O(n^2) at its declared verification config (qe3's

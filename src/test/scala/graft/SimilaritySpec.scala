@@ -205,6 +205,29 @@ class SimilaritySpec extends SparkSpec
       s"uniform quantizer must stay within half a cell, worst $worst cells")
   }
 
+  test("qe9: MMR swaps the duplicate for the diverse candidate; round-1 score is lambda*rel") {
+    import spark.implicits._
+    // query 0 on +x; 1 and 2 are the SAME vector (plain top-2 would
+    // return both), 3 matches their relevance but points away from
+    // them — MMR must pick 1 (tie on id), then 3 over the duplicate 2
+    val d = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.43589f, 0.0f)),
+      (2L, Array(0.9f, 0.43589f, 0.0f)),
+      (3L, Array(0.9f, -0.43589f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.mmrDiversify(d, queryId = 0L, k = 2, pool = 3,
+      lambda = 0.7).collect()
+    assert(got.map(_.getAs[Long]("vec_id")).toSeq == Seq(1L, 3L),
+      s"expected dup-breaking pick order: ${got.toSeq}")
+    val r1 = got.head
+    assert(r1.getAs[Double]("mmr_score") == 0.7 * r1.getAs[Double]("rel"),
+      "round 1 has no diversity penalty")
+    val r2 = got(1)
+    assert(r2.getAs[Double]("mmr_score") < 0.7 * r2.getAs[Double]("rel"),
+      "round 2 pays a positive penalty against the selected set")
+  }
+
   test("qe7: planted outlier ranks 1; scores are shuffle-order invariant") {
     import spark.implicits._
     // label 0: three vectors near +x, one pointing -x (the outlier);

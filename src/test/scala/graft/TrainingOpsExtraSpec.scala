@@ -346,6 +346,25 @@ class TrainingOpsExtraSpec extends SparkSpec {
       "corpus docs emit no rows")
   }
 
+  test("qd41: containment is directional — the quote flags, the quoter doesn't") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "one two three four five"),  // 3 grams, all inside doc 2
+      (2L, "one two three four five six seven eight"), // 6 grams
+      (3L, "totally unrelated content here now"))      // no overlap
+      .toDF("doc_id", "text")
+    val got = graft.operators.Dedup
+      .containmentPairs(docs, "doc_id", "text", threshold = 0.8)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        ((r.getAs[Long]("grams_a"), r.getAs[Long]("shared"),
+          r.getAs[Double]("containment")))).toMap
+    assert(got.keySet == Set((1L, 2L)),
+      s"only the contained->container direction clears 0.8: $got")
+    assert(got((1L, 2L)) == ((3L, 3L, 1.0)),
+      "every gram of the quote appears in the quoter")
+  }
+
   test("qd36: a cluster's split is stable under unrelated corpus growth") {
     import spark.implicits._
     val near = "alpha beta gamma delta epsilon zeta eta theta iota " +
