@@ -155,6 +155,9 @@ object SparkEntry {
     "qd41_containment"   -> (TrainingOps.containment _),
     "qs28_mad_stats"     -> (Events.madStats _),
     "qe9_mmr_rerank"     -> (graft.operators.Similarity.mmrQuery _),
+    "qs29_rolling_actives" -> (Events.rollingActives _),
+    "qs30_session_stats" -> (Events.sessionStats _),
+    "qe10_centroid_matrix" -> (graft.operators.Similarity.centroidMatrixQuery _),
   )
 
   /** Queries intentionally without an oracle — EMPTY since round 5:
@@ -423,6 +426,25 @@ object SparkEntry {
          |  mad_raw / 100.0 AS mad,
          |  CASE WHEN med = 0 THEN 0.0 ELSE mad_raw / med END AS robust_cv
          |FROM s ORDER BY event_type""".stripMargin),
+    // qe10: qe7's exact-integer centroid CTEs, pair join on
+    // label_a < label_b, the usual sequential-fold cosine.
+    "qe10_centroid_matrix" ->
+      (s"""WITH el AS (SELECT label, vec_id, i AS d,
+         |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS q
+         |  FROM embeddings, unnest(range(1, len(embedding)+1)) u(i)),
+         |s AS (SELECT label, d, CAST(SUM(q) AS BIGINT) AS qsum,
+         |    count(*) AS n
+         |  FROM el GROUP BY 1, 2),
+         |c AS (SELECT label, list(
+         |    CAST(qsum AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0)
+         |    ORDER BY d) AS centroid
+         |  FROM s GROUP BY label)
+         |SELECT a.label AS label_a, b.label AS label_b,
+         |  ${dotSql("a.centroid", "b.centroid")}
+         |    / (sqrt(${dotSql("a.centroid", "a.centroid")})
+         |       * sqrt(${dotSql("b.centroid", "b.centroid")})) AS cos
+         |FROM c a JOIN c b ON a.label < b.label
+         |ORDER BY label_a, label_b""".stripMargin),
     // qe9: the 5 greedy rounds unrolled as CTEs; rel and pairwise
     // sims are the same sequential folds as knnSql, the MMR update
     // is one IEEE multiply-subtract over them on both engines, ties
@@ -589,6 +611,52 @@ object SparkEntry {
     // qs7 is qs2 recomputed incrementally (Structured Streaming drain
     // with per-user session state) — same result, same oracle.
     "qs7_stream_sessionize" -> sessionizeSql,
+    // qs29: identical (user, day) fan-out on both engines; counts
+    // exact, gap days from the same calendar spine.
+    "qs29_rolling_actives" ->
+      ("""WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+         |  FROM events),
+         |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM ud),
+         |spine AS (SELECT CAST(unnest(generate_series(d0, d1,
+         |    INTERVAL 1 DAY)) AS DATE) AS day FROM b),
+         |dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau
+         |  FROM ud GROUP BY 1),
+         |cov AS (SELECT DISTINCT user_id, CAST(unnest(generate_series(day,
+         |    day + INTERVAL 6 DAY, INTERVAL 1 DAY)) AS DATE) AS day
+         |  FROM ud),
+         |wau AS (SELECT day, CAST(count(*) AS BIGINT) AS wau7
+         |  FROM cov GROUP BY 1)
+         |SELECT strftime(s.day, '%Y-%m-%d') AS day,
+         |  COALESCE(dau.dau, 0) AS dau, COALESCE(wau.wau7, 0) AS wau7
+         |FROM spine s LEFT JOIN dau USING (day) LEFT JOIN wau USING (day)
+         |ORDER BY day""".stripMargin),
+    // qs30: qs2's session CTEs reduced to durations (floored-epoch
+    // diffs, exact BIGINTs), interpolated percentiles (qs5 parity),
+    // one shared division for events/session.
+    "qs30_session_stats" ->
+      ("""WITH e AS (SELECT *, lag(ts) OVER (
+         |    PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+         |  FROM events),
+         |f AS (SELECT *, CASE WHEN prev_ts IS NULL THEN 1
+         |    WHEN CAST(floor(epoch(ts)) AS BIGINT)
+         |      - CAST(floor(epoch(prev_ts)) AS BIGINT) > 1800 THEN 1
+         |    ELSE 0 END AS new_session FROM e),
+         |g AS (SELECT *, SUM(new_session) OVER (
+         |    PARTITION BY user_id ORDER BY ts, event_id
+         |    ROWS UNBOUNDED PRECEDING) AS session_id FROM f),
+         |s AS (SELECT user_id, session_id,
+         |    CAST(count(*) AS BIGINT) AS n_events,
+         |    CAST(floor(epoch(max(ts))) AS BIGINT)
+         |      - CAST(floor(epoch(min(ts))) AS BIGINT) AS dur
+         |  FROM g GROUP BY 1, 2)
+         |SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+         |  CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS bounces,
+         |  quantile_cont(dur, 0.5) AS med_dur_sec,
+         |  quantile_cont(dur, 0.95) AS p95_dur_sec,
+         |  CAST(SUM(n_events) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         |    AS events_per_session
+         |FROM s""".stripMargin),
     "qs3_props_json" ->
       ("SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k " +
         "FROM events ORDER BY event_id"),

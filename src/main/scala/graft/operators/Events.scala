@@ -660,6 +660,86 @@ object Events {
       .orderBy("event_type")
   }
 
+  /** qs29 — DAU and rolling 7-day actives (WAU): each (user, day)
+    * activity fans out to the 7 window-end days it keeps the user
+    * active for, then one distinct + count per day — the scalable
+    * identity for rolling COUNT DISTINCT (a distinct over a moving
+    * frame is unsupported and would re-scan 7× per day; the fan-out
+    * pays the 7× ONCE, as rows, where it partial-aggregates). Gap
+    * days ride a calendar spine with zero counts (the qs17 spine
+    * move); windows past the corpus edge drop at the spine join.
+    *
+    * Scale shape: distinct user-days (one shuffle), a bounded 7×
+    * explode, distinct + per-day count (day-keyed aggregates), and a
+    * 2-row bounds aggregate for the spine. No corpus-scale join.
+    */
+  def rollingActives(s: SparkSession, dir: String): DataFrame =
+    rollingActivesOn(Tables.events(s, dir))
+
+  /** Core of [[rollingActives]] over an explicit `(user_id, ts)`
+    * frame.
+    */
+  def rollingActivesOn(events: DataFrame): DataFrame = {
+    val ud = events
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val spine = ud.agg(min("day").as("d0"), max("day").as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+    val wau = ud
+      .select(col("user_id"),
+        explode(sequence(col("day"), date_add(col("day"), 6))).as("day"))
+      .distinct()
+      .groupBy("day").agg(count(lit(1)).as("wau7"))
+    spine.join(dau, Seq("day"), "left").join(wau, Seq("day"), "left")
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        coalesce(col("dau"), lit(0L)).as("dau"),
+        coalesce(col("wau7"), lit(0L)).as("wau7"))
+      .orderBy("day")
+  }
+
+  /** qs30 — session-duration distribution: qs2's gap sessions reduced
+    * to the shape report (how long are sessions, how many are
+    * single-event bounces, events per session) — the summary a
+    * product dashboard wants after sessionization, and the
+    * composition proof that the sessionizer's output is itself
+    * queryable. Durations are exact floored-epoch second differences;
+    * percentiles interpolate identical BIGINTs (qs5 parity); the
+    * events-per-session mean is one exact division.
+    *
+    * Scale shape: the qs2 per-user window + session aggregate, then
+    * ONE global summary row (exact sort-based percentile at gate
+    * scale; t-digest at 100 TB, same shape).
+    */
+  def sessionStats(s: SparkSession, dir: String): DataFrame =
+    sessionStatsOn(Tables.events(s, dir))
+
+  /** Core of [[sessionStats]]; same gap rule as [[sessionize]]. */
+  def sessionStatsOn(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val sessions = events
+      .withColumn("prev_ts", lag("ts", 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull, 1)
+          .when(unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts"))
+            > gapMinutes * 60L, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum("new_session").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        (unix_timestamp(max("ts")) - unix_timestamp(min("ts"))).as("dur"))
+    sessions
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("n_events") === 1, 1L).otherwise(0L)).as("bounces"),
+        expr("percentile(dur, 0.5D)").as("med_dur_sec"),
+        expr("percentile(dur, 0.95D)").as("p95_dur_sec"),
+        sum("n_events").as("total_events"))
+      .select(col("n_sessions"), col("bounces"),
+        col("med_dur_sec"), col("p95_dur_sec"),
+        expr("CAST(total_events AS DOUBLE) / CAST(n_sessions AS DOUBLE)")
+          .as("events_per_session"))
+  }
+
   /** qs28 — median / MAD robust dispersion per event type: the
     * outlier-immune (median, MAD, MAD/median) triple that qs26's
     * winsorized mean complements — MAD survives up to 50%

@@ -418,6 +418,48 @@ object Similarity {
       dir: String): DataFrame =
     centroidOutliers(graft.core.Tables.embeddings(s, dir))
 
+  /** qe10 — label-centroid similarity matrix: cosine between every
+    * pair of per-label centroids — the dataset-cartography readout
+    * (which classes are embedding-space neighbors, which labelings
+    * are near-redundant) read BEFORE trusting the labels for
+    * stratified sampling or eval splits. Centroids are qe7's exact
+    * integer element sums, so the matrix is shuffle-order invariant;
+    * pairs are enumerated label_a < label_b.
+    *
+    * Scale shape: one corpus-scale partial+final aggregate (the
+    * (label × dim) sums); everything after is label-cardinality
+    * bounded — the pair join is a nested loop over two ~|labels|-row
+    * frames by design (exempted in PlanSpec's sweep with reason).
+    */
+  def centroidMatrix(emb: DataFrame): DataFrame = {
+    graft.functions.VecDot.register(emb.sparkSession)
+    val sums = emb
+      .select(col("label"), posexplode(col("embedding")).as(Seq("d", "v")))
+      .select(col("label"), col("d"),
+        floor(col("v").cast("double") * lit(1e6)).cast("long").as("q"))
+      .groupBy("label", "d")
+      .agg(sum("q").as("qsum"), count(lit(1)).as("n"))
+    val centroids = sums.groupBy("label")
+      .agg(transform(
+        array_sort(collect_list(struct(col("d"), col("qsum"), col("n")))),
+        x => x.getField("qsum").cast("double")
+          / (x.getField("n").cast("double") * lit(1e6))).as("centroid"))
+    val a = centroids.select(col("label").as("label_a"),
+      col("centroid").as("ca"))
+    val b = centroids.select(col("label").as("label_b"),
+      col("centroid").as("cb"))
+    a.join(b, col("label_a") < col("label_b"))
+      .select(col("label_a"), col("label_b"),
+        (dotN(col("ca"), col("cb"))
+          / (normN(col("ca")) * normN(col("cb")))).as("cos"))
+      .orderBy("label_a", "label_b")
+  }
+
+  /** The qe10 declared form over `embeddings`. */
+  def centroidMatrixQuery(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    centroidMatrix(graft.core.Tables.embeddings(s, dir))
+
   /** qe9 — MMR (maximal-marginal-relevance) diversified re-rank:
     * greedily pick `k` results for one query, each round's winner
     * maximizing `lambda * rel(v) − (1 − lambda) * max sim(v,

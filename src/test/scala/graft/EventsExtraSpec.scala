@@ -456,6 +456,46 @@ class EventsExtraSpec extends SparkSpec {
     assert(row.getAs[Double]("robust_cv") == 0.4)
   }
 
+  test("qs29: 7-day window includes day+6, drops day+7; gap days report zero") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, "2024-01-01 10:00:00"),
+      (1L, "2024-01-09 10:00:00"),
+      (2L, "2024-01-01 12:00:00"))
+      .toDF("user_id", "ts_s")
+      .select(col("user_id"), to_timestamp(col("ts_s")).as("ts"))
+    val got = Events.rollingActivesOn(ev).collect()
+      .map(r => r.getAs[String]("day") ->
+        ((r.getAs[Long]("dau"), r.getAs[Long]("wau7")))).toMap
+    assert(got.size == 9, "spine spans min..max day inclusive")
+    assert(got("2024-01-01") == ((2L, 2L)))
+    assert(got("2024-01-04") == ((0L, 2L)), "gap day: dau 0, window carries")
+    assert(got("2024-01-07") == ((0L, 2L)), "day+6 still counts day-1 actives")
+    assert(got("2024-01-08") == ((0L, 0L)), "day+7 drops them")
+    assert(got("2024-01-09") == ((1L, 1L)))
+  }
+
+  test("qs30: bounces, interpolated p95 duration, exact events-per-session") {
+    import spark.implicits._
+    // u1: 2-event session (dur 10s) + a bounce 40min later;
+    // u2: single-event bounce. durations {10, 0, 0}:
+    //   med = 0, p95 at pos 1.9 -> 0 + 0.9*10 = 9.0; epr = 4/3
+    val ev = Seq(
+      (1L, 1L, "2024-01-01 10:00:00", 1.0),
+      (2L, 1L, "2024-01-01 10:00:10", 1.0),
+      (3L, 1L, "2024-01-01 10:41:00", 1.0),
+      (4L, 2L, "2024-01-01 09:00:00", 1.0))
+      .toDF("event_id", "user_id", "ts_s", "value")
+      .select(col("event_id"), col("user_id"),
+        to_timestamp(col("ts_s")).as("ts"), col("value"))
+    val r = Events.sessionStatsOn(ev).collect().head
+    assert(r.getAs[Long]("n_sessions") == 3L)
+    assert(r.getAs[Long]("bounces") == 2L)
+    assert(r.getAs[Double]("med_dur_sec") == 0.0)
+    assert(r.getAs[Double]("p95_dur_sec") == 9.0)
+    assert(r.getAs[Double]("events_per_session") == 4.0 / 3.0)
+  }
+
   test("qd25: repetition ratios match hand-computed signals") {
     val out = TrainingOps.repetitionOn(docsOf(
         (1L, "a a a b"),      // top a: 3/4; bigrams (a a)x2, (a b) -> 2/3

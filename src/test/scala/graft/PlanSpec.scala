@@ -640,7 +640,11 @@ class PlanSpec extends SparkSpec
         // qd22/qd23: corpus-count/total as a 1-row broadcast
         "qd22_prune_vocab", "qd23_bigram_lm",
         // qd33: the winning merge pair as a 1-row broadcast
-        "qd33_bpe_merge")
+        "qd33_bpe_merge",
+        // qe10: label_a < label_b over two ~|labels|-row aggregate
+        // outputs — a label-cardinality-bounded matrix, not a
+        // corpus-scale nested loop
+        "qe10_centroid_matrix")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val p = plan(fn(spark, sf))
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian")

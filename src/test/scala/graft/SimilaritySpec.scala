@@ -228,6 +228,23 @@ class SimilaritySpec extends SparkSpec
       "round 2 pays a positive penalty against the selected set")
   }
 
+  test("qe10: orthogonal labels score ~0, aligned labels their true cosine") {
+    import spark.implicits._
+    val d = Seq(
+      (0, 1L, Array(1.0f, 0.0f)), (0, 2L, Array(1.0f, 0.0f)),
+      (1, 3L, Array(0.0f, 1.0f)),
+      (2, 4L, Array(0.6f, 0.8f)))
+      .toDF("label", "vec_id", "embedding")
+    val got = Similarity.centroidMatrix(d).collect()
+      .map(r => (r.getAs[Int]("label_a"), r.getAs[Int]("label_b")) ->
+        r.getAs[Double]("cos")).toMap
+    assert(got.keySet == Set((0, 1), (0, 2), (1, 2)),
+      "ordered pairs only, no diagonal")
+    assert(math.abs(got((0, 1))) < 1e-9, "orthogonal centroids")
+    assert(math.abs(got((0, 2)) - 0.6) < 1e-5)
+    assert(math.abs(got((1, 2)) - 0.8) < 1e-5)
+  }
+
   test("qe7: planted outlier ranks 1; scores are shuffle-order invariant") {
     import spark.implicits._
     // label 0: three vectors near +x, one pointing -x (the outlier);
