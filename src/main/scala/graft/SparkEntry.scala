@@ -158,6 +158,8 @@ object SparkEntry {
     "qs29_rolling_actives" -> (Events.rollingActives _),
     "qs30_session_stats" -> (Events.sessionStats _),
     "qe10_centroid_matrix" -> (graft.operators.Similarity.centroidMatrixQuery _),
+    "qm4_media_dedup"    -> (TrainingOps.mediaDedup _),
+    "qd42_cross_perplexity" -> (TrainingOps.crossPerplexity _),
   )
 
   /** Queries intentionally without an oracle — EMPTY since round 5:
@@ -961,6 +963,45 @@ object SparkEntry {
     // Per-bigram ln P quantized to integer micro-nats -> exact
     // per-doc sums; the two trailing double divisions run in the
     // same order on both engines.
+    // qm4: payload == the document's UTF-8 bytes under every header
+    // branch (mediaFromDocs invariant), so the dup groups are exactly
+    // the duplicate-text groups; sha-256 hex lowercase both engines.
+    "qm4_media_dedup" ->
+      ("""SELECT sha256(text) AS content_sha,
+         |  CAST(count(*) AS BIGINT) AS n_copies,
+         |  CAST(min(doc_id) AS BIGINT) AS keeper_id,
+         |  CAST((count(*) - 1) * min(octet_length(encode(text))) AS BIGINT)
+         |    AS wasted_bytes
+         |FROM documents GROUP BY text
+         |ORDER BY keeper_id""".stripMargin),
+    // qd42: qd23's char-bigram mirror split ref/score; Laplace terms
+    // quantized to micro-nats AFTER identical double divisions, so
+    // per-doc sums are exact integers; ln-vs-log ulp absorbed by the
+    // floor(+0.5) quantization (the qd11/qd23 precedent).
+    "qd42_cross_perplexity" ->
+      ("""WITH b AS (
+         |  SELECT doc_id, ref, substr(text, CAST(i AS INTEGER), 2) AS bg
+         |  FROM (SELECT doc_id, source = 'src0' AS ref, text,
+         |          unnest(generate_series(1, CAST(n_chars AS BIGINT) - 1)) AS i
+         |        FROM documents WHERE n_chars >= 2)),
+         |m AS (SELECT bg, count(*) AS c FROM b WHERE ref GROUP BY 1),
+         |st AS (SELECT CAST(SUM(c) AS BIGINT) AS t,
+         |    CAST(count(*) AS BIGINT) AS v FROM m),
+         |q AS (SELECT bg, CAST(floor(ln(CAST(c + 1 AS DOUBLE)
+         |    / CAST((SELECT t FROM st) + (SELECT v FROM st) AS DOUBLE))
+         |    * 1000000.0 + 0.5) AS BIGINT) AS tm FROM m),
+         |sc AS (SELECT b.doc_id, q.tm FROM b LEFT JOIN q USING (bg)
+         |  WHERE NOT b.ref)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |  CAST(SUM(CASE WHEN tm IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_oov,
+         |  CAST(SUM(CASE WHEN tm IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE) AS oov_rate,
+         |  CAST(-SUM(COALESCE(tm, CAST(floor(ln(CAST(1 AS DOUBLE)
+         |    / CAST((SELECT t FROM st) + (SELECT v FROM st) AS DOUBLE))
+         |    * 1000000.0 + 0.5) AS BIGINT))) AS DOUBLE)
+         |    / 1000000.0 / CAST(count(*) AS DOUBLE) AS avg_nll
+         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin),
     "qd23_bigram_lm" ->
       ("""WITH b AS (
          |  SELECT doc_id, substr(text, CAST(i AS INTEGER), 2) AS bg

@@ -136,6 +136,35 @@ object Multimodal {
         sum(col("n_frames").cast("long")).as("total_frames"))
       .orderBy("kind")
 
+  /** qm4 — exact media dedup by CONTENT hash: slice the container
+    * header off the binary, sha-256 the payload, and emit the
+    * content manifest — one row per distinct payload with its copy
+    * count, kept representative, and reclaimable bytes (singleton
+    * groups report zero waste; the dup groups are the rows with
+    * n_copies > 1). Hashing the payload rather than the blob is the point —
+    * re-encoded/re-wrapped copies of the same underlying media carry
+    * different container headers (here: the id-dependent header
+    * fields) and would never collide whole-blob; a storage dedup pass
+    * that hashes whole files silently keeps every re-upload.
+    *
+    * Scale shape: binary slice + hash are per-row codegen expressions
+    * (no codec, no mapPartitions needed); ONE shuffle on the 32-byte
+    * digest; group output is bounded by the duplicate count. The
+    * binary twin of qd1's text dedup.
+    */
+  def mediaDedup(media: DataFrame, idCol: String = "media_id",
+                 binCol: String = "bytes"): DataFrame =
+    media.select(col(idCol).as("media_id"),
+        expr(s"substring($binCol, ${FakeMedia.HeaderLen + 1}, 2147483647)")
+          .as("payload"))
+      .select(col("media_id"), sha2(col("payload"), 256).as("content_sha"),
+        octet_length(col("payload")).cast("long").as("pb"))
+      .groupBy("content_sha")
+      .agg(count(lit(1)).as("n_copies"), min("media_id").as("keeper_id"),
+        ((count(lit(1)) - 1) * min("pb")).as("wasted_bytes"))
+      .select("content_sha", "n_copies", "keeper_id", "wasted_bytes")
+      .orderBy("keeper_id")
+
   /** Frame sampling for video rows: emit every `everyN`-th frame as
     * (media_id, frame_idx, frame_bytes). Frames are fixed-size slices
     * of the payload (stub geometry from the header). Explodes rows —

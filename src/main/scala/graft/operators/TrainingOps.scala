@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.core.Tables
 import graft.functions.{DocFingerprint, TextFns}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -250,6 +250,70 @@ object TrainingOps {
       .agg(sum(col("n")).as("n_bigrams"),
         ((-sum(col("n") * col("tm"))).cast("double") / lit(1e6) /
           sum(col("n")).cast("double")).as("avg_nll"))
+      .orderBy("doc_id")
+  }
+
+  /** The qm4 declared form: payload-hash dedup over the derived
+    * media corpus — duplicate texts yield identical payloads under
+    * DIFFERENT container headers (header fields depend on doc_id),
+    * so whole-blob hashing would find nothing; the oracle recomputes
+    * the groups from the source texts directly.
+    */
+  def mediaDedup(s: SparkSession, dir: String): DataFrame =
+    Multimodal.mediaDedup(Multimodal.mediaFromDocs(Tables.documents(s, dir)))
+
+  /** qd42 — CROSS-corpus perplexity filter (the CCNet/Wikipedia-LM
+    * move): estimate the character-bigram model on a REFERENCE corpus
+    * (src0), score every OTHER document against it — qd23 scores the
+    * corpus against itself (self-perplexity); this is the deployable
+    * form, where quality is "looks like the reference", and it must
+    * handle bigrams the reference never saw. Laplace smoothing keeps
+    * that exact: P(bg) = (c+1)/(t+V) for seen, 1/(t+V) for unseen
+    * (t = reference bigram occurrences, V = distinct reference
+    * bigrams), each quantized to integer micro-nats (the qd23/qd11
+    * floor construction) so per-doc sums are exact integer
+    * arithmetic; oov_rate is an exact count ratio.
+    *
+    * Scale shape: identical to qd23 — the model and its (t, V)
+    * scalars are tiny aggregates BROADCAST into the scoring join;
+    * the bigram stream reduces map-side to per-(doc, bigram) counts
+    * and never rescans at full multiplicity.
+    */
+  def crossPerplexity(s: SparkSession, dir: String): DataFrame =
+    crossPerplexityOn(Tables.documents(s, dir), col("source") === "src0")
+
+  /** Core of [[crossPerplexity]]: `isRef` marks the reference slice
+    * the model is estimated on; all other documents are scored.
+    */
+  def crossPerplexityOn(docs: DataFrame, isRef: Column): DataFrame = {
+    val bcnt = docs.withColumn("_ref", isRef)
+      .where(col("n_chars") >= 2)
+      .withColumn("_bgs",
+        regexp_extract_all(col("text"), lit("(?s)(?=(..))."), lit(1)))
+      .select(col("doc_id"), col("_ref"), explode(col("_bgs")).as("bg"))
+      .groupBy("doc_id", "_ref", "bg").agg(count(lit(1)).as("n"))
+    val model = bcnt.where(col("_ref")).groupBy("bg").agg(sum("n").as("c"))
+    val stats = model.agg(sum("c").as("t"), count(lit(1)).as("v"))
+    val scoredModel = model.crossJoin(broadcast(stats))
+      .select(col("bg"),
+        floor(log((col("c") + lit(1L)).cast("double")
+            / (col("t") + col("v")).cast("double"))
+          * lit(1e6) + lit(0.5)).cast("long").as("tm"))
+    bcnt.where(!col("_ref"))
+      .join(broadcast(scoredModel), Seq("bg"), "left")
+      .crossJoin(broadcast(stats))
+      .withColumn("tm_eff", coalesce(col("tm"),
+        floor(log(lit(1.0) / (col("t") + col("v")).cast("double"))
+          * lit(1e6) + lit(0.5)).cast("long")))
+      .groupBy("doc_id")
+      .agg(sum("n").as("n_bigrams"),
+        sum(when(col("tm").isNull, col("n")).otherwise(0L)).as("n_oov"),
+        ((-sum(col("n") * col("tm_eff"))).cast("double") / lit(1e6)
+          / sum(col("n")).cast("double")).as("avg_nll"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_oov"),
+        (col("n_oov").cast("double") / col("n_bigrams").cast("double"))
+          .as("oov_rate"),
+        col("avg_nll"))
       .orderBy("doc_id")
   }
 

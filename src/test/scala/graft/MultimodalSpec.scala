@@ -105,6 +105,30 @@ class MultimodalSpec extends SparkSpec {
       (242L, 0) -> 1, (242L, 2) -> 0))
   }
 
+  test("qm4: identical payloads under different headers collide; blobs would not") {
+    import spark.implicits._
+    val payload = "same content".getBytes("UTF-8")
+    val rows = Seq(
+      (1L, Multimodal.FakeMedia.encode('i', 100, 50, 1, payload)),
+      (2L, Multimodal.FakeMedia.encode('v', 640, 480, 30, payload)),
+      (3L, Multimodal.FakeMedia.encode('a', 0, 0, 0,
+        "different".getBytes("UTF-8"))))
+      .toDF("media_id", "bytes")
+    val got = Multimodal.mediaDedup(rows).collect()
+      .map(r => r.getAs[String]("content_sha") ->
+        ((r.getAs[Long]("n_copies"), r.getAs[Long]("keeper_id"),
+          r.getAs[Long]("wasted_bytes")))).toMap
+    assert(got.size == 2, "two distinct payloads -> two manifest rows")
+    val dup = got.values.find(_._1 == 2L).get
+    assert(dup == ((2L, 1L, payload.length.toLong)),
+      "re-wrapped copy: keeper is min id, waste is one payload")
+    assert(got.values.exists(_ == ((1L, 3L, 0L))),
+      "singleton reports zero waste")
+    // whole-blob hashing would have found nothing: all 3 blobs differ
+    val blobShas = rows.select(sha2(col("bytes"), 256)).distinct().count()
+    assert(blobShas == 3)
+  }
+
   test("resizeStub bounds output size and is deterministic") {
     val a = Multimodal.resizeStub(media, 16, 16).collect()
       .map(r => r.getAs[Long]("media_id") ->

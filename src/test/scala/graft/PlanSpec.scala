@@ -644,7 +644,10 @@ class PlanSpec extends SparkSpec
         // qe10: label_a < label_b over two ~|labels|-row aggregate
         // outputs — a label-cardinality-bounded matrix, not a
         // corpus-scale nested loop
-        "qe10_centroid_matrix")
+        "qe10_centroid_matrix",
+        // qd42: the reference model's (t, V) scalars as a 1-row
+        // broadcast (the qd22/qd23 class)
+        "qd42_cross_perplexity")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val p = plan(fn(spark, sf))
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian")

@@ -365,6 +365,26 @@ class TrainingOpsExtraSpec extends SparkSpec {
       "every gram of the quote appears in the quoter")
   }
 
+  test("qd42: unseen bigrams pay the Laplace floor; known ones their smoothed cost") {
+    import spark.implicits._
+    // ref doc "abab": bigrams ab,ba,ab -> model {ab:2, ba:1}, t=3, v=2
+    val docs = Seq((1L, "abab"), (2L, "ab"), (3L, "abxy"))
+      .toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val got = TrainingOps.crossPerplexityOn(docs, col("doc_id") === 1L)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_bigrams"), r.getAs[Long]("n_oov"),
+          r.getAs[Double]("oov_rate"), r.getAs[Double]("avg_nll")))).toMap
+    val tmAb = math.floor(math.log(3.0 / 5.0) * 1e6 + 0.5).toLong
+    val tm0 = math.floor(math.log(1.0 / 5.0) * 1e6 + 0.5).toLong
+    assert(!got.contains(1L), "the reference slice is not scored")
+    assert(got(2L) == ((1L, 0L, 0.0, -tmAb.toDouble / 1e6 / 1.0)))
+    assert(got(3L) == ((3L, 2L, 2.0 / 3.0,
+      -(tmAb + 2 * tm0).toDouble / 1e6 / 3.0)),
+      "bx and xy never seen by the reference model")
+  }
+
   test("qd36: a cluster's split is stable under unrelated corpus growth") {
     import spark.implicits._
     val near = "alpha beta gamma delta epsilon zeta eta theta iota " +
