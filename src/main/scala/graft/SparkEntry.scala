@@ -160,6 +160,7 @@ object SparkEntry {
     "qe10_centroid_matrix" -> (graft.operators.Similarity.centroidMatrixQuery _),
     "qm4_media_dedup"    -> (TrainingOps.mediaDedup _),
     "qd42_cross_perplexity" -> (TrainingOps.crossPerplexity _),
+    "qe11_knn_hamming"   -> (TrainingOps.knnHamming _),
   )
 
   /** Queries intentionally without an oracle — EMPTY since round 5:
@@ -428,6 +429,29 @@ object SparkEntry {
          |  mad_raw / 100.0 AS mad,
          |  CASE WHEN med = 0 THEN 0.0 ELSE mad_raw / med END AS robust_cv
          |FROM s ORDER BY event_type""".stripMargin),
+    // qe11: identical sign-bit packing (strict > 0 on the double
+    // value, 1-based i maps to bit i-1; bit 63 is the BIGINT min
+    // literal since DuckDB rejects 1<<63), exact integer Hamming.
+    "qe11_knn_hamming" -> {
+      val ids = graft.operators.TrainingOps.knnQueryIds.mkString(", ")
+      s"""WITH e AS (SELECT vec_id,
+         |    CASE WHEN CAST(embedding[i] AS DOUBLE) > 0 THEN
+         |      CASE WHEN i = 64 THEN CAST(-9223372036854775808 AS BIGINT)
+         |           ELSE CAST(1 AS BIGINT) << (i - 1) END
+         |      ELSE CAST(0 AS BIGINT) END AS b
+         |  FROM embeddings, unnest(range(1, len(embedding)+1)) u(i)),
+         |s AS (SELECT vec_id, bit_or(b) AS sig FROM e GROUP BY 1),
+         |q AS (SELECT vec_id AS query_id, sig AS qsig FROM s
+         |  WHERE vec_id IN ($ids)),
+         |h AS (SELECT q.query_id, s.vec_id,
+         |    CAST(bit_count(xor(s.sig, q.qsig)) AS INTEGER) AS hamming
+         |  FROM s, q WHERE s.vec_id <> q.query_id),
+         |r AS (SELECT query_id, vec_id, hamming,
+         |    CAST(rank() OVER (PARTITION BY query_id
+         |      ORDER BY hamming, vec_id) AS INTEGER) AS rnk FROM h)
+         |SELECT query_id, vec_id, rnk, hamming FROM r WHERE rnk <= 10
+         |ORDER BY query_id, rnk, vec_id""".stripMargin
+    },
     // qe10: qe7's exact-integer centroid CTEs, pair join on
     // label_a < label_b, the usual sequential-fold cosine.
     "qe10_centroid_matrix" ->

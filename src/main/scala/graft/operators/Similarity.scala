@@ -418,6 +418,40 @@ object Similarity {
       dir: String): DataFrame =
     centroidOutliers(graft.core.Tables.embeddings(s, dir))
 
+  /** qe11 — binarized-embedding Hamming search: pack each vector's
+    * 64 sign bits into ONE BIGINT, scan with XOR + popcount — the
+    * binary-embedding trick that turns a 256-byte float vector into
+    * an 8-byte signature, so the corpus-scale scan moves 32× less
+    * data and the distance is two machine instructions. The
+    * compressed-scan counterpart to [[bruteForceKnn]]: same shape,
+    * 1/32nd the bytes; production uses it as the first-pass filter
+    * in front of an exact re-rank (the [[Pq]] shortlist pattern).
+    *
+    * Deterministic and fully integral: sign bits from a strict
+    * `> 0` compare, Hamming distances are exact ints, ties on
+    * vec_id. One corpus-scale exchange (the bit-packing aggregate);
+    * the scan itself is a broadcast of the query signatures.
+    */
+  def hammingKnn(emb: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
+    val sigs = emb
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "v")))
+      .select(col("vec_id"),
+        when(col("v").cast("double") > 0.0, expr("shiftleft(1L, d)"))
+          .otherwise(0L).as("b"))
+      .groupBy("vec_id").agg(expr("bit_or(b)").as("sig"))
+    val q = sigs.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("sig").as("qsig"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("hamming"), col("vec_id"))
+    sigs.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("hamming", expr("CAST(bit_count(sig ^ qsig) AS INT)"))
+      .withColumn("rnk", rank().over(w).cast("int"))
+      .filter(col("rnk") <= k)
+      .select("query_id", "vec_id", "rnk", "hamming")
+      .orderBy("query_id", "rnk", "vec_id")
+  }
+
   /** qe10 — label-centroid similarity matrix: cosine between every
     * pair of per-label centroids — the dataset-cartography readout
     * (which classes are embedding-space neighbors, which labelings

@@ -981,6 +981,13 @@ object TrainingOps {
     Pq.search(Tables.embeddings(s, dir), pqModel(s, dir), knnQueryIds,
       k = 10, shortlist = Int.MaxValue)
 
+  /** The qe11 declared form: sign-bit Hamming top-10, same query
+    * batch as qe1 — the compressed-scan baseline (8-byte signatures,
+    * XOR+popcount distances, all exact ints).
+    */
+  def knnHamming(s: SparkSession, dir: String): DataFrame =
+    Similarity.hammingKnn(Tables.embeddings(s, dir), knnQueryIds, 10)
+
   /** qd30 — corpus-frequent span removal (the C4/Gopher "repeated
     * span" cleanup): every token covered by a word 4-gram that occurs
     * in ≥ `minDf` distinct documents is boilerplate and is cut; the

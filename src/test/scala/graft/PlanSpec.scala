@@ -647,7 +647,10 @@ class PlanSpec extends SparkSpec
         "qe10_centroid_matrix",
         // qd42: the reference model's (t, V) scalars as a 1-row
         // broadcast (the qd22/qd23 class)
-        "qd42_cross_perplexity")
+        "qd42_cross_perplexity",
+        // qe11: brute scan BY DESIGN over 8-byte signatures — the
+        // compressed-scan baseline (qe1's class, 1/32nd the bytes)
+        "qe11_knn_hamming")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val p = plan(fn(spark, sf))
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian")
