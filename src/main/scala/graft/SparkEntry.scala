@@ -161,6 +161,8 @@ object SparkEntry {
     "qm4_media_dedup"    -> (TrainingOps.mediaDedup _),
     "qd42_cross_perplexity" -> (TrainingOps.crossPerplexity _),
     "qe11_knn_hamming"   -> (TrainingOps.knnHamming _),
+    "qs31_timed_funnel"  -> (Events.timedFunnel _),
+    "qs32_spend_share"   -> (Events.spendShare _),
   )
 
   /** Queries intentionally without an oracle — EMPTY since round 5:
@@ -919,6 +921,38 @@ object SparkEntry {
          |UNION ALL SELECT '2_view_click' AS stage, count(*) AS n_user_days FROM c
          |UNION ALL SELECT '3_view_click_purchase' AS stage, count(*) AS n_user_days FROM p
          |ORDER BY stage""".stripMargin),
+    // qs31: qs11's oracle with the conversion deadline — inclusive
+    // +3600 boundary on both engines, exact integer seconds.
+    "qs31_timed_funnel" ->
+      ("""WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day, event_type,
+         |  CAST(floor(epoch(ts)) AS BIGINT) AS tsec FROM events),
+         |v AS (SELECT user_id, day, min(tsec) AS t_view FROM e
+         |  WHERE event_type = 'view' GROUP BY 1, 2),
+         |c AS (SELECT e.user_id, e.day, min(tsec) AS t_click FROM e
+         |  JOIN v USING (user_id, day)
+         |  WHERE event_type = 'click' AND tsec >= t_view
+         |    AND tsec <= t_view + 3600 GROUP BY 1, 2),
+         |p AS (SELECT e.user_id, e.day, min(tsec) AS t_purchase FROM e
+         |  JOIN c USING (user_id, day)
+         |  WHERE event_type = 'purchase' AND tsec >= t_click
+         |    AND tsec <= t_click + 3600 GROUP BY 1, 2)
+         |SELECT '1_view' AS stage, count(*) AS n_user_days FROM v
+         |UNION ALL SELECT '2_click_1h' AS stage, count(*) AS n_user_days FROM c
+         |UNION ALL SELECT '3_purchase_1h' AS stage, count(*) AS n_user_days FROM p
+         |ORDER BY stage""".stripMargin),
+    // qs32: exact DECIMAL totals, share one double division of
+    // exactly-representable totals, rank on the double total with
+    // the type name as tie-break.
+    "qs32_spend_share" ->
+      ("""WITH t AS (SELECT event_type,
+         |    SUM(CAST(value AS DECIMAL(18,2))) AS total_dec
+         |  FROM events GROUP BY 1),
+         |g AS (SELECT SUM(total_dec) AS grand FROM t)
+         |SELECT event_type, CAST(total_dec AS DOUBLE) AS total,
+         |  CAST(total_dec AS DOUBLE) / CAST(grand AS DOUBLE) AS share,
+         |  CAST(rank() OVER (ORDER BY CAST(total_dec AS DOUBLE) DESC,
+         |    event_type) AS INTEGER) AS rnk
+         |FROM t, g ORDER BY rnk""".stripMargin),
     "qd20_lexical_diversity" ->
       ("""WITH toks AS (
          |  SELECT doc_id, list_filter(string_split(

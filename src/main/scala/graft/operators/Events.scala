@@ -190,6 +190,79 @@ object Events {
       .orderBy("stage")
   }
 
+  /** qs31 — TIME-BOUNDED funnel: qs11's ordered stages with a
+    * conversion deadline — each later stage must fire within
+    * `windowSec` of the previous stage's earliest qualifying event
+    * (view → click ≤ 1h → purchase ≤ 1h in the declared form). The
+    * unbounded funnel answers "did they ever convert"; this answers
+    * the campaign question "did they convert while it mattered".
+    * Anchoring is first-touch (the earliest view anchors the clock) —
+    * a user whose conversion chain starts from a LATER view is not
+    * re-anchored, same earliest-stage semantics as qs11, now with a
+    * deadline. Boundary pinned: exactly +windowSec qualifies.
+    *
+    * Scale shape: identical to qs11 — ONE exchange on the natural
+    * (user, day) key, three chained min-if windows over it, counts
+    * reduce to a row. Exact integer second arithmetic throughout.
+    */
+  def timedFunnel(s: SparkSession, dir: String): DataFrame =
+    timedFunnelOn(Tables.events(s, dir), windowSec = 3600L)
+
+  /** Core of [[timedFunnel]] over any (user_id, ts, event_type)
+    * frame.
+    */
+  def timedFunnelOn(events: DataFrame, windowSec: Long): DataFrame = {
+    val w = Window.partitionBy("user_id", "day")
+    events
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        col("event_type"), unix_timestamp(col("ts")).as("tsec"))
+      .withColumn("t_view",
+        min(when(col("event_type") === "view", col("tsec"))).over(w))
+      .withColumn("t_click",
+        min(when(col("event_type") === "click" &&
+          col("tsec") >= col("t_view") &&
+          col("tsec") <= col("t_view") + windowSec, col("tsec"))).over(w))
+      .withColumn("t_purchase",
+        min(when(col("event_type") === "purchase" &&
+          col("tsec") >= col("t_click") &&
+          col("tsec") <= col("t_click") + windowSec, col("tsec"))).over(w))
+      .groupBy("user_id", "day")
+      .agg(min("t_view").as("t_view"), min("t_click").as("t_click"),
+        min("t_purchase").as("t_purchase"))
+      .agg(count(col("t_view")).as("c1"), count(col("t_click")).as("c2"),
+        count(col("t_purchase")).as("c3"))
+      .select(expr("stack(3, '1_view', c1, '2_click_1h', c2, " +
+        "'3_purchase_1h', c3) AS (stage, n_user_days)"))
+      .orderBy("stage")
+  }
+
+  /** qs32 — spend share-of-total per event type: each type's exact
+    * DECIMAL spend, its share of the grand total (one double
+    * division of exactly-representable totals), and its rank — the
+    * percent-of-total report shape. The grand total rides a window
+    * over the already-aggregated 5-row frame, so the corpus is
+    * scanned once and nothing re-joins.
+    */
+  def spendShare(s: SparkSession, dir: String): DataFrame =
+    spendShareOn(Tables.events(s, dir))
+
+  /** Core of [[spendShare]] over an explicit `(event_type, value)`
+    * frame.
+    */
+  def spendShareOn(events: DataFrame): DataFrame = {
+    val t = events.groupBy("event_type")
+      .agg(Fns.moneySum(col("value")).as("total_dec"))
+    t.withColumn("grand", sum("total_dec").over(Window.partitionBy()))
+      .select(col("event_type"),
+        col("total_dec").cast("double").as("total"),
+        (col("total_dec").cast("double") / col("grand").cast("double"))
+          .as("share"))
+      .withColumn("rnk", rank().over(
+        Window.orderBy(col("total").desc, col("event_type"))).cast("int"))
+      .orderBy("rnk")
+  }
+
   /** qs13 — hour-over-hour revenue delta per event type: the lag
     * window standalone (qx14 uses lead inside SCD2; this is the
     * report shape — "how did this hour compare to the previous one").

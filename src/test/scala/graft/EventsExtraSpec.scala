@@ -496,6 +496,40 @@ class EventsExtraSpec extends SparkSpec {
     assert(r.getAs[Double]("events_per_session") == 4.0 / 3.0)
   }
 
+  test("qs31: +3600 converts, +3601 does not; the clock re-anchors per stage") {
+    import spark.implicits._
+    val ev = Seq(
+      // u1: click exactly at view+3600 (in), purchase at click+3600
+      //     (in, though 2h after the view — stage clock re-anchors)
+      (1L, "2024-01-01 10:00:00", "view"),
+      (1L, "2024-01-01 11:00:00", "click"),
+      (1L, "2024-01-01 12:00:00", "purchase"),
+      // u2: click one second past the deadline -> chain stops
+      (2L, "2024-01-01 10:00:00", "view"),
+      (2L, "2024-01-01 11:00:01", "click"),
+      (2L, "2024-01-01 11:30:00", "purchase"))
+      .toDF("user_id", "ts_s", "event_type")
+      .select(col("user_id"), to_timestamp(col("ts_s")).as("ts"),
+        col("event_type"))
+    val got = Events.timedFunnelOn(ev, windowSec = 3600L).collect()
+      .map(r => r.getAs[String]("stage") -> r.getAs[Long]("n_user_days"))
+      .toMap
+    assert(got == Map("1_view" -> 2L, "2_click_1h" -> 1L,
+      "3_purchase_1h" -> 1L), s"got $got")
+  }
+
+  test("qs32: exact shares and ranks from DECIMAL totals") {
+    import spark.implicits._
+    val ev = Seq(("view", 10.00), ("view", 0.50), ("click", 31.50))
+      .toDF("event_type", "value")
+    val got = Events.spendShareOn(ev).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Double]("total"), r.getAs[Double]("share"),
+          r.getAs[Int]("rnk")))).toMap
+    assert(got("view") == ((10.5, 0.25, 2)))
+    assert(got("click") == ((31.5, 0.75, 1)))
+  }
+
   test("qd25: repetition ratios match hand-computed signals") {
     val out = TrainingOps.repetitionOn(docsOf(
         (1L, "a a a b"),      // top a: 3/4; bigrams (a a)x2, (a b) -> 2/3
