@@ -261,17 +261,24 @@ object Dedup {
     */
   def incrementalDedup(docs: DataFrame, isCorpus: Column,
                        threshold: Double): DataFrame = {
-    val pairs = minhashNearDups(docs, "doc_id", "text", threshold)
+    val sh = shingleFrame(docs, "doc_id", "text")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val corpusIds = docs.where(isCorpus).select(col("doc_id"))
     val batchIds = docs.where(!isCorpus).select(col("doc_id"))
-    // both orientations of the undirected (a < b) pair list, then
-    // keep batch-side on the left, corpus-side on the right
-    val oriented = pairs.select(col("doc_a"), col("doc_b"))
-      .unionAll(pairs.select(col("doc_b").as("doc_a"),
+    // orient the CANDIDATE list batch→corpus BEFORE the exact verify:
+    // the banding join also surfaces corpus×corpus and batch×batch
+    // candidates, and jaccard-verifying those (the expensive shingle
+    // rejoin + array intersections) would redo yesterday's dedup —
+    // the id-only membership joins drop them while they are still
+    // bare (doc_a, doc_b) pairs
+    val cand = minhashCandidates(sh, maxBucket = 64)
+    val oriented = cand
+      .unionAll(cand.select(col("doc_b").as("doc_a"),
         col("doc_a").as("doc_b")))
-    val dupOf = oriented
       .join(batchIds.withColumnRenamed("doc_id", "doc_a"), "doc_a")
       .join(corpusIds.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+    val dupOf = jaccardOver(sh, oriented)
+      .filter(col("jaccard") >= threshold)
       .groupBy(col("doc_a").as("doc_id"))
       .agg(min("doc_b").as("dup_of"))
     batchIds.join(dupOf, Seq("doc_id"), "left")
