@@ -163,6 +163,7 @@ object SparkEntry {
     "qe11_knn_hamming"   -> (TrainingOps.knnHamming _),
     "qs31_timed_funnel"  -> (Events.timedFunnel _),
     "qs32_spend_share"   -> (Events.spendShare _),
+    "qe12_knn_ivfpq"     -> (TrainingOps.knnIvfPq _),
   )
 
   /** Queries intentionally without an oracle — EMPTY since round 5:
@@ -517,6 +518,10 @@ object SparkEntry {
     // qe8 (full-shortlist PQ/ADC) re-ranks every candidate with exact
     // cosines — equal to brute for ANY codebook, same oracle again.
     "qe8_knn_pq" -> knnSql,
+    // qe12 (IVF-PQ at full probe + full shortlist): both parity
+    // arguments stack — every candidate admitted, every one exactly
+    // re-ranked — so brute's oracle applies for any codebooks.
+    "qe12_knn_ivfpq" -> knnSql,
     // qe3 at 1-bit-band geometry: a pair escapes blocking only when
     // all 16 sign bits differ — p ~ (acos(sim)/pi)^16, ~5e-7 per pair
     // at the 0.3 threshold and vanishing for higher sims — so the

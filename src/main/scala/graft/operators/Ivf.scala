@@ -110,6 +110,35 @@ object Ivf {
     transform(slice(sorted, lit(1), lit(n)), s => -s.getField("negid"))
   }
 
+  /** qe12 — IVF-PQ composed search (the FAISS architecture): coarse
+    * quantizer first (score only the `nProbe` cells nearest each
+    * query), PQ/ADC scan second (8-byte codes instead of embeddings
+    * inside the admitted cells), exact re-rank of the ADC shortlist
+    * last. Each stage cuts what the next one touches: cells cut the
+    * candidate set to ~nProbe/k of the corpus, codes cut the scan
+    * bytes 32×, the re-rank touches only `shortlist` embeddings —
+    * which is why this is THE deployed billion-vector layout.
+    *
+    * At nProbe = model.k AND shortlist ≥ corpus the result provably
+    * equals brute force for ANY codebooks (every candidate admitted,
+    * every one exactly re-ranked) — the declared parity config,
+    * sharing qe1's oracle; honest compound recall is measured in
+    * PqSpec.
+    */
+  def searchPq(emb: DataFrame, model: IvfModel, pq: Pq.PqModel,
+               queryIds: Seq[Long], k: Int, nProbe: Int,
+               shortlist: Int): DataFrame = {
+    graft.functions.VecDot.register(emb.sparkSession)
+    val assigned = assign(emb, model)
+    val q = assigned.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"),
+        explode(nearestCentroids(model, nProbe)).as("probe"))
+    val cand = assigned.join(broadcast(q), col("cluster") === col("probe"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select("query_id", "vec_id")
+    Pq.search(emb, pq, queryIds, k, shortlist, Some(cand))
+  }
+
   /** Search: score only vectors in the nProbe cells nearest to each
     * query. Output shape matches [[Similarity.bruteForceKnn]].
     */

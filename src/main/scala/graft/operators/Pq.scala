@@ -125,9 +125,16 @@ object Pq {
     * the ADC order stops mattering) — the declared qe8 parity config,
     * sharing qe1's oracle. Honest configs shrink `shortlist` so the
     * re-rank touches ~shortlist/corpus of the embeddings.
+    *
+    * `candidates` (query_id, vec_id), when given, restricts the ADC
+    * scan to those pairs via a semi-join — the hook [[Ivf.searchPq]]
+    * uses to compose coarse IVF cells in front of the PQ scan
+    * (FAISS's IVF-PQ architecture). None scans the whole corpus per
+    * query (flat PQ).
     */
   def search(emb: DataFrame, model: PqModel, queryIds: Seq[Long], k: Int,
-             shortlist: Int): DataFrame = {
+             shortlist: Int,
+             candidates: Option[DataFrame] = None): DataFrame = {
     graft.functions.VecDot.register(emb.sparkSession)
     val codes = assignCodes(emb, model)
     // per-query exact sub-distance table: nq x m x kCodes rows, tiny
@@ -140,11 +147,14 @@ object Pq {
         * (col("v").cast("double") - col("w"))).as("part"))
     val wShort = Window.partitionBy("query_id")
       .orderBy(col("adist").asc, col("vec_id"))
-    val short = codes
+    val approxAll = codes
       .join(broadcast(adc), Seq("sub", "code"))
       .filter(col("vec_id") =!= col("query_id"))
       .groupBy("query_id", "vec_id")
       .agg(sum("part").as("adist"))
+    val approx = candidates.fold(approxAll)(c =>
+      approxAll.join(c, Seq("query_id", "vec_id"), "left_semi"))
+    val short = approx
       .withColumn("srnk", row_number().over(wShort))
       .filter(col("srnk") <= shortlist)
       .select("query_id", "vec_id")

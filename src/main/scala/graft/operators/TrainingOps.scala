@@ -981,6 +981,17 @@ object TrainingOps {
     Pq.search(Tables.embeddings(s, dir), pqModel(s, dir), knnQueryIds,
       k = 10, shortlist = Int.MaxValue)
 
+  /** The qe12 declared form: IVF-PQ composed at full probe + full
+    * shortlist (≡ brute for any codebooks — both parity arguments
+    * stack), cached models for both stages.
+    */
+  def knnIvfPq(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val model = ivfModel(s, dir)
+    Ivf.searchPq(emb, model, pqModel(s, dir), knnQueryIds, k = 10,
+      nProbe = model.k, shortlist = Int.MaxValue)
+  }
+
   /** The qe11 declared form: sign-bit Hamming top-10, same query
     * batch as qe1 — the compressed-scan baseline (8-byte signatures,
     * XOR+popcount distances, all exact ints).

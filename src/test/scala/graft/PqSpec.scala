@@ -48,6 +48,36 @@ class PqSpec extends SparkSpec
     assert(os == bs)
   }
 
+  test("qe12: full probe + full shortlist == brute; honest compound recall measured") {
+    val emb01 = spark.read
+      .parquet("/root/testdata/sf0.01/embeddings.parquet").cache()
+    try {
+      val q20: Seq[Long] = (0L until 20L)
+      val ivf = graft.operators.Ivf.train(emb01, k = 16, iters = 3)
+      val pq = Pq.train(emb01, m = 8, kCodes = 16, iters = 2)
+      val brute = Similarity.bruteForceKnn(emb01, q20, 10).collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+      // parity config: both arguments stack -> exactly brute
+      val parity = graft.operators.Ivf.searchPq(emb01, ivf, pq, q20,
+        k = 10, nProbe = 16, shortlist = Int.MaxValue).collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+      q20.foreach(q => assert(parity(q) == brute(q), s"query $q"))
+      // honest config: 6/16 cells admitted (~38% of the corpus), ADC
+      // shortlist 100 inside them, exact re-rank. Measured 0.660 —
+      // bounded above by IVF's nProbe=6 recall (0.695 in IvfSpec), so
+      // the PQ stage costs only ~0.035 of recall for its 32x scan
+      // compression on this worst-case random corpus.
+      val got = graft.operators.Ivf.searchPq(emb01, ivf, pq, q20,
+        k = 10, nProbe = 6, shortlist = 100).collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+      val recall = q20.map(q =>
+        (brute(q) & got.getOrElse(q, Set.empty)).size / 10.0).sum / q20.size
+      info(f"IVF-PQ compound recall@10 (nProbe=6, shortlist=100): $recall%.3f")
+      assert(recall >= 0.50,
+        f"compound recall $recall%.3f fell below the measured floor")
+    } finally emb01.unpersist(blocking = false)
+  }
+
   test("honest-shortlist recall on the real sf0.01 corpus: monotone in shortlist, 1.0 at full") {
     // the qe4-recall-spec pattern for PQ: the declared qe8 is the
     // full-shortlist (≡ brute) form; at scale the shortlist is a
