@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST stdout line of `sbt -batch "runMain
+// graft.Bench"` as JSON; sbt's trailing "[success] Total time: …"
+// line has made BENCH_r*.json `parsed:null` for six rounds. Suppress
+// it so the program's own final println IS the last stdout line, and
+// pass forked-run output through undecorated (the default logged
+// strategy prefixes every stdout line with "[info] ", which would
+// still break a line-level JSON parse).
+Global / showSuccess := false
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

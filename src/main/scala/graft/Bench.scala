@@ -133,9 +133,20 @@ object Bench {
     // median must not masquerade as a speedup; its absence plus
     // ok:false + the failures list is the signal
     val total = results.filter(_.ok).map(_.sec).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec"""" +
+    val json = s"""{"metric":"total","value":$total,"unit":"sec"""" +
       s""","queries":$qs,"details":$details,"phases":{$phases}""" +
-      s""","failures":$failures,"ok":$allOk,"runs":$repeats,"sf":"$sfDir"}""")
+      s""","failures":$failures,"ok":$allOk,"runs":$repeats,"sf":"$sfDir"}"""
+    // belt-and-braces copy for any consumer that can't rely on stdout
+    // line discipline (sbt noise made the stdout line unparseable for
+    // six rounds; build.sbt's showSuccess:=false fixes the tail, the
+    // file survives regardless)
+    try java.nio.file.Files.write(java.nio.file.Paths.get("/tmp/bench.json"),
+      (json + "\n").getBytes("UTF-8"))
+    catch { case _: java.io.IOException => }
     spark.stop()
+    // print AFTER spark.stop(): any shutdown logging lands before the
+    // driver-contract JSON line, keeping it LAST on stdout
+    println(json)
+    Console.out.flush()
   }
 }

@@ -432,22 +432,31 @@ object SparkEntry {
          |  mad_raw / 100.0 AS mad,
          |  CASE WHEN med = 0 THEN 0.0 ELSE mad_raw / med END AS robust_cv
          |FROM s ORDER BY event_type""".stripMargin),
-    // qe11: identical sign-bit packing (strict > 0 on the double
-    // value, 1-based i maps to bit i-1; bit 63 is the BIGINT min
-    // literal since DuckDB rejects 1<<63), exact integer Hamming.
+    // qe11: identical 128-bit packing — word 1 sign bits (strict > 0
+    // on the double value), word 2 the v[i] > v[i mod dim + 1]
+    // comparison bits; 1-based i maps to bit i-1; bit 63 is the
+    // BIGINT min literal since DuckDB rejects 1<<63. Exact integer
+    // Hamming = popcount word 1 + popcount word 2.
     "qe11_knn_hamming" -> {
       val ids = graft.operators.TrainingOps.knnQueryIds.mkString(", ")
       s"""WITH e AS (SELECT vec_id,
-         |    CASE WHEN CAST(embedding[i] AS DOUBLE) > 0 THEN
-         |      CASE WHEN i = 64 THEN CAST(-9223372036854775808 AS BIGINT)
-         |           ELSE CAST(1 AS BIGINT) << (i - 1) END
-         |      ELSE CAST(0 AS BIGINT) END AS b
+         |    CAST(embedding[i] AS DOUBLE) AS v,
+         |    CAST(embedding[CASE WHEN i = len(embedding) THEN 1
+         |                        ELSE i + 1 END] AS DOUBLE) AS vn,
+         |    CASE WHEN i = 64 THEN CAST(-9223372036854775808 AS BIGINT)
+         |         ELSE CAST(1 AS BIGINT) << (i - 1) END AS bit
          |  FROM embeddings, unnest(range(1, len(embedding)+1)) u(i)),
-         |s AS (SELECT vec_id, bit_or(b) AS sig FROM e GROUP BY 1),
-         |q AS (SELECT vec_id AS query_id, sig AS qsig FROM s
-         |  WHERE vec_id IN ($ids)),
+         |s AS (SELECT vec_id,
+         |    bit_or(CASE WHEN v > 0 THEN bit ELSE CAST(0 AS BIGINT) END)
+         |      AS sig,
+         |    bit_or(CASE WHEN v > vn THEN bit ELSE CAST(0 AS BIGINT) END)
+         |      AS sig2
+         |  FROM e GROUP BY 1),
+         |q AS (SELECT vec_id AS query_id, sig AS qsig, sig2 AS qsig2
+         |  FROM s WHERE vec_id IN ($ids)),
          |h AS (SELECT q.query_id, s.vec_id,
-         |    CAST(bit_count(xor(s.sig, q.qsig)) AS INTEGER) AS hamming
+         |    CAST(bit_count(xor(s.sig, q.qsig))
+         |       + bit_count(xor(s.sig2, q.qsig2)) AS INTEGER) AS hamming
          |  FROM s, q WHERE s.vec_id <> q.query_id),
          |r AS (SELECT query_id, vec_id, hamming,
          |    CAST(rank() OVER (PARTITION BY query_id

@@ -20,10 +20,20 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark's vectorized
-    * reader rejects; read it as a nanos long and truncate to micros
-    * (integer division — a double roundtrip would lose precision on
-    * 1.7e18-scale nanos).
+  /** The shared testdata has been generated with `events.ts` encoded
+    * as parquet TIMESTAMP(NANOS) in some rounds and TIMESTAMP(MICROS)
+    * in others (it changed under us at round 6 — see TESTDATA.md
+    * notes), so the loader sniffs the decoded schema instead of
+    * assuming either:
+    *
+    *  - NANOS: Spark's vectorized reader rejects it outright; under
+    *    the `nanosAsLong` legacy conf it decodes as a nanos LONG,
+    *    which we truncate to micros with integer division (a double
+    *    roundtrip would lose precision on 1.7e18-scale nanos).
+    *  - MICROS, isAdjustedToUTC=false: decodes as TIMESTAMP_NTZ;
+    *    cast to TIMESTAMP under the pinned UTC session zone (same
+    *    instants, wall clock preserved).
+    *  - MICROS/MILLIS, adjusted: already TIMESTAMP — passthrough.
     *
     * The nanosAsLong legacy conf has no per-read option form, so it
     * is set only around the read and restored after (VERDICT r3 #3 —
@@ -34,10 +44,26 @@ object Tables {
     */
   def events(s: SparkSession, d: String): DataFrame =
     withNanosConf(s) {
-      table(s, d, "events")
-        .withColumn("ts", org.apache.spark.sql.functions.expr(
-          "timestamp_micros(ts div 1000)"))
+      normalizeTs(table(s, d, "events"))
     }
+
+  /** Normalize an event frame's `ts` column to TimestampType whatever
+    * the parquet encoding decoded it as (see [[events]]). Works on
+    * batch and streaming frames alike — dispatch is on the analyzed
+    * schema, not the data. Every event read in the repo (batch,
+    * readStream, landing copies) MUST route through this: round 6
+    * lost 37 queries to a hard-coded nanos shim when the shared
+    * testdata flipped encodings.
+    */
+  def normalizeTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType      => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampType => df
+      case _             => df.withColumn("ts", col("ts").cast("timestamp"))
+    }
+  }
 
   /** Run `body` with spark.sql.legacy.parquet.nanosAsLong=true, then
     * restore the previous session value (also on failure).

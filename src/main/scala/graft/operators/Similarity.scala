@@ -418,34 +418,55 @@ object Similarity {
       dir: String): DataFrame =
     centroidOutliers(graft.core.Tables.embeddings(s, dir))
 
-  /** qe11 — binarized-embedding Hamming search: pack each vector's
-    * 64 sign bits into ONE BIGINT, scan with XOR + popcount — the
-    * binary-embedding trick that turns a 256-byte float vector into
-    * an 8-byte signature, so the corpus-scale scan moves 32× less
-    * data and the distance is two machine instructions. The
+  /** qe11 — binarized-embedding Hamming search, 128-bit signatures
+    * packed into TWO BIGINTs; scan is XOR + popcount per word — the
+    * binary-embedding trick that turns a 256-byte float vector into a
+    * 16-byte signature, so the corpus-scale scan moves 16× less data
+    * and the distance is four machine instructions. The
     * compressed-scan counterpart to [[bruteForceKnn]]: same shape,
-    * 1/32nd the bytes; production uses it as the first-pass filter
+    * 1/16th the bytes; production uses it as the first-pass filter
     * in front of an exact re-rank (the [[Pq]] shortlist pattern).
     *
-    * Deterministic and fully integral: sign bits from a strict
-    * `> 0` compare, Hamming distances are exact ints, ties on
-    * vec_id. One corpus-scale exchange (the bit-packing aggregate);
-    * the scan itself is a broadcast of the query signatures.
+    * Bit plan (VERDICT r6 stretch — the 64-bit sign-only variant
+    * measured recall@10 0.27 on the uniform-random corpus):
+    *  - word 1: per-dimension SIGN bits (strict `> 0`);
+    *  - word 2: per-dimension rank-comparison bits
+    *    `v_d > v_{(d+1) mod dim}` — the winner-take-all /
+    *    comparison-hash family (Yagnik et al., "The power of
+    *    comparative reasoning", ICCV 2011): ordinal bits are
+    *    rotation- and scale-insensitive and carry information sign
+    *    bits structurally miss, which is exactly what lifts recall
+    *    when every pair sits near 90°.
+    *
+    * Deterministic and fully integral: both bit kinds are exact
+    * float compares (no float SUM anywhere, so no ordering hazard),
+    * Hamming distances are exact ints, ties on vec_id. One
+    * corpus-scale exchange (explode + vec_id-keyed window feeding the
+    * bit-packing aggregate on the same key — no second exchange); the
+    * scan itself is a broadcast of the query signatures.
     */
   def hammingKnn(emb: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
+    val byDim = Window.partitionBy("vec_id").orderBy("d")
     val sigs = emb
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "v")))
-      .select(col("vec_id"),
-        when(col("v").cast("double") > 0.0, expr("shiftleft(1L, d)"))
-          .otherwise(0L).as("b"))
-      .groupBy("vec_id").agg(expr("bit_or(b)").as("sig"))
+      // neighbor value with wraparound: lead within the vector, and
+      // the ordered-frame first() (= dim 0's value) at the last dim
+      .withColumn("vnext",
+        coalesce(lead("v", 1).over(byDim), first("v").over(byDim)))
+      .groupBy("vec_id")
+      .agg(
+        expr("bit_or(IF(CAST(v AS DOUBLE) > 0.0D, shiftleft(1L, d), 0L))")
+          .as("sig"),
+        expr("bit_or(IF(v > vnext, shiftleft(1L, d), 0L))").as("sig2"))
     val q = sigs.filter(col("vec_id").isin(queryIds: _*))
-      .select(col("vec_id").as("query_id"), col("sig").as("qsig"))
+      .select(col("vec_id").as("query_id"),
+        col("sig").as("qsig"), col("sig2").as("qsig2"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("hamming"), col("vec_id"))
     sigs.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("hamming", expr("CAST(bit_count(sig ^ qsig) AS INT)"))
+      .withColumn("hamming",
+        expr("CAST(bit_count(sig ^ qsig) + bit_count(sig2 ^ qsig2) AS INT)"))
       .withColumn("rnk", rank().over(w).cast("int"))
       .filter(col("rnk") <= k)
       .select("query_id", "vec_id", "rnk", "hamming")

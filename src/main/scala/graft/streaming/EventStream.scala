@@ -32,8 +32,8 @@ object EventStream {
     // production deployment sizes this to cluster cores)
     withShufflePartitions(spark, 8) {
     val schema = spark.read.parquet(eventsDir).schema
-    val stream = spark.readStream.schema(schema).parquet(eventsDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val stream = graft.core.Tables.normalizeTs(
+      spark.readStream.schema(schema).parquet(eventsDir))
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"),
@@ -69,15 +69,31 @@ object EventStream {
     */
   def dedupAvailableNow(spark: SparkSession, eventsDir: String,
                         queryName: String): DataFrame =
+    drainDedup(spark, eventsDir, queryName, bounded = false)
+
+  /** The watermarked dedup frame both drain entry points share.
+    * `bounded = true` → `dropDuplicatesWithinWatermark` (state expires
+    * at event time + delay — the deployable contract); `false` → plain
+    * `dropDuplicates` (id-keyed state never expires — kept as the
+    * documented qs9 contrast). Package-private so DedupDefaultSpec can
+    * pin which state operator each flag compiles to.
+    */
+  private[graft] def dedupFrame(spark: SparkSession, eventsDir: String,
+                                bounded: Boolean): DataFrame = {
+    val schema = spark.read.parquet(eventsDir).schema
+    val base = graft.core.Tables.normalizeTs(
+      spark.readStream.schema(schema).parquet(eventsDir))
+      .withWatermark("ts", "1 hour")
+    val deduped = if (bounded) base.dropDuplicatesWithinWatermark("event_id")
+                  else base.dropDuplicates("event_id")
+    deduped.select(col("event_id"), col("user_id"), col("event_type"))
+  }
+
+  private def drainDedup(spark: SparkSession, eventsDir: String,
+                         queryName: String, bounded: Boolean): DataFrame =
     graft.core.Tables.withNanosConf(spark) {
     withShufflePartitions(spark, 8) {  // state-store fleet sizing, see qs8
-    val schema = spark.read.parquet(eventsDir).schema
-    val stream = spark.readStream.schema(schema).parquet(eventsDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      .withWatermark("ts", "1 hour")
-      .dropDuplicates("event_id")
-      .select(col("event_id"), col("user_id"), col("event_type"))
-    val q = stream.writeStream
+    val q = dedupFrame(spark, eventsDir, bounded).writeStream
       .outputMode("append")
       .format("memory")
       .queryName(queryName)
@@ -87,6 +103,25 @@ object EventStream {
     spark.table(queryName)
     }
     }
+
+  /** Whether [[dedupStream]] defaults to the bounded-state form.
+    * `true` is the deliberate library default (VERDICT r6 #5): a user
+    * who just asks for "streaming dedup" must get state that expires
+    * at event time + watermark delay, not state that grows with every
+    * distinct key forever. DedupDefaultSpec asserts this constant AND
+    * that the bounded flag compiles to DeduplicateWithinWatermark.
+    */
+  val dedupDefaultBounded: Boolean = true
+
+  /** Operator-level streaming dedup entry point. Defaults to BOUNDED
+    * state (`dropDuplicatesWithinWatermark`); pass `bounded = false`
+    * only for the explicitly-opted-in unbounded exact-forever contract
+    * (viable only for bounded key spaces — see [[dedupAvailableNow]]'s
+    * Scaladoc for the three-way contract discussion).
+    */
+  def dedupStream(spark: SparkSession, eventsDir: String, queryName: String,
+                  bounded: Boolean = dedupDefaultBounded): DataFrame =
+    drainDedup(spark, eventsDir, queryName, bounded)
 
   /** Streaming dedup through `dropDuplicatesWithinWatermark`
     * (Spark 3.5+) — the BOUNDED-STATE dedup contract: state keys on
@@ -103,24 +138,7 @@ object EventStream {
     */
   def dedupWithinWatermarkAvailableNow(spark: SparkSession,
       eventsDir: String, queryName: String): DataFrame =
-    graft.core.Tables.withNanosConf(spark) {
-    withShufflePartitions(spark, 8) {  // state-store fleet sizing, see qs8
-    val schema = spark.read.parquet(eventsDir).schema
-    val stream = spark.readStream.schema(schema).parquet(eventsDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      .withWatermark("ts", "1 hour")
-      .dropDuplicatesWithinWatermark("event_id")
-      .select(col("event_id"), col("user_id"), col("event_type"))
-    val q = stream.writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(queryName)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(queryName)
-    }
-    }
+    drainDedup(spark, eventsDir, queryName, bounded = true)
 
   /** Streaming stream-static join: every micro-batch of events joins
     * the STATIC customer dimension (broadcast — the dim is read once
@@ -181,8 +199,8 @@ object EventStream {
     // leaked into the session.
     withShufflePartitions(spark, 8) {
     val schema = spark.read.parquet(eventsDir).schema
-    def src = spark.readStream.schema(schema).parquet(eventsDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    def src = graft.core.Tables.normalizeTs(
+      spark.readStream.schema(schema).parquet(eventsDir))
     val clicks = src.filter(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id"),
         col("ts").as("c_ts"))

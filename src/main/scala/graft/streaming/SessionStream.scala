@@ -159,8 +159,8 @@ object SessionStream {
     val gapMs = gapMinutes * 60L * 1000L
     val schema = spark.read.parquet(eventsDir).schema
 
-    val events = spark.readStream.schema(schema).parquet(eventsDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val events = graft.core.Tables.normalizeTs(
+        spark.readStream.schema(schema).parquet(eventsDir))
       .select(col("user_id"), col("ts"), col("event_id"), col("value"))
       .as[Evt]
 
@@ -274,8 +274,8 @@ object SessionStream {
       // state-store fleet sizing, same measurement as qs8/qs15
       EventStream.withShufflePartitions(spark, 8) {
       val schema = spark.read.parquet(eventsDir).schema
-      val sessions = spark.readStream.schema(schema).parquet(eventsDir)
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val sessions = graft.core.Tables.normalizeTs(
+          spark.readStream.schema(schema).parquet(eventsDir))
         .select(col("user_id"),
           date_trunc("second", col("ts")).as("tsec"), col("value"))
         .groupBy(col("user_id"),

@@ -205,24 +205,28 @@ class SimilaritySpec extends SparkSpec
       s"uniform quantizer must stay within half a cell, worst $worst cells")
   }
 
-  test("qe11: hand-packed signatures; hamming counts differing signs") {
+  test("qe11: hand-packed signatures; hamming sums sign + comparison words") {
     import spark.implicits._
-    // signs: 10 -> bits {0}, 11 -> bits {0,1}, 12 -> bits {} ;
-    // hamming(10,11)=1, hamming(10,12)=1, hamming(11,12)=2
+    // sign word:  10 -> bits {0}, 11 -> bits {0,1}, 12 -> bits {}
+    //   (0.0 is NOT > 0 -> bit clear)
+    // wta word (bit d: v[d] > v[(d+1) mod 2]):
+    //   10 (1,-1)   -> {0};  11 (0.5,2) -> {1};  12 (-1,0) -> {1}
+    // hamming(10,11) = 1 + 2 = 3; hamming(10,12) = 1 + 2 = 3;
+    // hamming(11,12) = 1 + 0 = 1
     val d = Seq(
       (10L, Array(1.0f, -1.0f)),
       (11L, Array(0.5f, 2.0f)),
-      (12L, Array(-1.0f, 0.0f)))   // 0.0 is NOT > 0 -> bit clear
+      (12L, Array(-1.0f, 0.0f)))
       .toDF("vec_id", "embedding")
     val got = Similarity.hammingKnn(d, Seq(10L), k = 2).collect()
       .map(r => r.getAs[Long]("vec_id") ->
         ((r.getAs[Int]("rnk"), r.getAs[Int]("hamming")))).toMap
-    assert(got(11L) == ((1, 1)) && got(12L) == ((2, 1)),
-      s"equal distance 1; vec_id is IN the rank order (oracle parity): $got")
+    assert(got(11L) == ((1, 3)) && got(12L) == ((2, 3)),
+      s"equal distance 3; vec_id is IN the rank order (oracle parity): $got")
   }
 
-  test("qe11: sign-bit recall vs exact cosine on the real sf0.01 corpus") {
-    // the compressed-scan trade measured: 8-byte signatures vs
+  test("qe11: 128-bit hamming recall vs exact cosine on the real sf0.01 corpus") {
+    // the compressed-scan trade measured: 16-byte signatures vs
     // 256-byte floats. 20 queries, k=10.
     val emb01 = spark.read
       .parquet("/root/testdata/sf0.01/embeddings.parquet").cache()
@@ -234,15 +238,18 @@ class SimilaritySpec extends SparkSpec
         .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
       val recall = q20.map(q =>
         (brute(q) & ham.getOrElse(q, Set.empty)).size / 10.0).sum / q20.size
-      info(f"sign-bit hamming recall@10: $recall%.3f")
-      // measured 0.270 on this corpus — uniform-random embeddings are
-      // sign-bits' WORST case (pairs sit near 90°, so ~half the bits
-      // disagree for everyone and the distance barely separates).
-      // That is the honest number for a 32x-compressed first-pass
-      // filter here; production re-ranks a wider hamming shortlist
-      // exactly (the Pq pattern), and clustered real corpora separate
-      // far better. The floor pins the measurement, not a promise.
-      assert(recall >= 0.20,
+      info(f"128-bit hamming recall@10: $recall%.3f")
+      // uniform-random embeddings are sign-bits' WORST case (pairs
+      // sit near 90°, so ~half the sign bits disagree for everyone):
+      // the 64-bit sign-only variant measured 0.270 here. Adding the
+      // 64 ordinal comparison bits (VERDICT r6 stretch) lifted the
+      // measurement — the floor below pins the re-measured value on
+      // the round-7 (micros-encoded) corpus, minus slack for future
+      // regenerations. Production still re-ranks a wider hamming
+      // shortlist exactly (the Pq pattern); clustered real corpora
+      // separate far better. The floor pins the measurement, not a
+      // promise.
+      assert(recall >= 0.25,
         f"hamming recall $recall%.3f fell below the measured floor")
     } finally emb01.unpersist(blocking = false)
   }
