@@ -43,7 +43,7 @@ object Tables {
     * restored (TablesScopeSpec proves both directions).
     */
   def events(s: SparkSession, d: String): DataFrame =
-    withNanosConf(s) {
+    withEventReadConfs(s) {
       normalizeTs(table(s, d, "events"))
     }
 
@@ -65,19 +65,38 @@ object Tables {
     }
   }
 
-  /** Run `body` with spark.sql.legacy.parquet.nanosAsLong=true, then
-    * restore the previous session value (also on failure).
+  /** Run `body` with the event-read session confs set, then restore
+    * the previous session values (also on failure):
+    *
+    *  - `nanosAsLong=true`: a TIMESTAMP(NANOS) file decodes as a
+    *    nanos LONG instead of crashing the vectorized reader;
+    *  - `inferTimestampNTZ.enabled=false`: a TIMESTAMP(MICROS,
+    *    isAdjustedToUTC=false) file decodes DIRECTLY as TimestampType
+    *    (raw epoch micros under the pinned UTC session — same
+    *    instants as the NTZ+cast path), so `ts` is a native scan
+    *    column: predicates on it stay pushable and row-group min/max
+    *    stats usable, and the per-row cast disappears from all 37
+    *    events-family plans. [[normalizeTs]]'s NTZ branch remains as
+    *    the fallback for frames read outside this scope.
     */
-  def withNanosConf[A](s: SparkSession)(body: => A): A = {
-    val key = "spark.sql.legacy.parquet.nanosAsLong"
-    val prev = s.conf.getOption(key)
-    s.conf.set(key, "true")
+  def withEventReadConfs[A](s: SparkSession)(body: => A): A = {
+    val settings = Seq(
+      "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+      "spark.sql.parquet.inferTimestampNTZ.enabled" -> "false")
+    val prev = settings.map { case (k, _) => k -> s.conf.getOption(k) }
+    settings.foreach { case (k, v) => s.conf.set(k, v) }
     try body
-    finally prev match {
-      case Some(v) => s.conf.set(key, v)
-      case None => s.conf.unset(key)
+    finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None)    => s.conf.unset(k)
     }
   }
+
+  /** Former name of [[withEventReadConfs]] (kept for external callers
+    * of the library API; same scoped-restore contract).
+    */
+  def withNanosConf[A](s: SparkSession)(body: => A): A =
+    withEventReadConfs(s)(body)
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }

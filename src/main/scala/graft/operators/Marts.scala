@@ -251,7 +251,7 @@ object Marts {
 
   /** Run `body` with session confs overridden, then restore each to
     * its previous value (the scoped discipline of
-    * Tables.withNanosConf, generalized to a set).
+    * Tables.withEventReadConfs, generalized to any set).
     */
   /** qp5 — Z-ORDER clustered layout + 2-D box read: lineitem written
     * along the Morton curve of (l_partkey, l_suppkey)

@@ -25,7 +25,7 @@ object EventStream {
     */
   def hourlyStatsAvailableNow(spark: SparkSession, eventsDir: String,
                               queryName: String): DataFrame =
-    graft.core.Tables.withNanosConf(spark) {
+    graft.core.Tables.withEventReadConfs(spark) {
     // 8 shuffle partitions => 8 state-store instances: the same
     // per-batch store-fleet overhead qs15 measured (32 partitions of
     // byte-small state are pure startup cost at drain scale; a
@@ -91,7 +91,7 @@ object EventStream {
 
   private def drainDedup(spark: SparkSession, eventsDir: String,
                          queryName: String, bounded: Boolean): DataFrame =
-    graft.core.Tables.withNanosConf(spark) {
+    graft.core.Tables.withEventReadConfs(spark) {
     withShufflePartitions(spark, 8) {  // state-store fleet sizing, see qs8
     val q = dedupFrame(spark, eventsDir, bounded).writeStream
       .outputMode("append")
@@ -153,7 +153,7 @@ object EventStream {
   def segmentSpendAvailableNow(spark: SparkSession, eventsDir: String,
                                customers: DataFrame,
                                queryName: String): DataFrame =
-    graft.core.Tables.withNanosConf(spark) {
+    graft.core.Tables.withEventReadConfs(spark) {
     withShufflePartitions(spark, 8) {  // state-store fleet sizing, see qs8
     val schema = spark.read.parquet(eventsDir).schema
     val stream = spark.readStream.schema(schema).parquet(eventsDir)
@@ -187,7 +187,7 @@ object EventStream {
     */
   def clickAttributionAvailableNow(spark: SparkSession, eventsDir: String,
                                    queryName: String): DataFrame =
-    graft.core.Tables.withNanosConf(spark) {
+    graft.core.Tables.withEventReadConfs(spark) {
     // a stream-stream join runs FOUR state stores per shuffle
     // partition (left/right × keyToNumValues/keyWithIndexToValue);
     // at the session's 32 partitions that is 128 store instances
@@ -238,7 +238,7 @@ object EventStream {
     */
   def foreachBatchSink(spark: SparkSession, eventsDir: String,
                        outDir: String): DataFrame =
-    graft.core.Tables.withNanosConf(spark) {
+    graft.core.Tables.withEventReadConfs(spark) {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(outDir))
     val schema = spark.read.parquet(eventsDir).schema
     val stream = spark.readStream.schema(schema).parquet(eventsDir)
@@ -267,7 +267,7 @@ object EventStream {
       .orderBy("event_id")
 
   /** Run `body` with spark.sql.shuffle.partitions overridden, then
-    * restore (same scoped discipline as Tables.withNanosConf — a
+    * restore (same scoped discipline as Tables.withEventReadConfs — a
     * leaked session conf was the r3 #3 defect class). The streaming
     * drain completes inside the scope, so every micro-batch plans
     * with the override.

@@ -153,7 +153,7 @@ object SessionStream {
                              queryName: String,
                              gapMinutes: Int = 30): DataFrame = {
     import spark.implicits._
-    graft.core.Tables.withNanosConf(spark) {
+    graft.core.Tables.withEventReadConfs(spark) {
     // state-store fleet sizing, same measurement as qs8/qs15
     EventStream.withShufflePartitions(spark, 8) {
     val gapMs = gapMinutes * 60L * 1000L
@@ -270,7 +270,7 @@ object SessionStream {
   def sessionWindowStream(spark: SparkSession, eventsDir: String,
                           queryName: String,
                           gapMinutes: Int = 30): DataFrame =
-    graft.core.Tables.withNanosConf(spark) {
+    graft.core.Tables.withEventReadConfs(spark) {
       // state-store fleet sizing, same measurement as qs8/qs15
       EventStream.withShufflePartitions(spark, 8) {
       val schema = spark.read.parquet(eventsDir).schema

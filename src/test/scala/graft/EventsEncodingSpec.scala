@@ -37,7 +37,13 @@ class EventsEncodingSpec extends SparkSpec {
     assert(ev.select(unix_micros(col("ts"))).head().getLong(0) == micros)
   }
 
-  test("micros NTZ ts casts to session-zone timestamp, same instant") {
+  test("micros NTZ ts loads as session-zone timestamp, same instant") {
+    // NOTE: a SPARK-written parquet embeds the catalyst schema in the
+    // footer metadata, so the reader recovers TIMESTAMP_NTZ from there
+    // and the scoped inferTimestampNTZ=false never applies — this file
+    // exercises normalizeTs' NTZ-cast fallback. The pyarrow-written
+    // live corpus has no such metadata, so it takes the native-read
+    // path (asserted on the live-corpus test below).
     val dir = writeDir("ntz")
     spark.range(1).select(
         timestamp_micros(lit(micros)).cast("timestamp_ntz").as("ts"),
@@ -46,6 +52,18 @@ class EventsEncodingSpec extends SparkSpec {
     val ev = load(dir)
     assert(ev.schema("ts").dataType == TimestampType)
     assert(ev.select(unix_micros(col("ts"))).head().getLong(0) == micros)
+  }
+
+  test("normalizeTs still casts an NTZ frame read outside the scope") {
+    val dir = writeDir("ntz2")
+    spark.range(1).select(
+        timestamp_micros(lit(micros)).cast("timestamp_ntz").as("ts"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    assert(raw.schema("ts").dataType != TimestampType)
+    val norm = Tables.normalizeTs(raw)
+    assert(norm.schema("ts").dataType == TimestampType)
+    assert(norm.select(unix_micros(col("ts"))).head().getLong(0) == micros)
   }
 
   test("timestamp ts passes through unchanged") {
@@ -62,5 +80,17 @@ class EventsEncodingSpec extends SparkSpec {
     val ev = Tables.events(spark, "/root/testdata/sf0.001")
     assert(ev.schema("ts").dataType == TimestampType)
     assert(ev.agg(max("ts")).head().getTimestamp(0) != null)
+    // when the corpus is micros-encoded (pyarrow-written, no catalyst
+    // footer metadata), the scoped inferTimestampNTZ=false read makes
+    // ts a NATIVE scan column — no per-row cast in any events plan
+    val rawType = Tables.withEventReadConfs(spark) {
+      spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .schema("ts").dataType
+    }
+    if (rawType == TimestampType) {
+      val plan = ev.queryExecution.optimizedPlan.toString
+      assert(!plan.toLowerCase.contains("cast(ts"),
+        s"micros corpus should read ts natively, not cast:\n$plan")
+    }
   }
 }

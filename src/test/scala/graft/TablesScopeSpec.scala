@@ -11,13 +11,18 @@ class TablesScopeSpec extends SparkSpec {
 
   private val key = "spark.sql.legacy.parquet.nanosAsLong"
 
+  private val ntzKey = "spark.sql.parquet.inferTimestampNTZ.enabled"
+
   test("events read restores the session conf and still executes") {
     spark.conf.unset(key)
+    spark.conf.unset(ntzKey)
     val ev = Tables.events(spark, "/root/testdata/sf0.001")
     // getOption surfaces the SQLConf DEFAULT ("false") when unset —
     // the point is the effective value is back to not-nanos
     assert(spark.conf.get(key) == "false",
       s"conf leaked: ${spark.conf.get(key)}")
+    assert(spark.conf.get(ntzKey) == "true",
+      s"NTZ-inference conf leaked: ${spark.conf.get(ntzKey)}")
     // the frame built under the scoped conf still executes fully —
     // and must actually DECODE the nanos ts column (a bare count()
     // would column-prune it and prove nothing about the read path)
