@@ -163,6 +163,7 @@ object SparkEntry {
     "qe11_knn_hamming"   -> (TrainingOps.knnHamming _),
     "qs31_timed_funnel"  -> (Events.timedFunnel _),
     "qs32_spend_share"   -> (Events.spendShare _),
+    "qs33_decayed_spend" -> (Events.decayedSpend _),
     "qe12_knn_ivfpq"     -> (TrainingOps.knnIvfPq _),
   )
 
@@ -967,6 +968,25 @@ object SparkEntry {
          |  CAST(rank() OVER (ORDER BY CAST(total_dec AS DOUBLE) DESC,
          |    event_type) AS INTEGER) AS rnk
          |FROM t, g ORDER BY rnk""".stripMargin),
+    // qs33: integral half-life decay — cents are exact BIGINTs
+    // (DECIMAL(18,2)*100), age // 7 nonneg so DuckDB floor division
+    // == Spark truncating div, the shift is exact integer math, and
+    // the final /100.0 is one IEEE division of a <2^53 integer.
+    "qs33_decayed_spend" ->
+      ("""WITH a AS (SELECT max(CAST(ts AS TIMESTAMP)::DATE) AS anchor_day
+         |  FROM events),
+         |e AS (SELECT user_id,
+         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+         |    LEAST(date_diff('day', CAST(ts AS TIMESTAMP)::DATE,
+         |      (SELECT anchor_day FROM a)) // 7, 62) AS k
+         |  FROM events),
+         |s AS (SELECT user_id, CAST(SUM(cents) AS BIGINT) AS raw_cents,
+         |    CAST(SUM(cents // (CAST(1 AS BIGINT) << CAST(k AS INTEGER)))
+         |      AS BIGINT) AS decayed_cents
+         |  FROM e GROUP BY 1)
+         |SELECT user_id, raw_cents / 100.0 AS raw_spend,
+         |  decayed_cents / 100.0 AS decayed_spend
+         |FROM s ORDER BY user_id""".stripMargin),
     "qd20_lexical_diversity" ->
       ("""WITH toks AS (
          |  SELECT doc_id, list_filter(string_split(

@@ -376,6 +376,45 @@ object Events {
       .orderBy("event_type", "user_id")
   }
 
+  /** qs33 — recency-decayed user value: each event's contribution to
+    * its user's total HALVES for every 7 full days of age relative to
+    * the corpus's newest event day — the recency weighting a
+    * data-mixing / user-scoring pass applies before sampling. Decay is
+    * the INTEGRAL half-life form: `cents div 2^k`, `k = age_days div
+    * 7` — deliberately not `pow(0.5, age/7.0)`, whose exp/pow last-ulp
+    * differences across engines (and double-sum ordering) would break
+    * hash parity; the integer shift is exact on both sides, and a
+    * week-bucketed half-life grid is what recency mixing schedules
+    * actually use. `raw_spend` rides along for the undecayed contrast.
+    *
+    * Scale shape: the anchor day is a 1-row aggregate broadcast into
+    * the scan (no window over an unpartitioned corpus); decay is
+    * per-row integer math and the user rollup is one map-side-partial
+    * groupBy — a single corpus exchange, same as qs4.
+    */
+  def decayedSpendOn(ev: DataFrame): DataFrame = {
+    val anchor = ev.agg(max(to_date(col("ts"))).as("anchor_day"))
+    ev.select(col("user_id"), to_date(col("ts")).as("day"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .crossJoin(broadcast(anchor))
+      // age is always >= 0 (anchor is the max day), so Spark's
+      // truncating div and DuckDB's floor // agree; 62 caps the shift
+      // inside a signed long (an >8.3-year-stale corpus decays to 0)
+      .withColumn("k",
+        least(expr("datediff(anchor_day, day) div 7"), lit(62L)).cast("int"))
+      .withColumn("dec_cents", expr("cents div shiftleft(1L, k)"))
+      .groupBy("user_id")
+      .agg(sum("cents").as("raw_cents"), sum("dec_cents").as("decayed_cents"))
+      .select(col("user_id"),
+        (col("raw_cents") / 100.0).as("raw_spend"),
+        (col("decayed_cents") / 100.0).as("decayed_spend"))
+      .orderBy("user_id")
+  }
+
+  /** The qs33 declared form over the events table. */
+  def decayedSpend(s: SparkSession, dir: String): DataFrame =
+    decayedSpendOn(Tables.events(s, dir))
+
   /** qs17 — hourly gap fill + forward fill: re-grain each event
     * type's hourly revenue onto a COMPLETE hourly spine (every hour
     * between the type's first and last active hour) and carry the

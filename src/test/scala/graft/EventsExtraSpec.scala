@@ -545,4 +545,22 @@ class EventsExtraSpec extends SparkSpec {
       "single-token doc keeps NULL bigram ratio")
     assert(!out.contains(4L), "token-free doc has no signal row")
   }
+
+  test("qs33: 7-day boundary halves, integer truncation, anchor is max day") {
+    val ev = eventsOf(
+      (1L, "2024-03-15 12:00:00", "view", 3.33),  // age 0d  k=0 -> 333
+      (1L, "2024-03-09 23:59:59", "view", 3.33),  // age 6d  k=0 -> 333
+      (1L, "2024-03-08 00:00:01", "view", 3.33),  // age 7d  k=1 -> 166 (truncates)
+      (2L, "2024-03-01 12:00:00", "view", 10.00), // age 14d k=2 -> 250
+      (2L, "2024-02-24 12:00:00", "view", 0.01))  // age 20d k=2 -> 0
+    val out = Events.decayedSpendOn(ev).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Double]("raw_spend"), r.getAs[Double]("decayed_spend"))))
+      .toMap
+    assert(out(1L) == ((9.99, 8.32)),
+      s"u1: 333+333+166 cents decayed, got ${out(1L)}")
+    assert(out(2L) == ((10.01, 2.50)),
+      s"u2: 250+0 cents decayed (sub-cent contribution floors to 0), " +
+        s"got ${out(2L)}")
+  }
 }
