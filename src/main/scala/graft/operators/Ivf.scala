@@ -93,6 +93,14 @@ object Ivf {
     emb.join(best, "vec_id")
   }
 
+  /** Nearest-cell assignment for operators composing on the coarse
+    * quantizer (e.g. [[Similarity.semanticDedup]]): emb columns plus
+    * `cluster`. Same relational-matmul shape as the private assign.
+    */
+  private[operators] def assignCells(emb: DataFrame,
+                                     model: IvfModel): DataFrame =
+    assign(emb, model)
+
   /** Column: array of the `n` nearest centroid ids to `embedding`. */
   private def nearestCentroids(model: IvfModel, n: Int)
       : org.apache.spark.sql.Column = {

@@ -473,6 +473,46 @@ object Similarity {
       .orderBy("query_id", "rnk", "vec_id")
   }
 
+  /** Cluster-scoped semantic dedup — the SemDeDup shape (Abbas et
+    * al. 2023, arXiv:2303.09540): candidate pairs exist only WITHIN a
+    * coarse k-means cell of the (cached) IVF model, so pair volume is
+    * Σ_c n_c² instead of n², and each cell prunes independently. This
+    * is the embedding-dedup formulation that survives 100 TB: the
+    * corpus-wide work is one cell assignment (the IVF relational
+    * matmul) plus one shuffle keyed on cell; the quadratic piece is
+    * per-cell and bounded by the largest cell, tunable via k.
+    * Contrast [[embeddingNearDups]]: global sign-LSH banding has
+    * near-perfect recall but corpus-wide band exchanges; SemDeDup
+    * trades the cross-cell pairs (measured in SimilaritySpec against
+    * the exhaustive baseline) for strictly cell-local quadratics.
+    *
+    * Verdict per vector: `dup_of` = the lowest SAME-CELL vec_id below
+    * it with cosine >= threshold (null ⇒ kept) — keep-lowest-id, the
+    * qd1/qd40 convention. Deterministic: exact VecDot cosines, min
+    * aggregate, no RNG beyond the model's hash-seeded training.
+    */
+  def semanticDedup(emb: DataFrame, model: Ivf.IvfModel,
+                    threshold: Double): DataFrame = {
+    graft.functions.VecDot.register(emb.sparkSession)
+    val assigned = Ivf.assignCells(emb, model)
+      .select(col("vec_id"), col("cluster"), col("embedding"),
+        normN(col("embedding")).as("nrm"))
+    val right = assigned.select(col("cluster"),
+      col("vec_id").as("vec_b"), col("embedding").as("emb_b"),
+      col("nrm").as("nrm_b"))
+    val dups = assigned.join(right, "cluster")
+      .filter(col("vec_b") < col("vec_id"))
+      .withColumn("sim",
+        dotN(col("embedding"), col("emb_b")) / (col("nrm") * col("nrm_b")))
+      .filter(col("sim") >= threshold)
+      .groupBy("vec_id").agg(min("vec_b").as("dup_of"))
+    assigned.select(col("vec_id"), col("cluster"))
+      .join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"), col("dup_of"),
+        col("dup_of").isNotNull.as("is_dup"))
+      .orderBy("vec_id")
+  }
+
   /** qe10 — label-centroid similarity matrix: cosine between every
     * pair of per-label centroids — the dataset-cartography readout
     * (which classes are embedding-space neighbors, which labelings

@@ -254,6 +254,68 @@ class SimilaritySpec extends SparkSpec
     } finally emb01.unpersist(blocking = false)
   }
 
+  test("semanticDedup: dups found within a cell, missed across cells") {
+    import spark.implicits._
+    // hand centroids: cell 0 ~ +x, cell 1 ~ +y
+    val model = graft.operators.Ivf.IvfModel(Array(
+      0 -> Array(1.0, 0.0), 1 -> Array(0.0, 1.0)))
+    val d = Seq(
+      (10L, Array(1.0f, 0.1f)),    // cell 0
+      (11L, Array(1.0f, 0.1f)),    // cell 0 — dup of 10 (same cell)
+      (12L, Array(0.1f, 1.0f)),    // cell 1
+      (13L, Array(0.75f, 0.72f)),  // cell 0 (x edges y)
+      (14L, Array(0.72f, 0.75f)))  // cell 1 — near-dup of 13 but CROSS-CELL
+      .toDF("vec_id", "embedding")
+    val out = Similarity.semanticDedup(d, model, threshold = 0.95)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Int]("cluster"), Option(r.getAs[java.lang.Long]("dup_of"))
+          .map(_.toLong), r.getAs[Boolean]("is_dup")))).toMap
+    assert(out(10L) == ((0, None, false)))
+    assert(out(11L) == ((0, Some(10L), true)), s"same-cell dup: ${out(11L)}")
+    assert(out(12L) == ((1, None, false)))
+    // 13/14 have cosine ~0.9996 but sit in different cells — the
+    // documented SemDeDup recall trade: the pair is NOT flagged
+    assert(out(13L) == ((0, None, false)) && out(14L) == ((1, None, false)),
+      s"cross-cell near-dup must be missed by design: ${out(13L)}, ${out(14L)}")
+  }
+
+  test("semanticDedup: cell-scoped recall vs exhaustive on the real sf0.01 corpus") {
+    val emb01 = spark.read
+      .parquet("/root/testdata/sf0.01/embeddings.parquet").cache()
+    try {
+      val model = graft.operators.TrainingOps.ivfModel(
+        spark, "/root/testdata/sf0.01")
+      val t = 0.3
+      val flagged = Similarity.semanticDedup(emb01, model, t)
+        .filter(col("is_dup")).select("vec_id").collect()
+        .map(_.getLong(0)).toSet
+      // exhaustive baseline: any lower-id vector at sim >= t, global
+      val base = emb01.select(col("vec_id"), col("embedding"))
+      val right = emb01.select(col("vec_id").as("vec_b"),
+        col("embedding").as("emb_b"))
+      val global = base.crossJoin(right)
+        .filter(col("vec_b") < col("vec_id"))
+        .filter(Similarity.dotD(col("embedding"), col("emb_b"))
+          / (Similarity.normD(col("embedding"))
+            * Similarity.normD(col("emb_b"))) >= t)
+        .select("vec_id").distinct().collect().map(_.getLong(0)).toSet
+      assert(flagged.subsetOf(global),
+        "cell-scoped dups must be a subset of the global dups (no false positives)")
+      val recall =
+        if (global.isEmpty) 1.0 else flagged.size.toDouble / global.size
+      info(f"semanticDedup recall vs exhaustive: $recall%.3f " +
+        s"(${flagged.size}/${global.size}, k=${model.k} cells)")
+      // uniform-random corpus at threshold 0.3: cross-cell pairs are
+      // common (cells barely separate), so this pins the HONEST
+      // measurement of the SemDeDup trade on the worst-case corpus —
+      // measured 0.460 (167/363 at k=22) on the round-7 micros
+      // corpus; clustered real embeddings retain far more. Floor
+      // leaves slack for future corpus regenerations.
+      assert(recall >= 0.35,
+        f"cell-scoped recall $recall%.3f fell below the measured floor")
+    } finally emb01.unpersist(blocking = false)
+  }
+
   test("qe9: MMR swaps the duplicate for the diverse candidate; round-1 score is lambda*rel") {
     import spark.implicits._
     // query 0 on +x; 1 and 2 are the SAME vector (plain top-2 would
