@@ -160,6 +160,7 @@ object SparkEntry {
     "qe10_centroid_matrix" -> (graft.operators.Similarity.centroidMatrixQuery _),
     "qm4_media_dedup"    -> (TrainingOps.mediaDedup _),
     "qd42_cross_perplexity" -> (TrainingOps.crossPerplexity _),
+    "qd43_corpus_report" -> (TrainingOps.corpusReport _),
     "qe11_knn_hamming"   -> (TrainingOps.knnHamming _),
     "qs31_timed_funnel"  -> (Events.timedFunnel _),
     "qs32_spend_share"   -> (Events.spendShare _),
@@ -1069,6 +1070,33 @@ object SparkEntry {
     // qd42: qd23's char-bigram mirror split ref/score; Laplace terms
     // quantized to micro-nats AFTER identical double divisions, so
     // per-doc sums are exact integers; ln-vs-log ulp absorbed by the
+    // qd43: dup flag partitions by text alone (Spark adds the hash
+    // key only to cheapen the sort — text rides along, so groups are
+    // identical); tokens are qd2's whitespace convention; avg_chars
+    // is one IEEE division of exact BIGINT totals.
+    "qd43_corpus_report" ->
+      ("""WITH f AS (SELECT source, lang, text, n_chars,
+         |    CASE WHEN row_number() OVER (PARTITION BY text
+         |      ORDER BY doc_id) > 1 THEN 1 ELSE 0 END AS is_dup
+         |  FROM documents),
+         |s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(is_dup) AS BIGINT) AS n_dup_docs,
+         |    CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 0
+         |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END)
+         |      AS BIGINT) AS total_tokens,
+         |    CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         |    CAST(SUM(n_chars) AS BIGINT) AS total_chars
+         |  FROM f GROUP BY 1),
+         |l AS (SELECT source, lang, count(*) AS cnt
+         |  FROM documents GROUP BY 1, 2),
+         |t AS (SELECT source, lang AS top_lang,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY cnt DESC, lang) AS rn FROM l)
+         |SELECT s.source, n_docs, n_dup_docs, total_tokens, n_langs,
+         |  t.top_lang,
+         |  CAST(total_chars AS DOUBLE) / CAST(n_docs AS DOUBLE) AS avg_chars
+         |FROM s JOIN t ON s.source = t.source AND t.rn = 1
+         |ORDER BY s.source""".stripMargin),
     // floor(+0.5) quantization (the qd11/qd23 precedent).
     "qd42_cross_perplexity" ->
       ("""WITH b AS (

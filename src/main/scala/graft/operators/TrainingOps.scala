@@ -745,6 +745,53 @@ object TrainingOps {
         sum(col("n_chars")).as("total_chars"))
       .orderBy("source")
 
+  /** qd43 — the corpus data card: the per-source report a curation
+    * pipeline publishes before a training run, composing the suite's
+    * exact semantics into one declared query: doc count, exact-dup
+    * count (qd1's convention — a doc is a dup when a lower doc_id
+    * carries identical text; attributed to the dup's source),
+    * whitespace token totals (qd2's tokenizer), language spread +
+    * majority language (count desc, lexicographic tie-break), and
+    * mean doc length from the n_chars column (one IEEE division of
+    * exact integer totals).
+    *
+    * Scale shape: the dup flag is qd1's (hash, text)-keyed window —
+    * 8-byte sort keys, full text compared only on hash-equal runs;
+    * the scalar rollup is one map-side-partial groupBy(source); the
+    * majority language ranks the tiny aggregated (source × lang)
+    * frame. Corpus-magnitude exchanges: the dedup window + one
+    * source rollup.
+    */
+  def corpusReport(s: SparkSession, dir: String): DataFrame =
+    corpusReportOn(Tables.documents(s, dir))
+
+  /** [[corpusReport]] over any frame with the documents schema. */
+  def corpusReportOn(docs: DataFrame): DataFrame = {
+    val flagged = docs
+      .withColumn("_h", xxhash64(col("text")))
+      .withColumn("first_id",
+        min("doc_id").over(Window.partitionBy("_h", "text")))
+      .withColumn("is_dup", col("doc_id") =!= col("first_id"))
+    val scalars = flagged.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup_docs"),
+      sum(TextFns.tokenCount(col("text")).cast("long")).as("total_tokens"),
+      countDistinct(col("lang")).as("n_langs"),
+      sum(col("n_chars")).as("total_chars"))
+    val wl = Window.partitionBy("source")
+      .orderBy(col("cnt").desc, col("lang"))
+    val top = docs.groupBy("source", "lang").agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(wl))
+      .filter(col("rn") === 1)
+      .select(col("source"), col("lang").as("top_lang"))
+    scalars.join(top, "source")
+      .select(col("source"), col("n_docs"), col("n_dup_docs"),
+        col("total_tokens"), col("n_langs"), col("top_lang"),
+        (col("total_chars").cast("double") / col("n_docs").cast("double"))
+          .as("avg_chars"))
+      .orderBy("source")
+  }
+
   /** Corpus vocabulary: top-50 tokens by document frequency —
     * explode (Generator) + two-level aggregation, the word-count
     * shape with per-doc dedup first.

@@ -399,4 +399,24 @@ class TrainingOpsExtraSpec extends SparkSpec {
     // growing the corpus with unrelated docs must not move cluster 3
     assert(splitOf(core, 3L) == splitOf(core ++ extra, 3L))
   }
+
+  test("qd43: dup attributed to the dup's source; majority-lang ties break lexicographic") {
+    import spark.implicits._
+    // doc 3 duplicates doc 1's text but lives in source B: the dup
+    // count lands on B. Source B has a 1-1 en/de lang tie -> 'de'.
+    val docs = Seq(
+      (1L, "hello world", "en", "A", 11L),
+      (2L, "aaa bbb ccc", "en", "A", 11L),
+      (3L, "hello world", "de", "B", 11L),
+      (4L, "xyz qrs", "en", "B", 7L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TrainingOps.corpusReportOn(docs).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_dup_docs"),
+          r.getAs[Long]("total_tokens"), r.getAs[Long]("n_langs"),
+          r.getAs[String]("top_lang"), r.getAs[Double]("avg_chars"))))
+      .toMap
+    assert(out("A") == ((2L, 0L, 5L, 1L, "en", 11.0)), s"A: ${out("A")}")
+    assert(out("B") == ((2L, 1L, 4L, 2L, "de", 9.0)), s"B: ${out("B")}")
+  }
 }
