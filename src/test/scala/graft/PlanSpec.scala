@@ -629,6 +629,24 @@ class PlanSpec extends SparkSpec
       s"no exchange reuse in qd41's executed plan:\n$p")
   }
 
+  test("qs33: anchor is a broadcast 1-row aggregate; one corpus exchange + sort") {
+    val p = plan(graft.operators.Events.decayedSpend(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"anchor day should broadcast into the scan:\n$p")
+    // exchanges: the anchor's tiny aggregate, the user rollup, the
+    // output sort — nothing else touches corpus magnitude twice
+    assert("Exchange".r.findAllIn(p).size <= 4, p)
+  }
+
+  test("qd43: dup window keys on (hash, text); majority ranks the aggregated frame") {
+    val p = plan(graft.operators.TrainingOps.corpusReport(spark, sf))
+    assert(p.contains("xxhash64"),
+      s"dedup window should sort 8-byte hash keys first:\n$p")
+    // two Window nodes total: the dup flag (corpus) and the majority
+    // rank over the tiny (source x lang) aggregate
+    assert("\\bWindow\\b".r.findAllIn(p).size == 2, p)
+  }
+
   test("global sweep: no declared query plans a CartesianProduct") {
     // BroadcastNestedLoopJoin is allowed ONLY where the operator is
     // deliberately O(n^2) at its declared verification config (qe3's
@@ -648,9 +666,12 @@ class PlanSpec extends SparkSpec
         // qd42: the reference model's (t, V) scalars as a 1-row
         // broadcast (the qd22/qd23 class)
         "qd42_cross_perplexity",
-        // qe11: brute scan BY DESIGN over 8-byte signatures — the
-        // compressed-scan baseline (qe1's class, 1/32nd the bytes)
-        "qe11_knn_hamming")
+        // qe11: brute scan BY DESIGN over 16-byte signatures — the
+        // compressed-scan baseline (qe1's class, 1/16th the bytes)
+        "qe11_knn_hamming",
+        // qs33: the corpus anchor day as a 1-row broadcast (the
+        // qd22/qd23 class)
+        "qs33_decayed_spend")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val p = plan(fn(spark, sf))
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian")
