@@ -166,6 +166,7 @@ object SparkEntry {
     "qs32_spend_share"   -> (Events.spendShare _),
     "qs33_decayed_spend" -> (Events.decayedSpend _),
     "qe12_knn_ivfpq"     -> (TrainingOps.knnIvfPq _),
+    "qe13_knn_graph"     -> (TrainingOps.knnGraph _),
   )
 
   /** Queries intentionally without an oracle — EMPTY since round 5:
@@ -533,6 +534,24 @@ object SparkEntry {
     // arguments stack — every candidate admitted, every one exactly
     // re-ranked — so brute's oracle applies for any codebooks.
     "qe12_knn_ivfpq" -> knnSql,
+    // qe13: the kNN SELF-join — knnSql's construction with every
+    // vector as a query (same sequential-fold cosine, same rank tie
+    // on the neighbor id), k=3.
+    "qe13_knn_graph" ->
+      (s"""WITH base AS (
+         |  SELECT vec_id, embedding,
+         |    sqrt(${dotSql("embedding", "embedding")}) AS nrm
+         |  FROM embeddings),
+         |s AS (
+         |  SELECT a.vec_id, b.vec_id AS nbr_id,
+         |    ${dotSql("b.embedding", "a.embedding")} / (b.nrm * a.nrm) AS sim
+         |  FROM base a, base b WHERE b.vec_id <> a.vec_id),
+         |r AS (SELECT vec_id, nbr_id, sim,
+         |        CAST(rank() OVER (PARTITION BY vec_id
+         |          ORDER BY sim DESC, nbr_id) AS INTEGER) AS rnk
+         |      FROM s)
+         |SELECT vec_id, nbr_id, rnk, sim FROM r WHERE rnk <= 3
+         |ORDER BY vec_id, rnk, nbr_id""".stripMargin),
     // qe3 at 1-bit-band geometry: a pair escapes blocking only when
     // all 16 sign bits differ — p ~ (acos(sim)/pi)^16, ~5e-7 per pair
     // at the 0.3 threshold and vanishing for higher sims — so the

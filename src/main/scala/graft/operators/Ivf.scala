@@ -101,6 +101,15 @@ object Ivf {
                                      model: IvfModel): DataFrame =
     assign(emb, model)
 
+  /** (vec_id, probe) — each vector exploded to its `n` nearest cell
+    * ids, for cell-blocked join operators (e.g. the kNN self-join's
+    * scale path, [[Similarity.knnGraphBlocked]]).
+    */
+  private[operators] def probeCells(emb: DataFrame, model: IvfModel,
+                                    n: Int): DataFrame =
+    emb.select(col("vec_id"),
+      explode(nearestCentroids(model, n)).as("probe"))
+
   /** Column: array of the `n` nearest centroid ids to `embedding`. */
   private def nearestCentroids(model: IvfModel, n: Int)
       : org.apache.spark.sql.Column = {

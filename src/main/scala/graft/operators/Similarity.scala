@@ -473,6 +473,65 @@ object Similarity {
       .orderBy("query_id", "rnk", "vec_id")
   }
 
+  /** qe13 — kNN SELF-join (the similarity graph): every vector's k
+    * nearest neighbors by exact cosine — the primitive clustering,
+    * graph dedup, and SemDeDup-style pipelines consume (they operate
+    * on the neighbor graph, not on per-query lookups). Declared as
+    * the all-pairs exact baseline, qe1's class: one side broadcasts,
+    * every pair scores inside one codegen stage, rank ties break on
+    * nbr_id. [[knnGraphBlocked]] is the cell-blocked scale path.
+    */
+  def knnGraph(emb: DataFrame, k: Int): DataFrame = {
+    graft.functions.VecDot.register(emb.sparkSession)
+    val base = emb.select(col("vec_id"), col("embedding"),
+      normN(col("embedding")).as("nrm"))
+    val right = base.select(col("vec_id").as("nbr_id"),
+      col("embedding").as("n_emb"), col("nrm").as("n_nrm"))
+    knnGraphRank(base.crossJoin(broadcast(right)), k)
+  }
+
+  /** IVF-cell-blocked kNN self-join — the 100 TB shape for qe13:
+    * candidate pairs exist only where the neighbor's cell is among
+    * the vector's `nProbe` nearest cells (the [[Ivf]] coarse
+    * quantizer), so pair volume is ~nProbe/k of all-pairs and the
+    * join is a plain shuffle on cell id — no broadcast of the corpus,
+    * no quadratic exchange. Multi-probe duplicates are impossible by
+    * construction (a neighbor lives in exactly ONE cell, so a
+    * (vector, neighbor) pair arises once even when nProbe > 1).
+    * Recall vs the exact graph is measured in SimilaritySpec — the
+    * same honest-operating-point discipline as IVF search's nProbe
+    * curve.
+    */
+  def knnGraphBlocked(emb: DataFrame, model: Ivf.IvfModel,
+                      k: Int, nProbe: Int): DataFrame = {
+    graft.functions.VecDot.register(emb.sparkSession)
+    val assigned = Ivf.assignCells(emb, model)
+      .select(col("vec_id").as("nbr_id"), col("cluster"),
+        col("embedding").as("n_emb"),
+        normN(col("embedding")).as("n_nrm"))
+    val probes = Ivf.probeCells(emb, model, nProbe)
+      .join(emb.select(col("vec_id"), col("embedding")), "vec_id")
+      .withColumn("nrm", normN(col("embedding")))
+    knnGraphRank(
+      probes.join(assigned, col("probe") === col("cluster")), k)
+  }
+
+  /** Shared scoring tail: exclude self, exact cosine, top-k per
+    * vector with (sim desc, nbr_id) rank ties.
+    */
+  private def knnGraphRank(pairs: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("sim").desc, col("nbr_id"))
+    pairs
+      .filter(col("nbr_id") =!= col("vec_id"))
+      .withColumn("sim",
+        dotN(col("embedding"), col("n_emb")) / (col("nrm") * col("n_nrm")))
+      .withColumn("rnk", rank().over(w).cast("int"))
+      .filter(col("rnk") <= k)
+      .select("vec_id", "nbr_id", "rnk", "sim")
+      .orderBy("vec_id", "rnk", "nbr_id")
+  }
+
   /** Cluster-scoped semantic dedup — the SemDeDup shape (Abbas et
     * al. 2023, arXiv:2303.09540): candidate pairs exist only WITHIN a
     * coarse k-means cell of the (cached) IVF model, so pair volume is

@@ -1043,6 +1043,10 @@ object TrainingOps {
     * batch as qe1 — the compressed-scan baseline (8-byte signatures,
     * XOR+popcount distances, all exact ints).
     */
+  /** qe13 declared form: the exact k=3 similarity graph. */
+  def knnGraph(s: SparkSession, dir: String): DataFrame =
+    Similarity.knnGraph(Tables.embeddings(s, dir), 3)
+
   def knnHamming(s: SparkSession, dir: String): DataFrame =
     Similarity.hammingKnn(Tables.embeddings(s, dir), knnQueryIds, 10)
 

@@ -671,7 +671,11 @@ class PlanSpec extends SparkSpec
         "qe11_knn_hamming",
         // qs33: the corpus anchor day as a 1-row broadcast (the
         // qd22/qd23 class)
-        "qs33_decayed_spend")
+        "qs33_decayed_spend",
+        // qe13: the all-pairs EXACT baseline by declaration (qe1's
+        // class); the scale path is the cell-blocked equi-join
+        // variant, spec-measured
+        "qe13_knn_graph")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val p = plan(fn(spark, sf))
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian")

@@ -316,6 +316,33 @@ class SimilaritySpec extends SparkSpec
     } finally emb01.unpersist(blocking = false)
   }
 
+  test("qe13: blocked kNN graph — edge recall vs the exact graph on sf0.01") {
+    val emb01 = spark.read
+      .parquet("/root/testdata/sf0.01/embeddings.parquet").cache()
+    try {
+      val model = graft.operators.TrainingOps.ivfModel(
+        spark, "/root/testdata/sf0.01")
+      def edges(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+        df.select("vec_id", "nbr_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val exact = edges(Similarity.knnGraph(emb01, 3))
+      val blocked = Similarity.knnGraphBlocked(emb01, model, 3, nProbe = 4)
+      val got = edges(blocked)
+      // a neighbor lives in exactly one cell — multi-probe must not
+      // duplicate (vec, nbr) edges
+      assert(got.size == blocked.count(),
+        "blocked graph emitted duplicate edges")
+      val recall = (exact & got).size.toDouble / exact.size
+      info(f"blocked kNN-graph edge recall@3 (nProbe=4, k=${model.k}): " +
+        f"$recall%.3f")
+      // worst-case uniform-random corpus; same class as the IVF
+      // nProbe curve. Floor pins the round-7 measurement (0.555)
+      // with slack for corpus regenerations.
+      assert(recall >= 0.45,
+        f"blocked edge recall $recall%.3f fell below the measured floor")
+    } finally emb01.unpersist(blocking = false)
+  }
+
   test("qe9: MMR swaps the duplicate for the diverse candidate; round-1 score is lambda*rel") {
     import spark.implicits._
     // query 0 on +x; 1 and 2 are the SAME vector (plain top-2 would
