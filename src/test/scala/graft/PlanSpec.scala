@@ -647,6 +647,15 @@ class PlanSpec extends SparkSpec
     assert("\\bWindow\\b".r.findAllIn(p).size == 2, p)
   }
 
+  test("qe13 blocked: cell-keyed equi-join — no corpus broadcast, no cartesian") {
+    val model = graft.operators.TrainingOps.ivfModel(spark, sf)
+    val p = plan(graft.operators.Similarity.knnGraphBlocked(
+      graft.core.Tables.embeddings(spark, sf), model, 3, nProbe = 4))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"blocked kNN graph must stay an equi-join:\n$p")
+  }
+
   test("global sweep: no declared query plans a CartesianProduct") {
     // BroadcastNestedLoopJoin is allowed ONLY where the operator is
     // deliberately O(n^2) at its declared verification config (qe3's
