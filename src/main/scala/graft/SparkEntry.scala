@@ -165,6 +165,7 @@ object SparkEntry {
     "qs31_timed_funnel"  -> (Events.timedFunnel _),
     "qs32_spend_share"   -> (Events.spendShare _),
     "qs33_decayed_spend" -> (Events.decayedSpend _),
+    "qs34_stickiness"    -> (Events.stickiness _),
     "qe12_knn_ivfpq"     -> (TrainingOps.knnIvfPq _),
     "qe13_knn_graph"     -> (TrainingOps.knnGraph _),
   )
@@ -1007,6 +1008,23 @@ object SparkEntry {
          |SELECT user_id, raw_cents / 100.0 AS raw_spend,
          |  decayed_cents / 100.0 AS decayed_spend
          |FROM s ORDER BY user_id""".stripMargin),
+    // qs34: the day-range join form — equivalent to Spark's explode
+    // fanout restricted to observed days; counts exact, one IEEE
+    // division.
+    "qs34_stickiness" ->
+      ("""WITH ud AS (SELECT DISTINCT user_id,
+         |    CAST(ts AS TIMESTAMP)::DATE AS day FROM events),
+         |days AS (SELECT DISTINCT day FROM ud),
+         |dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau
+         |  FROM ud GROUP BY 1),
+         |wau AS (SELECT d.day, CAST(count(DISTINCT u.user_id) AS BIGINT)
+         |    AS wau
+         |  FROM days d JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day
+         |  GROUP BY 1)
+         |SELECT strftime(dau.day, '%Y-%m-%d') AS day, dau.dau, wau.wau,
+         |  CAST(dau.dau AS DOUBLE) / CAST(wau.wau AS DOUBLE) AS stickiness
+         |FROM dau JOIN wau ON dau.day = wau.day
+         |ORDER BY day""".stripMargin),
     "qd20_lexical_diversity" ->
       ("""WITH toks AS (
          |  SELECT doc_id, list_filter(string_split(

@@ -415,6 +415,41 @@ object Events {
   def decayedSpend(s: SparkSession, dir: String): DataFrame =
     decayedSpendOn(Tables.events(s, dir))
 
+  /** qs34 — DAU/WAU stickiness: per active day, distinct users
+    * active that day over distinct users active in the trailing
+    * 7 days — the standard engagement ratio an events pipeline
+    * reports daily. Computed in the EQUI-join shape, not a day-range
+    * join: each deduped (user, day) activity row fans out to the ≤7
+    * report days it supports (`sequence(day, day+6)` explode), then
+    * one distinct-style aggregate per report day. At 100 TB the
+    * fanout is 7× a frame ALREADY deduped to (user, day) — bounded,
+    * shuffle-keyed on day — where a day-range nested loop would pair
+    * the corpus against every report day. `stickiness = dau/wau` is
+    * one IEEE division of exact counts.
+    */
+  def stickinessOn(ev: DataFrame): DataFrame = {
+    val ud = ev.select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val days = ud.select(col("day")).distinct()
+    val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+    val wau = ud
+      .select(col("user_id"),
+        explode(expr("sequence(day, date_add(day, 6))")).as("day"))
+      .distinct()
+      .join(days, "day") // report only days with activity
+      .groupBy("day").agg(count(lit(1)).as("wau"))
+    dau.join(wau, "day")
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("dau"), col("wau"),
+        (col("dau").cast("double") / col("wau").cast("double"))
+          .as("stickiness"))
+      .orderBy("day")
+  }
+
+  /** The qs34 declared form over the events table. */
+  def stickiness(s: SparkSession, dir: String): DataFrame =
+    stickinessOn(Tables.events(s, dir))
+
   /** qs17 — hourly gap fill + forward fill: re-grain each event
     * type's hourly revenue onto a COMPLETE hourly spine (every hour
     * between the type's first and last active hour) and carry the

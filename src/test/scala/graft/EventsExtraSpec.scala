@@ -563,4 +563,24 @@ class EventsExtraSpec extends SparkSpec {
       s"u2: 250+0 cents decayed (sub-cent contribution floors to 0), " +
         s"got ${out(2L)}")
   }
+
+  test("qs34: trailing window is 7 calendar days inclusive; only active days report") {
+    val ev = eventsOf(
+      (1L, "2024-01-01 10:00:00", "view", 1.0),
+      (1L, "2024-01-08 10:00:00", "view", 1.0),  // exactly 7 days later:
+                                                 // 01-01 is OUTSIDE its window
+      (2L, "2024-01-05 10:00:00", "view", 1.0))
+    val out = Events.stickinessOn(ev).collect()
+      .map(r => r.getAs[String]("day") ->
+        ((r.getAs[Long]("dau"), r.getAs[Long]("wau"),
+          r.getAs[Double]("stickiness")))).toMap
+    assert(out.keySet == Set("2024-01-01", "2024-01-05", "2024-01-08"),
+      s"only ACTIVE days report (no gap-day rows): ${out.keySet}")
+    assert(out("2024-01-01") == ((1L, 1L, 1.0)))
+    assert(out("2024-01-05") == ((1L, 2L, 0.5)),
+      s"u1's 01-01 is inside [12-30, 01-05]: ${out("2024-01-05")}")
+    assert(out("2024-01-08") == ((1L, 2L, 0.5)),
+      s"u1's 01-01 must fall OFF the [01-02, 01-08] window: " +
+        s"${out("2024-01-08")}")
+  }
 }
