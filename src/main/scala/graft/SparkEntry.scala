@@ -161,6 +161,7 @@ object SparkEntry {
     "qm4_media_dedup"    -> (TrainingOps.mediaDedup _),
     "qd42_cross_perplexity" -> (TrainingOps.crossPerplexity _),
     "qd43_corpus_report" -> (TrainingOps.corpusReport _),
+    "qd44_cluster_reps"  -> (TrainingOps.clusterRepresentatives _),
     "qe11_knn_hamming"   -> (TrainingOps.knnHamming _),
     "qs31_timed_funnel"  -> (Events.timedFunnel _),
     "qs32_spend_share"   -> (Events.spendShare _),
@@ -287,6 +288,7 @@ object SparkEntry {
         "FROM documents ORDER BY doc_id"),
     "qd7_simhash" -> simhashSql,
     "qd13_dup_clusters" -> dupClustersSql,
+    "qd44_cluster_reps" -> clusterRepsSql,
     // qd16 computes the same components via large-star/small-star —
     // identical labels, identical oracle.
     "qd16_dup_clusters_star" -> dupClustersSql,
@@ -1961,6 +1963,21 @@ object SparkEntry {
   private val dupClustersSql: String =
     s"""$componentsCte
        |SELECT doc_id, cluster FROM cl ORDER BY doc_id""".stripMargin
+
+  /** qd44: qd13's components + keep-longest representative (tie:
+    * lowest doc_id); singleton clusters keep themselves.
+    */
+  private val clusterRepsSql: String =
+    s"""$componentsCte,
+       |lab AS (SELECT cl.doc_id, cl.cluster, d.n_chars
+       |  FROM cl JOIN documents d USING (doc_id)),
+       |rep AS (SELECT cluster, doc_id AS rep_id,
+       |    row_number() OVER (PARTITION BY cluster
+       |      ORDER BY n_chars DESC, doc_id) AS rn FROM lab)
+       |SELECT lab.doc_id, lab.cluster, rep.rep_id,
+       |  lab.doc_id = rep.rep_id AS is_rep
+       |FROM lab JOIN rep ON lab.cluster = rep.cluster AND rep.rn = 1
+       |ORDER BY lab.doc_id""".stripMargin
 
   /** qd36: split = fingerprint of the CLUSTER id (same polynomial
     * fold as qd12, digits are ASCII so codepoints == UTF-8 bytes),

@@ -518,6 +518,35 @@ object TrainingOps {
       .orderBy("doc_id")
   }
 
+  /** qd44 — dup-cluster representative selection: within each
+    * near-dup cluster (qd13's components) KEEP the longest member,
+    * tie-broken to the lowest doc_id — the curation semantic real
+    * dedup passes apply (the most complete variant of a boilerplate-
+    * duplicated page survives, not the arbitrary min-id one; cf.
+    * min-id keeps in qd1/qd40, which this deliberately contrasts).
+    * Singleton clusters keep themselves. One tiny window over the
+    * (doc, cluster) labels joined to n_chars — the expensive part is
+    * the shared component computation itself.
+    */
+  def clusterRepresentatives(s: SparkSession, dir: String): DataFrame =
+    representativesOn(dupClusters(s, dir),
+      Tables.documents(s, dir).select(col("doc_id"), col("n_chars")))
+
+  /** The selection rule alone, over any (doc_id, cluster) labels and
+    * (doc_id, n_chars) length frames — spec-testable without the
+    * minhash component machinery.
+    */
+  def representativesOn(labels: DataFrame, docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy("cluster")
+      .orderBy(col("n_chars").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    labels.join(docs, "doc_id")
+      .withColumn("rep_id", first("doc_id").over(w))
+      .select(col("doc_id"), col("cluster"), col("rep_id"),
+        (col("doc_id") === col("rep_id")).as("is_rep"))
+      .orderBy("doc_id")
+  }
+
   /** qd16 — qd13's duplicate clusters through the alternating
     * large-star/small-star algorithm ([[Dedup.dupClustersStar]]):
     * identical components by construction, so it shares qd13's

@@ -419,4 +419,20 @@ class TrainingOpsExtraSpec extends SparkSpec {
     assert(out("A") == ((2L, 0L, 5L, 1L, "en", 11.0)), s"A: ${out("A")}")
     assert(out("B") == ((2L, 1L, 4L, 2L, "de", 9.0)), s"B: ${out("B")}")
   }
+
+  test("qd44: representative is the longest member, ties to lowest id; singletons keep themselves") {
+    import spark.implicits._
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L))
+      .toDF("doc_id", "cluster")
+    val docs = Seq((1L, 10L), (2L, 50L), (3L, 50L), (4L, 7L))
+      .toDF("doc_id", "n_chars")
+    val out = TrainingOps.representativesOn(labels, docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("rep_id"), r.getAs[Boolean]("is_rep")))).toMap
+    assert(out(1L) == ((2L, false)), s"doc1 defers to longest: ${out(1L)}")
+    assert(out(2L) == ((2L, true)),
+      s"50-char tie between 2 and 3 breaks to lowest id: ${out(2L)}")
+    assert(out(3L) == ((2L, false)))
+    assert(out(4L) == ((4L, true)), s"singleton keeps itself: ${out(4L)}")
+  }
 }
