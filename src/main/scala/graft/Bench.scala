@@ -136,17 +136,23 @@ object Bench {
     val json = s"""{"metric":"total","value":$total,"unit":"sec"""" +
       s""","queries":$qs,"details":$details,"phases":{$phases}""" +
       s""","failures":$failures,"ok":$allOk,"runs":$repeats,"sf":"$sfDir"}"""
-    // belt-and-braces copy for any consumer that can't rely on stdout
-    // line discipline (sbt noise made the stdout line unparseable for
-    // six rounds; build.sbt's showSuccess:=false fixes the tail, the
-    // file survives regardless)
+    // full per-query detail goes to the file; stdout gets ONLY a
+    // compact summary line. The driver's stdout tail capture is ~2 KB
+    // and the full line is ~14 KB at 141 queries, so for seven rounds
+    // the driver saw a front-truncated fragment and recorded
+    // parsed:null (VERDICT r7 #2). The summary must stay well under
+    // the capture window no matter how many queries are declared.
+    val summary = s"""{"metric":"total","value":${jd(total)}""" +
+      s""","unit":"sec","ok":$allOk,"n":${results.size}""" +
+      s""","failures":$failures,"runs":$repeats,"sf":"$sfDir"""" +
+      s""","detail":"/tmp/bench.json"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("/tmp/bench.json"),
       (json + "\n").getBytes("UTF-8"))
     catch { case _: java.io.IOException => }
     spark.stop()
     // print AFTER spark.stop(): any shutdown logging lands before the
     // driver-contract JSON line, keeping it LAST on stdout
-    println(json)
+    println(summary)
     Console.out.flush()
   }
 }

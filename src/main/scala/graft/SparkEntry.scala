@@ -169,6 +169,8 @@ object SparkEntry {
     "qs34_stickiness"    -> (Events.stickiness _),
     "qe12_knn_ivfpq"     -> (TrainingOps.knnIvfPq _),
     "qe13_knn_graph"     -> (TrainingOps.knnGraph _),
+    "qe14_knn_graph_blocked" -> (TrainingOps.knnGraphBlockedFull _),
+    "qe15_semantic_dedup" -> (TrainingOps.semanticDedupSingleCell _),
   )
 
   /** Queries intentionally without an oracle — EMPTY since round 5:
@@ -213,7 +215,8 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = {
+    val base = Map(
     "q01_scan_project" ->
       "SELECT c_custkey, c_name, c_mktsegment FROM customer ORDER BY c_custkey",
     "q02_filter" ->
@@ -539,7 +542,11 @@ object SparkEntry {
     "qe12_knn_ivfpq" -> knnSql,
     // qe13: the kNN SELF-join — knnSql's construction with every
     // vector as a query (same sequential-fold cosine, same rank tie
-    // on the neighbor id), k=3.
+    // on the neighbor id), k=3. qe14 (cell-blocked graph at
+    // nProbe = nCells) shares this oracle: full probe makes the
+    // candidate set all pairs for any centroids, so the results are
+    // provably identical — only the PLAN differs (cell equi-join vs
+    // broadcast crossJoin; PlanSpec pins both shapes).
     "qe13_knn_graph" ->
       (s"""WITH base AS (
          |  SELECT vec_id, embedding,
@@ -1176,6 +1183,33 @@ object SparkEntry {
          |FROM b JOIN q USING (bg)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
   ) ++ batch8Sql ++ batch9Sql
+    // oracles shared verbatim between a declared baseline and its
+    // scale-shaped parity form (full probe => identical result set,
+    // different physical plan): qe14 is qe13's graph through the
+    // cell-blocked join, so it reuses qe13's SQL exactly.
+    base + ("qe14_knn_graph_blocked" -> base("qe13_knn_graph")) +
+      ("qe15_semantic_dedup" -> semanticDedupSql)
+  }
+
+  /** qe15 oracle: SemDeDup at nCells=1 — dup_of is the global
+    * "lowest vec_id below mine with cosine >= 0.3" (same sequential
+    * fold as qe3), cluster is the single cell's id 0.
+    */
+  private lazy val semanticDedupSql: String =
+    s"""WITH base AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(${dotSql("embedding", "embedding")}) AS nrm
+       |  FROM embeddings),
+       |d AS (
+       |  SELECT a.vec_id, min(b.vec_id) AS dup_of
+       |  FROM base a JOIN base b ON b.vec_id < a.vec_id
+       |  WHERE ${dotSql("a.embedding", "b.embedding")}
+       |    / (a.nrm * b.nrm) >= 0.3
+       |  GROUP BY a.vec_id)
+       |SELECT e.vec_id, 0 AS cluster, d.dup_of,
+       |  d.dup_of IS NOT NULL AS is_dup
+       |FROM embeddings e LEFT JOIN d ON e.vec_id = d.vec_id
+       |ORDER BY e.vec_id""".stripMargin
 
   private val batch8Sql: Map[String, String] = Map(
     // qp2: runtime-pruned read — q09 joined to the filtered dim; the
@@ -1492,12 +1526,13 @@ object SparkEntry {
          |f AS (SELECT user_id, day,
          |    min(day) OVER (PARTITION BY user_id) AS first_day FROM ud),
          |d AS (SELECT day, count(*) AS n_active,
-         |    SUM(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS n_new
+         |    CAST(SUM(CASE WHEN day = first_day THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_new
          |  FROM f GROUP BY 1)
          |SELECT strftime(day, '%Y-%m-%d') AS day, n_active, n_new,
-         |  SUM(n_new) OVER (ORDER BY day
+         |  CAST(SUM(n_new) OVER (ORDER BY day
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-         |    AS cum_users
+         |    AS BIGINT) AS cum_users
          |FROM d ORDER BY day""".stripMargin),
     // qp4: compaction is a pure layout change — the read-back of the
     // compacted tree equals the plain projection.

@@ -59,7 +59,18 @@ object Tables {
     import org.apache.spark.sql.functions.{col, expr}
     import org.apache.spark.sql.types.{LongType, TimestampType}
     df.schema("ts").dataType match {
-      case LongType      => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      // A raw INT64 ts is nanos today (nanosAsLong decode), but the
+      // corpus has already flipped encodings once, so don't bake that
+      // in: dispatch per row on magnitude. Epoch NANOS for any date
+      // after 1973 exceed 1e17 while epoch MICROS stay below 1e17
+      // until year 5138 — the bands cannot overlap for plausible
+      // data, so a future regeneration shipping raw int64 micros
+      // decodes correctly instead of silently landing 1000x off.
+      // Pure codegen'd expression: works on batch and streaming.
+      case LongType =>
+        df.withColumn("ts", expr(
+          "timestamp_micros(CASE WHEN abs(ts) >= 100000000000000000 " +
+            "THEN ts div 1000 ELSE ts END)"))
       case TimestampType => df
       case _             => df.withColumn("ts", col("ts").cast("timestamp"))
     }
@@ -92,11 +103,25 @@ object Tables {
     }
   }
 
-  /** Former name of [[withEventReadConfs]] (kept for external callers
-    * of the library API; same scoped-restore contract).
+  /** Former name of [[withEventReadConfs]]. Deprecated because the
+    * replacement ALSO disables inferTimestampNTZ — a caller wrapping
+    * a non-events NTZ parquet read would see session-zone TIMESTAMP
+    * instead of TIMESTAMP_NTZ, a semantic change hiding behind the
+    * old name. This alias keeps the original contract (nanosAsLong
+    * only); opt into the full event-read confs explicitly.
     */
-  def withNanosConf[A](s: SparkSession)(body: => A): A =
-    withEventReadConfs(s)(body)
+  @deprecated("use withEventReadConfs (sets nanosAsLong AND disables " +
+    "inferTimestampNTZ); this alias sets only nanosAsLong", "round 8")
+  def withNanosConf[A](s: SparkSession)(body: => A): A = {
+    val k = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = s.conf.getOption(k)
+    s.conf.set(k, "true")
+    try body
+    finally prev match {
+      case Some(v) => s.conf.set(k, v)
+      case None    => s.conf.unset(k)
+    }
+  }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }

@@ -300,13 +300,25 @@ object Dedup {
     * is shared — never all-pairs), one (doc_a, doc_b) count
     * aggregate, per-doc gram counts joined back. Fanout is
     * Σ_g df(g)² — bounded when grams are discriminative (gate corpus:
-    * 2.8M pairs, hottest df 25); at 100 TB cap hot grams the way
-    * [[minhashCandidates]]' maxBucket does, or pre-drop df-saturated
-    * grams (qd30's hot-span logic) — both documented trades of recall
-    * on boilerplate-only overlap.
+    * 2.8M pairs, hottest df 25), QUADRATIC in one boilerplate gram
+    * otherwise (df 10⁶ ⇒ 10¹² pairs from a single key), so the pair
+    * explode is df-CAPPED: grams in more than `maxDf` documents are
+    * dropped from candidate generation (the [[minhashCandidates]]
+    * maxBucket / qd30 hot-span move). The per-doc denominator
+    * `grams_a` stays EXACT (computed over all grams), which makes
+    * capped containment a strict LOWER bound on true containment —
+    * the cap can only miss pairs whose entire overlap is df-saturated
+    * boilerplate, never report an inflated score (ContainmentCapSpec
+    * pins both properties). Default 4096 caps any gram's fanout at
+    * ~1.7e7 pairs and is 160× the gate corpus's hottest gram, so the
+    * declared qd41 config is unaffected and keeps its exact oracle.
+    * For a corpus where even one gram's 8-byte×df id list strains an
+    * executor (df ≳ 10⁸), swap the post-aggregate filter for a
+    * count-prepass + anti-join before the collect.
     */
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
-                       threshold: Double): DataFrame = {
+                       threshold: Double,
+                       maxDf: Int = 4096): DataFrame = {
     val g = gramsRelational(docs, idCol, textCol)
     // Shuffle the 64-bit gram hash, not the string: the corpus-scale
     // exchange carries 8-byte keys and the pair rows no gram payload.
@@ -321,6 +333,11 @@ object Dedup {
     val gh = g.select(col("doc_id"), xxhash64(col("g")).as("gh"))
     val byGram = gh.groupBy("gh").agg(collect_list("doc_id").as("ids"))
     val shared = byGram
+      // hot-gram cap: df-saturated (boilerplate) grams never reach
+      // the quadratic explode; the size branch below stays UNfiltered
+      // so denominators are exact and capped containment is a strict
+      // lower bound
+      .filter(size(col("ids")) <= maxDf)
       .select(explode(col("ids")).as("doc_a"), col("ids"))
       .select(col("doc_a"), explode(col("ids")).as("doc_b"))
       .filter(col("doc_a") =!= col("doc_b"))

@@ -397,9 +397,14 @@ object Events {
     ev.select(col("user_id"), to_date(col("ts")).as("day"),
         (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
       .crossJoin(broadcast(anchor))
-      // age is always >= 0 (anchor is the max day), so Spark's
-      // truncating div and DuckDB's floor // agree; 62 caps the shift
-      // inside a signed long (an >8.3-year-stale corpus decays to 0)
+      // Sign-safety of the integer divisions (measured, not assumed):
+      // DuckDB's `//` TRUNCATES toward zero exactly like Spark's
+      // `div` (duckdb: -7 // 2 = -3), so the k and dec_cents mirrors
+      // hold for ANY sign — negative cents (refunds in a future
+      // corpus) included, with no nonnegativity assumption. age is
+      // additionally always >= 0 (anchor is the max day); 62 caps the
+      // shift inside a signed long (an >8.3-year-stale corpus decays
+      // to 0).
       .withColumn("k",
         least(expr("datediff(anchor_day, day) div 7"), lit(62L)).cast("int"))
       .withColumn("dec_cents", expr("cents div shiftleft(1L, k)"))

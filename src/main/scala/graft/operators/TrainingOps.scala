@@ -1068,14 +1068,50 @@ object TrainingOps {
       nProbe = model.k, shortlist = Int.MaxValue)
   }
 
-  /** The qe11 declared form: sign-bit Hamming top-10, same query
-    * batch as qe1 — the compressed-scan baseline (8-byte signatures,
-    * XOR+popcount distances, all exact ints).
+  /** qe13 declared form: the exact k=3 similarity graph (all-pairs
+    * truth anchor; the scale path is [[Similarity.knnGraphBlocked]]).
     */
-  /** qe13 declared form: the exact k=3 similarity graph. */
   def knnGraph(s: SparkSession, dir: String): DataFrame =
     Similarity.knnGraph(Tables.embeddings(s, dir), 3)
 
+  /** qe14 declared form: the CELL-BLOCKED kNN self-join at
+    * nProbe = nCells. Every vector probes every cell and a neighbor
+    * lives in exactly one cell, so the candidate set is provably all
+    * pairs for ANY centroids and the result equals qe13's exact
+    * graph (the qe4/qe8 full-probe parity move — shares its oracle)
+    * — while the PLAN keeps the 100 TB shape: a plain equi-join on
+    * cell id, no corpus broadcast, no quadratic exchange. The honest
+    * partial-probe operating point (recall@3 vs nProbe) is measured
+    * in SimilaritySpec.
+    */
+  def knnGraphBlockedFull(s: SparkSession, dir: String): DataFrame = {
+    val model = ivfModel(s, dir)
+    Similarity.knnGraphBlocked(Tables.embeddings(s, dir), model, 3,
+      nProbe = model.k)
+  }
+
+  /** qe15 declared form: [[Similarity.semanticDedup]] at nCells = 1 —
+    * the single-cell parity point where "lowest same-cell vec_id with
+    * cosine >= t" degenerates to the GLOBAL rule for any centroid, so
+    * DuckDB recomputes dup_of exactly (qe3's fold) and the gate
+    * proves the operator's full relational tail (cell join, sim
+    * filter, min-dup aggregate, left-join verdict) end to end. The
+    * honest multi-cell operating point — where the recall trade vs
+    * exhaustive search actually appears — stays measured in
+    * SimilaritySpec (0.460 on the round-7 corpus). iters=0: with one
+    * cell the centroid never changes the assignment, so training is
+    * just the deterministic seed pick.
+    */
+  def semanticDedupSingleCell(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.semanticDedup(emb, Ivf.train(emb, k = 1, iters = 0),
+      threshold = 0.3)
+  }
+
+  /** The qe11 declared form: 128-bit sign+ordinal Hamming top-10,
+    * same query batch as qe1 — the compressed-scan baseline (16-byte
+    * two-long signatures, XOR+popcount distances, all exact ints).
+    */
   def knnHamming(s: SparkSession, dir: String): DataFrame =
     Similarity.hammingKnn(Tables.embeddings(s, dir), knnQueryIds, 10)
 

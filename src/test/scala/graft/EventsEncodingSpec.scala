@@ -37,6 +37,17 @@ class EventsEncodingSpec extends SparkSpec {
     assert(ev.select(unix_micros(col("ts"))).head().getLong(0) == micros)
   }
 
+  test("raw int64 MICROS ts (future regeneration shape) dispatches by magnitude") {
+    // the long branch must not assume nanos: |ts| < 1e17 is epoch
+    // micros (nanos post-1973 exceed 1e17), decoded without the /1000
+    val dir = writeDir("rawmicros")
+    spark.range(1).select(lit(micros).as("ts"), lit(1L).as("event_id"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val ev = load(dir)
+    assert(ev.schema("ts").dataType == TimestampType)
+    assert(ev.select(unix_micros(col("ts"))).head().getLong(0) == micros)
+  }
+
   test("micros NTZ ts loads as session-zone timestamp, same instant") {
     // NOTE: a SPARK-written parquet embeds the catalyst schema in the
     // footer metadata, so the reader recovers TIMESTAMP_NTZ from there

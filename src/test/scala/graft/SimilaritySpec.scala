@@ -343,6 +343,22 @@ class SimilaritySpec extends SparkSpec
     } finally emb01.unpersist(blocking = false)
   }
 
+  test("qe14: full-probe blocked graph equals the exact graph bit-for-bit") {
+    // the declared parity: at nProbe = nCells every vector probes
+    // every cell, so the candidate set is all pairs for ANY centroids
+    // and the blocked plan must reproduce qe13 EXACTLY (same VecDot
+    // cosine expression both sides => identical doubles, not just
+    // identical edges)
+    val dir = "/root/testdata/sf0.001"
+    val exact = graft.operators.TrainingOps.knnGraph(spark, dir)
+      .collect().toSeq
+    val blocked = graft.operators.TrainingOps
+      .knnGraphBlockedFull(spark, dir).collect().toSeq
+    assert(blocked == exact,
+      s"full-probe blocked graph diverged: ${blocked.size} vs " +
+        s"${exact.size} rows")
+  }
+
   test("qe9: MMR swaps the duplicate for the diverse candidate; round-1 score is lambda*rel") {
     import spark.implicits._
     // query 0 on +x; 1 and 2 are the SAME vector (plain top-2 would

@@ -365,6 +365,45 @@ class TrainingOpsExtraSpec extends SparkSpec {
       "every gram of the quote appears in the quoter")
   }
 
+  test("qd41 hot-gram cap: boilerplate grams never pair, denominators stay exact") {
+    import spark.implicits._
+    // "alpha beta gamma" is a boilerplate gram present in ALL 5 docs
+    // (df=5 > cap=4); docs 1 and 2 additionally share two
+    // discriminative grams ("beta gamma one", "gamma one two" — plus
+    // "one two three" only in doc 1's tail vs doc 2's); docs 3-5
+    // overlap ONLY on the boilerplate gram.
+    val docs = Seq(
+      (1L, "alpha beta gamma one two three"),
+      (2L, "alpha beta gamma one two seven"),
+      (3L, "alpha beta gamma pe qu ra"),
+      (4L, "alpha beta gamma sa te ua"),
+      (5L, "alpha beta gamma va wa xa"))
+      .toDF("doc_id", "text")
+    def pairs(maxDf: Int) = graft.operators.Dedup
+      .containmentPairs(docs, "doc_id", "text", threshold = 0.5,
+        maxDf = maxDf)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        ((r.getAs[Long]("grams_a"), r.getAs[Long]("shared"),
+          r.getAs[Double]("containment")))).toMap
+    val capped = pairs(4)
+    // boilerplate-only pairs (3,4,5 cross) are gone; 1<->2 survive on
+    // their discriminative overlap alone
+    assert(capped.keySet == Set((1L, 2L), (2L, 1L)),
+      s"only the discriminative pair survives the cap: $capped")
+    // each doc has 4 grams (denominator EXACT, hot gram included);
+    // shared counts only the 2 un-capped common grams -> 0.5, a
+    // strict lower bound on the true containment (3/4)
+    assert(capped((1L, 2L)) == ((4L, 2L, 0.5)), s"$capped")
+    val uncapped = pairs(Int.MaxValue)
+    assert(uncapped((1L, 2L)) == ((4L, 3L, 0.75)),
+      s"uncapped truth includes the boilerplate gram: $uncapped")
+    // the cap never inflates: every capped score <= the uncapped one
+    capped.foreach { case (k, (_, _, c)) =>
+      assert(c <= uncapped(k)._3, s"cap inflated $k")
+    }
+  }
+
   test("qd42: unseen bigrams pay the Laplace floor; known ones their smoothed cost") {
     import spark.implicits._
     // ref doc "abab": bigrams ab,ba,ab -> model {ab:2, ba:1}, t=3, v=2

@@ -45,6 +45,18 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: rows {len(sdf)} vs oracle {len(odf)}")
             n_fail += 1
             continue
+        # driver's hash is dtype-sensitive (e.g. DuckDB HUGEINT ->
+        # float64 vs Spark BIGINT -> int64 mismatches even when every
+        # value compares equal) -- mirror that strictness here so the
+        # local gate can never certify what the driver would fail.
+        sdt = [str(t) for t in sdf.dtypes]
+        odt = [str(t) for t in odf.dtypes]
+        if sdt != odt:
+            bad = [(c, s, o) for c, s, o in zip(odf.columns, sdt, odt)
+                   if s != o]
+            print(f"FAIL {name}: dtype mismatch {bad} (spark vs oracle)")
+            n_fail += 1
+            continue
         ok = True
         def eq(x, y):
             if x is y:
