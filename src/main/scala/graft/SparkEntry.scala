@@ -171,6 +171,13 @@ object SparkEntry {
     "qe13_knn_graph"     -> (TrainingOps.knnGraph _),
     "qe14_knn_graph_blocked" -> (TrainingOps.knnGraphBlockedFull _),
     "qe15_semantic_dedup" -> (TrainingOps.semanticDedupSingleCell _),
+    "qe16_knn_sq"        -> (TrainingOps.knnSq _),
+    "qe17_pagerank"      -> (TrainingOps.knnPageRank _),
+    "qd45_pmi"           -> (TrainingOps.pmiCooccur _),
+    "qd46_zipf"          -> (TrainingOps.zipfFit _),
+    "qs35_linear_attribution" -> (Events.linearAttribution _),
+    "qp7_bucket_pruned"  -> (Extras.bucketPrunedRead _),
+    "qm5_media_sniff"    -> (TrainingOps.mediaSniff _),
   )
 
   /** Queries intentionally without an oracle — EMPTY since round 5:
@@ -1188,7 +1195,176 @@ object SparkEntry {
     // different physical plan): qe14 is qe13's graph through the
     // cell-blocked join, so it reuses qe13's SQL exactly.
     base + ("qe14_knn_graph_blocked" -> base("qe13_knn_graph")) +
-      ("qe15_semantic_dedup" -> semanticDedupSql)
+      ("qe15_semantic_dedup" -> semanticDedupSql) ++ batch10Sql
+  }
+
+  /** Round-8 oracles. qe16 (SQ8 at a full-corpus shortlist) re-ranks
+    * every candidate with exact cosines — equal to brute for ANY
+    * quantization grid, so qe1's oracle applies verbatim (the
+    * qe8/qe12 argument).
+    */
+  private lazy val batch10Sql: Map[String, String] = Map(
+    "qe16_knn_sq" -> knnSql,
+    "qe17_pagerank" -> pageRankSql,
+    // qd45: ordered skip-gram pairs at distance <= 2 — the two lead
+    // columns mirror the 1-based list offsets; PMI's ln rides the
+    // micro-nat floor over an identically-ordered double ratio of
+    // exact BIGINT counts. Pair totals are counted BEFORE the
+    // frequent-pair cut on both sides.
+    "qd45_pmi" ->
+      ("""WITH toks AS (
+         |  SELECT doc_id, list_filter(string_split(
+         |    regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+         |    t -> t != '') AS t
+         |  FROM documents),
+         |tok AS (SELECT doc_id, unnest(t) AS token FROM toks WHERE len(t) > 0),
+         |pr AS (
+         |  SELECT unnest(list_transform(range(1, len(t)), i -> t[i])) AS a,
+         |    unnest(list_transform(range(1, len(t)), i -> t[i+1])) AS b
+         |  FROM toks WHERE len(t) >= 2
+         |  UNION ALL
+         |  SELECT unnest(list_transform(range(1, len(t) - 1), i -> t[i])) AS a,
+         |    unnest(list_transform(range(1, len(t) - 1), i -> t[i+2])) AS b
+         |  FROM toks WHERE len(t) >= 3),
+         |pc AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c_ab
+         |  FROM pr GROUP BY 1, 2),
+         |uni AS (SELECT token, CAST(count(*) AS BIGINT) AS c
+         |  FROM tok GROUP BY 1),
+         |tt AS (SELECT CAST(count(*) AS BIGINT) AS t FROM tok),
+         |tp AS (SELECT CAST(SUM(c_ab) AS BIGINT) AS p FROM pc)
+         |SELECT pc.a, pc.b, pc.c_ab,
+         |  CAST(floor(ln((CAST(pc.c_ab AS DOUBLE) * CAST(tt.t AS DOUBLE)
+         |        * CAST(tt.t AS DOUBLE))
+         |      / (CAST(tp.p AS DOUBLE) * CAST(ua.c AS DOUBLE)
+         |        * CAST(ub.c AS DOUBLE))) * 1000000.0 + 0.5) AS BIGINT)
+         |    / 1000000.0 AS pmi
+         |FROM pc JOIN uni ua ON pc.a = ua.token
+         |  JOIN uni ub ON pc.b = ub.token, tt, tp
+         |WHERE pc.c_ab >= 5
+         |ORDER BY a, b""".stripMargin),
+    // qd46: ln(rank)/ln(freq) quantized to integer MILLI-nats, then
+    // the qx22 closed form over exact BIGINT moment sums — identical
+    // double expression both engines.
+    "qd46_zipf" ->
+      ("""WITH toks AS (
+         |  SELECT source, list_filter(string_split(
+         |    regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+         |    t -> t != '') AS t
+         |  FROM documents),
+         |tok AS (SELECT source, unnest(t) AS token FROM toks WHERE len(t) > 0),
+         |tc AS (SELECT source, token, CAST(count(*) AS BIGINT) AS c
+         |  FROM tok GROUP BY 1, 2),
+         |xy AS (SELECT source,
+         |    CAST(floor(ln(CAST(row_number() OVER (PARTITION BY source
+         |        ORDER BY c DESC, token) AS DOUBLE)) * 1000.0 + 0.5)
+         |      AS BIGINT) AS x,
+         |    CAST(floor(ln(CAST(c AS DOUBLE)) * 1000.0 + 0.5) AS BIGINT) AS y
+         |  FROM tc),
+         |m AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+         |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+         |    CAST(SUM(y * y) AS BIGINT) AS syy
+         |  FROM xy GROUP BY 1)
+         |SELECT source, n AS n_types,
+         |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+         |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         |    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+         |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope,
+         |  ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+         |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         |    * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+         |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+         |    / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+         |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+         |    * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+         |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS r2
+         |FROM m ORDER BY source""".stripMargin),
+    // qs35: qs21's bounded-pair join with equal-split credit; integer
+    // micro-cent division (// == DIV on the nonnegative corpus).
+    "qs35_linear_attribution" ->
+      ("""WITH ev AS (SELECT event_id, user_id, event_type,
+         |    CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+         |c AS (SELECT event_id AS click_id, user_id, ts AS c_ts
+         |  FROM ev WHERE event_type = 'click'),
+         |p AS (SELECT event_id AS purchase_id, user_id, ts AS p_ts,
+         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+         |  FROM ev WHERE event_type = 'purchase'),
+         |j AS (SELECT p.purchase_id, c.click_id, p.user_id, p.cents
+         |  FROM p JOIN c ON p.user_id = c.user_id
+         |    AND c.c_ts >= p.p_ts - INTERVAL 30 MINUTE
+         |    AND c.c_ts <= p.p_ts),
+         |n AS (SELECT purchase_id, CAST(count(*) AS BIGINT) AS n_touches
+         |  FROM j GROUP BY 1)
+         |SELECT j.purchase_id, j.click_id, j.user_id, n.n_touches,
+         |  CAST((j.cents * 1000000) // n.n_touches AS BIGINT) AS credit_micro
+         |FROM j JOIN n USING (purchase_id)
+         |ORDER BY purchase_id, click_id""".stripMargin),
+    // qp7: the oracle is the plain filtered aggregate — bucketing is
+    // a pure layout property (PlanSpec pins SelectedBucketsCount).
+    "qp7_bucket_pruned" ->
+      ("""SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         |    AS total_spend
+         |FROM orders WHERE o_custkey IN (1, 2, 3)
+         |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin),
+    // qm5: kinds recomputed from the mediaFromDocs id rules; every
+    // gate blob carries the 10-byte GFT0 header (including the
+    // invalid-kind ones), so blob = payload + 10 exactly.
+    "qm5_media_sniff" ->
+      ("""WITH k AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 50 = 0 THEN 'unknown'
+         |         WHEN doc_id % 3 = 0 THEN 'image'
+         |         WHEN doc_id % 3 = 1 THEN 'audio'
+         |         ELSE 'video' END AS kind,
+         |    CAST(octet_length(encode(text)) AS BIGINT) AS payload
+         |  FROM documents)
+         |SELECT kind, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(SUM(payload + 10) AS BIGINT) AS total_blob_bytes,
+         |  CAST(SUM(payload) AS BIGINT) AS total_payload_bytes
+         |FROM k GROUP BY kind ORDER BY kind""".stripMargin),
+  )
+
+  /** qe17 oracle: rebuild the exact k=3 edge set from brute-force
+    * cosines (the qe13 construction — provably the blocked graph's
+    * edges at full probe), then unroll three integer PageRank
+    * iterations as CTEs. Every quantity is a nonnegative BIGINT, so
+    * DuckDB's flooring `//` equals Spark's truncating DIV throughout.
+    */
+  private lazy val pageRankSql: String = {
+    val scale = 1000000000L
+    def iter(r: Int): String =
+      s"""i$r AS (SELECT e.dst AS id,
+         |    CAST(SUM(r${r - 1}.pr // od.outdeg) AS BIGINT) AS inc
+         |  FROM e JOIN r${r - 1} ON e.src = r${r - 1}.id
+         |    JOIN od ON e.src = od.src
+         |  GROUP BY e.dst),
+         |r$r AS (SELECT r${r - 1}.id,
+         |    CAST(15 * ($scale // n.cnt) // 100
+         |      + (85 * COALESCE(i$r.inc, 0)) // 100 AS BIGINT) AS pr
+         |  FROM r${r - 1} LEFT JOIN i$r ON r${r - 1}.id = i$r.id, n)"""
+        .stripMargin
+    s"""WITH base AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(${dotSql("embedding", "embedding")}) AS nrm
+       |  FROM embeddings),
+       |s AS (
+       |  SELECT a.vec_id, b.vec_id AS nbr_id,
+       |    ${dotSql("b.embedding", "a.embedding")} / (b.nrm * a.nrm) AS sim
+       |  FROM base a, base b WHERE b.vec_id <> a.vec_id),
+       |r AS (SELECT vec_id, nbr_id,
+       |    rank() OVER (PARTITION BY vec_id ORDER BY sim DESC, nbr_id) AS rnk
+       |  FROM s),
+       |e AS (SELECT vec_id AS src, nbr_id AS dst FROM r WHERE rnk <= 3),
+       |od AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg
+       |  FROM e GROUP BY src),
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS cnt FROM od),
+       |r0 AS (SELECT src AS id, CAST($scale // n.cnt AS BIGINT) AS pr
+       |  FROM od, n),
+       |${iter(1)},
+       |${iter(2)},
+       |${iter(3)}
+       |SELECT id AS vec_id, pr FROM r3 ORDER BY vec_id""".stripMargin
   }
 
   /** qe15 oracle: SemDeDup at nCells=1 — dup_of is the global

@@ -666,6 +666,51 @@ object Events {
       .orderBy("purchase_id")
   }
 
+  /** qs35 — LINEAR multi-touch attribution: each purchase's value is
+    * split EQUALLY across every click by the same user in the
+    * preceding 30 minutes — the equal-credit marketing model
+    * bracketing qs21 (first-touch, one winner) and qs15 (the raw
+    * all-touch credit set with no value split). Credit is exact:
+    * purchase cents scaled to micro-cents and integer-divided by the
+    * touch count, so the per-touch credit is bit-reproducible and the
+    * rounding loss per purchase is < n_touches micro-cents. All
+    * quantities are nonnegative on this corpus (the qs33 sign note:
+    * Spark DIV truncates, DuckDB // floors — equal on nonnegatives;
+    * a refund-bearing corpus would need a floor on both sides).
+    *
+    * Scale shape: the time-bounded join is qs21's bounded-pair
+    * equi-join on user_id with the interval as a post-join filter;
+    * the touch count is a count window partitioned by purchase
+    * (groups = that purchase's candidate clicks, bounded by the
+    * window) — no second join, no re-aggregation pass. Purchases
+    * with zero candidate clicks carry no attributable credit and
+    * drop out (inner join), same contract as qs21.
+    */
+  def linearAttribution(s: SparkSession, dir: String): DataFrame =
+    linearAttributionOn(Tables.events(s, dir))
+
+  /** Core of [[linearAttribution]] over any events frame. */
+  def linearAttributionOn(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("c_ts"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("p_ts"),
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("cents"))
+    val w = Window.partitionBy("purchase_id")
+    purchases.join(clicks, Seq("user_id"))
+      .filter(col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES") &&
+        col("c_ts") <= col("p_ts"))
+      .withColumn("n_touches", count(lit(1)).over(w))
+      .select(col("purchase_id"), col("click_id"), col("user_id"),
+        col("n_touches"),
+        expr("CAST((cents * 1000000) DIV n_touches AS BIGINT)")
+          .as("credit_micro"))
+      .orderBy("purchase_id", "click_id")
+  }
+
   /** qs22 — daily actives, new users, and CUMULATIVE distinct users:
     * the running-uniques report every growth dashboard carries.
     * COUNT(DISTINCT) over a running frame is unsupported (and would

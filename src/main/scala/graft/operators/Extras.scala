@@ -122,6 +122,19 @@ object Extras {
     * exchange-free shape. Oracle = q03's plain-join SQL verbatim.
     */
   def bucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    val (oTab, cTab) = ensureBucketedTables(s, dir)
+    val o = s.table(oTab)
+    val c = s.table(cTab)
+    o.hint("merge").join(c, o("o_custkey") === c("c_custkey"))
+      .select(o("o_orderkey"), c("c_name"), o("o_totalprice"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Lay down (once per JVM per dir) and name the 8-bucket orders /
+    * customer tables qx13 and qp7 read — returns (ordersTable,
+    * customerTable).
+    */
+  def ensureBucketedTables(s: SparkSession, dir: String): (String, String) = {
     // hex hash keeps the table name injective per exact dir string —
     // sanitizing alone collapses '.' and '-' to '_', which would let
     // two different sf dirs share (and silently re-point) one table
@@ -142,11 +155,32 @@ object Extras {
         cTab, "c_custkey", buckets = 8, path = Some(s"$root/customer"))
       bucketedWritten.add(root)
     }
-    val o = s.table(oTab)
-    val c = s.table(cTab)
-    o.hint("merge").join(c, o("o_custkey") === c("c_custkey"))
-      .select(o("o_orderkey"), c("c_name"), o("o_totalprice"))
-      .orderBy("o_orderkey")
+    (oTab, cTab)
+  }
+
+  /** qp7 — BUCKET-pruned read: an equality/IN predicate on the bucket
+    * column lets the scan skip every file of every non-matching
+    * bucket BEFORE reading a byte — the layout-level complement to
+    * qp1's partition pruning (directory skip) and qp5's Z-order
+    * min/max skip (statistics skip): bucketing prunes by HASH, so it
+    * works on high-cardinality keys no directory layout could hold.
+    * Here 3 customer keys hash into ≤3 of 8 buckets, so ≥5/8 of the
+    * table's files never open (the plan's SelectedBucketsCount;
+    * PlanSpec pins it). At 100 TB this is the point-lookup path on a
+    * bucketed fact table: per-key cost is 1/buckets of the table,
+    * independent of table growth — and the same layout qx13 already
+    * paid for serves both the co-located join and the pruned lookup.
+    */
+  def bucketPrunedRead(s: SparkSession, dir: String): DataFrame = {
+    val (oTab, _) = ensureBucketedTables(s, dir)
+    s.table(oTab)
+      .filter(col("o_custkey").isin(1L, 2L, 3L))
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(expr("CAST(o_totalprice AS DECIMAL(18,2))")).as("_dec"))
+      .select(col("o_custkey"), col("n_orders"),
+        col("_dec").cast("double").as("total_spend"))
+      .orderBy("o_custkey")
   }
 
   /** qx18 — EXPLICIT grouping sets with grouping_id(): the general

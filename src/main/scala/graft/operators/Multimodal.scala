@@ -165,6 +165,52 @@ object Multimodal {
       .select("content_sha", "n_copies", "keeper_id", "wasted_bytes")
       .orderBy("keeper_id")
 
+  /** qm5 — magic-byte container SNIFFING: classify every blob by its
+    * leading bytes alone — magic then kind byte — with NO decoder in
+    * the loop. This is the scan-level router production pipelines put
+    * in FRONT of decode ([[decodeMeta]]): sniffing is a pure codegen
+    * projection (binary substring + compare), so it runs inside
+    * whole-stage codegen at full scan speed and never deserializes a
+    * row the way a mapPartitions codec stage must; blobs are routed
+    * (image → image decode pool, unknown → quarantine) before any
+    * expensive per-format work. The qm1/qm5 pair is the two-tier
+    * multimodal ingest shape: cheap sniff everywhere, real decode
+    * only where the sniff admits it.
+    *
+    * payload_bytes reports octet_length − header for recognized
+    * containers and the whole blob for alien bytes (a sniffer cannot
+    * know an unrecognized format's header length) — on the gate
+    * corpus every blob carries the GFT0 header, including the
+    * invalid-kind ones, so the oracle recomputes both sums exactly;
+    * MultimodalSpec covers the headerless branch.
+    */
+  def mediaSniff(media: DataFrame, idCol: String = "media_id",
+                 binCol: String = "bytes"): DataFrame = {
+    // kind byte materialized once — referenced from multiple CASE
+    // branches, and conditional references defeat codegen CSE
+    val sniffed = media
+      .select(col(idCol).as("media_id"), col(binCol).as("bytes"))
+      .withColumn("_magic_ok",
+        hex(expr("substring(bytes, 1, 4)")) === lit("47465430"))
+      .withColumn("_kb", hex(expr("substring(bytes, 5, 1)")))
+      .withColumn("kind",
+        when(!col("_magic_ok"), "unknown")
+          .when(col("_kb") === "69", "image")
+          .when(col("_kb") === "61", "audio")
+          .when(col("_kb") === "76", "video")
+          .otherwise("unknown"))
+      .withColumn("blob_bytes", octet_length(col("bytes")).cast("long"))
+      .withColumn("payload_bytes",
+        when(col("_magic_ok"),
+          col("blob_bytes") - lit(FakeMedia.HeaderLen.toLong))
+          .otherwise(col("blob_bytes")))
+    sniffed.groupBy("kind")
+      .agg(count(lit(1)).as("n"),
+        sum("blob_bytes").as("total_blob_bytes"),
+        sum("payload_bytes").as("total_payload_bytes"))
+      .orderBy("kind")
+  }
+
   /** Frame sampling for video rows: emit every `everyN`-th frame as
     * (media_id, frame_idx, frame_bytes). Frames are fixed-size slices
     * of the payload (stub geometry from the header). Explodes rows —

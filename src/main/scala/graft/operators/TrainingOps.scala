@@ -1449,4 +1449,148 @@ object TrainingOps {
     graft.functions.DocFingerprint.register(s)
     temperatureSample(Tables.documents(s, dir), "lang", target = 250L)
   }
+
+  /** qd45 — skip-gram PMI co-occurrence: pointwise mutual information
+    * of ordered token pairs within distance ≤ 2 — the association
+    * statistic behind phrase mining and word-vector objectives
+    * (PMI-filtered pairs are the classic collocation extractor; a
+    * shifted-PMI matrix is what SGNS embeddings implicitly factorize,
+    * Levy & Goldberg 2014). PMI(a,b) = ln(p(a,b) / (p(a)·p(b))) with
+    * p(a,b) = c_ab/P over pair emissions and p(a) = c_a/T over token
+    * occurrences; the ln rides the qd11/qd21 micro-nat quantization
+    * (floor(ln·1e6 + 0.5)) of an identically-ordered double ratio of
+    * exact integer counts, so both engines hash-match bitwise.
+    *
+    * Scale shape: pairs come from TWO lead columns over one (doc_id,
+    * pos) window pass — never a positions self-join — and reduce
+    * map-side on (a, b); the rare-pair cut (c_ab < `minCount`) lands
+    * BEFORE the unigram joins, so only frequent pairs join the vocab
+    * frame. The unigram aggregate's exchange is shared by its three
+    * consumers (a-side, b-side, total) via exchange reuse; the two
+    * corpus totals are one-row frames broadcast into the projection
+    * (the qs33 anchor pattern).
+    */
+  def pmiCooccur(s: SparkSession, dir: String): DataFrame =
+    pmiCooccurOn(Tables.documents(s, dir), minCount = 5L)
+
+  /** Core of [[pmiCooccur]] over any (doc_id, text) frame. */
+  def pmiCooccurOn(docs: DataFrame, minCount: Long): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      posexplode(Dedup.tokens(col("text"))).as(Seq("pos", "token")))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val pairs = toks
+      .withColumn("n1", lead("token", 1).over(w))
+      .withColumn("n2", lead("token", 2).over(w))
+      .select(col("token").as("a"),
+        explode(array(col("n1"), col("n2"))).as("b"))
+      .filter(col("b").isNotNull)
+    val pairCounts = pairs.groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+    val uni = toks.groupBy("token").agg(count(lit(1)).as("c"))
+    val totT = uni.agg(sum("c").as("t"))
+    val totP = pairCounts.agg(sum("c_ab").as("p"))
+    pairCounts.filter(col("c_ab") >= minCount)
+      .join(uni.select(col("token").as("a"), col("c").as("c_a")), "a")
+      .join(uni.select(col("token").as("b"), col("c").as("c_b")), "b")
+      .crossJoin(broadcast(totT)).crossJoin(broadcast(totP))
+      .withColumn("_micro", floor(log(
+        (col("c_ab").cast("double") * col("t").cast("double")
+          * col("t").cast("double"))
+          / (col("p").cast("double") * col("c_a").cast("double")
+            * col("c_b").cast("double"))) * lit(1e6) + lit(0.5))
+        .cast("long"))
+      .select(col("a"), col("b"), col("c_ab"),
+        (col("_micro").cast("double") / lit(1e6)).as("pmi"))
+      .orderBy("a", "b")
+  }
+
+  /** qd46 — Zipf rank-frequency fit: per source, the least-squares
+    * slope of ln(freq) on ln(rank) over the token vocabulary — the
+    * corpus-health fingerprint (natural language sits near slope −1;
+    * template spam flattens the head, dedup failures fatten it;
+    * CCNet-style pipelines track exactly this curve per snapshot).
+    *
+    * Parity: ln(rank) and ln(freq) are quantized to integer
+    * MILLI-nats (1e3, not 1e6 — Σx·y must stay far inside BIGINT:
+    * x,y ≤ ~14·10³ ⇒ x·y ≤ ~2·10⁸, ×10⁶ vocab rows ≈ 2·10¹⁴,
+    * and the closed form's n·Σxy product happens in double anyway),
+    * then slope and r² come from the qx22 moment construction —
+    * EXACT integer moment sums reduced by one identical closed-form
+    * double expression on both engines.
+    *
+    * Scale shape: one (source, token) partial+final aggregate (the
+    * exchange carries per-partition token histograms), a rank window
+    * on the VOCABULARY grain (types, not occurrences), and a
+    * source-keyed 6-number moment aggregate — the corpus-scale text
+    * never crosses an exchange.
+    */
+  def zipfFit(s: SparkSession, dir: String): DataFrame =
+    zipfFitOn(Tables.documents(s, dir))
+
+  /** Core of [[zipfFit]] over any (source, text) frame. */
+  def zipfFitOn(docs: DataFrame): DataFrame = {
+    val tc = docs
+      .select(col("source"), explode(Dedup.tokens(col("text"))).as("token"))
+      .groupBy("source", "token").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("source")
+      .orderBy(col("c").desc, col("token"))
+    val xy = tc.withColumn("rnk", row_number().over(w))
+      .select(col("source"),
+        floor(log(col("rnk").cast("double")) * lit(1e3) + lit(0.5))
+          .cast("long").as("x"),
+        floor(log(col("c").cast("double")) * lit(1e3) + lit(0.5))
+          .cast("long").as("y"))
+    val nD = "CAST(n AS DOUBLE)"
+    val cov =
+      s"($nD * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    val varX =
+      s"($nD * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    val varY =
+      s"($nD * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))"
+    xy.groupBy("source")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(expr("x * x")).as("sxx"), sum(expr("x * y")).as("sxy"),
+        sum(expr("y * y")).as("syy"))
+      .select(col("source"), col("n").as("n_types"),
+        expr(s"$cov / $varX").as("slope"),
+        expr(s"($cov * $cov) / ($varX * $varY)").as("r2"))
+      .orderBy("source")
+  }
+
+  private val sqModels =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Sq.SqModel]()
+
+  /** Cached SQ8 grid per (sf dir, corpus stamp) — the [[ivfModel]]
+    * amortize-and-invalidate contract. The model is per-dim exact
+    * min/max: deterministic under any partitioning, unlike the
+    * k-means members of the family.
+    */
+  def sqModel(s: SparkSession, dir: String): Sq.SqModel = {
+    if (sqModels.size > 16) sqModels.clear()
+    sqModels.computeIfAbsent((dir, corpusStamp(dir)), _ =>
+      Sq.train(Tables.embeddings(s, dir)))
+  }
+
+  /** qe16 — SQ8 scalar-quantized ANN, same queries, declared at a
+    * full-corpus shortlist: every candidate is exact-cosine re-ranked,
+    * so the result equals brute force for ANY quantization grid (the
+    * qe4/qe8 parity move) and shares qe1's DuckDB oracle. The honest
+    * trade-off — 4× smaller first-pass scan bytes vs shortlist
+    * recall — is measured in SqSpec.
+    */
+  def knnSq(s: SparkSession, dir: String): DataFrame =
+    Sq.search(Tables.embeddings(s, dir), sqModel(s, dir), knnQueryIds,
+      k = 10, shortlist = Int.MaxValue)
+
+  /** qe17 — PageRank centrality over the similarity graph — see
+    * [[GraphOps.knnPageRank]] (declared there; listed here for the
+    * qe-family index).
+    */
+  def knnPageRank(s: SparkSession, dir: String): DataFrame =
+    GraphOps.knnPageRank(s, dir)
+
+  /** qm5 — magic-byte media sniffing — see [[Multimodal.mediaSniff]];
+    * the declared form runs it over the qm1 corpus.
+    */
+  def mediaSniff(s: SparkSession, dir: String): DataFrame =
+    Multimodal.mediaSniff(Multimodal.mediaFromDocs(Tables.documents(s, dir)))
 }

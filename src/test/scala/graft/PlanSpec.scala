@@ -656,6 +656,36 @@ class PlanSpec extends SparkSpec
       s"blocked kNN graph must stay an equi-join:\n$p")
   }
 
+  test("qp7: equality on the bucket column prunes buckets at the scan") {
+    val p = plan(graft.operators.Extras.bucketPrunedRead(spark, sf))
+    val m = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(p)
+    assert(m.isDefined, s"bucketed scan must report bucket pruning:\n$p")
+    assert(m.get.group(2).toInt == 8 && m.get.group(1).toInt <= 3,
+      s"3 keys must select <= 3 of 8 buckets, got ${m.get.matched}")
+  }
+
+  test("qe16: SQ first pass is scan->project->window — no join, no corpus broadcast before the shortlist") {
+    // the approximate scorer must stay a literal-unrolled projection;
+    // the ONLY joins in the whole plan are the shortlist re-rank's
+    // (ids equi-join + tiny query broadcast)
+    val emb = graft.core.Tables.embeddings(spark, sf)
+    val model = graft.operators.TrainingOps.sqModel(spark, sf)
+    val p = plan(graft.operators.Sq.search(emb, model, Seq(0L, 1L), 10, 50))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert("BroadcastHashJoin".r.findAllIn(p).size <= 2,
+      s"only the re-rank joins may appear:\n$p")
+  }
+
+  test("qd45: rare-pair cut lands before the vocabulary joins") {
+    val p = plan(graft.operators.TrainingOps.pmiCooccur(spark, sf))
+    // the c_ab >= minCount filter must sit under the joins (on the
+    // aggregated pair frame), not above them — assert the plan's
+    // filter on c_ab appears, and no cartesian anywhere
+    assert(p.contains("c_ab"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("global sweep: no declared query plans a CartesianProduct") {
     // BroadcastNestedLoopJoin is allowed ONLY where the operator is
     // deliberately O(n^2) at its declared verification config (qe3's
@@ -684,7 +714,10 @@ class PlanSpec extends SparkSpec
         // qe13: the all-pairs EXACT baseline by declaration (qe1's
         // class); the scale path is the cell-blocked equi-join
         // variant, spec-measured
-        "qe13_knn_graph")
+        "qe13_knn_graph",
+        // qd45: the two corpus totals as 1-row broadcasts (the
+        // qd22/qd23/qs33 class)
+        "qd45_pmi")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val p = plan(fn(spark, sf))
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian")

@@ -1,0 +1,120 @@
+package graft
+
+import graft.operators.{Events, Multimodal, TrainingOps}
+import org.apache.spark.sql.functions._
+
+/** Crafted-input contracts for the round-8 operators: qd45 PMI, qd46
+  * Zipf fit, qs35 linear attribution, qm5 media sniffing. (qe16/qe17
+  * have their own suites: SqSpec, GraphOpsSpec.)
+  */
+class Round8OpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def micro(x: Double): Double =
+    math.floor(math.log(x) * 1e6 + 0.5) / 1e6
+
+  test("qd45 PMI: hand-computed pair/unigram/total bookkeeping") {
+    // tokens [a, b, a, b]: distance-1 pairs (a,b),(b,a),(a,b);
+    // distance-2 pairs (a,a),(b,b) => P=5, T=4, c_a=c_b=2
+    val docs = Seq((1L, "a b a b")).toDF("doc_id", "text")
+    val out = TrainingOps.pmiCooccurOn(docs, minCount = 1L).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getAs[Long]("c_ab"), r.getAs[Double]("pmi")))).toMap
+    assert(out.keySet == Set(("a", "b"), ("b", "a"), ("a", "a"), ("b", "b")))
+    assert(out(("a", "b"))._1 == 2L)
+    // pmi(a,b) = ln(c_ab * T^2 / (P * c_a * c_b)) = ln(2*16/(5*4))
+    assert(out(("a", "b"))._2 == micro(2.0 * 4 * 4 / (5.0 * 2 * 2)))
+    assert(out(("b", "a"))._2 == micro(1.0 * 4 * 4 / (5.0 * 2 * 2)))
+    // frequent-pair cut: at minCount=2 only (a,b) survives
+    val cut = TrainingOps.pmiCooccurOn(docs, minCount = 2L).collect()
+    assert(cut.map(r => (r.getString(0), r.getString(1))).toSet ==
+      Set(("a", "b")))
+  }
+
+  test("qd46 Zipf: exact slope from the quantized-log moment sums") {
+    // one source, token frequencies 4 / 2 / 1 => ranks 1 / 2 / 3
+    val docs = Seq((1L, "aa aa aa aa bb bb cc", "s1"))
+      .toDF("doc_id", "text", "source")
+    val row = TrainingOps.zipfFitOn(docs).collect().head
+    assert(row.getAs[Long]("n_types") == 3L)
+    // reference: the same milli-nat quantization + closed form
+    val pts = Seq((1L, 4L), (2L, 2L), (3L, 1L)).map { case (rnk, c) =>
+      (math.floor(math.log(rnk.toDouble) * 1e3 + 0.5).toLong,
+        math.floor(math.log(c.toDouble) * 1e3 + 0.5).toLong)
+    }
+    val n = pts.size.toDouble
+    val sx = pts.map(_._1).sum.toDouble
+    val sy = pts.map(_._2).sum.toDouble
+    val sxx = pts.map(p => p._1 * p._1).sum.toDouble
+    val sxy = pts.map(p => p._1 * p._2).sum.toDouble
+    val syy = pts.map(p => p._2 * p._2).sum.toDouble
+    val cov = n * sxy - sx * sy
+    val slope = cov / (n * sxx - sx * sx)
+    val r2 = (cov * cov) / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+    assert(row.getAs[Double]("slope") == slope)
+    assert(row.getAs[Double]("r2") == r2)
+    assert(slope < -0.5 && slope > -2.0, "halving frequencies ~ Zipf-ish")
+  }
+
+  private def eventsOf(rows: (Long, Long, String, String, Double)*) =
+    rows.toDF("event_id", "user_id", "ts_s", "event_type", "value")
+      .select(col("event_id"), col("user_id"),
+        to_timestamp(col("ts_s")).as("ts"), col("event_type"), col("value"))
+
+  test("qs35: equal split, inclusive 30-min boundary, truncating micro-credit") {
+    val out = Events.linearAttributionOn(eventsOf(
+      (1L, 1L, "2024-01-01 10:00:00", "click", 0.0), // exactly -30min: in
+      (2L, 1L, "2024-01-01 09:59:59", "click", 0.0), // one second out
+      (3L, 1L, "2024-01-01 10:30:00", "click", 0.0), // same second: in
+      (10L, 1L, "2024-01-01 10:30:00", "purchase", 10.0),
+      (4L, 2L, "2024-01-01 10:40:00", "click", 0.0),
+      (5L, 2L, "2024-01-01 10:50:00", "click", 0.0),
+      (6L, 2L, "2024-01-01 10:55:00", "click", 0.0),
+      (20L, 2L, "2024-01-01 11:00:00", "purchase", 1.0),
+      (30L, 3L, "2024-01-01 12:00:00", "purchase", 5.0))) // no clicks
+      .collect()
+      .map(r => (r.getAs[Long]("purchase_id"), r.getAs[Long]("click_id")) ->
+        ((r.getAs[Long]("n_touches"), r.getAs[Long]("credit_micro")))).toMap
+    assert(out.keySet == Set((10L, 1L), (10L, 3L), (20L, 4L), (20L, 5L),
+      (20L, 6L)), "boundary clicks in, purchase without touches absent")
+    assert(out((10L, 1L)) == ((2L, 500000000L)), "1000c * 1e6 / 2")
+    assert(out((10L, 3L)) == ((2L, 500000000L)))
+    assert(out((20L, 4L)) == ((3L, 33333333L)), "100c * 1e6 DIV 3 truncates")
+  }
+
+  test("qm5: sniffed kinds match the container rules; headerless blobs stay whole") {
+    val docs = Seq((1L, "one"), (2L, "twotwo"), (3L, "three"), (50L, "bad"))
+      .toDF("doc_id", "text")
+    val out = Multimodal.mediaSniff(Multimodal.mediaFromDocs(docs)).collect()
+      .map(r => r.getString(0) -> ((r.getAs[Long]("n"),
+        r.getAs[Long]("total_blob_bytes"),
+        r.getAs[Long]("total_payload_bytes")))).toMap
+    // id 1 -> audio(3B), 2 -> video(6B), 3 -> image(5B), 50 -> 'x' kind
+    assert(out("audio") == ((1L, 13L, 3L)))
+    assert(out("video") == ((1L, 16L, 6L)))
+    assert(out("image") == ((1L, 15L, 5L)))
+    assert(out("unknown") == ((1L, 13L, 3L)),
+      "invalid kind byte still has its 10-byte header sliced off")
+    // alien bytes: no magic => the sniffer reports the whole blob
+    val alien = Seq((99L, "oops".getBytes("UTF-8"))).toDF("media_id", "bytes")
+    val a = Multimodal.mediaSniff(alien).collect().head
+    assert(a.getString(0) == "unknown" &&
+      a.getAs[Long]("total_blob_bytes") == 4L &&
+      a.getAs[Long]("total_payload_bytes") == 4L)
+  }
+
+  test("qm5 is codegen-only: no object-serialization seam in the plan") {
+    val docs = Seq((1L, "x")).toDF("doc_id", "text")
+    // the SNIFF itself runs on a binary column without mapPartitions;
+    // build the media frame first (that encode step IS object-mapped),
+    // then assert the sniff's own plan stays columnar
+    val path = tempDir("qm5")
+    Multimodal.mediaFromDocs(docs).write.mode("overwrite").parquet(path)
+    val sniff = Multimodal.mediaSniff(spark.read.parquet(path))
+    val plan = sniff.queryExecution.executedPlan.toString
+    assert(!plan.contains("MapPartitions") &&
+      !plan.contains("SerializeFromObject"),
+      s"sniff must be pure codegen, got:\n$plan")
+  }
+}
