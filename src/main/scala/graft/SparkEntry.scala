@@ -178,6 +178,8 @@ object SparkEntry {
     "qs35_linear_attribution" -> (Events.linearAttribution _),
     "qp7_bucket_pruned"  -> (Extras.bucketPrunedRead _),
     "qm5_media_sniff"    -> (TrainingOps.mediaSniff _),
+    "qe18_radius_search" -> (TrainingOps.radiusKnn _),
+    "qp8_dynamic_overwrite" -> (Marts.dynamicOverwriteRefresh _),
   )
 
   /** Queries intentionally without an oracle — EMPTY since round 5:
@@ -1308,6 +1310,56 @@ object SparkEntry {
          |    AS total_spend
          |FROM orders WHERE o_custkey IN (1, 2, 3)
          |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin),
+    // qe18: full probe scores every (query, corpus) pair, so the
+    // oracle is the brute radius filter — same sequential fold, same
+    // >= boundary, bit-equal sims.
+    "qe18_radius_search" -> {
+      val ids = graft.operators.TrainingOps.knnQueryIds.mkString(", ")
+      s"""WITH base AS (
+         |  SELECT vec_id, embedding,
+         |    sqrt(${dotSql("embedding", "embedding")}) AS nrm
+         |  FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, embedding AS q_emb, nrm AS q_nrm
+         |      FROM base WHERE vec_id IN ($ids)),
+         |s AS (
+         |  SELECT q.query_id, b.vec_id,
+         |    ${dotSql("b.embedding", "q.q_emb")} / (b.nrm * q.q_nrm) AS sim
+         |  FROM base b, q WHERE b.vec_id <> q.query_id)
+         |SELECT query_id, vec_id, sim FROM s WHERE sim >= 0.25
+         |ORDER BY query_id, vec_id""".stripMargin
+    },
+    // qp8: the refreshed mart state — full history for the refreshed
+    // stores, the pre-cutoff snapshot everywhere else; rows only a
+    // correct partial (dynamic) partition replace can produce.
+    "qp8_dynamic_overwrite" ->
+      ("""WITH old AS (
+         |  SELECT n.n_nationkey AS store,
+         |    substring(CAST(CAST(o.o_orderdate AS DATE) AS VARCHAR), 1, 7)
+         |      AS month,
+         |    SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS total_dec
+         |  FROM lineitem l
+         |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+         |  WHERE o.o_orderdate < TIMESTAMP '1997-01-01'
+         |  GROUP BY 1, 2),
+         |refreshed AS (
+         |  SELECT n.n_nationkey AS store,
+         |    substring(CAST(CAST(o.o_orderdate AS DATE) AS VARCHAR), 1, 7)
+         |      AS month,
+         |    SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS total_dec
+         |  FROM lineitem l
+         |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+         |  WHERE n.n_nationkey IN (1, 2, 3)
+         |  GROUP BY 1, 2)
+         |SELECT store, month, CAST(total_dec AS DOUBLE) AS total
+         |FROM refreshed
+         |UNION ALL
+         |SELECT store, month, CAST(total_dec AS DOUBLE) AS total
+         |FROM old WHERE store NOT IN (1, 2, 3)
+         |ORDER BY store, month""".stripMargin),
     // qm5: kinds recomputed from the mediaFromDocs id rules; every
     // gate blob carries the 10-byte GFT0 header (including the
     // invalid-kind ones), so blob = payload + 10 exactly.

@@ -70,6 +70,14 @@ object Scratch {
       "graft_qp4_" + sfDir.replaceAll("[^A-Za-z0-9._-]", "_"))
       .getAbsolutePath
 
+  /** qp8's refreshable-mart root (v1 snapshot then dynamic partition
+    * overwrite), keyed like [[qp1Dir]].
+    */
+  def qp8Dir(sfDir: String): String =
+    new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_qp8_" + sfDir.replaceAll("[^A-Za-z0-9._-]", "_"))
+      .getAbsolutePath
+
   /** Streaming landing dir (symlink to the single-file events table),
     * keyed like [[qp1Dir]]; shared by the streaming gate queries
     * (qs7/qs8/qs9).

@@ -289,6 +289,61 @@ object Marts {
         "l_quantity", "l_extendedprice")
   }
 
+  /** qp8 — DYNAMIC partition overwrite: the incremental-mart-refresh
+    * contract. A nightly pipeline recomputes only the partitions a new
+    * batch touches; `partitionOverwriteMode=dynamic` makes an
+    * overwrite-mode write replace EXACTLY the partitions present in
+    * the written frame and leave every other partition's files
+    * untouched — where static mode (the default, and what a naive
+    * "overwrite" means) would truncate the whole table first. At
+    * 100 TB this is the difference between rewriting 3 store
+    * partitions and rewriting all of them.
+    *
+    * The gate proves the semantic end to end: v1 writes a PRE-CUTOFF
+    * snapshot of the store×month sales mart for all stores; the
+    * refresh batch holds FULL-history rows for stores 1–3 only and is
+    * written overwrite+dynamic; the read-back must show full history
+    * exactly for stores 1–3 and the old snapshot everywhere else —
+    * rows only a correct partial replace can produce (a static
+    * overwrite loses the other stores entirely; an append duplicates
+    * stores 1–3). The conf is scoped-and-restored (the qp3
+    * discipline). Both writes cluster by the partition key first
+    * (one writer per directory — the q14 small-files rule).
+    */
+  def dynamicOverwriteRefresh(s: SparkSession, dir: String): DataFrame = {
+    val root = graft.io.Scratch.qp8Dir(dir)
+    def mart(pre: DataFrame => DataFrame): DataFrame = {
+      val l = Tables.lineitem(s, dir)
+      val o = pre(Tables.orders(s, dir))
+      val sup = Tables.supplier(s, dir)
+      val n = Tables.nation(s, dir)
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(sup, l("l_suppkey") === sup("s_suppkey"))
+        .join(n, sup("s_nationkey") === n("n_nationkey"))
+        .select(n("n_nationkey").as("store"),
+          Fns.monthKey(o("o_orderdate")).as("month"),
+          l("l_extendedprice").cast(Fns.Money).as("p"))
+        .groupBy("store", "month")
+        .agg(sum(col("p")).as("total_dec"))
+    }
+    // v1: the old snapshot — everything before the cutoff, every store
+    graft.io.Writers.writePartitioned(
+      mart(_.filter(col("o_orderdate") < to_timestamp(lit("1997-01-01")))),
+      root, Seq("store"), numTasks = 8)
+    // v2: the refresh batch — full history, stores 1-3 only; dynamic
+    // mode replaces exactly those three partitions
+    withConfs(s,
+      Map("spark.sql.sources.partitionOverwriteMode" -> "dynamic")) {
+      graft.io.Writers.writePartitioned(
+        mart(identity).filter(col("store").isin(1, 2, 3)),
+        root, Seq("store"), numTasks = 4)
+    }
+    s.read.parquet(root)
+      .select(col("store").cast("int").as("store"), col("month"),
+        col("total_dec").cast("double").as("total"))
+      .orderBy("store", "month")
+  }
+
   private def withConfs[A](s: SparkSession, confs: Map[String, String])
       (body: => A): A = {
     val prev = confs.keys.map(k => k -> s.conf.getOption(k)).toMap

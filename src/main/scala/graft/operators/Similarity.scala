@@ -532,6 +532,43 @@ object Similarity {
       .orderBy("vec_id", "rnk", "nbr_id")
   }
 
+  /** qe18 — cosine-RADIUS search (range query): every corpus vector
+    * with sim ≥ `minSim` to each query — the "all similar enough"
+    * retrieval mode a top-k API cannot express (the right k is
+    * unknowable per query: a hub has hundreds of matches, an outlier
+    * none). The retrieval twin of [[embeddingNearDups]] (which asks
+    * the same question pairwise over the whole corpus); here the left
+    * side is a bounded query set.
+    *
+    * Blocking is the [[knnGraphBlocked]] move: queries probe their
+    * `nProbe` nearest IVF cells and score only those cells' members
+    * via a cell-keyed equi-join — no corpus broadcast, ~nProbe/k of
+    * the pairs, and multi-probe duplicates are impossible (a corpus
+    * vector lives in exactly one cell). At `nProbe = k` every pair is
+    * scored, so the result provably equals the brute radius filter
+    * for any centroids (the qe14 parity argument — the declared qe18
+    * config); honest-nProbe recall is measured in SimilaritySpec.
+    */
+  def radiusSearch(emb: DataFrame, model: Ivf.IvfModel, queryIds: Seq[Long],
+                   minSim: Double, nProbe: Int): DataFrame = {
+    graft.functions.VecDot.register(emb.sparkSession)
+    val assigned = Ivf.assignCells(emb, model)
+      .select(col("vec_id"), col("cluster"), col("embedding").as("c_emb"),
+        normN(col("embedding")).as("c_nrm"))
+    val probes = Ivf.probeCells(
+        emb.filter(col("vec_id").isin(queryIds: _*)), model, nProbe)
+      .join(emb.select(col("vec_id"), col("embedding")), "vec_id")
+      .select(col("vec_id").as("query_id"), col("probe"),
+        col("embedding").as("q_emb"), normN(col("embedding")).as("q_nrm"))
+    probes.join(assigned, col("probe") === col("cluster"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("sim",
+        dotN(col("c_emb"), col("q_emb")) / (col("c_nrm") * col("q_nrm")))
+      .filter(col("sim") >= minSim)
+      .select("query_id", "vec_id", "sim")
+      .orderBy("query_id", "vec_id")
+  }
+
   /** Cluster-scoped semantic dedup — the SemDeDup shape (Abbas et
     * al. 2023, arXiv:2303.09540): candidate pairs exist only WITHIN a
     * coarse k-means cell of the (cached) IVF model, so pair volume is

@@ -1593,4 +1593,16 @@ object TrainingOps {
     */
   def mediaSniff(s: SparkSession, dir: String): DataFrame =
     Multimodal.mediaSniff(Multimodal.mediaFromDocs(Tables.documents(s, dir)))
+
+  /** qe18 — cosine-radius search, declared at full probe (≡ the brute
+    * radius filter for any centroids — the qe14 argument); the same
+    * queries as qe1, sim ≥ 0.25 (non-vacuous at every sf: 55 rows at
+    * sf0.001/sf0.01, 227 at sf0.1). Honest-nProbe recall is measured
+    * in SimilaritySpec.
+    */
+  def radiusKnn(s: SparkSession, dir: String): DataFrame = {
+    val model = ivfModel(s, dir)
+    Similarity.radiusSearch(Tables.embeddings(s, dir), model, knnQueryIds,
+      minSim = 0.25, nProbe = model.k)
+  }
 }

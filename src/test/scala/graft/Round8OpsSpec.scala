@@ -104,6 +104,37 @@ class Round8OpsSpec extends SparkSpec {
       a.getAs[Long]("total_payload_bytes") == 4L)
   }
 
+  test("qp8: dynamic overwrite replaces only the written partitions; static wipes the rest") {
+    val rows = Seq((1, "a", 10L), (1, "b", 20L), (2, "a", 30L))
+      .toDF("p", "k", "v")
+    val refresh = Seq((1, "a", 99L)).toDF("p", "k", "v")
+    // by-name access: the partition column comes back LAST in the
+    // read-back schema, not in its original position
+    def state(path: String): Set[(Int, String, Long)] =
+      spark.read.parquet(path).collect()
+        .map(r => (r.getAs[Int]("p"), r.getAs[String]("k"),
+          r.getAs[Long]("v"))).toSet
+
+    val dyn = tempDir("qp8dyn")
+    graft.io.Writers.writePartitioned(rows, dyn, Seq("p"), numTasks = 1)
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try graft.io.Writers.writePartitioned(refresh, dyn, Seq("p"), numTasks = 1)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    assert(state(dyn) == Set((1, "a", 99L), (2, "a", 30L)),
+      "p=1 replaced wholesale (its old 'b' row gone), p=2 untouched")
+
+    // counterfactual: the same refresh under the DEFAULT static mode
+    // truncates every other partition — the failure qp8 exists to avoid
+    val sta = tempDir("qp8sta")
+    graft.io.Writers.writePartitioned(rows, sta, Seq("p"), numTasks = 1)
+    graft.io.Writers.writePartitioned(refresh, sta, Seq("p"), numTasks = 1)
+    assert(state(sta) == Set((1, "a", 99L)), "static overwrite lost p=2")
+  }
+
   test("qm5 is codegen-only: no object-serialization seam in the plan") {
     val docs = Seq((1L, "x")).toDF("doc_id", "text")
     // the SNIFF itself runs on a binary column without mapPartitions;

@@ -359,6 +359,42 @@ class SimilaritySpec extends SparkSpec
         s"${exact.size} rows")
   }
 
+  test("qe18: full-probe radius search equals the driver-side brute filter; honest nProbe measured") {
+    val model = graft.operators.Ivf.train(emb, k = 8, iters = 1)
+    val full = Similarity.radiusSearch(emb, model, qids, minSim = 0.25,
+        nProbe = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // driver-side exhaustive radius filter (sequential-fold cosines)
+    val vecs = emb.collect().map(r => r.getAs[Long]("vec_id") ->
+      r.getAs[Seq[Float]]("embedding").toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    // vecs.toSeq: flat-mapping over the Map directly would rebuild a
+    // Map keyed on q and silently collapse to one pair per query
+    val brute = (for {
+      q <- qids; (v, arr) <- vecs.toSeq if v != q
+      if cos(vecs(q), arr) >= 0.25
+    } yield (q, v)).toSet
+    assert(full == brute, "full probe must equal the exhaustive radius set")
+    // multi-probe never duplicates a (query, vec) pair
+    val partial = Similarity.radiusSearch(emb, model, qids, 0.25, nProbe = 3)
+    assert(partial.count() ==
+      partial.select("query_id", "vec_id").distinct().count())
+    val got = partial.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.subsetOf(brute), "blocking can only lose pairs, never invent")
+    val recall = if (brute.isEmpty) 1.0 else (got & brute).size.toDouble / brute.size
+    info(f"radius recall (nProbe=3 of 8): $recall%.3f over ${brute.size} pairs")
+    assert(recall >= 0.30, f"radius recall $recall%.3f below floor")
+  }
+
   test("qe9: MMR swaps the duplicate for the diverse candidate; round-1 score is lambda*rel") {
     import spark.implicits._
     // query 0 on +x; 1 and 2 are the SAME vector (plain top-2 would
