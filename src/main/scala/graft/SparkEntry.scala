@@ -180,6 +180,12 @@ object SparkEntry {
     "qm5_media_sniff"    -> (TrainingOps.mediaSniff _),
     "qe18_radius_search" -> (TrainingOps.radiusKnn _),
     "qp8_dynamic_overwrite" -> (Marts.dynamicOverwriteRefresh _),
+    "qe19_mips"          -> ((s, d) => graft.operators.Similarity.mipsKnn(
+      graft.core.Tables.embeddings(s, d), TrainingOps.knnQueryIds, 10)),
+    "qd47_bpe_fertility" -> (TrainingOps.bpeFertility _),
+    "qs36_time_to_convert" -> (Events.timeToConvert _),
+    "qd48_dedup_quality" -> (TrainingOps.dedupQuality _),
+    "qx26_nested_roundtrip" -> (Extras.nestedRoundtrip _),
   )
 
   /** Queries intentionally without an oracle — EMPTY since round 5:
@@ -1360,6 +1366,60 @@ object SparkEntry {
          |SELECT store, month, CAST(total_dec AS DOUBLE) AS total
          |FROM old WHERE store NOT IN (1, 2, 3)
          |ORDER BY store, month""".stripMargin),
+    // qe19: knnSql's construction minus the norm divisions — raw dot
+    // ordering, same sequential fold, same (rank, vec_id) ties.
+    "qe19_mips" -> {
+      val ids = graft.operators.TrainingOps.knnQueryIds.mkString(", ")
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb
+         |      FROM embeddings WHERE vec_id IN ($ids)),
+         |s AS (
+         |  SELECT q.query_id, b.vec_id,
+         |    ${dotSql("b.embedding", "q.q_emb")} AS dot
+         |  FROM embeddings b, q WHERE b.vec_id <> q.query_id),
+         |r AS (SELECT query_id, vec_id, dot,
+         |        CAST(rank() OVER (PARTITION BY query_id
+         |          ORDER BY dot DESC, vec_id) AS INTEGER) AS rnk
+         |      FROM s)
+         |SELECT query_id, vec_id, rnk, dot FROM r WHERE rnk <= 10
+         |ORDER BY query_id, rnk, vec_id""".stripMargin
+    },
+    // qd47: qd38's unrolled merge-chain CTEs rolled up by language —
+    // exact char totals, one BIGINT/BIGINT division per lang.
+    "qd47_bpe_fertility" -> bpeFertilitySql,
+    // qs36: strictly-preceding last-click carry (ROWS ... 1
+    // PRECEDING), floored epoch gaps, interpolated percentiles over
+    // exact BIGINTs (quantile_cont == Spark percentile on identical
+    // ints — the qs5 parity).
+    "qs36_time_to_convert" ->
+      ("""WITH ev AS (SELECT event_id, user_id, event_type,
+         |    CAST(ts AS TIMESTAMP) AS ts FROM events
+         |  WHERE event_type IN ('click', 'purchase')),
+         |w AS (SELECT *,
+         |    last_value(CASE WHEN event_type = 'click' THEN ts END
+         |      IGNORE NULLS) OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |      AS last_click_ts
+         |  FROM ev),
+         |g AS (SELECT CAST(floor(epoch(ts)) AS BIGINT)
+         |    - CAST(floor(epoch(last_click_ts)) AS BIGINT) AS gap
+         |  FROM w WHERE event_type = 'purchase'
+         |    AND last_click_ts IS NOT NULL)
+         |SELECT CAST(count(*) AS BIGINT) AS n_conversions,
+         |  CAST(min(gap) AS BIGINT) AS min_gap_sec,
+         |  quantile_cont(gap, 0.5) AS p50_sec,
+         |  quantile_cont(gap, 0.9) AS p90_sec,
+         |  CAST(max(gap) AS BIGINT) AS max_gap_sec
+         |FROM g""".stripMargin),
+    // qd48: exhaustive truth + portable-banding candidates, both
+    // recomputed from the shared shingle/fingerprint constructions
+    // (qd10's sets, qd27's affine minima).
+    "qd48_dedup_quality" -> dedupQualitySql,
+    // qx26: a correct nested round-trip is invisible — the oracle is
+    // the plain flat projection.
+    "qx26_nested_roundtrip" ->
+      ("SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem " +
+        "ORDER BY l_orderkey, l_linenumber, l_quantity"),
     // qm5: kinds recomputed from the mediaFromDocs id rules; every
     // gate blob carries the 10-byte GFT0 header (including the
     // invalid-kind ones), so blob = payload + 10 exactly.
@@ -2098,6 +2158,75 @@ object SparkEntry {
        |    ELSE CAST(len(t3.text) AS DOUBLE) / CAST(len(t0.text) AS DOUBLE)
        |  END AS compression
        |FROM t0 JOIN t3 USING (doc_id) ORDER BY t0.doc_id""".stripMargin
+
+  /** qd48 oracle: the exhaustive pair-jaccard truth (qd10's string
+    * shingle sets — n²/2 list intersections, gate-scale only) LEFT
+    * JOINed to the portable-minhash banding candidates (qd27's affine
+    * minima, 4 bands × 4 rows), counted per threshold. Thresholds
+    * CAST to DOUBLE (a bare 0.5 VALUES literal is DECIMAL in DuckDB,
+    * and the compare is dtype-strict).
+    */
+  private lazy val dedupQualitySql: String = {
+    val P = graft.functions.DocFingerprint.Modulus
+    val mins = graft.operators.Dedup.portablePerms.zipWithIndex.map {
+      case ((a, b), i) => s"min((CAST($a AS BIGINT) * fp + $b) % $P) AS h$i"
+    }.mkString(",\n    ")
+    val bandEq = (0 until 4).map { bi =>
+      (0 until 4).map(j => s"x.h${bi * 4 + j} = y.h${bi * 4 + j}")
+        .mkString("(", " AND ", ")")
+    }.mkString(" OR ")
+    val trueSum = "SUM(CASE WHEN j.jaccard >= t.threshold THEN 1 ELSE 0 END)"
+    val foundSum = "SUM(CASE WHEN j.jaccard >= t.threshold AND j.is_cand " +
+      "THEN 1 ELSE 0 END)"
+    s"""$shingleCte,
+       |pj AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    $jaccardExpr AS jaccard
+       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+       |gg AS (SELECT doc_id, unnest(s) AS gram FROM sh),
+       |f AS (SELECT doc_id, CASE WHEN gram = '' THEN 0 ELSE
+       |        list_reduce(list_transform(string_split(gram, ''),
+       |          c -> CAST(unicode(c) AS BIGINT)),
+       |          (acc, x) -> (acc * 31 + x) % 2147483647) END AS fp
+       |      FROM gg),
+       |m AS (SELECT doc_id,
+       |    $mins
+       |  FROM f GROUP BY doc_id),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM m x JOIN m y ON x.doc_id < y.doc_id AND ($bandEq)),
+       |j AS (SELECT pj.doc_a, pj.doc_b, pj.jaccard,
+       |    cand.doc_a IS NOT NULL AS is_cand
+       |  FROM pj LEFT JOIN cand
+       |    ON pj.doc_a = cand.doc_a AND pj.doc_b = cand.doc_b),
+       |t(threshold) AS (VALUES (CAST(0.5 AS DOUBLE)),
+       |  (CAST(0.7 AS DOUBLE)), (CAST(0.9 AS DOUBLE)))
+       |SELECT t.threshold,
+       |  CAST($trueSum AS BIGINT) AS true_pairs,
+       |  CAST($foundSum AS BIGINT) AS found_pairs,
+       |  CASE WHEN $trueSum = 0 THEN 1.0
+       |    ELSE CAST($foundSum AS DOUBLE) / CAST($trueSum AS DOUBLE)
+       |  END AS recall
+       |FROM j CROSS JOIN t
+       |GROUP BY t.threshold ORDER BY t.threshold""".stripMargin
+  }
+
+  /** qd47: per-language rollup of the encoder's before/after chars —
+    * the same t0/t3 corpus CTEs as qd38, joined to the lang column,
+    * compression as ONE division of the exact totals.
+    */
+  private lazy val bpeFertilitySql: String =
+    s"""$bpeRounds3
+       |SELECT d.lang, CAST(count(*) AS BIGINT) AS docs,
+       |  CAST(SUM(len(t0.text)) AS BIGINT) AS chars_before,
+       |  CAST(SUM(len(t3.text)) AS BIGINT) AS chars_after,
+       |  CASE WHEN SUM(len(t0.text)) = 0 THEN 1.0
+       |    ELSE CAST(SUM(len(t3.text)) AS DOUBLE)
+       |      / CAST(SUM(len(t0.text)) AS DOUBLE)
+       |  END AS corpus_compression
+       |FROM t0 JOIN t3 USING (doc_id)
+       |JOIN documents d ON t0.doc_id = d.doc_id
+       |GROUP BY d.lang ORDER BY d.lang""".stripMargin
 
   private val hourlyStatsSql: String =
     "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour, " +

@@ -711,6 +711,46 @@ object Events {
       .orderBy("purchase_id", "click_id")
   }
 
+  /** qs36 — time-to-convert distribution: for every purchase with at
+    * least one PRECEDING click by the same user, the seconds since
+    * that user's latest prior click, reduced to interpolated
+    * p50/p90 + extrema — the conversion-latency report that sizes
+    * attribution windows (qs21/qs35 ASSUME 30 minutes; this measures
+    * what the corpus actually does). Gap semantics pinned: the
+    * carried click is `last(ignoreNulls)` over rows strictly BEFORE
+    * the purchase in (ts, event_id) order — a same-second click
+    * sorted before the purchase counts, the purchase row itself never
+    * does; epoch seconds floored on both engines (the qs19 rule).
+    *
+    * Scale shape: one user-keyed window pass over the click/purchase
+    * subset (filter pushed to the scan), then a single bounded
+    * aggregate; exact sort-based percentiles over BIGINT gaps (qs5
+    * parity — t-digest is the documented 100 TB swap-in, shape
+    * unchanged).
+    */
+  def timeToConvert(s: SparkSession, dir: String): DataFrame =
+    timeToConvertOn(Tables.events(s, dir))
+
+  /** Core of [[timeToConvert]] over any events frame. */
+  def timeToConvertOn(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val gaps = events
+      .filter(col("event_type").isin("click", "purchase"))
+      .withColumn("last_click_ts",
+        last(when(col("event_type") === "click", col("ts")),
+          ignoreNulls = true).over(byUser))
+      .filter(col("event_type") === "purchase" &&
+        col("last_click_ts").isNotNull)
+      .select((unix_timestamp(col("ts"))
+        - unix_timestamp(col("last_click_ts"))).as("gap"))
+    gaps.agg(count(lit(1)).as("n_conversions"),
+      min("gap").as("min_gap_sec"),
+      expr("percentile(gap, 0.5D)").as("p50_sec"),
+      expr("percentile(gap, 0.9D)").as("p90_sec"),
+      max("gap").as("max_gap_sec"))
+  }
+
   /** qs22 — daily actives, new users, and CUMULATIVE distinct users:
     * the running-uniques report every growth dashboard carries.
     * COUNT(DISTINCT) over a running frame is unsupported (and would

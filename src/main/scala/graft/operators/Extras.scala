@@ -158,6 +158,37 @@ object Extras {
     (oTab, cTab)
   }
 
+  /** qx26 — nested-data ROUND-TRIP: denormalize lineitem into one
+    * array-of-structs row per order (the export shape every
+    * JSON/protobuf feed wants), then renormalize with explode and
+    * prove the flat projection survives bit-for-bit. The reference's
+    * dataflow is flat-relational only (SURVEY §1.4); this extends the
+    * engine to the nested column types a real lake carries. The
+    * in-array order is pinned by array_sort over the full struct
+    * (collect_list order is shuffle-dependent — unsorted arrays would
+    * be nondeterministic), which is also why the oracle can be the
+    * plain flat projection: a correct round-trip is INVISIBLE.
+    *
+    * Scale shape: one groupBy(order) exchange to build the nests, one
+    * map-only Generate to flatten; the struct payload rides the
+    * shuffle once.
+    */
+  def nestedRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+    val nested = li.groupBy("l_orderkey")
+      .agg(array_sort(collect_list(
+        struct(col("l_linenumber"), col("l_quantity")))).as("lines"))
+    nested
+      .select(col("l_orderkey"), explode(col("lines")).as("ln"))
+      .select(col("l_orderkey"),
+        col("ln.l_linenumber").as("l_linenumber"),
+        col("ln.l_quantity").as("l_quantity"))
+      // (l_orderkey, l_linenumber) is not unique in the synthetic
+      // data — order by every column (the qp5 rule)
+      .orderBy("l_orderkey", "l_linenumber", "l_quantity")
+  }
+
   /** qp7 — BUCKET-pruned read: an equality/IN predicate on the bucket
     * column lets the scan skip every file of every non-matching
     * bucket BEFORE reading a byte — the layout-level complement to

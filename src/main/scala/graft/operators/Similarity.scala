@@ -532,6 +532,50 @@ object Similarity {
       .orderBy("vec_id", "rnk", "nbr_id")
   }
 
+  /** qe19 — maximum inner-product search (MIPS): top-k by RAW dot
+    * product, not cosine — the recommender-scoring semantic (user ×
+    * item-embedding dots, where an item's norm encodes its
+    * popularity prior and must NOT be normalized away). On a corpus
+    * with varying norms MIPS and cosine order differently;
+    * SimilaritySpec proves the divergence on crafted scaled vectors
+    * AND the classic norm-augmentation reduction (Shrivastava & Li,
+    * NeurIPS 2014): append one dimension √(M²−‖x‖²) to each corpus
+    * vector (0 to queries) and MIPS becomes cosine kNN on the
+    * augmented space — so every blocked cosine index in this file
+    * (IVF/LSH/SQ8) serves MIPS unchanged. Same scan shape as
+    * [[bruteForceKnn]] minus the norm divisions.
+    */
+  def mipsKnn(emb: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
+    graft.functions.VecDot.register(emb.sparkSession)
+    val q = emb.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("dot").desc, col("vec_id"))
+    emb.select(col("vec_id"), col("embedding")).crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("dot", dotN(col("embedding"), col("q_emb")))
+      .withColumn("rnk", rank().over(w).cast("int"))
+      .filter(col("rnk") <= k)
+      .select("query_id", "vec_id", "rnk", "dot")
+      .orderBy("query_id", "rnk", "vec_id")
+  }
+
+  /** The Shrivastava–Li augmentation used by the MIPS spec: corpus
+    * vectors gain √(M²−‖x‖²) as an extra component (M ≥ max norm),
+    * queries gain 0 — inner products are preserved while augmented
+    * corpus norms become the constant M, so cosine order ≡ dot order.
+    */
+  def augmentForMips(emb: DataFrame, m: Double): DataFrame = {
+    graft.functions.VecDot.register(emb.sparkSession)
+    emb.withColumn("_sq",
+      graft.functions.VecDot.of(col("embedding"), col("embedding")))
+      .withColumn("embedding",
+        concat(col("embedding"),
+          array(sqrt(greatest(lit(m * m) - col("_sq"), lit(0.0)))
+            .cast("float"))))
+      .drop("_sq")
+  }
+
   /** qe18 — cosine-RADIUS search (range query): every corpus vector
     * with sim ≥ `minSim` to each query — the "all similar enough"
     * retrieval mode a top-k API cannot express (the right k is

@@ -996,8 +996,13 @@ object TrainingOps {
     * on every call) — and it also catches the same-count rewrite a
     * count key is blind to.
     */
-  private def corpusStamp(dir: String): String = {
-    val root = new java.io.File(s"$dir/embeddings.parquet")
+  private def corpusStamp(dir: String): String = tableStamp(dir, "embeddings")
+
+  /** File-stat stamp for any table under the sf dir (names + sizes +
+    * mtimes) — the cache-invalidation key for every amortized model.
+    */
+  private def tableStamp(dir: String, table: String): String = {
+    val root = new java.io.File(s"$dir/$table.parquet")
     def stat(f: java.io.File) = s"${f.getName}:${f.length}:${f.lastModified}"
     if (root.isDirectory)
       root.listFiles().sortBy(_.getName).map(stat).mkString(",")
@@ -1410,24 +1415,17 @@ object TrainingOps {
     * Empty docs define compression = 1.0 (0/0 is NULL in DuckDB but
     * NaN in Spark — the guard keeps both engines on the same value).
     */
-  def bpeEncode(docs0: DataFrame, rounds: Int = 3): DataFrame = {
+  def bpeEncode(docs0: DataFrame, rounds: Int = 3,
+                merges: Option[Seq[(String, String)]] = None): DataFrame = {
     require(rounds >= 1 && rounds <= bpeSymbols.length,
       s"rounds must be in [1, ${bpeSymbols.length}]")
-    var charset = "a-z0-9"
+    val table = merges.getOrElse(bpeLearnMerges(docs0, rounds))
+    require(table.size == rounds, s"merge table has ${table.size} entries")
     var cur = docs0.select(col("doc_id"), col("text"),
       length(col("text")).cast("long").as("len_before"))
-    for (r <- 1 to rounds) {
-      val winner = cur
-        .withColumn("_bgs", regexp_extract_all(col("text"),
-          lit(s"(?s)(?=([$charset]{2}))."), lit(1)))
-        .select(explode(col("_bgs")).as("pair"))
-        .groupBy("pair").agg(count(lit(1)).as("c"))
-        .orderBy(col("c").desc, col("pair")).limit(1)
-        .collect()(0)
-      val sym = bpeSymbols(r - 1)
+    table.foreach { case (pair, sym) =>
       cur = cur.withColumn("text",
-        regexp_replace(col("text"), winner.getString(0), sym))
-      charset += sym
+        regexp_replace(col("text"), pair, sym))
     }
     cur.select(col("doc_id"), col("len_before"),
       length(col("text")).cast("long").as("len_after"),
@@ -1437,9 +1435,59 @@ object TrainingOps {
       .orderBy("doc_id")
   }
 
-  /** The qd38 declared form: encode with the 3-round merge table. */
+  /** Learn the `rounds`-entry merge table — the winner loop shared by
+    * the encoder paths: per round one bounded histogram action picks
+    * the (count DESC, pair ASC) winning bigram over the current
+    * charset, then the corpus view is rewritten with the merge symbol
+    * admitted into the next round's charset.
+    */
+  def bpeLearnMerges(docs0: DataFrame,
+                     rounds: Int): Seq[(String, String)] = {
+    var charset = "a-z0-9"
+    var cur = docs0.select(col("text"))
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    for (r <- 1 to rounds) {
+      val winner = cur
+        .withColumn("_bgs", regexp_extract_all(col("text"),
+          lit(s"(?s)(?=([$charset]{2}))."), lit(1)))
+        .select(explode(col("_bgs")).as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("pair")).limit(1)
+        .collect()(0)
+      val sym = bpeSymbols(r - 1)
+      out += ((winner.getString(0), sym))
+      cur = cur.withColumn("text",
+        regexp_replace(col("text"), winner.getString(0), sym))
+      charset += sym
+    }
+    out.toSeq
+  }
+
+  private val bpeMergeCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String, Int), Seq[(String, String)]]()
+
+  /** Cached merge table per (sf dir, documents stamp, rounds) — the
+    * [[ivfModel]] amortize-and-invalidate contract applied to the
+    * tokenizer: production trains ONCE and encodes many corpora, so
+    * the APPLICATION queries (qd38 encode, qd47 fertility) reuse the
+    * learned table while qd35 (the TRAINER) keeps re-learning — its
+    * per-round statistics ARE the measured artifact.
+    */
+  def bpeMergeTable(s: SparkSession, dir: String,
+                    rounds: Int): Seq[(String, String)] = {
+    if (bpeMergeCache.size > 16) bpeMergeCache.clear()
+    bpeMergeCache.computeIfAbsent(
+      (dir, tableStamp(dir, "documents"), rounds),
+      _ => bpeLearnMerges(Tables.documents(s, dir), rounds))
+  }
+
+  /** The qd38 declared form: encode with the (cached) 3-round merge
+    * table — the tokenizer-application pass; training amortizes via
+    * [[bpeMergeTable]] exactly as qe4's IVF model does.
+    */
   def bpeEncodeQuery(s: SparkSession, dir: String): DataFrame =
-    bpeEncode(Tables.documents(s, dir), rounds = 3)
+    bpeEncode(Tables.documents(s, dir), rounds = 3,
+      merges = Some(bpeMergeTable(s, dir, 3)))
 
   /** The qd31 declared form: lang strata (imbalanced 218/75/73/70/64
     * at sf0.01 — sqrt temperature visibly reshapes the mix), target
@@ -1593,6 +1641,128 @@ object TrainingOps {
     */
   def mediaSniff(s: SparkSession, dir: String): DataFrame =
     Multimodal.mediaSniff(Multimodal.mediaFromDocs(Tables.documents(s, dir)))
+
+  /** qd47 — per-language tokenizer FERTILITY audit: how well the
+    * learned BPE merge chain compresses each language — the
+    * tokenizer-evaluation metric that flags tokenizer↔corpus
+    * mismatch (a merge table learned on ASCII-dominant text leaves
+    * CJK at compression ≈ 1.0, i.e. ~1 token per character — exactly
+    * the cost blow-up fertility audits exist to catch before a
+    * training run). Composes qd38's encoder (the 3-round merge chain
+    * applied corpus-wide) with a language rollup: per lang, docs,
+    * exact char totals before/after, and the corpus-level compression
+    * ratio as ONE division of exact BIGINTs (not an average of
+    * per-doc ratios — short docs would dominate).
+    *
+    * Scale shape: qd38's map-only replace chain + one lang-keyed
+    * partial+final aggregate; the doc_id→lang join is a projection of
+    * the same documents scan both sides read.
+    */
+  def bpeFertility(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    bpeEncode(docs, rounds = 3, merges = Some(bpeMergeTable(s, dir, 3)))
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("docs"),
+        sum("len_before").as("chars_before"),
+        sum("len_after").as("chars_after"))
+      .select(col("lang"), col("docs"), col("chars_before"),
+        col("chars_after"),
+        when(col("chars_before") === 0L, lit(1.0))
+          .otherwise(col("chars_after").cast("double")
+            / col("chars_before").cast("double"))
+          .as("corpus_compression"))
+      .orderBy("lang")
+  }
+
+  /** qd48 — dedup-blocking QUALITY evaluation: for each Jaccard
+    * threshold, how many true near-dup pairs exist (exhaustive exact
+    * count) and how many the production MinHash-banding blocker
+    * admits — the measured recall curve that justifies a blocking
+    * geometry instead of guessing it ("measure, don't guess" applied
+    * to the dedup pipeline itself). The gate corpus is bimodal
+    * (near-dups are ~exact, so every threshold reads the same 25
+    * pairs and banding recall is 1.0); the spec plants mid-similarity
+    * pairs where the 4×4 banding curve genuinely bites
+    * (P(candidate) = 1−(1−j⁴)⁴ ≈ 0.23 at j = 0.5).
+    *
+    * Shapes: the exact side is the qd41 co-gram construction — only
+    * pairs SHARING a gram are scored (zero-overlap pairs can't pass
+    * any t > 0), 8-byte gram-hash keys, never all-pairs; the blocking
+    * side is the qd27 portable-minhash signature (DuckDB-recomputable)
+    * banded 4×4 with a band-keyed equi-join. One conditional
+    * aggregate computes every threshold's (true, found) in a single
+    * pass. sf0.1 oracle-side verification is infeasible (the
+    * EXHAUSTIVE DuckDB mirror is n²/2 list intersections, >10 min —
+    * the components-family precedent); gate-scale oracle + the
+    * planted-pair spec carry correctness.
+    */
+  def dedupQuality(s: SparkSession, dir: String): DataFrame = {
+    DocFingerprint.register(s)
+    dedupQualityOn(Tables.documents(s, dir), Seq(0.5, 0.7, 0.9))
+  }
+
+  /** Core of [[dedupQuality]] over any (doc_id, text) frame. */
+  def dedupQualityOn(docs: DataFrame, thresholds: Seq[Double]): DataFrame = {
+    val P = DocFingerprint.Modulus
+    val grams = Dedup.gramsRelational(docs, "doc_id", "text")
+      .withColumn("fp", DocFingerprint.of(col("g")))
+    // exact side: distinct gram sets → co-gram pair intersections
+    val gh = grams.select(col("doc_id"), xxhash64(col("g")).as("gh"))
+      .distinct()
+    val byGram = gh.groupBy("gh").agg(collect_list("doc_id").as("ids"))
+    val inter = byGram
+      .select(explode(col("ids")).as("doc_a"), col("ids"))
+      .select(col("doc_a"), explode(col("ids")).as("doc_b"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("inter"))
+    val sizes = gh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val jac = inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")),
+        "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")),
+        "doc_b")
+      .withColumn("jaccard", col("inter").cast("double")
+        / (col("na") + col("nb") - col("inter")).cast("double"))
+    // blocking side: portable 16-component signatures, 4 bands of 4
+    val aggs = Dedup.portablePerms.zipWithIndex.map { case ((a, b), i) =>
+      min((col("fp") * lit(a) + lit(b)) % lit(P)).as(s"h$i")
+    }
+    val sigs = grams.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    val bands = (0 until 4).map { bIdx =>
+      sigs.select(col("doc_id"), lit(bIdx).as("band"),
+        struct((0 until 4).map(j => col(s"h${bIdx * 4 + j}")): _*).as("key"))
+    }.reduce(_.union(_))
+    val candidates = bands.as("x")
+      .join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val flagged = jac.join(
+      candidates.withColumn("is_cand", lit(true)),
+      Seq("doc_a", "doc_b"), "left")
+    // one conditional-aggregate pass over the scored pairs
+    val counts = thresholds.zipWithIndex.flatMap { case (t, i) =>
+      Seq(sum(when(col("jaccard") >= t, 1L).otherwise(0L)).as(s"t$i"),
+        sum(when(col("jaccard") >= t && col("is_cand"), 1L).otherwise(0L))
+          .as(s"f$i"))
+    }
+    flagged.agg(counts.head, counts.tail: _*)
+      .select(explode(array(thresholds.zipWithIndex.map { case (t, i) =>
+        struct(lit(t).as("threshold"), col(s"t$i").as("true_pairs"),
+          col(s"f$i").as("found_pairs"))
+      }: _*)).as("r"))
+      .select(col("r.threshold").as("threshold"),
+        col("r.true_pairs").as("true_pairs"),
+        col("r.found_pairs").as("found_pairs"))
+      .withColumn("recall",
+        when(col("true_pairs") === 0L, 1.0)
+          .otherwise(col("found_pairs").cast("double")
+            / col("true_pairs").cast("double")))
+      .orderBy("threshold")
+  }
 
   /** qe18 — cosine-radius search, declared at full probe (≡ the brute
     * radius filter for any centroids — the qe14 argument); the same

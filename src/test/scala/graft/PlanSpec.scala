@@ -686,6 +686,18 @@ class PlanSpec extends SparkSpec
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("qd45: unigram/pair aggregates reuse at runtime — the tokenize scan doesn't multiply") {
+    // uni feeds three consumers (a-side, b-side, total T) and the
+    // pair counts feed two (main spine, total P); AQE must reuse the
+    // shuffle stages rather than re-run the corpus tokenize per
+    // consumer (the qd41 reuse pin, executed-plan form)
+    val df = graft.operators.TrainingOps.pmiCooccur(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage"),
+      s"no exchange reuse in qd45's executed plan:\n$p")
+  }
+
   test("global sweep: no declared query plans a CartesianProduct") {
     // BroadcastNestedLoopJoin is allowed ONLY where the operator is
     // deliberately O(n^2) at its declared verification config (qe3's
@@ -717,7 +729,11 @@ class PlanSpec extends SparkSpec
         "qe13_knn_graph",
         // qd45: the two corpus totals as 1-row broadcasts (the
         // qd22/qd23/qs33 class)
-        "qd45_pmi")
+        "qd45_pmi",
+        // qe19: the declared MIPS baseline is qe1's brute class (raw
+        // dot instead of cosine); the blocked path is the augmented
+        // reduction, spec-proved
+        "qe19_mips")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val p = plan(fn(spark, sf))
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian")

@@ -83,6 +83,131 @@ class Round8OpsSpec extends SparkSpec {
     assert(out((20L, 4L)) == ((3L, 33333333L)), "100c * 1e6 DIV 3 truncates")
   }
 
+  test("qs36: strictly-preceding click carry, floored gaps, interpolated percentiles") {
+    val out = Events.timeToConvertOn(eventsOf(
+      // user 1: click -> 100s -> purchase; later click AFTER purchase ignored
+      (1L, 1L, "2024-01-01 10:00:00", "click", 0.0),
+      (2L, 1L, "2024-01-01 10:01:40", "purchase", 5.0),
+      (3L, 1L, "2024-01-01 10:30:00", "click", 0.0),
+      // user 2: two clicks; the LATEST prior one anchors the gap (300s)
+      (4L, 2L, "2024-01-01 09:00:00", "click", 0.0),
+      (5L, 2L, "2024-01-01 09:55:00", "click", 0.0),
+      (6L, 2L, "2024-01-01 10:00:00", "purchase", 1.0),
+      // user 3: purchase with NO prior click -> excluded
+      (7L, 3L, "2024-01-01 11:00:00", "purchase", 2.0),
+      // user 4: same-second click sorted before the purchase counts, gap 0
+      (8L, 4L, "2024-01-01 12:00:00", "click", 0.0),
+      (9L, 4L, "2024-01-01 12:00:00", "purchase", 3.0))).collect().head
+    assert(out.getAs[Long]("n_conversions") == 3L)
+    assert(out.getAs[Long]("min_gap_sec") == 0L)
+    assert(out.getAs[Long]("max_gap_sec") == 300L)
+    // gaps {0, 100, 300}: interpolated p50 = 100, p90 = 260
+    assert(out.getAs[Double]("p50_sec") == 100.0)
+    assert(out.getAs[Double]("p90_sec") == 260.0)
+  }
+
+  test("qd47: ASCII-trained merges leave non-matching text at compression 1.0") {
+    val docs = Seq(
+      (1L, "ababab ababab", "en", "s"),
+      (2L, "ababab ababab", "en", "s"),
+      (3L, "你好你好你好", "zh", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    val enc = TrainingOps.bpeEncode(docs, rounds = 2)
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy("lang")
+      .agg(sum("len_before").as("b"), sum("len_after").as("a"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("b"), r.getAs[Long]("a")))).toMap
+    assert(enc("zh")._1 == enc("zh")._2,
+      "no [a-z0-9] bigrams => the merge chain never touches zh text")
+    assert(enc("en")._2 < enc("en")._1,
+      "repeated ASCII bigrams must compress")
+  }
+
+  test("qd48: threshold sweep matches a driver-side reference on planted mid-similarity pairs") {
+    // corpus: one exact-dup pair, two mid-similarity pairs (shared
+    // prefix, distinct suffix), and unrelated docs — the regime where
+    // the 4x4 banding curve actually loses pairs
+    def words(prefix: String, n: Int, from: Int = 0): String =
+      (from until from + n).map(i => s"$prefix$i").mkString(" ")
+    val docs = Seq(
+      (1L, words("p", 20)),                        // exact dup of 2
+      (2L, words("p", 20)),
+      (3L, words("q", 16) + " " + words("x", 4)),  // mid-sim with 4
+      (4L, words("q", 16) + " " + words("y", 4)),
+      (5L, words("r", 12) + " " + words("u", 8)),  // lower-sim with 6
+      (6L, words("r", 12) + " " + words("v", 8)),
+      (7L, words("z", 25))                         // unrelated
+    ).toDF("doc_id", "text")
+    // driver-side reference: string shingles, exact jaccard, portable
+    // minima, band collisions — the same constructions, independently
+    def shingles(t: String): Set[String] = {
+      val ts = t.toLowerCase.replaceAll("[^a-z0-9]+", " ").trim
+        .split(" ").filter(_.nonEmpty).toSeq
+      if (ts.size >= 3) ts.sliding(3).map(_.mkString(" ")).toSet
+      else Set(ts.mkString(" "))
+    }
+    def fp(g: String): Long =
+      g.foldLeft(0L)((acc, c) => (acc * 31 + c.toLong) % 2147483647L)
+    def sig(gs: Set[String]): Seq[Long] =
+      graft.operators.Dedup.portablePerms.map { case (a, b) =>
+        gs.map(g => (fp(g) * a + b) % 2147483647L).min
+      }
+    val texts = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val ids = texts.keys.toSeq.sorted
+    val pairs = for (a <- ids; b <- ids if a < b) yield (a, b)
+    def jac(a: Long, b: Long): Double = {
+      val (sa, sb) = (shingles(texts(a)), shingles(texts(b)))
+      (sa & sb).size.toDouble / (sa | sb).size.toDouble
+    }
+    def collide(a: Long, b: Long): Boolean = {
+      val (x, y) = (sig(shingles(texts(a))), sig(shingles(texts(b))))
+      (0 until 4).exists(bi =>
+        (0 until 4).forall(j => x(bi * 4 + j) == y(bi * 4 + j)))
+    }
+    val expected = Seq(0.5, 0.7, 0.9).map { t =>
+      val tr = pairs.count { case (a, b) => jac(a, b) >= t }
+      val fo = pairs.count { case (a, b) => jac(a, b) >= t && collide(a, b) }
+      (t, tr.toLong, fo.toLong,
+        if (tr == 0) 1.0 else fo.toDouble / tr.toDouble)
+    }
+    val got = TrainingOps.dedupQualityOn(docs, Seq(0.5, 0.7, 0.9))
+      .collect().map(r => (r.getDouble(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(got == expected)
+    // the planted geometry must make the sweep non-degenerate: the
+    // exact dups always survive banding, and found never exceeds true
+    val at09 = got.find(_._1 == 0.9).get
+    assert(at09._2 >= 1L && at09._4 == 1.0,
+      "exact dups collide on every band")
+    assert(got.forall(r => r._3 <= r._2))
+  }
+
+  test("qx26: the nested intermediate is deterministic under repartition") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+    def nest(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy("l_orderkey")
+      .agg(array_sort(collect_list(
+        struct(col("l_linenumber"), col("l_quantity")))).as("lines"))
+      .orderBy("l_orderkey")
+    val a = nest(li).collect().map(_.toSeq).toSeq
+    val b = nest(li.repartition(7)).collect().map(_.toSeq).toSeq
+    assert(a == b, "array_sort pins the in-array order against shuffle")
+  }
+
+  test("bpe: encoding with an explicit merge table equals learn-then-encode") {
+    val docs = Seq((1L, "ababab cdcd"), (2L, "abab x cdcdcd"), (3L, ""))
+      .toDF("doc_id", "text")
+    val learned = TrainingOps.bpeEncode(docs, rounds = 2).collect()
+    val table = TrainingOps.bpeLearnMerges(docs, rounds = 2)
+    val applied = TrainingOps.bpeEncode(docs, rounds = 2,
+      merges = Some(table)).collect()
+    assert(learned.map(_.toSeq).toSeq == applied.map(_.toSeq).toSeq,
+      "the cached-table path must be a pure amortization, not a variant")
+    assert(table.size == 2 && table.forall(_._2.nonEmpty))
+  }
+
   test("qm5: sniffed kinds match the container rules; headerless blobs stay whole") {
     val docs = Seq((1L, "one"), (2L, "twotwo"), (3L, "three"), (50L, "bad"))
       .toDF("doc_id", "text")

@@ -395,6 +395,43 @@ class SimilaritySpec extends SparkSpec
     assert(recall >= 0.30, f"radius recall $recall%.3f below floor")
   }
 
+  test("qe19 MIPS: diverges from cosine on scaled vectors; augmentation reduces it to cosine") {
+    import spark.implicits._
+    // item 3 is poorly aligned but carries 10x the norm (the
+    // popularity prior): MIPS must rank it FIRST (dot 6.0 vs 2.7 vs
+    // 0.9) while cosine ranks it LAST (0.6 vs ~0.994) — the orders
+    // genuinely diverge, which is the point of having both
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f)),          // query
+      (1L, Seq(0.9f, 0.1f, 0.0f)),
+      (2L, Seq(2.7f, 0.3f, 0.0f)),          // 3x item 1, same direction
+      (3L, Seq(6.0f, 8.0f, 0.0f))           // big-norm, off-direction
+    ).toDF("vec_id", "embedding")
+    val mips = Similarity.mipsKnn(emb, Seq(0L), 3).collect()
+      .sortBy(_.getAs[Int]("rnk")).map(_.getAs[Long]("vec_id")).toSeq
+    assert(mips == Seq(3L, 2L, 1L), "raw dot must follow the norms")
+    val cosine = Similarity.bruteForceKnn(emb, Seq(0L), 3).collect()
+      .sortBy(_.getAs[Int]("rnk")).map(_.getAs[Long]("vec_id")).toSeq
+    assert(cosine.last == 3L,
+      "cosine must rank the off-direction big-norm vector last")
+    // Shrivastava-Li: augmented-corpus cosine kNN == original MIPS.
+    // Augment CORPUS rows with sqrt(M^2 - |x|^2); the query keeps its
+    // own row augmented too but M >= all norms makes its extra
+    // component near-zero-influence only if the query's dot uses the
+    // corpus side's augmentation — zero the query's extra dim exactly
+    // as the reduction prescribes.
+    val m = 10.0 // >= every corpus norm (|(6,8)| = 10)
+    val aug = Similarity.augmentForMips(emb, m)
+    val qZeroed = aug.withColumn("embedding",
+      when(col("vec_id") === 0L,
+        concat(slice(col("embedding"), 1, 3), array(lit(0.0f))))
+        .otherwise(col("embedding")))
+    val reduced = Similarity.bruteForceKnn(qZeroed, Seq(0L), 3).collect()
+      .sortBy(_.getAs[Int]("rnk")).map(_.getAs[Long]("vec_id")).toSeq
+    assert(reduced == mips,
+      "cosine over the augmented space must reproduce the MIPS order")
+  }
+
   test("qe9: MMR swaps the duplicate for the diverse candidate; round-1 score is lambda*rel") {
     import spark.implicits._
     // query 0 on +x; 1 and 2 are the SAME vector (plain top-2 would
