@@ -186,6 +186,8 @@ object SparkEntry {
     "qs36_time_to_convert" -> (Events.timeToConvert _),
     "qd48_dedup_quality" -> (TrainingOps.dedupQuality _),
     "qx26_nested_roundtrip" -> (Extras.nestedRoundtrip _),
+    "qx27_quality_checks" -> (Extras.qualityChecks _),
+    "qd49_jsonl_roundtrip" -> (graft.ingest.JsonlIngest.jsonlRoundtrip _),
   )
 
   /** Queries intentionally without an oracle — EMPTY since round 5:
@@ -1420,6 +1422,53 @@ object SparkEntry {
     "qx26_nested_roundtrip" ->
       ("SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem " +
         "ORDER BY l_orderkey, l_linenumber, l_quantity"),
+    // qx27: every rule recomputed as its own SQL aggregate; the
+    // verdict column is the same violations = 0 predicate.
+    "qx27_quality_checks" ->
+      ("""SELECT 'lineitem.l_orderkey references orders' AS rule,
+         |  CAST(count(*) AS BIGINT) AS violations, count(*) = 0 AS pass
+         |FROM lineitem l WHERE NOT EXISTS
+         |  (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+         |UNION ALL
+         |SELECT 'lineitem.l_quantity in [1, 60]',
+         |  CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 60
+         |    THEN 1 ELSE 0 END) AS BIGINT),
+         |  SUM(CASE WHEN l_quantity < 1 OR l_quantity > 60
+         |    THEN 1 ELSE 0 END) = 0
+         |FROM lineitem
+         |UNION ALL
+         |SELECT 'orders.o_custkey is non-null',
+         |  CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT),
+         |  SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) = 0
+         |FROM orders
+         |UNION ALL
+         |SELECT 'orders.o_custkey references customer',
+         |  CAST(count(*) AS BIGINT), count(*) = 0
+         |FROM orders o WHERE NOT EXISTS
+         |  (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+         |UNION ALL
+         |SELECT 'orders.o_orderkey is unique',
+         |  CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT),
+         |  count(*) - count(DISTINCT o_orderkey) = 0
+         |FROM orders
+         |UNION ALL
+         |SELECT 'orders.o_totalprice is positive',
+         |  CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)
+         |    AS BIGINT),
+         |  SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) = 0
+         |FROM orders
+         |ORDER BY rule""".stripMargin),
+    // qd49: the corrupt lines are planted deterministically by the
+    // query itself, so the ledger is fully recomputable — per-lang
+    // counts from the source table plus the fixed quarantine row.
+    "qd49_jsonl_roundtrip" ->
+      ("""SELECT lang AS bucket, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+         |FROM documents GROUP BY lang
+         |UNION ALL
+         |SELECT '_corrupt', CAST(2 AS BIGINT), CAST(NULL AS BIGINT)
+         |ORDER BY bucket""".stripMargin),
     // qm5: kinds recomputed from the mediaFromDocs id rules; every
     // gate blob carries the 10-byte GFT0 header (including the
     // invalid-kind ones), so blob = payload + 10 exactly.

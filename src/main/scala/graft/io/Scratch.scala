@@ -78,6 +78,14 @@ object Scratch {
       "graft_qp8_" + sfDir.replaceAll("[^A-Za-z0-9._-]", "_"))
       .getAbsolutePath
 
+  /** qd49's JSONL export/ingest roots (good + planted-corrupt
+    * files), keyed like [[qp1Dir]].
+    */
+  def qd49Dir(sfDir: String): String =
+    new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_qd49_" + sfDir.replaceAll("[^A-Za-z0-9._-]", "_"))
+      .getAbsolutePath
+
   /** Streaming landing dir (symlink to the single-file events table),
     * keyed like [[qp1Dir]]; shared by the streaming gate queries
     * (qs7/qs8/qs9).

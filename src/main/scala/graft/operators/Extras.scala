@@ -158,6 +158,51 @@ object Extras {
     (oTab, cTab)
   }
 
+  /** qx27 — declarative data-quality CONSTRAINT suite (the
+    * Deequ/dbt-test capability): six rules over the star schema —
+    * uniqueness, non-null, value range, and two referential checks —
+    * evaluated as per-table conditional AGGREGATES plus anti-join
+    * counts, reported one row per rule with its violation count and
+    * verdict. The point of the shape: a naive checker runs one job
+    * per rule (6 table scans); here each table contributes ONE pass
+    * (the three orders rules share a single aggregate) and the
+    * referential rules are null-safe anti-joins — at 100 TB the suite
+    * costs two fact scans + two dim joins, not six scans. All-pass on
+    * the gate corpus is itself the assertion: the generator keeps
+    * referential integrity, and the oracle recomputes every count.
+    */
+  def qualityChecks(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val l = Tables.lineitem(s, dir)
+    val c = Tables.customer(s, dir)
+    val oAgg = o.agg(
+      (count(lit(1)) - countDistinct(col("o_orderkey"))).as("v1"),
+      sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("v2"),
+      sum(when(col("o_totalprice") <= 0.0, 1L).otherwise(0L)).as("v3"))
+    val refO = o.join(c, o("o_custkey") === c("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("v4"))
+    val lAgg = l.agg(
+      sum(when(col("l_quantity") < 1.0 || col("l_quantity") > 60.0, 1L)
+        .otherwise(0L)).as("v5"))
+    val refL = l.join(o, l("l_orderkey") === o("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("v6"))
+    val rules = Seq(
+      ("orders.o_orderkey is unique", "v1"),
+      ("orders.o_custkey is non-null", "v2"),
+      ("orders.o_totalprice is positive", "v3"),
+      ("orders.o_custkey references customer", "v4"),
+      ("lineitem.l_quantity in [1, 60]", "v5"),
+      ("lineitem.l_orderkey references orders", "v6"))
+    oAgg.crossJoin(refO).crossJoin(lAgg).crossJoin(refL)
+      .select(explode(array(rules.map { case (name, v) =>
+        struct(lit(name).as("rule"), col(v).as("violations"))
+      }: _*)).as("r"))
+      .select(col("r.rule").as("rule"),
+        col("r.violations").as("violations"))
+      .withColumn("pass", col("violations") === 0L)
+      .orderBy("rule")
+  }
+
   /** qx26 — nested-data ROUND-TRIP: denormalize lineitem into one
     * array-of-structs row per order (the export shape every
     * JSON/protobuf feed wants), then renormalize with explode and

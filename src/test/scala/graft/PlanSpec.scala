@@ -733,7 +733,10 @@ class PlanSpec extends SparkSpec
         // qe19: the declared MIPS baseline is qe1's brute class (raw
         // dot instead of cosine); the blocked path is the augmented
         // reduction, spec-proved
-        "qe19_mips")
+        "qe19_mips",
+        // qx27: four 1-row rule aggregates meeting at cross joins —
+        // the qd22/qd23 scalar-broadcast class
+        "qx27_quality_checks")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val p = plan(fn(spark, sf))
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian")

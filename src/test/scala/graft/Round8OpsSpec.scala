@@ -208,6 +208,45 @@ class Round8OpsSpec extends SparkSpec {
     assert(table.size == 2 && table.forall(_._2.nonEmpty))
   }
 
+  test("qd49: PERMISSIVE JSONL parse quarantines both corruption modes, loses nothing") {
+    val dir = tempDir("qd49spec")
+    Seq("""{"doc_id": 1, "text": "ok", "lang": "en", "source": "s", "n_chars": 2}""",
+        """{"doc_id": 2, "text": "zwei", "lang": "de", "source": "s", "n_chars": 4}""",
+        """{"doc_id": 3, "text": "trunc""",              // unparseable
+        """{"doc_id": "NaN", "lang": "en"}""")            // type clash
+      .toDF("value").coalesce(1).write.mode("overwrite").text(dir)
+    // Spark disallows querying ONLY the corrupt column off a raw JSON
+    // scan — materialize the parse first (the documented workaround,
+    // and what the gate query's aggregate does implicitly)
+    val parsed = graft.ingest.JsonlIngest.readQuarantined(
+      spark, graft.ingest.JsonlIngest.DocSchema, dir).cache()
+    try {
+    assert(parsed.count() == 4L, "quarantine keeps every line as a row")
+    val corrupt = parsed.filter(col("_corrupt_record").isNotNull)
+    assert(corrupt.count() == 2L, "both failure modes land in quarantine")
+    assert(corrupt.select("doc_id").collect().forall(_.isNullAt(0)),
+      "a type-clashed field never half-parses into the data column")
+    val good = parsed.filter(col("_corrupt_record").isNull)
+    assert(good.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      Set(1L, 2L))
+    } finally parsed.unpersist(blocking = false)
+    // the projection-relative gotcha the gate query designs around:
+    // the SAME type-clashed line is invisible to a query that never
+    // references the clashing column — corruption is detected only
+    // for parsed columns
+    val pruned = graft.ingest.JsonlIngest.readQuarantined(
+        spark, graft.ingest.JsonlIngest.DocSchema, dir)
+      .withColumn("bucket",
+        when(col("_corrupt_record").isNotNull, "_corrupt")
+          .otherwise(col("lang")))
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(pruned("_corrupt") == 1L,
+      "only the unparseable line is corrupt under a doc_id-free projection")
+    assert(pruned("en") == 2L,
+      "the doc_id-clashed line counts as good when doc_id goes unparsed")
+  }
+
   test("qm5: sniffed kinds match the container rules; headerless blobs stay whole") {
     val docs = Seq((1L, "one"), (2L, "twotwo"), (3L, "three"), (50L, "bad"))
       .toDF("doc_id", "text")
