@@ -188,6 +188,9 @@ object SparkEntry {
     "qx26_nested_roundtrip" -> (Extras.nestedRoundtrip _),
     "qx27_quality_checks" -> (Extras.qualityChecks _),
     "qd49_jsonl_roundtrip" -> (graft.ingest.JsonlIngest.jsonlRoundtrip _),
+    "qe20_ann_quality"   -> (TrainingOps.annQuality _),
+    "qs37_daily_autocorr" -> (Events.dailyAutocorr _),
+    "qd50_shard_export"  -> (TrainingOps.shardExport _),
   )
 
   /** Queries intentionally without an oracle — EMPTY since round 5:
@@ -1216,6 +1219,7 @@ object SparkEntry {
   private lazy val batch10Sql: Map[String, String] = Map(
     "qe16_knn_sq" -> knnSql,
     "qe17_pagerank" -> pageRankSql,
+    "qe20_ann_quality" -> annQualitySql,
     // qd45: ordered skip-gram pairs at distance <= 2 — the two lead
     // columns mirror the 1-based list offsets; PMI's ln rides the
     // micro-nat floor over an identically-ordered double ratio of
@@ -1469,6 +1473,48 @@ object SparkEntry {
          |UNION ALL
          |SELECT '_corrupt', CAST(2 AS BIGINT), CAST(NULL AS BIGINT)
          |ORDER BY bucket""".stripMargin),
+    // qs37: pre-reduced hourly grain self-joined at +24h; the qx22
+    // exact-moment closed form. Pair roles pinned: x = count(t+24),
+    // y = count(t).
+    "qs37_daily_autocorr" ->
+      ("""WITH h AS (SELECT event_type, date_trunc('hour', ts) AS h,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM events GROUP BY 1, 2),
+         |p AS (SELECT a.event_type, a.n AS x, b.n AS y
+         |  FROM h a JOIN h b ON a.event_type = b.event_type
+         |    AND a.h = b.h + INTERVAL 24 HOUR),
+         |m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS np,
+         |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+         |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+         |    CAST(SUM(y * y) AS BIGINT) AS syy
+         |  FROM p GROUP BY 1)
+         |SELECT event_type, np AS n_pairs,
+         |  (CAST(np AS DOUBLE) * CAST(sxy AS DOUBLE)
+         |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         |    / (sqrt(CAST(np AS DOUBLE) * CAST(sxx AS DOUBLE)
+         |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+         |      * sqrt(CAST(np AS DOUBLE) * CAST(syy AS DOUBLE)
+         |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr24
+         |FROM m ORDER BY event_type""".stripMargin),
+    // qd50: every manifest column recomputed from the source table —
+    // qd12's portable fingerprint, content-keyed shard = fp % 8,
+    // bit_xor checksum order-independent on both engines.
+    "qd50_shard_export" ->
+      ("""WITH f AS (SELECT doc_id, n_chars,
+         |    CAST(CASE WHEN length(text) = 0 THEN 0 ELSE
+         |      list_reduce(list_transform(string_split(text, ''),
+         |        c -> CAST(unicode(c) AS BIGINT)),
+         |        (acc, x) -> (acc * 31 + x) % 2147483647) END
+         |      AS BIGINT) AS fp
+         |  FROM documents)
+         |SELECT CAST(fp % 8 AS INTEGER) AS shard,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+         |  CAST(min(doc_id) AS BIGINT) AS min_doc_id,
+         |  CAST(max(doc_id) AS BIGINT) AS max_doc_id,
+         |  CAST(bit_xor(fp) AS BIGINT) AS checksum
+         |FROM f GROUP BY 1 ORDER BY shard""".stripMargin),
     // qm5: kinds recomputed from the mediaFromDocs id rules; every
     // gate blob carries the 10-byte GFT0 header (including the
     // invalid-kind ones), so blob = payload + 10 exactly.
@@ -2258,6 +2304,93 @@ object SparkEntry {
        |  END AS recall
        |FROM j CROSS JOIN t
        |GROUP BY t.threshold ORDER BY t.threshold""".stripMargin
+  }
+
+  /** qe20 oracle: exact-cosine truth (knnSql's construction), the
+    * qe11 Hamming machinery at shortlist 50, and the SQ8 scan in its
+    * INTEGER-weight form — Σ floor(q_d·w_d·10⁶)·c_d over the same
+    * min/max grid, an exact-long sum so the shortlist boundary is
+    * order-free on both engines — joined into per-query recall rows.
+    */
+  private lazy val annQualitySql: String = {
+    val ids = graft.operators.TrainingOps.knnQueryIds.mkString(", ")
+    s"""WITH base AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(${dotSql("embedding", "embedding")}) AS nrm
+       |  FROM embeddings),
+       |qv AS (SELECT vec_id AS query_id, embedding AS q_emb, nrm AS q_nrm
+       |      FROM base WHERE vec_id IN ($ids)),
+       |sims AS (
+       |  SELECT qv.query_id, b.vec_id,
+       |    ${dotSql("b.embedding", "qv.q_emb")} / (b.nrm * qv.q_nrm) AS sim
+       |  FROM base b, qv WHERE b.vec_id <> qv.query_id),
+       |tr AS (SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |      rank() OVER (PARTITION BY query_id
+       |        ORDER BY sim DESC, vec_id) AS rnk
+       |    FROM sims) WHERE rnk <= 10),
+       |he AS (SELECT vec_id,
+       |    CAST(embedding[i] AS DOUBLE) AS v,
+       |    CAST(embedding[CASE WHEN i = len(embedding) THEN 1
+       |                        ELSE i + 1 END] AS DOUBLE) AS vn,
+       |    CASE WHEN i = 64 THEN CAST(-9223372036854775808 AS BIGINT)
+       |         ELSE CAST(1 AS BIGINT) << (i - 1) END AS bit
+       |  FROM embeddings, unnest(range(1, len(embedding)+1)) u(i)),
+       |hs AS (SELECT vec_id,
+       |    bit_or(CASE WHEN v > 0 THEN bit ELSE CAST(0 AS BIGINT) END)
+       |      AS sig,
+       |    bit_or(CASE WHEN v > vn THEN bit ELSE CAST(0 AS BIGINT) END)
+       |      AS sig2
+       |  FROM he GROUP BY 1),
+       |hq AS (SELECT vec_id AS query_id, sig AS qsig, sig2 AS qsig2
+       |  FROM hs WHERE vec_id IN ($ids)),
+       |hd AS (SELECT hq.query_id, hs.vec_id,
+       |    CAST(bit_count(xor(hs.sig, hq.qsig))
+       |       + bit_count(xor(hs.sig2, hq.qsig2)) AS INTEGER) AS hamming
+       |  FROM hs, hq WHERE hs.vec_id <> hq.query_id),
+       |rh AS (SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |      rank() OVER (PARTITION BY query_id
+       |        ORDER BY hamming, vec_id) AS rnk
+       |    FROM hd) WHERE rnk <= 50),
+       |el AS (SELECT vec_id, i AS d, CAST(embedding[i] AS DOUBLE) AS x
+       |  FROM embeddings, unnest(range(1, len(embedding)+1)) u(i)),
+       |st AS (SELECT d, min(x) AS lo, max(x) AS hi FROM el GROUP BY d),
+       |co AS (SELECT el.vec_id, el.d,
+       |    CASE WHEN st.hi = st.lo THEN CAST(0 AS BIGINT)
+       |      ELSE CAST(least(greatest(
+       |        floor((el.x - st.lo) / (st.hi - st.lo) * 256.0),
+       |        0.0), 255.0) AS BIGINT) END AS c
+       |  FROM el JOIN st USING (d)),
+       |qw AS (SELECT el.vec_id AS query_id, el.d,
+       |    CAST(floor(el.x * ((st.hi - st.lo) / 256.0) * 1000000.0)
+       |      AS BIGINT) AS w
+       |  FROM el JOIN st USING (d) WHERE el.vec_id IN ($ids)),
+       |sc AS (SELECT qw.query_id, co.vec_id,
+       |    CAST(SUM(qw.w * co.c) AS BIGINT) AS sco
+       |  FROM co JOIN qw USING (d) WHERE co.vec_id <> qw.query_id
+       |  GROUP BY 1, 2),
+       |rs AS (SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY sco DESC, vec_id) AS rn
+       |    FROM sc) WHERE rn <= 50),
+       |hr AS (SELECT 'hamming128' AS method, t.query_id,
+       |    CAST(SUM(CASE WHEN rh.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_hits
+       |  FROM tr t LEFT JOIN rh
+       |    ON t.query_id = rh.query_id AND t.vec_id = rh.vec_id
+       |  GROUP BY 2),
+       |sr AS (SELECT 'sq8_int' AS method, t.query_id,
+       |    CAST(SUM(CASE WHEN rs.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_hits
+       |  FROM tr t LEFT JOIN rs
+       |    ON t.query_id = rs.query_id AND t.vec_id = rs.vec_id
+       |  GROUP BY 2)
+       |SELECT method, query_id, n_hits,
+       |  CAST(n_hits AS DOUBLE) / 10.0 AS recall
+       |FROM (SELECT * FROM hr UNION ALL SELECT * FROM sr)
+       |ORDER BY method, query_id""".stripMargin
   }
 
   /** qd47: per-language rollup of the encoder's before/after chars —

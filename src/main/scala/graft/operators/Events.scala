@@ -751,6 +751,51 @@ object Events {
       max("gap").as("max_gap_sec"))
   }
 
+  /** qs37 — 24-hour-lag autocorrelation of hourly volume per event
+    * type: the seasonality detector (a strong daily cycle shows as
+    * corr₍₂₄₎ near 1; traffic without one near 0) that tells a
+    * capacity planner whether "same hour yesterday" is a usable
+    * baseline — and qs24's anomaly z-scores whether they need
+    * de-seasonalizing first. Pairs come from an EQUI-join of the
+    * pre-reduced hourly grain to itself shifted exactly 24 hours
+    * (timestamp + INTERVAL — exact, no window spine needed; hours
+    * missing from either end of a pair simply drop, the
+    * observed-pairs convention); the correlation is the qx22
+    * exact-moment construction — BIGINT count sums, one identical
+    * closed-form double both engines.
+    *
+    * Scale shape: the corpus reduces to the (type, hour) grain
+    * FIRST (partial+final aggregate), so the self-join and moment
+    * aggregate touch only report-sized rows.
+    */
+  def dailyAutocorr(s: SparkSession, dir: String): DataFrame =
+    dailyAutocorrOn(Tables.events(s, dir))
+
+  /** Core of [[dailyAutocorr]] over any events frame. */
+  def dailyAutocorrOn(events: DataFrame): DataFrame = {
+    val hourly = events
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"))
+    val lagged = hourly.select(col("event_type"),
+      (col("h") + expr("INTERVAL 24 HOURS")).as("h"), col("n").as("y"))
+    val nD = "CAST(np AS DOUBLE)"
+    val cov =
+      s"($nD * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    val varX =
+      s"($nD * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    val varY =
+      s"($nD * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))"
+    hourly.select(col("event_type"), col("h"), col("n").as("x"))
+      .join(lagged, Seq("event_type", "h"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("np"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(expr("x * x")).as("sxx"), sum(expr("x * y")).as("sxy"),
+        sum(expr("y * y")).as("syy"))
+      .select(col("event_type"), col("np").as("n_pairs"),
+        expr(s"$cov / (sqrt($varX) * sqrt($varY))").as("corr24"))
+      .orderBy("event_type")
+  }
+
   /** qs22 — daily actives, new users, and CUMULATIVE distinct users:
     * the running-uniques report every growth dashboard carries.
     * COUNT(DISTINCT) over a running frame is unsupported (and would

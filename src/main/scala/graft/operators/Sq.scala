@@ -118,6 +118,59 @@ object Sq {
     terms.foldLeft(lit(const): Column)(_ + _)
   }
 
+  /** Integer-EXACT approximate shortlist — the qe20 evaluation form
+    * of the SQ8 scan: score = Σ_d floor(q_d·w_d·10⁶)·c_d, a sum of
+    * exact longs (the per-query constant term is constant within a
+    * query's ranking and drops out), so BOTH engines produce the
+    * identical shortlist under any row/summation order — which is
+    * what lets the cross-engine quality harness hash-match where the
+    * double-scored shortlist's last-ulp boundary could not. Same
+    * packed-word scan and ≤4-query batching as [[search]].
+    */
+  def approxIntShortlist(emb: DataFrame, model: SqModel,
+                         queryIds: Seq[Long], n: Int): DataFrame = {
+    val qVecs: Seq[(Long, Array[Double])] = emb
+      .filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0),
+        r.getAs[scala.collection.Seq[Float]](1).map(_.toDouble).toArray))
+      .toSeq
+    val packed = encodePacked(emb, model)
+    // The sum is computed in DOUBLE and cast back to long: every term
+    // w·c and every partial sum is an integer-valued double far below
+    // 2^53 (|w| ≤ ~10⁶, c ≤ 255, 64 terms), so the result is the
+    // EXACT integer under any summation order — while long arithmetic
+    // under ANSI mode generates overflow-CHECKED multiply/add per
+    // term, which blew the fused stage past Janino's 64 KB limit
+    // (CodegenAudit caught the silent interpreted fallback).
+    def scoreCol(q: Array[Double]): Column = {
+      val terms = (0 until model.dim).flatMap { d =>
+        val w = math.floor(q(d) * model.width(d) * 1e6)
+        if (w == 0.0) None
+        else Some(shiftright(col(s"w${d / 8}"), 8 * (d % 8))
+          .bitwiseAND(lit(255L)).cast("double") * lit(w))
+      }
+      (if (terms.isEmpty) lit(0.0) else terms.reduce(_ + _)).cast("long")
+    }
+    val scored = qVecs.grouped(4).map { grp =>
+      val wide = packed.select(col("vec_id") +: grp.map {
+        case (qid, q) => scoreCol(q).as(s"a_$qid")
+      }: _*)
+      wide.select(col("vec_id"), explode(array(grp.map { case (qid, _) =>
+        struct(lit(qid).as("query_id"), col(s"a_$qid").as("sco"))
+      }: _*)).as("s"))
+        .select(col("vec_id"), col("s.query_id").as("query_id"),
+          col("s.sco").as("sco"))
+    }.reduce(_.union(_))
+      .filter(col("vec_id") =!= col("query_id"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sco").desc, col("vec_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= n)
+      .select("query_id", "vec_id")
+  }
+
   /** SQ8 top-k: packed-word approximate scan, shortlist, exact cosine
     * re-rank. `shortlist >= corpus` ⇒ result ≡ brute force for any
     * grid (the declared qe16 config). Queries are collected driver-

@@ -1764,6 +1764,73 @@ object TrainingOps {
       .orderBy("threshold")
   }
 
+  /** qe20 — ANN-quality evaluation harness: recall@10 of two
+    * compressed first-pass indexes against the exact cosine truth,
+    * per query — the qd48 move applied to the vector family ("measure,
+    * don't guess" for index selection). The two indexes evaluated are
+    * exactly the ones BOTH engines can recompute bit-for-bit:
+    * qe11's 128-bit Hamming signatures (exact integer distances) and
+    * the SQ8 scan in its integer-weight form ([[Sq.approxIntShortlist]]
+    * — exact long scores, so the shortlist boundary carries no
+    * last-ulp hazard). IVF/PQ recall stays spec-measured (their
+    * k-means models aren't oracle-recomputable). Output: (method,
+    * query_id, n_hits, recall) — shortlist 50 of the corpus, truth
+    * k = 10.
+    */
+  def annQuality(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val truth = Similarity.bruteForceKnn(emb, knnQueryIds, 10)
+      .select("query_id", "vec_id")
+    val ham = Similarity.hammingKnn(emb, knnQueryIds, 50)
+      .select("query_id", "vec_id")
+    val sq = Sq.approxIntShortlist(emb, sqModel(s, dir), knnQueryIds, 50)
+    def recallOf(short: DataFrame, name: String): DataFrame =
+      truth
+        .join(short.withColumn("hit", lit(1)),
+          Seq("query_id", "vec_id"), "left")
+        .groupBy("query_id")
+        .agg(sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hits"))
+        .select(lit(name).as("method"), col("query_id"), col("n_hits"),
+          (col("n_hits").cast("double") / lit(10.0)).as("recall"))
+    recallOf(ham, "hamming128").union(recallOf(sq, "sq8_int"))
+      .orderBy("method", "query_id")
+  }
+
+  /** qd50 — sharded corpus EXPORT with a verifiable manifest: the
+    * delivery contract of a curation pipeline. Shard assignment is
+    * the portable content fingerprint mod `nShards` (qd12's
+    * machinery — CONTENT-keyed, so a re-export after an upstream
+    * reorder lands every document in the same shard, where a
+    * row-number scheme would reshuffle them all), the corpus is
+    * physically written partitioned by shard (one writer per shard
+    * dir — the q14 rule), and the manifest is computed FROM THE
+    * WRITTEN FILES: per shard, doc count, exact char total, id
+    * extrema, and an order-independent bit_xor checksum of the
+    * fingerprints — the receipt a downstream trainer checks before
+    * ingesting. The oracle recomputes every manifest column from the
+    * source table, which also proves the roundtrip lost nothing.
+    */
+  def shardExport(s: SparkSession, dir: String): DataFrame = {
+    DocFingerprint.register(s)
+    val root = graft.io.Scratch.qd50Dir(dir)
+    val docs = Tables.documents(s, dir)
+      .withColumn("fp", DocFingerprint.of(col("text")))
+      .withColumn("shard", (col("fp") % 8).cast("int"))
+    graft.io.Writers.writePartitioned(docs, root, Seq("shard"),
+      numTasks = 8)
+    s.read.parquet(root)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").as("total_chars"),
+        min("doc_id").as("min_doc_id"),
+        max("doc_id").as("max_doc_id"),
+        expr("bit_xor(fp)").as("checksum"))
+      .select(col("shard").cast("int").as("shard"), col("n_docs"),
+        col("total_chars"), col("min_doc_id"), col("max_doc_id"),
+        col("checksum"))
+      .orderBy("shard")
+  }
+
   /** qe18 — cosine-radius search, declared at full probe (≡ the brute
     * radius filter for any centroids — the qe14 argument); the same
     * queries as qe1, sim ≥ 0.25 (non-vacuous at every sf: 55 rows at

@@ -736,7 +736,10 @@ class PlanSpec extends SparkSpec
         "qe19_mips",
         // qx27: four 1-row rule aggregates meeting at cross joins —
         // the qd22/qd23 scalar-broadcast class
-        "qx27_quality_checks")
+        "qx27_quality_checks",
+        // qe20: evaluates the brute truth (qe1's class) and the
+        // qe11-style broadcast signature scan by construction
+        "qe20_ann_quality")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val p = plan(fn(spark, sf))
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian")

@@ -247,6 +247,40 @@ class Round8OpsSpec extends SparkSpec {
       "the doc_id-clashed line counts as good when doc_id goes unparsed")
   }
 
+  test("qs37: a perfectly daily-periodic series autocorrelates to ~1; pair roles pinned") {
+    // 3 days of an identical 4-hour-grid pattern (counts 1/5/2/8 at
+    // hours 0/6/12/18): every (t, t+24h) pair sees x == y
+    val rows = for {
+      day <- 0 to 2; (hh, c) <- Seq((0, 1), (6, 5), (12, 2), (18, 8))
+      i <- 1 to c
+    } yield (day * 100L + hh * 10L + i,
+      f"2024-01-${day + 1}%02d $hh%02d:30:00", "view", 0.0)
+    val out = Events.dailyAutocorrOn(eventsOf(rows.map(r =>
+        (r._1, 1L, r._2, r._3, r._4)): _*))
+      .collect().head
+    // days 2 and 3 each pair with the prior day: 8 observed pairs
+    assert(out.getAs[Long]("n_pairs") == 8L)
+    assert(math.abs(out.getAs[Double]("corr24") - 1.0) < 1e-12,
+      "identical day-over-day pattern must autocorrelate to 1")
+  }
+
+  test("qd50: manifest is content-keyed and order-independent; shards partition the corpus") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    graft.functions.DocFingerprint.register(spark)
+    def manifest(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("fp", graft.functions.DocFingerprint.of(col("text")))
+      .withColumn("shard", (col("fp") % 8).cast("int"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n"), expr("bit_xor(fp)").as("ck"))
+      .orderBy("shard")
+    val a = manifest(docs).collect().map(_.toSeq).toSeq
+    val b = manifest(docs.repartition(7)).collect().map(_.toSeq).toSeq
+    assert(a == b, "xor checksum and counts are shuffle-order invariant")
+    assert(a.map(_(1).asInstanceOf[Long]).sum == docs.count(),
+      "shards partition the corpus exactly")
+  }
+
   test("qm5: sniffed kinds match the container rules; headerless blobs stay whole") {
     val docs = Seq((1L, "one"), (2L, "twotwo"), (3L, "three"), (50L, "bad"))
       .toDF("doc_id", "text")
