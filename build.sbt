@@ -35,5 +35,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default (was 8g): the full 162-query bench at sf0.1 runs the
+  // block manager + broadcast churn of ~500 query executions through
+  // one JVM; at 8g, GC pressure inflated unchanged queries 1-7x from
+  // the driver's seat (VERDICT r8 #1). The box has 128 GiB.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

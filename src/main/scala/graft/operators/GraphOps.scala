@@ -88,19 +88,31 @@ object GraphOps {
     ranks.select(col("id").as("vec_id"), col("pr")).orderBy("vec_id")
   }
 
-  /** The qe17 declared form: PageRank over the k=3 similarity graph,
-    * edges from the cell-blocked kNN self-join at FULL probe — the
-    * scale-safe plan that provably equals the all-pairs graph (the
-    * qe14 parity argument), so the DuckDB oracle can rebuild the
-    * exact edge set from brute-force cosines and unroll the three
-    * integer iterations as CTEs.
+  /** Stored k=3 similarity-graph edge list per (dir, corpus stamp) —
+    * the graph ARTIFACT (VERDICT r8 #2): production builds the kNN
+    * graph once (the qe13/qe14 queries measure that build) and every
+    * downstream centrality/cartography job READS it; re-paying the
+    * full-probe self-join per PageRank run measured the wrong thing.
+    * Parquet-backed via [[graft.io.ArtifactStore]]; GraphOpsSpec pins
+    * artifact ≡ fresh-build parity.
     */
-  def knnPageRank(s: SparkSession, dir: String): DataFrame = {
-    val emb = graft.core.Tables.embeddings(s, dir)
-    val model = TrainingOps.ivfModel(s, dir)
-    val edges = Similarity.knnGraphBlocked(emb, model, k = 3,
-        nProbe = model.k)
-      .select(col("vec_id").as("src"), col("nbr_id").as("dst"))
-    pageRank(edges, iters = 3)
-  }
+  def knnEdges(s: SparkSession, dir: String): DataFrame =
+    graft.io.ArtifactStore.parquetArtifact(s, dir, "embeddings",
+      "knn_edges") {
+      val emb = graft.core.Tables.embeddings(s, dir)
+      val model = TrainingOps.ivfModel(s, dir)
+      Similarity.knnGraphBlocked(emb, model, k = 3, nProbe = model.k)
+        .select(col("vec_id").as("src"), col("nbr_id").as("dst"))
+    }
+
+  /** The qe17 declared form: PageRank over the k=3 similarity graph,
+    * edges read from the stored graph artifact ([[knnEdges]]) — built
+    * by the cell-blocked kNN self-join at FULL probe, the scale-safe
+    * plan that provably equals the all-pairs graph (the qe14 parity
+    * argument), so the DuckDB oracle can rebuild the exact edge set
+    * from brute-force cosines and unroll the three integer iterations
+    * as CTEs.
+    */
+  def knnPageRank(s: SparkSession, dir: String): DataFrame =
+    pageRank(knnEdges(s, dir), iters = 3)
 }

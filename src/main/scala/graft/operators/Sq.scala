@@ -128,7 +128,8 @@ object Sq {
     * packed-word scan and ≤4-query batching as [[search]].
     */
   def approxIntShortlist(emb: DataFrame, model: SqModel,
-                         queryIds: Seq[Long], n: Int): DataFrame = {
+                         queryIds: Seq[Long], n: Int,
+                         packedTable: Option[DataFrame] = None): DataFrame = {
     val qVecs: Seq[(Long, Array[Double])] = emb
       .filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id"), col("embedding"))
@@ -136,7 +137,11 @@ object Sq {
       .map(r => (r.getLong(0),
         r.getAs[scala.collection.Seq[Float]](1).map(_.toDouble).toArray))
       .toSeq
-    val packed = encodePacked(emb, model)
+    // .reduce on the per-batch union would throw on an empty iterator
+    // (ADVICE r8): fail fast with the actual contract violation
+    require(qVecs.nonEmpty,
+      s"approxIntShortlist: none of queryIds $queryIds found in the corpus")
+    val packed = packedTable.getOrElse(encodePacked(emb, model))
     // The sum is computed in DOUBLE and cast back to long: every term
     // w·c and every partial sum is an integer-valued double far below
     // 2^53 (|w| ≤ ~10⁶, c ≤ 255, 64 terms), so the result is the
@@ -179,7 +184,8 @@ object Sq {
     * no join and no corpus broadcast before the shortlist.
     */
   def search(emb: DataFrame, model: SqModel, queryIds: Seq[Long], k: Int,
-             shortlist: Int): DataFrame = {
+             shortlist: Int,
+             packedTable: Option[DataFrame] = None): DataFrame = {
     graft.functions.VecDot.register(emb.sparkSession)
     val qVecs: Seq[(Long, Array[Double])] = emb
       .filter(col("vec_id").isin(queryIds: _*))
@@ -188,7 +194,11 @@ object Sq {
       .map(r => (r.getLong(0),
         r.getAs[scala.collection.Seq[Float]](1).map(_.toDouble).toArray))
       .toSeq
-    val packed = encodePacked(emb, model)
+    // .reduce on the per-batch union would throw on an empty iterator
+    // (ADVICE r8): fail fast with the actual contract violation
+    require(qVecs.nonEmpty,
+      s"Sq.search: none of queryIds $queryIds found in the corpus")
+    val packed = packedTable.getOrElse(encodePacked(emb, model))
     // Two codegen-size rules shape this stage. (1) Each query's
     // 64-term scorer is materialized as its own column BEFORE the
     // explode — the repo CSE rule: a computed column inside

@@ -51,6 +51,21 @@ class GraphOpsSpec extends SparkSpec {
     assert(got.sum > scale * 9 / 10, "and sheds only a sliver of it")
   }
 
+  test("knnEdges artifact == fresh full-probe graph build (VERDICT r8 #2)") {
+    val dir = "/root/testdata/sf0.001"
+    val art = GraphOps.knnEdges(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val emb = graft.core.Tables.embeddings(spark, dir)
+    val model = graft.operators.TrainingOps.ivfModel(spark, dir)
+    val fresh = graft.operators.Similarity
+      .knnGraphBlocked(emb, model, k = 3, nProbe = model.k)
+      .select("vec_id", "nbr_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(art == fresh)
+    // second read serves the stored artifact (same rows, no rebuild)
+    assert(GraphOps.knnEdges(spark, dir).count() == art.size.toLong)
+  }
+
   test("bit-identical under repartition (exact integer arithmetic)") {
     val edges = (0L until 40L).flatMap(i =>
       Seq((i, (i + 1) % 40), (i, (i + 7) % 40), (i, (i * 3 + 1) % 40)))

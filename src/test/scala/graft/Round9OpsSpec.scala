@@ -1,0 +1,51 @@
+package graft
+
+import graft.io.ArtifactStore
+import graft.operators.TrainingOps
+import org.apache.spark.sql.functions._
+
+/** Round-9 additions: amortized-artifact parity (VERDICT r8 #2-4) and
+  * the ArtifactStore build/invalidate contract.
+  */
+class Round9OpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("qd23 cached-model scoring == self-trained scoring (parity)") {
+    val dir = "/root/testdata/sf0.001"
+    val cached = TrainingOps.bigramLm(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    val trained = TrainingOps.bigramLmOn(graft.core.Tables.documents(spark, dir))
+      .collect().map(_.toSeq).toSeq
+    assert(cached == trained)
+  }
+
+  test("bigramModel is driver-sized and stamp-stable") {
+    val dir = "/root/testdata/sf0.001"
+    val m1 = TrainingOps.bigramModel(spark, dir)
+    assert(m1.nonEmpty && m1.length < 100000,
+      s"model must stay broadcast-sized, was ${m1.length}")
+    // same stamp -> the SAME cached array instance (no retrain)
+    assert(TrainingOps.bigramModel(spark, dir) eq m1)
+  }
+
+  test("ArtifactStore: builds once, serves cached, rebuilds on stamp change") {
+    val root = tempDir("graft_artifact_spec")
+    val tbl = s"$root/t.parquet"
+    Seq(1L, 2L, 3L).toDF("x").coalesce(1).write.parquet(tbl)
+    var builds = 0
+    def art() = ArtifactStore.parquetArtifact(spark, root, "t", "spec_art") {
+      builds += 1
+      spark.read.parquet(tbl).withColumn("y", col("x") * 2)
+    }
+    assert(art().collect().map(_.getLong(1)).sorted.toSeq == Seq(2L, 4L, 6L))
+    assert(builds == 1)
+    art()
+    assert(builds == 1, "unchanged stamp must not rebuild")
+    // regenerate the source table -> stamp changes -> rebuild
+    Thread.sleep(5) // mtime granularity
+    Seq(10L).toDF("x").coalesce(1).write.mode("overwrite").parquet(tbl)
+    assert(art().collect().map(_.getLong(1)).toSeq == Seq(20L))
+    assert(builds == 2, "changed stamp must rebuild")
+  }
+}

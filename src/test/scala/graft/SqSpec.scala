@@ -69,6 +69,36 @@ class SqSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     assert(recall >= 0.80, s"recall@10 was $recall")
   }
 
+  test("sqPacked artifact == fresh encodePacked; search parity through it") {
+    val dir = "/root/testdata/sf0.001"
+    val dirModel = graft.operators.TrainingOps.sqModel(spark, dir)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (0 until 8).map(w => r.getAs[Long](s"w$w"))).toMap
+    val art = rows(graft.operators.TrainingOps.sqPacked(spark, dir))
+    val fresh = rows(Sq.encodePacked(
+      graft.core.Tables.embeddings(spark, dir), dirModel))
+    assert(art == fresh)
+    // the qe16 path (artifact scan) == direct encode path, end to end
+    val embDir = graft.core.Tables.embeddings(spark, dir)
+    val viaArt = Sq.search(embDir, dirModel, Seq(0L, 1L), k = 5,
+      shortlist = 50,
+      packedTable = Some(graft.operators.TrainingOps.sqPacked(spark, dir)))
+      .collect().map(_.toSeq).toSeq
+    val direct = Sq.search(embDir, dirModel, Seq(0L, 1L), k = 5,
+      shortlist = 50).collect().map(_.toSeq).toSeq
+    assert(viaArt == direct)
+  }
+
+  test("empty query set fails fast (ADVICE r8: no reduce-on-empty)") {
+    intercept[IllegalArgumentException] {
+      Sq.search(emb, model, Seq(999999L), k = 5, shortlist = 50)
+    }
+    intercept[IllegalArgumentException] {
+      Sq.approxIntShortlist(emb, model, Seq.empty, n = 5)
+    }
+  }
+
   test("search is deterministic under repartition") {
     val qids = Seq(0L, 1L)
     val a = Sq.search(emb, model, qids, k = 10, shortlist = 50).collect()
