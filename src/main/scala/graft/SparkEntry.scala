@@ -1281,10 +1281,18 @@ object SparkEntry {
          |    CAST(SUM(y * y) AS BIGINT) AS syy
          |  FROM xy GROUP BY 1)
          |SELECT source, n AS n_types,
+         |  CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+         |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) = 0
+         |    THEN NULL ELSE
          |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
          |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
          |    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-         |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope,
+         |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) END AS slope,
+         |  CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+         |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) = 0
+         |      OR CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+         |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) = 0
+         |    THEN NULL ELSE
          |  ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
          |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
          |    * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
@@ -1292,7 +1300,7 @@ object SparkEntry {
          |    / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
          |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
          |    * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
-         |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS r2
+         |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) END AS r2
          |FROM m ORDER BY source""".stripMargin),
     // qs35: qs21's bounded-pair join with equal-split credit; integer
     // micro-cent division (// == DIV on the nonnegative corpus).
@@ -1490,12 +1498,17 @@ object SparkEntry {
          |    CAST(SUM(y * y) AS BIGINT) AS syy
          |  FROM p GROUP BY 1)
          |SELECT event_type, np AS n_pairs,
+         |  CASE WHEN CAST(np AS DOUBLE) * CAST(sxx AS DOUBLE)
+         |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) = 0
+         |      OR CAST(np AS DOUBLE) * CAST(syy AS DOUBLE)
+         |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) = 0
+         |    THEN NULL ELSE
          |  (CAST(np AS DOUBLE) * CAST(sxy AS DOUBLE)
          |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
          |    / (sqrt(CAST(np AS DOUBLE) * CAST(sxx AS DOUBLE)
          |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
          |      * sqrt(CAST(np AS DOUBLE) * CAST(syy AS DOUBLE)
-         |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr24
+         |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) END AS corr24
          |FROM m ORDER BY event_type""".stripMargin),
     // qd50: every manifest column recomputed from the source table —
     // qd12's portable fingerprint, content-keyed shard = fp % 8,

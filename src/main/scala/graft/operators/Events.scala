@@ -791,8 +791,14 @@ object Events {
       .agg(count(lit(1)).as("np"), sum("x").as("sx"), sum("y").as("sy"),
         sum(expr("x * x")).as("sxx"), sum(expr("x * y")).as("sxy"),
         sum(expr("y * y")).as("syy"))
+      // Degenerate-group guard (ADVICE r8): an event type whose
+      // hourly counts are constant across all pairs (or with one
+      // pair) has varX or varY = 0 — 0/0 is NaN on Spark but
+      // engine-dependent elsewhere; both sides pin NULL. Exact test:
+      // the vars are integer-valued doubles (BIGINT moment sums).
       .select(col("event_type"), col("np").as("n_pairs"),
-        expr(s"$cov / (sqrt($varX) * sqrt($varY))").as("corr24"))
+        expr(s"CASE WHEN $varX = 0.0D OR $varY = 0.0D THEN NULL" +
+          s" ELSE $cov / (sqrt($varX) * sqrt($varY)) END").as("corr24"))
       .orderBy("event_type")
   }
 

@@ -52,7 +52,8 @@ object GraphOps {
     * by vec_id.
     */
   def pageRank(edges: DataFrame, iters: Int,
-               scale: Long = 1000000000L): DataFrame = {
+               scale: Long = 1000000000L,
+               validateContract: Boolean = false): DataFrame = {
     // Materialize the edge list ONCE: `edges` is typically an
     // expensive build (the kNN self-join), and without this every
     // iteration's action would re-run it from scratch — outdeg + 3
@@ -67,6 +68,19 @@ object GraphOps {
     // node set == src set (see contract); one bounded driver action
     val n = outdeg.count()
     require(n > 0, "pageRank on an empty edge list")
+    // ADVICE r8: a general edge list with dst-only (dangling) nodes
+    // would silently drop them from the node set and inflate per-node
+    // teleport mass. The kNN graph satisfies the contract by
+    // construction (every vector emits k out-edges), so the check is
+    // opt-in: one anti-join on the edge grain for callers feeding
+    // arbitrary graphs (GraphOpsSpec exercises both outcomes).
+    if (validateContract) {
+      val dangling = e.select(col("dst").as("src")).distinct()
+        .join(outdeg.select("src"), Seq("src"), "left_anti").count()
+      require(dangling == 0L,
+        s"pageRank contract violated: $dangling dangling dst-only node(s)" +
+          " — every node must appear as a src")
+    }
     val r0 = scale / n
     val tele = 15L * r0 / 100L
     var ranks = outdeg.select(col("src").as("id"), lit(r0).as("pr"))

@@ -1636,9 +1636,16 @@ object TrainingOps {
       .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
         sum(expr("x * x")).as("sxx"), sum(expr("x * y")).as("sxy"),
         sum(expr("y * y")).as("syy"))
+      // Degenerate-group guard (ADVICE r8): a single-type source has
+      // varX = 0 (one rank) and a constant-frequency vocabulary has
+      // varY = 0 — 0/0 is NaN on Spark but engine-dependent
+      // elsewhere, so both sides pin NULL. The zero tests are exact:
+      // the vars are integer-valued doubles (BIGINT moment sums).
       .select(col("source"), col("n").as("n_types"),
-        expr(s"$cov / $varX").as("slope"),
-        expr(s"($cov * $cov) / ($varX * $varY)").as("r2"))
+        expr(s"CASE WHEN $varX = 0.0D THEN NULL" +
+          s" ELSE $cov / $varX END").as("slope"),
+        expr(s"CASE WHEN $varX = 0.0D OR $varY = 0.0D THEN NULL" +
+          s" ELSE ($cov * $cov) / ($varX * $varY) END").as("r2"))
       .orderBy("source")
   }
 
@@ -1751,7 +1758,18 @@ object TrainingOps {
     * pass. sf0.1 oracle-side verification is infeasible (the
     * EXHAUSTIVE DuckDB mirror is n²/2 list intersections, >10 min —
     * the components-family precedent); gate-scale oracle + the
-    * planted-pair spec carry correctness.
+    * planted-pair spec carry correctness, and DedupQualityInvariantSpec
+    * certifies the sf0.1 invariants (admitted ⊆ co-gram-scored,
+    * per-threshold recall monotonicity, planted-pair recovery).
+    *
+    * Representational note (ADVICE r8): the exact side intersects
+    * DISTINCT xxhash64 gram hashes where the DuckDB oracle intersects
+    * the exact gram strings — a 64-bit collision between two distinct
+    * grams of one document would shift a pair's intersection count by
+    * one. Same assumption as qd41's containment denominators
+    * (P(collision) ≈ g²/2⁶⁵ per doc at g grams/doc, ~10⁻¹³ at gate
+    * scale); accepted for the 8-byte shuffle keys rather than
+    * shuffling full gram strings.
     */
   def dedupQuality(s: SparkSession, dir: String): DataFrame = {
     DocFingerprint.register(s)

@@ -51,6 +51,22 @@ class GraphOpsSpec extends SparkSpec {
     assert(got.sum > scale * 9 / 10, "and sheds only a sliver of it")
   }
 
+  test("contract validation: dangling dst-only node fails fast") {
+    // node 4 is dst-only — silently dropped without validation
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 4L)).toDF("src", "dst")
+    val ex = intercept[IllegalArgumentException] {
+      GraphOps.pageRank(edges, iters = 1, validateContract = true).collect()
+    }
+    assert(ex.getMessage.contains("dangling"))
+    // a contract-satisfying graph passes with validation on, and
+    // equals the unvalidated result
+    val ok = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val a = GraphOps.pageRank(ok, 2, validateContract = true)
+      .collect().map(_.toSeq).toSeq
+    val b = GraphOps.pageRank(ok, 2).collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
+
   test("knnEdges artifact == fresh full-probe graph build (VERDICT r8 #2)") {
     val dir = "/root/testdata/sf0.001"
     val art = GraphOps.knnEdges(spark, dir)
