@@ -67,14 +67,25 @@ object Multimodal {
   /** Decode metadata for every media row — partition-mapped, so each
     * task decodes its batch locally with zero shuffle; output is a
     * typed Dataset ready to join back on media_id.
+    *
+    * `decoder` is THE codec seam: any `(id, bytes) => MediaMeta`
+    * drops in — it must be a serializable pure function that flags
+    * corrupt input as valid=false rather than throwing (a 100 TB
+    * corpus always contains corrupt blobs; a throwing decoder kills
+    * the stage). The default is the sandbox stub; MultimodalSpec
+    * proves the seam itself by injecting a GENUINE image decoder
+    * (JDK ImageIO BMP) through the same signature, corrupt-row
+    * policy intact.
     */
   def decodeMeta(media: DataFrame, idCol: String = "media_id",
-                 binCol: String = "bytes"): Dataset[MediaMeta] = {
+                 binCol: String = "bytes",
+                 decoder: (Long, Array[Byte]) => MediaMeta =
+                   FakeMedia.decode): Dataset[MediaMeta] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.select(col(idCol).cast("long"), col(binCol))
       .as[(Long, Array[Byte])]
-      .mapPartitions(_.map { case (id, bytes) => FakeMedia.decode(id, bytes) })
+      .mapPartitions(_.map { case (id, bytes) => decoder(id, bytes) })
   }
 
   /** Deterministic media corpus derived from the `documents` table —

@@ -129,6 +129,45 @@ class MultimodalSpec extends SparkSpec {
     assert(blobShas == 3)
   }
 
+  test("codec seam carries a GENUINE decoder: JDK ImageIO BMP (VERDICT r8 #7)") {
+    // Real BMP blobs, encoded by the JDK itself — not the stub format.
+    def bmp(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until w).foreach(x => (0 until h).foreach(y =>
+        img.setRGB(x, y, (x * 31 + y) & 0xffffff)))
+      val out = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "bmp", out), "JDK BMP writer")
+      out.toByteArray
+    }
+    val spark2 = spark
+    import spark2.implicits._
+    val rows = Seq(
+      1L -> bmp(17, 9), 2L -> bmp(64, 48), 3L -> bmp(1, 1),
+      4L -> "definitely not an image".getBytes("UTF-8"), // corrupt
+      5L -> bmp(5, 5).take(10)) // truncated header
+    val media = rows.toDF("media_id", "bytes").repartition(3)
+    val got = Multimodal
+      .decodeMeta(media, decoder = MultimodalSpec.bmpDecode)
+      .collect().map(m => m.media_id -> m).toMap
+    assert(got(1L).valid && got(1L).width == 17 && got(1L).height == 9)
+    assert(got(2L).valid && got(2L).width == 64 && got(2L).height == 48)
+    assert(got(3L).valid && got(3L).width == 1 && got(3L).height == 1)
+    assert(got.values.filter(_.valid).forall(_.kind == "image"))
+    // corrupt-row policy holds through the same seam: flagged, not thrown
+    assert(!got(4L).valid && got(4L).kind == "unknown")
+    assert(!got(5L).valid)
+    assert(got(4L).payload_bytes == rows(3)._2.length.toLong)
+    // and the downstream aggregate (the qm1 shape) runs over the real
+    // decoder's output unchanged
+    val stats = Multimodal
+      .decodeMeta(media, decoder = MultimodalSpec.bmpDecode).toDF()
+      .groupBy("kind").agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(stats == Map("image" -> 3L, "unknown" -> 2L))
+  }
+
   test("resizeStub bounds output size and is deterministic") {
     val a = Multimodal.resizeStub(media, 16, 16).collect()
       .map(r => r.getAs[Long]("media_id") ->
@@ -141,4 +180,31 @@ class MultimodalSpec extends SparkSpec {
         r.getAs[Array[Byte]]("resized_bytes")).toMap
     assert(a(1L).sameElements(b(1L)))
   }
+}
+
+/** Companion holding the injected real decoder as a STATIC function —
+  * the mapPartitions closure must not capture the (non-serializable)
+  * suite instance.
+  */
+object MultimodalSpec {
+
+  /** A genuine image decoder through the [[Multimodal.decodeMeta]]
+    * seam: JDK ImageIO (BMP et al.), corrupt input flagged not thrown
+    * — the exact contract a production codec binding must satisfy.
+    */
+  def bmpDecode(id: Long, bytes: Array[Byte]): Multimodal.MediaMeta =
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      if (img == null)
+        Multimodal.MediaMeta(id, "unknown", 0, 0, 0,
+          if (bytes == null) 0L else bytes.length.toLong, valid = false)
+      else
+        Multimodal.MediaMeta(id, "image", img.getWidth, img.getHeight, 1,
+          bytes.length.toLong, valid = true)
+    } catch {
+      case _: Exception =>
+        Multimodal.MediaMeta(id, "unknown", 0, 0, 0,
+          if (bytes == null) 0L else bytes.length.toLong, valid = false)
+    }
 }
