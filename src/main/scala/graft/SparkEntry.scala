@@ -168,7 +168,11 @@ object SparkEntry {
     "qs33_decayed_spend" -> (Events.decayedSpend _),
     "qs34_stickiness"    -> (Events.stickiness _),
     "qe12_knn_ivfpq"     -> (TrainingOps.knnIvfPq _),
-    "qe13_knn_graph"     -> (TrainingOps.knnGraph _),
+    // qe13 (all-pairs exact kNN graph) was demoted from the gate in
+    // round 9 (VERDICT r8 #8): its broadcast crossJoin cannot run at
+    // growing sf, and its truth-anchor role is carried by
+    // SimilaritySpec's bit-for-bit qe14 parity test. qe14 — the
+    // cell-blocked plan that provably equals it — keeps the oracle.
     "qe14_knn_graph_blocked" -> (TrainingOps.knnGraphBlockedFull _),
     "qe15_semantic_dedup" -> (TrainingOps.semanticDedupSingleCell _),
     "qe16_knn_sq"        -> (TrainingOps.knnSq _),
@@ -560,14 +564,14 @@ object SparkEntry {
     // arguments stack — every candidate admitted, every one exactly
     // re-ranked — so brute's oracle applies for any codebooks.
     "qe12_knn_ivfpq" -> knnSql,
-    // qe13: the kNN SELF-join — knnSql's construction with every
-    // vector as a query (same sequential-fold cosine, same rank tie
-    // on the neighbor id), k=3. qe14 (cell-blocked graph at
-    // nProbe = nCells) shares this oracle: full probe makes the
-    // candidate set all pairs for any centroids, so the results are
-    // provably identical — only the PLAN differs (cell equi-join vs
-    // broadcast crossJoin; PlanSpec pins both shapes).
-    "qe13_knn_graph" ->
+    // qe14: the kNN SELF-join graph — knnSql's construction with
+    // every vector as a query (same sequential-fold cosine, same rank
+    // tie on the neighbor id), k=3, computed through the cell-blocked
+    // equi-join at nProbe = nCells: full probe makes the candidate
+    // set all pairs for any centroids, so the result provably equals
+    // the exact graph this SQL recomputes (SimilaritySpec pins the
+    // bit-for-bit parity against the demoted all-pairs baseline).
+    "qe14_knn_graph_blocked" ->
       (s"""WITH base AS (
          |  SELECT vec_id, embedding,
          |    sqrt(${dotSql("embedding", "embedding")}) AS nrm
@@ -1203,12 +1207,7 @@ object SparkEntry {
          |FROM b JOIN q USING (bg)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
   ) ++ batch8Sql ++ batch9Sql
-    // oracles shared verbatim between a declared baseline and its
-    // scale-shaped parity form (full probe => identical result set,
-    // different physical plan): qe14 is qe13's graph through the
-    // cell-blocked join, so it reuses qe13's SQL exactly.
-    base + ("qe14_knn_graph_blocked" -> base("qe13_knn_graph")) +
-      ("qe15_semantic_dedup" -> semanticDedupSql) ++ batch10Sql
+    base + ("qe15_semantic_dedup" -> semanticDedupSql) ++ batch10Sql
   }
 
   /** Round-8 oracles. qe16 (SQ8 at a full-corpus shortlist) re-ranks

@@ -1111,8 +1111,11 @@ object TrainingOps {
       nProbe = model.k, shortlist = Int.MaxValue)
   }
 
-  /** qe13 declared form: the exact k=3 similarity graph (all-pairs
-    * truth anchor; the scale path is [[Similarity.knnGraphBlocked]]).
+  /** The exact k=3 similarity graph — the all-pairs TRUTH ANCHOR.
+    * Demoted from the gate in round 9 (VERDICT r8 #8: no declared
+    * query should carry an all-pairs corpus broadcast, so the gate
+    * suite itself scales with sf); SimilaritySpec still runs it as
+    * the bit-for-bit parity reference for qe14's cell-blocked plan.
     */
   def knnGraph(s: SparkSession, dir: String): DataFrame =
     Similarity.knnGraph(Tables.embeddings(s, dir), 3)

@@ -723,10 +723,6 @@ class PlanSpec extends SparkSpec
         // qs33: the corpus anchor day as a 1-row broadcast (the
         // qd22/qd23 class)
         "qs33_decayed_spend",
-        // qe13: the all-pairs EXACT baseline by declaration (qe1's
-        // class); the scale path is the cell-blocked equi-join
-        // variant, spec-measured
-        "qe13_knn_graph",
         // qd45: the two corpus totals as 1-row broadcasts (the
         // qd22/qd23/qs33 class)
         "qd45_pmi",
