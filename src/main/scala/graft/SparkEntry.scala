@@ -195,6 +195,8 @@ object SparkEntry {
     "qe20_ann_quality"   -> (TrainingOps.annQuality _),
     "qs37_daily_autocorr" -> (Events.dailyAutocorr _),
     "qd50_shard_export"  -> (TrainingOps.shardExport _),
+    "qd51_bm25_search"   -> (graft.operators.Search.bm25Search _),
+    "qe22_rrf_fusion"    -> (graft.operators.Search.hybridSearch _),
   )
 
   /** Queries intentionally without an oracle — EMPTY since round 5:
@@ -1219,6 +1221,8 @@ object SparkEntry {
     "qe16_knn_sq" -> knnSql,
     "qe17_pagerank" -> pageRankSql,
     "qe20_ann_quality" -> annQualitySql,
+    "qd51_bm25_search" -> bm25Sql,
+    "qe22_rrf_fusion" -> rrfSql,
     // qd45: ordered skip-gram pairs at distance <= 2 — the two lead
     // columns mirror the 1-based list offsets; PMI's ln rides the
     // micro-nat floor over an identically-ordered double ratio of
@@ -2324,6 +2328,124 @@ object SparkEntry {
     * min/max grid, an exact-long sum so the shortlist boundary is
     * order-free on both engines — joined into per-query recall rows.
     */
+  /** qd51 oracle: qd9's tokenizer verbatim, per-doc (dl, tf_i) from
+    * one conditional aggregate, corpus stats (N over TOKENIZED docs,
+    * Σdl, df_i) as one row, and each per-term BM25 score generated
+    * from [[graft.operators.Search.bm25TermSql]] — the SAME
+    * expression text the Spark side evaluates, so the IEEE op order
+    * cannot diverge; micro-unit floors make per-doc sums exact longs.
+    */
+  private lazy val bm25Sql: String = {
+    import graft.operators.Search
+    val queries = Search.Bm25Queries
+    val terms = queries.flatMap(_._2).distinct
+    val ti = terms.zipWithIndex.toMap
+    val tfCols = terms.map(t =>
+      s"CAST(SUM(CASE WHEN token = '$t' THEN 1 ELSE 0 END) AS BIGINT)" +
+        s" AS tf_${ti(t)}").mkString(",\n    ")
+    val dfCols = terms.map(t =>
+      s"CAST(SUM(CASE WHEN tf_${ti(t)} > 0 THEN 1 ELSE 0 END) AS BIGINT)" +
+        s" AS df_${ti(t)}").mkString(",\n    ")
+    val unions = queries.map { case (qid, ts) =>
+      val micro = ts.map(t =>
+        Search.bm25TermSql(s"tf_${ti(t)}", s"df_${ti(t)}"))
+        .mkString("(", " + ", ")")
+      val m = ts.map(t => s"tf_${ti(t)}").mkString("(", " + ", ") > 0")
+      s"SELECT CAST($qid AS INTEGER) AS query_id, doc_id,\n" +
+        s"    $micro AS micro, $m AS m FROM j"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH toks AS (SELECT doc_id, unnest(list_filter(
+       |    string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'),
+       |      ' '), t -> t != '')) AS token FROM documents),
+       |pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl,
+       |    $tfCols
+       |  FROM toks GROUP BY 1),
+       |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(SUM(dl) AS BIGINT) AS tdl,
+       |    $dfCols
+       |  FROM pd),
+       |j AS (SELECT * FROM pd, st),
+       |u AS (
+       |  $unions),
+       |r AS (SELECT query_id, doc_id, micro,
+       |    CAST(rank() OVER (PARTITION BY query_id
+       |      ORDER BY micro DESC, doc_id) AS INTEGER) AS rnk
+       |  FROM u WHERE m)
+       |SELECT query_id, doc_id, rnk,
+       |  CAST(micro AS DOUBLE) / 1000000.0 AS score
+       |FROM r WHERE rnk <= 10
+       |ORDER BY query_id, rnk, doc_id""".stripMargin
+  }
+
+  /** qe22 oracle: qe20's two bit-recomputable rankings — the 128-bit
+    * Hamming top-50 (qe11's CTEs) and the SQ8 integer-scored top-50 —
+    * fused by exact-integer RRF: 10⁹ // (60 + rank) per list,
+    * summed, top-10 by (rrf DESC, vec_id). Truncating // ≡ DIV on
+    * the all-nonnegative ranks (the qs33/qe17 argument).
+    */
+  private lazy val rrfSql: String = {
+    val ids = graft.operators.TrainingOps.knnQueryIds.mkString(", ")
+    s"""WITH he AS (SELECT vec_id,
+       |    CAST(embedding[i] AS DOUBLE) AS v,
+       |    CAST(embedding[CASE WHEN i = len(embedding) THEN 1
+       |                        ELSE i + 1 END] AS DOUBLE) AS vn,
+       |    CASE WHEN i = 64 THEN CAST(-9223372036854775808 AS BIGINT)
+       |         ELSE CAST(1 AS BIGINT) << (i - 1) END AS bit
+       |  FROM embeddings, unnest(range(1, len(embedding)+1)) u(i)),
+       |hs AS (SELECT vec_id,
+       |    bit_or(CASE WHEN v > 0 THEN bit ELSE CAST(0 AS BIGINT) END)
+       |      AS sig,
+       |    bit_or(CASE WHEN v > vn THEN bit ELSE CAST(0 AS BIGINT) END)
+       |      AS sig2
+       |  FROM he GROUP BY 1),
+       |hq AS (SELECT vec_id AS query_id, sig AS qsig, sig2 AS qsig2
+       |  FROM hs WHERE vec_id IN ($ids)),
+       |hd AS (SELECT hq.query_id, hs.vec_id,
+       |    CAST(bit_count(xor(hs.sig, hq.qsig))
+       |       + bit_count(xor(hs.sig2, hq.qsig2)) AS INTEGER) AS hamming
+       |  FROM hs, hq WHERE hs.vec_id <> hq.query_id),
+       |rh AS (SELECT query_id, vec_id, rnk FROM (
+       |    SELECT query_id, vec_id,
+       |      CAST(rank() OVER (PARTITION BY query_id
+       |        ORDER BY hamming, vec_id) AS BIGINT) AS rnk
+       |    FROM hd) WHERE rnk <= 50),
+       |el AS (SELECT vec_id, i AS d, CAST(embedding[i] AS DOUBLE) AS x
+       |  FROM embeddings, unnest(range(1, len(embedding)+1)) u(i)),
+       |st AS (SELECT d, min(x) AS lo, max(x) AS hi FROM el GROUP BY d),
+       |co AS (SELECT el.vec_id, el.d,
+       |    CASE WHEN st.hi = st.lo THEN CAST(0 AS BIGINT)
+       |      ELSE CAST(least(greatest(
+       |        floor((el.x - st.lo) / (st.hi - st.lo) * 256.0),
+       |        0.0), 255.0) AS BIGINT) END AS c
+       |  FROM el JOIN st USING (d)),
+       |qw AS (SELECT el.vec_id AS query_id, el.d,
+       |    CAST(floor(el.x * ((st.hi - st.lo) / 256.0) * 1000000.0)
+       |      AS BIGINT) AS w
+       |  FROM el JOIN st USING (d) WHERE el.vec_id IN ($ids)),
+       |sc AS (SELECT qw.query_id, co.vec_id,
+       |    CAST(SUM(qw.w * co.c) AS BIGINT) AS sco
+       |  FROM co JOIN qw USING (d) WHERE co.vec_id <> qw.query_id
+       |  GROUP BY 1, 2),
+       |rs AS (SELECT query_id, vec_id, rn FROM (
+       |    SELECT query_id, vec_id,
+       |      CAST(row_number() OVER (PARTITION BY query_id
+       |        ORDER BY sco DESC, vec_id) AS BIGINT) AS rn
+       |    FROM sc) WHERE rn <= 50),
+       |f AS (SELECT COALESCE(rh.query_id, rs.query_id) AS query_id,
+       |    COALESCE(rh.vec_id, rs.vec_id) AS vec_id,
+       |    COALESCE(CAST(1000000000 AS BIGINT) // (60 + rh.rnk),
+       |      CAST(0 AS BIGINT))
+       |    + COALESCE(CAST(1000000000 AS BIGINT) // (60 + rs.rn),
+       |      CAST(0 AS BIGINT)) AS rrf
+       |  FROM rh FULL OUTER JOIN rs
+       |    ON rh.query_id = rs.query_id AND rh.vec_id = rs.vec_id)
+       |SELECT query_id, vec_id, rnk, rrf FROM (
+       |  SELECT query_id, vec_id, rrf,
+       |    CAST(rank() OVER (PARTITION BY query_id
+       |      ORDER BY rrf DESC, vec_id) AS INTEGER) AS rnk FROM f)
+       |WHERE rnk <= 10 ORDER BY query_id, rnk, vec_id""".stripMargin
+  }
+
   private lazy val annQualitySql: String = {
     val ids = graft.operators.TrainingOps.knnQueryIds.mkString(", ")
     s"""WITH base AS (

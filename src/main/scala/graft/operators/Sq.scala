@@ -173,7 +173,7 @@ object Sq {
       .orderBy(col("sco").desc, col("vec_id"))
     scored.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= n)
-      .select("query_id", "vec_id")
+      .select(col("query_id"), col("vec_id"), col("rn").cast("int").as("rnk"))
   }
 
   /** SQ8 top-k: packed-word approximate scan, shortlist, exact cosine

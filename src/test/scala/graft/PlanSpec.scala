@@ -735,7 +735,13 @@ class PlanSpec extends SparkSpec
         "qx27_quality_checks",
         // qe20: evaluates the brute truth (qe1's class) and the
         // qe11-style broadcast signature scan by construction
-        "qe20_ann_quality")
+        "qe20_ann_quality",
+        // qd51: the corpus stats (N, Σdl, per-term df) as a 1-row
+        // broadcast into the scoring projection (the qd22/qd23 class)
+        "qd51_bm25_search",
+        // qe22: fuses the qe11-class Hamming scan with the SQ8
+        // artifact scan — the broadcast is the 5-query signature set
+        "qe22_rrf_fusion")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val p = plan(fn(spark, sf))
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian")
