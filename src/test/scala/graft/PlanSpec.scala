@@ -698,6 +698,29 @@ class PlanSpec extends SparkSpec
       s"no exchange reuse in qd45's executed plan:\n$p")
   }
 
+  test("qd51: the tokenize aggregate is computed once — stats reuse its exchange") {
+    // perDoc feeds BOTH the 1-row stats aggregate and the scoring
+    // spine; the tokenize explode must not run twice at runtime (the
+    // qd45 executed-plan reuse pin)
+    val df = graft.operators.Search.bm25Search(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage"),
+      s"tokenize pass re-ran for the stats row:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "map-side combine")
+  }
+
+  test("qe22: fusion is an equi-join on (query_id, vec_id), never nested-loop") {
+    val df = graft.operators.Search.hybridSearch(spark, sf)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"))
+    // the BNLJs allowed are the 5-row query broadcasts inside the
+    // member rankings; the FULL-OUTER fusion itself must be keyed
+    assert(
+      "(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \\[[^\\]]*query_id[^\\]]*\\], \\[[^\\]]*\\], FullOuter".r
+        .findFirstIn(p).isDefined, s"fusion must be a keyed equi-join:\n$p")
+  }
+
   test("global sweep: no declared query plans a CartesianProduct") {
     // BroadcastNestedLoopJoin is allowed ONLY where the operator is
     // deliberately O(n^2) at its declared verification config (qe3's

@@ -29,6 +29,26 @@ class Round9OpsSpec extends SparkSpec {
     assert(TrainingOps.bigramModel(spark, dir) eq m1)
   }
 
+  test("ArtifactStore: concurrent readers race to ONE build") {
+    val root = tempDir("graft_artifact_conc")
+    val tbl = s"$root/t.parquet"
+    Seq(1L, 2L).toDF("x").coalesce(1).write.parquet(tbl)
+    val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    val reads = (1 to 4).map(_ => Future {
+      ArtifactStore.parquetArtifact(spark, root, "t", "conc_art") {
+        builds.incrementAndGet()
+        spark.read.parquet(tbl)
+      }.count()
+    })
+    assert(Await.result(Future.sequence(reads), 120.seconds)
+      .forall(_ == 2L))
+    assert(builds.get() == 1,
+      s"per-path lock must serialize to one build, saw ${builds.get()}")
+  }
+
   test("ArtifactStore: builds once, serves cached, rebuilds on stamp change") {
     val root = tempDir("graft_artifact_spec")
     val tbl = s"$root/t.parquet"
