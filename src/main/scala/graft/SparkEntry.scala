@@ -197,6 +197,7 @@ object SparkEntry {
     "qd50_shard_export"  -> (TrainingOps.shardExport _),
     "qd51_bm25_search"   -> (graft.operators.Search.bm25Search _),
     "qe22_rrf_fusion"    -> (graft.operators.Search.hybridSearch _),
+    "qd52_prf_expansion" -> (graft.operators.Search.prfExpand _),
   )
 
   /** Queries intentionally without an oracle — EMPTY since round 5:
@@ -1223,6 +1224,7 @@ object SparkEntry {
     "qe20_ann_quality" -> annQualitySql,
     "qd51_bm25_search" -> bm25Sql,
     "qe22_rrf_fusion" -> rrfSql,
+    "qd52_prf_expansion" -> prfSql,
     // qd45: ordered skip-gram pairs at distance <= 2 — the two lead
     // columns mirror the 1-based list offsets; PMI's ln rides the
     // micro-nat floor over an identically-ordered double ratio of
@@ -2335,7 +2337,10 @@ object SparkEntry {
     * expression text the Spark side evaluates, so the IEEE op order
     * cannot diverge; micro-unit floors make per-doc sums exact longs.
     */
-  private lazy val bm25Sql: String = {
+  /** Shared WITH-chain for qd51/qd52: tokenizer → per-doc tf/dl →
+    * corpus stats → per-query micro scores → full ranking `r`.
+    */
+  private lazy val bm25Ctes: String = {
     import graft.operators.Search
     val queries = Search.Bm25Queries
     val terms = queries.flatMap(_._2).distinct
@@ -2370,11 +2375,41 @@ object SparkEntry {
        |r AS (SELECT query_id, doc_id, micro,
        |    CAST(rank() OVER (PARTITION BY query_id
        |      ORDER BY micro DESC, doc_id) AS INTEGER) AS rnk
-       |  FROM u WHERE m)
+       |  FROM u WHERE m)""".stripMargin
+  }
+
+  private lazy val bm25Sql: String =
+    s"""$bm25Ctes
        |SELECT query_id, doc_id, rnk,
        |  CAST(micro AS DOUBLE) / 1000000.0 AS score
        |FROM r WHERE rnk <= 10
        |ORDER BY query_id, rnk, doc_id""".stripMargin
+
+  /** qd52 oracle: qd51's ranking CTEs verbatim, then the RM3
+    * expansion — (doc, term) exact counts joined to each query's
+    * top-10, original terms excluded via a VALUES anti-join, weight =
+    * exact BIGINT sum, top-5 by (w DESC, term).
+    */
+  private lazy val prfSql: String = {
+    val ex = graft.operators.Search.Bm25Queries
+      .flatMap { case (qid, ts) => ts.map(t => s"($qid, '$t')") }
+      .mkString(", ")
+    s"""$bm25Ctes,
+       |tfd AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+       |  FROM toks GROUP BY 1, 2),
+       |topd AS (SELECT query_id, doc_id FROM r WHERE rnk <= 10),
+       |ex(query_id, token) AS (VALUES $ex),
+       |wg AS (SELECT t.query_id, f.token AS term,
+       |    CAST(SUM(f.tf) AS BIGINT) AS w
+       |  FROM topd t JOIN tfd f USING (doc_id)
+       |  LEFT JOIN ex ON ex.query_id = t.query_id AND ex.token = f.token
+       |  WHERE ex.token IS NULL
+       |  GROUP BY 1, 2)
+       |SELECT query_id, term, w, rnk FROM (
+       |  SELECT query_id, term, w,
+       |    CAST(rank() OVER (PARTITION BY query_id
+       |      ORDER BY w DESC, term) AS INTEGER) AS rnk FROM wg)
+       |WHERE rnk <= 5 ORDER BY query_id, rnk, term""".stripMargin
   }
 
   /** qe22 oracle: qe20's two bit-recomputable rankings — the 128-bit

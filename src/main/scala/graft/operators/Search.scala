@@ -110,6 +110,54 @@ object Search {
   def bm25Search(s: SparkSession, dir: String): DataFrame =
     bm25(graft.core.Tables.documents(s, dir))
 
+  /** qd52 — pseudo-relevance-feedback query EXPANSION (the RM3
+    * move): assume the BM25 top-`n` documents are relevant, mine them
+    * for the terms that characterize them, and emit the top-`m`
+    * expansion terms per query — the classic lexical recall booster
+    * (the expanded query retrieves documents sharing the FEEDBACK
+    * vocabulary even when they miss every original term). Term weight
+    * is the EXACT integer occurrence total over the feedback docs
+    * (Σ_{d∈top-n} tf(t,d) — the deterministic core of RM3's
+    * P(t|R) without its length-normalization double), original query
+    * terms excluded, ties on the term itself.
+    *
+    * Scale shape: composes the qd51 ranking (report-sized top-n per
+    * query) with ONE (doc, term) count aggregate of the token stream;
+    * the join against the feedback set is doc-keyed with a
+    * report-sized build side, the exclusion an anti-join against a
+    * literal frame. Everything downstream of the token scan is
+    * feedback-grain.
+    *
+    * Parity: weights are exact BIGINT sums — no float anywhere past
+    * qd51's already-pinned ranking.
+    */
+  def prfExpansion(docs: DataFrame,
+                   queries: Seq[(Int, Seq[String])] = Bm25Queries,
+                   n: Int = 10, m: Int = 5): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val top = bm25(docs, queries, n).select("query_id", "doc_id")
+    val tf = docs.select(col("doc_id"),
+        explode(Dedup.tokens(col("text"))).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val exclude = queries.flatMap { case (qid, ts) => ts.map(qid -> _) }
+      .toDF("query_id", "token")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("w").desc, col("term"))
+    top.join(tf, "doc_id")
+      .join(broadcast(exclude), Seq("query_id", "token"), "left_anti")
+      .groupBy(col("query_id"), col("token").as("term"))
+      .agg(sum("tf").as("w"))
+      .withColumn("rnk", rank().over(w).cast("int"))
+      .filter(col("rnk") <= m)
+      .select("query_id", "term", "w", "rnk")
+      .orderBy("query_id", "rnk", "term")
+  }
+
+  /** qd52 declared form over the sf dir's documents. */
+  def prfExpand(s: SparkSession, dir: String): DataFrame =
+    prfExpansion(graft.core.Tables.documents(s, dir))
+
   /** qe22 — reciprocal-rank fusion (RRF, Cormack et al., SIGIR '09):
     * fuse two rankers' top-n lists by
     *   rrf(d) = Σ_i 1/(60 + rank_i(d)),

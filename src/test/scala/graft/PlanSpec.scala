@@ -762,6 +762,9 @@ class PlanSpec extends SparkSpec
         // qd51: the corpus stats (N, Σdl, per-term df) as a 1-row
         // broadcast into the scoring projection (the qd22/qd23 class)
         "qd51_bm25_search",
+        // qd52: composes qd51's ranking, so it inherits the same
+        // 1-row stats broadcast
+        "qd52_prf_expansion",
         // qe22: fuses the qe11-class Hamming scan with the SQ8
         // artifact scan — the broadcast is the 5-query signature set
         "qe22_rrf_fusion")

@@ -72,6 +72,37 @@ class SearchSpec extends SparkSpec {
       s"rare-term doc must outscore common-term doc: $out")
   }
 
+  test("qd52: expansion terms come from feedback docs, originals excluded, exact weights") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.core.Tables.documents(spark, dir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    // driver-side reference: top-10 per query from refBm25, then the
+    // exact occurrence totals of non-query terms over those docs
+    val top = refBm25(docs, Search.Bm25Queries, 10)
+      .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+    val tokensOf = docs.map { case (id, t) =>
+      id -> "[^a-z0-9]+".r.replaceAllIn(t.toLowerCase, " ")
+        .split(" ").filter(_.nonEmpty).toSeq
+    }.toMap
+    val want = Search.Bm25Queries.flatMap { case (qid, qts) =>
+      val counts = top(qid).toSeq.flatMap(tokensOf)
+        .filterNot(qts.contains)
+        .groupBy(identity).map { case (t, xs) => (t, xs.size.toLong) }
+      counts.toSeq.sortBy { case (t, w) => (-w, t) }.take(5)
+        .zipWithIndex.map { case ((t, w), i) => (qid, t, w, i + 1) }
+    }
+    val got = Search.prfExpand(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getInt(3)))
+      .toSeq
+    assert(got == want)
+    // no expansion term is an original query term
+    got.foreach { case (qid, t, _, _) =>
+      assert(!Search.Bm25Queries.toMap.apply(qid).contains(t),
+        s"original term '$t' leaked into query $qid's expansion")
+    }
+  }
+
   test("qe22: RRF reference parity and cross-ranker agreement wins") {
     // ranker A top-3: d1,d2,d3; ranker B top-3: d2,d3,d4.
     // d2 (ranks 2+1) must outrank d1 (rank 1, one list only):
