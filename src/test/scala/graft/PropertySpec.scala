@@ -122,4 +122,65 @@ class PropertySpec extends SparkSpec {
       assert(out == expected)
     }
   }
+
+  test("BM25 reference parity on generated corpora (unicode, empty, punct-only docs)") {
+    (10L to 12L).foreach { seed =>
+      val texts = sample(Gen.listOfN(80, textGen), seed)
+      val docs = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val qs = Seq(1 -> Seq("spark", "data"), 2 -> Seq("join"))
+      val got = graft.operators.Search.bm25(docs, qs, k = 80).collect()
+        .map(r => ((r.getInt(0), r.getLong(1)), r.getDouble(3))).toMap
+      // reference parity on arbitrary generated text (incl. unicode,
+      // empties, punctuation-only docs)
+      val tokd = texts.zipWithIndex.map { case (t, i) =>
+        i.toLong -> "[^a-z0-9]+".r.replaceAllIn(t.toLowerCase, " ")
+          .split(" ").filter(_.nonEmpty).toSeq
+      }.filter(_._2.nonEmpty)
+      val n = tokd.size.toDouble
+      if (n > 0) {
+        val avgdl = tokd.map(_._2.size.toLong).sum.toDouble / n
+        def df(t: String) = tokd.count(_._2.contains(t)).toDouble
+        qs.foreach { case (qid, ts) =>
+          tokd.foreach { case (id, dt) =>
+            val micro = ts.map { t =>
+              val tf = dt.count(_ == t).toLong
+              if (tf == 0L || df(t) == 0.0) 0L
+              else math.floor(
+                math.log(1.0 + (n - df(t) + 0.5) / (df(t) + 0.5)) *
+                  (tf.toDouble * 2.2) /
+                  (tf.toDouble + 1.2 * (0.25 + 0.75 * (dt.size / avgdl))) *
+                  1000000.0 + 0.5).toLong
+            }.sum
+            val want = if (micro == 0L && ts.forall(t => dt.count(_ == t) == 0))
+              None else Some(micro / 1e6)
+            assert(got.get((qid, id)) == want,
+              s"seed=$seed q=$qid doc=$id: got ${got.get((qid, id))}, want $want")
+          }
+        }
+      }
+    }
+  }
+
+  test("RRF properties: self-fusion preserves order; input partitioning is irrelevant") {
+    val ranks = (1 to 30).map(i => (1L, 100L + i, i)).toDF("query_id", "vec_id", "rnk")
+    // fusing a ranking with itself must reproduce it (doubled scores,
+    // same order)
+    val self = graft.operators.Search.rrfFusion(ranks, ranks, k = 30)
+      .collect().map(r => (r.getLong(1), r.getInt(2), r.getLong(3)))
+    assert(self.map(_._1).toSeq == (1 to 30).map(i => 100L + i),
+      "self-fusion must preserve the input order")
+    self.foreach { case (vid, rnk, rrf) =>
+      assert(rrf == 2L * (1000000000L / (60L + rnk)),
+        s"self-fusion score must double: $vid")
+    }
+    // physical row order / partitioning must not change the result
+    val b = (1 to 30).map(i => (1L, 200L - i, i)).toDF("query_id", "vec_id", "rnk")
+    val x = graft.operators.Search.rrfFusion(ranks, b, k = 10)
+      .collect().map(_.toSeq).toSeq
+    val y = graft.operators.Search
+      .rrfFusion(ranks.repartition(7), b.repartition(3), k = 10)
+      .collect().map(_.toSeq).toSeq
+    assert(x == y)
+  }
 }
