@@ -1782,8 +1782,16 @@ object TrainingOps {
   /** Core of [[dedupQuality]] over any (doc_id, text) frame. */
   def dedupQualityOn(docs: DataFrame, thresholds: Seq[Double]): DataFrame = {
     val P = DocFingerprint.Modulus
+    // The gram stream feeds TWO independent shapes (distinct-hash
+    // exact side, minhash-signature blocking side) whose aggregates
+    // don't share an exchange — without materialization the tokenize
+    // + shingle Generate runs twice. Persist the gram grain once
+    // (MEMORY_AND_DISK; Bench's inter-query reset reaps it): this is
+    // the evaluation query, and its input is the gram table a
+    // production run would have materialized anyway.
     val grams = Dedup.gramsRelational(docs, "doc_id", "text")
       .withColumn("fp", DocFingerprint.of(col("g")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // exact side: distinct gram sets → co-gram pair intersections
     val gh = grams.select(col("doc_id"), xxhash64(col("g")).as("gh"))
       .distinct()
