@@ -440,8 +440,12 @@ object TrainingOps {
     * an expensive stage.
     */
   def pairJaccard(s: SparkSession, dir: String): DataFrame = {
+    // Three consumers (sizes + both self-join sides) with no shared
+    // exchange — materialize the gram grain once (the qd48 move;
+    // Bench's inter-query reset reaps it)
     val grams =
       Dedup.gramsRelational(Tables.documents(s, dir), "doc_id", "text")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
     // |A ∩ B| for consecutive-id pairs: gram equi-join + count
     val inter = grams.as("ga")
