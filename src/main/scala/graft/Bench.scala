@@ -76,6 +76,8 @@ object Bench {
       graft.operators.TrainingOps.sqPacked(spark, sfDir) }
     prebuild("knn_edges_artifact") {
       graft.operators.GraphOps.knnEdges(spark, sfDir) }
+    prebuild("dup_labels_artifact") {
+      graft.operators.TrainingOps.dupLabels(spark, sfDir) }
 
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted

@@ -564,6 +564,20 @@ object TrainingOps {
       .orderBy("doc_id")
   }
 
+  /** Stored duplicate-cluster label table per (dir, documents stamp)
+    * — the artifact tier applied to the components family (the
+    * knnEdges move): production materializes the cluster labels once
+    * (qd13/qd16 measure that build, two algorithms, shared oracle)
+    * and every downstream curation consumer (qd36's split, qd44's
+    * representatives) READS the label table. Round9OpsSpec pins
+    * artifact ≡ fresh qd13 output.
+    */
+  def dupLabels(s: SparkSession, dir: String): DataFrame =
+    graft.io.ArtifactStore.parquetArtifact(s, dir, "documents",
+      "dup_labels") {
+      dupClusters(s, dir)
+    }
+
   /** qd44 — dup-cluster representative selection: within each
     * near-dup cluster (qd13's components) KEEP the longest member,
     * tie-broken to the lowest doc_id — the curation semantic real
@@ -575,7 +589,7 @@ object TrainingOps {
     * the shared component computation itself.
     */
   def clusterRepresentatives(s: SparkSession, dir: String): DataFrame =
-    representativesOn(dupClusters(s, dir),
+    representativesOn(dupLabels(s, dir),
       Tables.documents(s, dir).select(col("doc_id"), col("n_chars")))
 
   /** The selection rule alone, over any (doc_id, cluster) labels and
@@ -625,22 +639,35 @@ object TrainingOps {
     * round, bounded rounds); the assignment itself is a codegen
     * projection — no extra exchange.
     */
-  def leakageSplit(s: SparkSession, dir: String): DataFrame =
-    leakageSplitOn(Tables.documents(s, dir))
+  def leakageSplit(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.DocFingerprint.register(s)
+    splitOnLabels(dupLabels(s, dir))
+  }
 
   /** Core of [[leakageSplit]] over an explicit `(doc_id, text)`
-    * frame; `trainPct` is the train share in [0,100].
+    * frame (builds its own labels — the spec-testable
+    * self-contained form); `trainPct` is the train share in [0,100].
     */
   def leakageSplitOn(docs: DataFrame, trainPct: Int = 80): DataFrame = {
     graft.functions.DocFingerprint.register(docs.sparkSession)
     val pairs = Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.9)
-    Dedup.dupClusters(docs, pairs, "doc_id")
-      .select(col("id").as("doc_id"), col("cluster"),
+    splitOnLabels(Dedup.dupClusters(docs, pairs, "doc_id")
+      .select(col("id").as("doc_id"), col("cluster")), trainPct)
+  }
+
+  /** The assignment rule alone over a (doc_id, cluster) label frame:
+    * split = portable fingerprint of the cluster id's decimal digits
+    * mod 100 — a pure function of cluster, so near-dups can never
+    * straddle the boundary.
+    */
+  private def splitOnLabels(labels: DataFrame,
+                            trainPct: Int = 80): DataFrame =
+    labels
+      .select(col("doc_id"), col("cluster"),
         when(pmod(graft.functions.DocFingerprint.of(
             col("cluster").cast("string")), lit(100L)) < trainPct,
           lit("train")).otherwise(lit("test")).as("split"))
       .orderBy("doc_id")
-  }
 
   /** qd14 — benchmark decontamination: flag corpus documents sharing
     * at least one word 3-gram with a held-out "benchmark" slice

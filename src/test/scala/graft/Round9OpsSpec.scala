@@ -29,6 +29,15 @@ class Round9OpsSpec extends SparkSpec {
     assert(TrainingOps.bigramModel(spark, dir) eq m1)
   }
 
+  test("dupLabels artifact == fresh qd13 components (VERDICT r8 artifact tier)") {
+    val dir = "/root/testdata/sf0.001"
+    val art = TrainingOps.dupLabels(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fresh = TrainingOps.dupClusters(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(art == fresh)
+  }
+
   test("ArtifactStore: concurrent readers race to ONE build") {
     val root = tempDir("graft_artifact_conc")
     val tbl = s"$root/t.parquet"
