@@ -198,6 +198,7 @@ object SparkEntry {
     "qd51_bm25_search"   -> (graft.operators.Search.bm25Search _),
     "qe22_rrf_fusion"    -> (graft.operators.Search.hybridSearch _),
     "qd52_prf_expansion" -> (graft.operators.Search.prfExpand _),
+    "qe23_gram_matrix"   -> (TrainingOps.gramMatrix _),
   )
 
   /** Queries intentionally without an oracle — EMPTY since round 5:
@@ -1225,6 +1226,23 @@ object SparkEntry {
     "qd51_bm25_search" -> bm25Sql,
     "qe22_rrf_fusion" -> rrfSql,
     "qd52_prf_expansion" -> prfSql,
+    // qe23: two lateral unnests expand each vector's upper-triangle
+    // component pairs; floor quantization + BIGINT sums are
+    // order-free on both engines. posexplode is 0-based -> (i-1).
+    "qe23_gram_matrix" ->
+      ("""SELECT CAST(i - 1 AS INTEGER) AS d_a,
+         |  CAST(j - 1 AS INTEGER) AS d_b,
+         |  CAST(count(*) AS BIGINT) AS n_vecs,
+         |  CAST(SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000)
+         |      AS BIGINT)
+         |    * CAST(floor(CAST(embedding[j] AS DOUBLE) * 1000000)
+         |      AS BIGINT)) AS BIGINT) AS dot_q
+         |FROM embeddings,
+         |  unnest(range(1, len(embedding) + 1)) u(i),
+         |  unnest(range(1, len(embedding) + 1)) v(j)
+         |WHERE i <= j
+         |GROUP BY 1, 2
+         |ORDER BY d_a, d_b""".stripMargin),
     // qd45: ordered skip-gram pairs at distance <= 2 — the two lead
     // columns mirror the 1-based list offsets; PMI's ln rides the
     // micro-nat floor over an identically-ordered double ratio of

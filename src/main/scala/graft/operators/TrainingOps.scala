@@ -1913,6 +1913,45 @@ object TrainingOps {
       .orderBy("method", "query_id")
   }
 
+  /** qe23 — exact-integer GRAM (second-moment) matrix of the
+    * embedding corpus: Σ_v q_d(v)·q_e(v) for every dimension pair
+    * d ≤ e, components quantized to integer micro-units — the
+    * linear-algebra primitive behind PCA/whitening and OPQ rotation
+    * training (the covariance matrix is one subtraction of rank-one
+    * mean terms away; the 64×64 output is driver-sized, so the
+    * eigendecomposition happens OFF-cluster like every model fit
+    * here).
+    *
+    * Scale shape: NO join anywhere — two chained Generates expand
+    * each vector to its 64×64 upper-triangle component pairs inside
+    * one map stage (the embedding array rides the first Generate and
+    * is dropped by the second — in-stage amplification, pipelined,
+    * never shuffled), and the only exchange carries the per-partition
+    * PARTIAL (d, e) sums: ≤ 2080 rows per map task regardless of
+    * corpus size. Overflow headroom: |q| ≤ ~10⁶ ⇒ each product
+    * ≤ 10¹², so the exact BIGINT sum holds to ~9·10⁶ vectors; a
+    * 100 TB corpus drops the quantization to 10³ (headroom ~9·10¹²)
+    * or splits the sum by vec_id range — same plan either way.
+    *
+    * Parity: floor quantization and integer sums are order-free;
+    * both engines produce identical BIGINTs.
+    */
+  def gramMatrix(s: SparkSession, dir: String): DataFrame = {
+    val el = Tables.embeddings(s, dir)
+      .select(col("embedding"),
+        posexplode(col("embedding")).as(Seq("d_a", "xa")))
+      .select(col("d_a"),
+        floor(col("xa").cast("double") * 1e6).cast("long").as("qa"),
+        posexplode(col("embedding")).as(Seq("d_b", "xb")))
+      .filter(col("d_a") <= col("d_b"))
+      .select(col("d_a"), col("d_b"),
+        (col("qa") * floor(col("xb").cast("double") * 1e6).cast("long"))
+          .as("p"))
+    el.groupBy("d_a", "d_b")
+      .agg(count(lit(1)).as("n_vecs"), sum("p").as("dot_q"))
+      .orderBy("d_a", "d_b")
+  }
+
   /** qd50 — sharded corpus EXPORT with a verifiable manifest: the
     * delivery contract of a curation pipeline. Shard assignment is
     * the portable content fingerprint mod `nShards` (qd12's

@@ -29,6 +29,28 @@ class Round9OpsSpec extends SparkSpec {
     assert(TrainingOps.bigramModel(spark, dir) eq m1)
   }
 
+  test("qe23: Gram matrix == driver-side exact reference; PSD-diagonal sanity") {
+    val dir = "/root/testdata/sf0.001"
+    val vecs = graft.core.Tables.embeddings(spark, dir)
+      .select("embedding").collect()
+      .map(_.getAs[scala.collection.Seq[Float]](0)
+        .map(x => math.floor(x.toDouble * 1e6).toLong).toArray)
+    val dim = vecs.head.length
+    val want = (for { a <- 0 until dim; b <- a until dim } yield
+      ((a, b), vecs.map(v => v(a) * v(b)).sum)).toMap
+    val got = TrainingOps.gramMatrix(spark, dir).collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), (r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (k, (n, s)) =>
+      assert(n == vecs.length.toLong)
+      assert(s == want(k), s"pair $k")
+    }
+    // diagonal entries are sums of squares — strictly positive on a
+    // non-degenerate corpus
+    (0 until dim).foreach(d => assert(got((d, d))._2 > 0L))
+  }
+
   test("dupLabels artifact == fresh qd13 components (VERDICT r8 artifact tier)") {
     val dir = "/root/testdata/sf0.001"
     val art = TrainingOps.dupLabels(spark, dir)
