@@ -68,16 +68,22 @@ object Bench {
       System.err.println(
         f"[bench] $label%-24s (amortized) ${(System.nanoTime() - t0) / 1e9}%8.2f s")
     }
-    prebuild("ivf_train") {
-      graft.operators.TrainingOps.ivfModel(spark, sfDir) }
-    prebuild("bigram_lm_train") {
-      graft.operators.TrainingOps.bigramModel(spark, sfDir) }
-    prebuild("sq_pack_artifact") {
-      graft.operators.TrainingOps.sqPacked(spark, sfDir) }
-    prebuild("knn_edges_artifact") {
-      graft.operators.GraphOps.knnEdges(spark, sfDir) }
-    prebuild("dup_labels_artifact") {
-      graft.operators.TrainingOps.dupLabels(spark, sfDir) }
+    // Prebuilds run only for the FULL suite (the driver's invocation):
+    // a named-subset debugging run skips them — on a query's first
+    // timed run the model/artifact builds lazily and the median of 3
+    // still reports the steady-state cost (runs 2-3 hit the caches)
+    if (args.isEmpty) {
+      prebuild("ivf_train") {
+        graft.operators.TrainingOps.ivfModel(spark, sfDir) }
+      prebuild("bigram_lm_train") {
+        graft.operators.TrainingOps.bigramModel(spark, sfDir) }
+      prebuild("sq_pack_artifact") {
+        graft.operators.TrainingOps.sqPacked(spark, sfDir) }
+      prebuild("knn_edges_artifact") {
+        graft.operators.GraphOps.knnEdges(spark, sfDir) }
+      prebuild("dup_labels_artifact") {
+        graft.operators.TrainingOps.dupLabels(spark, sfDir) }
+    }
 
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted

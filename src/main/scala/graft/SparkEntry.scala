@@ -2099,17 +2099,25 @@ object SparkEntry {
          |    FROM events)
          |  GROUP BY 1)
          |SELECT event_type, n,
+         |  CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+         |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) = 0
+         |      OR CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+         |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) = 0
+         |    THEN NULL ELSE
          |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
          |     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
          |  (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
          |     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
          |   sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
-         |     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr,
+         |     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) END AS corr,
+         |  CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+         |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) = 0
+         |    THEN NULL ELSE
          |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
          |     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
          |  (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
          |     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-         |    AS beta_hours_per_cent
+         |    END AS beta_hours_per_cent
          |FROM m ORDER BY event_type""".stripMargin),
     // qd32: qd19's integer window-cumsum bin assignment, then the
     // sequences themselves — string_agg in id order with the literal

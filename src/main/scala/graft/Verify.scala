@@ -37,6 +37,13 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // inter-query hygiene (the Bench reset, minus the timing
+      // concerns): queries that persist corpus-grain frames
+      // (qd10/qd48's gram grain, the components checkpoints) must not
+      // accumulate across a 160+-query session
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -40,19 +40,33 @@ object ArtifactStore {
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
   /** Read the artifact `name` derived from `dir/table.parquet`,
-    * building it via `build` iff absent or the source stamp changed.
-    * The stamp is written AFTER the parquet commit, so a crashed
-    * build re-runs rather than serving a torn tree.
+    * building it via `build` iff absent or the stamp changed.
+    *
+    * The stamp is (source file stats + `version`): artifacts OUTLIVE
+    * the JVM, so unlike the in-JVM model caches a change to the BUILD
+    * LOGIC would silently serve a stale tree from a previous session
+    * — callers must bump `version` whenever the build's code or
+    * parameters change. The stamp is computed INSIDE the per-artifact
+    * lock (a pre-lock stamp could be written over a newer build's
+    * data after losing a regeneration race) and written AFTER the
+    * parquet commit, so a crashed build re-runs rather than serving a
+    * torn tree. The artifact root embeds a hash of the RAW dir string
+    * — sanitizing alone can collapse distinct dirs onto one root and
+    * thrash rebuilds.
     */
   def parquetArtifact(s: SparkSession, dir: String, table: String,
-                      name: String)(build: => DataFrame): DataFrame = {
+                      name: String, version: Int = 1)
+                     (build: => DataFrame): DataFrame = {
+    val dirHash = java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffffL)
     val root = new java.io.File(System.getProperty("java.io.tmpdir"),
-      "graft_art_" + name + "_" + dir.replaceAll("[^A-Za-z0-9._-]", "_"))
+      "graft_art_" + name + "_" + dirHash + "_" +
+        dir.replaceAll("[^A-Za-z0-9._-]", "_").takeRight(32))
     val dataDir = new java.io.File(root, "data").getAbsolutePath
     val stampPath = new java.io.File(root, "_stamp").toPath
-    val stamp = tableStamp(dir, table)
     val lock = locks.computeIfAbsent(root.getAbsolutePath, _ => new Object)
     lock.synchronized {
+      val stamp = s"v$version;" + tableStamp(dir, table)
       val fresh = java.nio.file.Files.isRegularFile(stampPath) &&
         new String(java.nio.file.Files.readAllBytes(stampPath),
           "UTF-8") == stamp

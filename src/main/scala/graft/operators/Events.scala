@@ -625,9 +625,15 @@ object Events {
       .agg(count(lit(1)).as("n"), sum("xc").as("sx"), sum("y").as("sy"),
         sum(expr("xc * xc")).as("sxx"), sum(expr("xc * y")).as("sxy"),
         sum(expr("y * y")).as("syy"))
+      // Degenerate-group guard (ADVICE r8 sweep, third sibling of
+      // qs37/qd46): constant values or constant hours in a group give
+      // varX/varY = 0 — both engines pin NULL instead of
+      // engine-dependent 0/0. Exact test: integer-valued doubles.
       .select(col("event_type"), col("n"),
-        expr(s"$cov / (sqrt($varX) * sqrt($varY))").as("corr"),
-        expr(s"$cov / $varX").as("beta_hours_per_cent"))
+        expr(s"CASE WHEN $varX = 0.0D OR $varY = 0.0D THEN NULL" +
+          s" ELSE $cov / (sqrt($varX) * sqrt($varY)) END").as("corr"),
+        expr(s"CASE WHEN $varX = 0.0D THEN NULL" +
+          s" ELSE $cov / $varX END").as("beta_hours_per_cent"))
       .orderBy("event_type")
   }
 

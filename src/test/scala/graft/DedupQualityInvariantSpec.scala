@@ -89,6 +89,13 @@ class DedupQualityInvariantSpec extends SparkSpec {
           s"t=$t: planted pairs not admitted by banding ($f0 -> $f1)")
         assert(rec1 >= 0.99, s"t=$t: recall fell to $rec1 after planting")
       }
-    } finally docs.unpersist(blocking = false)
+    } finally {
+      docs.unpersist(blocking = false)
+      // dedupQualityOn persists the sf0.1 gram grain internally (two
+      // instances here: base + planted) — reap them so later suites
+      // in the shared session don't inherit the storage pressure
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
   }
 }
