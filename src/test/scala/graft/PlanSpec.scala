@@ -721,6 +721,17 @@ class PlanSpec extends SparkSpec
         .findFirstIn(p).isDefined, s"fusion must be a keyed equi-join:\n$p")
   }
 
+  test("qe23: Gram matrix is join-free — only partial-sum exchanges") {
+    val df = graft.operators.TrainingOps.gramMatrix(spark, sf)
+    val p = plan(df)
+    assert(!p.contains("Join"), s"Gram matrix must not join:\n$p")
+    assert("Generate".r.findAllIn(p).size == 2, "two chained Generates")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "map-side combine")
+    // the scan must read ONLY the embedding column
+    val read = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(read.contains("embedding") && !read.contains("vec_id"), read)
+  }
+
   test("global sweep: no declared query plans a CartesianProduct") {
     // BroadcastNestedLoopJoin is allowed ONLY where the operator is
     // deliberately O(n^2) at its declared verification config (qe3's
