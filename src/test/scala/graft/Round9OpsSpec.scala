@@ -60,6 +60,27 @@ class Round9OpsSpec extends SparkSpec {
     assert(art == fresh)
   }
 
+  test("ArtifactStore: a build-version bump invalidates an unchanged source") {
+    val root = tempDir("graft_artifact_ver")
+    val tbl = s"$root/t.parquet"
+    Seq(5L).toDF("x").coalesce(1).write.parquet(tbl)
+    var builds = 0
+    def art(v: Int, mult: Int) =
+      ArtifactStore.parquetArtifact(spark, root, "t", "ver_art", version = v) {
+        builds += 1
+        spark.read.parquet(tbl).withColumn("y", col("x") * mult)
+      }
+    assert(art(1, 2).collect().map(_.getLong(1)).toSeq == Seq(10L))
+    assert(builds == 1)
+    // same source, same version: cached — the changed build lambda is
+    // NOT detected (exactly why callers must bump the version)
+    assert(art(1, 3).collect().map(_.getLong(1)).toSeq == Seq(10L))
+    assert(builds == 1)
+    // version bump: rebuilt with the new logic
+    assert(art(2, 3).collect().map(_.getLong(1)).toSeq == Seq(15L))
+    assert(builds == 2)
+  }
+
   test("ArtifactStore: concurrent readers race to ONE build") {
     val root = tempDir("graft_artifact_conc")
     val tbl = s"$root/t.parquet"
