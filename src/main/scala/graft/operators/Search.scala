@@ -126,7 +126,13 @@ object Search {
     * the join against the feedback set is doc-keyed with a
     * report-sized build side, the exclusion an anti-join against a
     * literal frame. Everything downstream of the token scan is
-    * feedback-grain.
+    * feedback-grain. Documented trade: this pays a SECOND tokenize
+    * pass beyond qd51's (the two consumers aggregate at different
+    * grains, so no exchange is shared); the one-pass alternative —
+    * derive qd51's per-doc lengths/tfs FROM the (doc, term) table —
+    * shares the subtree but forces qd51 standalone through the
+    * vocabulary-grain exchange it doesn't need. Two cheap map-side
+    * passes win until the ranking itself is a stored artifact.
     *
     * Parity: weights are exact BIGINT sums — no float anywhere past
     * qd51's already-pinned ranking.

@@ -51,6 +51,25 @@ class Round9OpsSpec extends SparkSpec {
     (0 until dim).foreach(d => assert(got((d, d))._2 > 0L))
   }
 
+  test("sf0.1 artifacts: structural sanity at bench scale") {
+    // the parity specs prove artifact == fresh at sf0.001; this pins
+    // the BENCH-scale artifacts' structural invariants so a stale or
+    // torn sf0.1 tree can't hide behind the small-scale parity
+    val dir = "/root/testdata/sf0.1"
+    val nEmb = graft.core.Tables.embeddings(spark, dir).count()
+    assert(graft.operators.GraphOps.knnEdges(spark, dir).count() ==
+      3L * nEmb, "k=3 graph must emit exactly 3 out-edges per vector")
+    val packed = TrainingOps.sqPacked(spark, dir)
+    assert(packed.count() == nEmb)
+    assert(packed.columns.toSeq ==
+      ("vec_id" +: (0 until 8).map(w => s"w$w")))
+    val nDocs = graft.core.Tables.documents(spark, dir).count()
+    val labels = TrainingOps.dupLabels(spark, dir)
+    assert(labels.count() == nDocs, "one label per document")
+    assert(labels.filter(col("cluster") > col("doc_id")).count() == 0L,
+      "labels are component minima")
+  }
+
   test("dupLabels artifact == fresh qd13 components (VERDICT r8 artifact tier)") {
     val dir = "/root/testdata/sf0.001"
     val art = TrainingOps.dupLabels(spark, dir)
