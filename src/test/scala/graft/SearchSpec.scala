@@ -103,6 +103,19 @@ class SearchSpec extends SparkSpec {
     }
   }
 
+  test("qd51/qd52 degenerate corpora: empty and token-free inputs yield empty results, no exceptions") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Search.bm25(empty, Search.Bm25Queries, 10).collect().isEmpty)
+    assert(Search.prfExpansion(empty).collect().isEmpty)
+    // docs that tokenize to nothing (punctuation/whitespace only):
+    // the stats row has n = 0 — every row must drop, none may NaN
+    val blank = Seq(1L -> "!!! ???", 2L -> "   ").toDF("doc_id", "text")
+    assert(Search.bm25(blank, Search.Bm25Queries, 10).collect().isEmpty)
+    // corpus with tokens but zero query-term matches
+    val miss = Seq(1L -> "completely unrelated words").toDF("doc_id", "text")
+    assert(Search.bm25(miss, Search.Bm25Queries, 10).collect().isEmpty)
+  }
+
   test("qe22: RRF reference parity and cross-ranker agreement wins") {
     // ranker A top-3: d1,d2,d3; ranker B top-3: d2,d3,d4.
     // d2 (ranks 2+1) must outrank d1 (rank 1, one list only):
