@@ -199,6 +199,7 @@ object SparkEntry {
     "qe22_rrf_fusion"    -> (graft.operators.Search.hybridSearch _),
     "qd52_prf_expansion" -> (graft.operators.Search.prfExpand _),
     "qe23_gram_matrix"   -> (TrainingOps.gramMatrix _),
+    "qd53_span_dedup"    -> (graft.operators.Dedup.spanDedupQuery _),
   )
 
   /** Queries intentionally without an oracle — EMPTY since round 5:
@@ -1226,6 +1227,52 @@ object SparkEntry {
     "qd51_bm25_search" -> bm25Sql,
     "qe22_rrf_fusion" -> rrfSql,
     "qd52_prf_expansion" -> prfSql,
+    // qd53: exact repeated-span dedup. Both sides: tokenize (qd30's
+    // CTE verbatim), anchor 8-token grams at 0-based positions,
+    // row_number per gram over (doc_id, pos) — rn >= 2 sites are cut;
+    // coverage union via generate/unnest of the 8 offsets; islands
+    // (pos - row_number) count maximal removed extents; rebuild via
+    // ordered string_agg of uncovered tokens. (doc_id, pos) is a key
+    // within each gram partition, so rn is deterministic cross-engine.
+    "qd53_span_dedup" ->
+      ("""WITH toks AS (
+         |  SELECT doc_id, list_filter(string_split(
+         |    regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+         |    x -> x != '') AS t
+         |  FROM documents),
+         |tok AS (SELECT doc_id, i-1 AS pos, t[i] AS tk
+         |  FROM toks, unnest(range(1, len(t)+1)) AS u(i)),
+         |g AS (SELECT doc_id, i-1 AS pos,
+         |    array_to_string(t[i:i+7], ' ') AS gram
+         |  FROM toks, unnest(range(1, len(t)-6)) AS u(i)
+         |  WHERE len(t) >= 8),
+         |dup AS (SELECT doc_id, pos FROM (
+         |    SELECT doc_id, pos,
+         |      row_number() OVER (PARTITION BY gram
+         |        ORDER BY doc_id, pos) AS rn FROM g)
+         |  WHERE rn >= 2),
+         |cov AS (SELECT DISTINCT doc_id, pos + j AS pos
+         |  FROM dup, unnest([0,1,2,3,4,5,6,7]) AS v(j)),
+         |isl AS (SELECT doc_id, pos,
+         |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+         |      AS grp FROM cov),
+         |sp AS (SELECT doc_id, count(*) AS n_cut,
+         |    count(DISTINCT grp) AS n_spans FROM isl GROUP BY 1),
+         |marked AS (SELECT t.doc_id, t.pos, t.tk,
+         |    c.pos IS NOT NULL AS hit
+         |  FROM tok t LEFT JOIN cov c
+         |    ON t.doc_id = c.doc_id AND t.pos = c.pos),
+         |reb AS (SELECT doc_id,
+         |    COALESCE(string_agg(CASE WHEN NOT hit THEN tk END,
+         |      ' ' ORDER BY pos), '') AS dedup_text
+         |  FROM marked GROUP BY 1)
+         |SELECT d.doc_id, COALESCE(r.dedup_text, '') AS dedup_text,
+         |  CAST(COALESCE(s.n_cut, 0) AS INTEGER) AS n_removed,
+         |  CAST(COALESCE(s.n_spans, 0) AS INTEGER) AS n_spans
+         |FROM documents d
+         |LEFT JOIN reb r ON d.doc_id = r.doc_id
+         |LEFT JOIN sp s ON d.doc_id = s.doc_id
+         |ORDER BY d.doc_id""".stripMargin),
     // qe23: two lateral unnests expand each vector's upper-triangle
     // component pairs; floor quantization + BIGINT sums are
     // order-free on both engines. posexplode is 0-based -> (i-1).

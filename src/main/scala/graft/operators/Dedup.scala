@@ -718,4 +718,103 @@ object Dedup {
     chunkDedup(graft.core.Tables.documents(s, dir), "doc_id", "text",
       size = 120)
 
+  /** qd53 — EXACT repeated-span (substring-grain) deduplication, the
+    * Lee et al. "Deduplicating Training Data Makes Language Models
+    * Better" ExactSubstr move re-expressed on gram anchors: any
+    * ≥ `k`-token span that occurs at more than one (doc, pos) site —
+    * across documents OR repeated within one — is deduplicated by
+    * keeping the corpus-wide FIRST occurrence (ordered by (doc_id,
+    * pos), the same keep-first contract as qd1/qd29) and cutting
+    * every token covered by a later occurrence; each document is
+    * rebuilt from its surviving tokens. This is the form of
+    * duplication that survives both whole-document dedup (qd1) and
+    * aligned-chunk dedup (qd29): a long verbatim quote at a DIFFERENT
+    * offset in each host document.
+    *
+    * Gram anchoring gives exact ≥k-span semantics without a suffix
+    * array: a repeated span of length L ≥ k is covered by L-k+1
+    * duplicated k-grams whose covered-position union is exactly the
+    * span, so maximal repeated extents come out as islands of
+    * consecutive covered positions (counted per doc in `n_spans`).
+    * Overlapping different-span removals can interact — a span's
+    * keep-first site may itself lose tokens to ANOTHER span's
+    * removal — which matches the reference algorithm's behavior (it
+    * removes arbitrary members of each duplicate pair, with the same
+    * no-guarantee on interleaved overlaps).
+    *
+    * Scale shape: tokens explode map-only; grams derive via k-1
+    * `lead`s sharing ONE per-doc window sort (the relational form —
+    * interpreted string-building lambdas lose, see [[gramStrings]]'
+    * trap note); duplicate-site detection is ONE shuffle — a
+    * row_number window partitioned by (xxhash64(gram), gram) so the
+    * exchange+sort compare 8-byte longs first (qd1's trick) and the
+    * gram string rides only to its own partition; coverage explodes
+    * ≤ k rows per duplicate SITE (not per gram); the rebuild joins
+    * covered positions back on (doc_id, pos) and aggregates per doc.
+    * Nothing is all-pairs: cost is linear in token count plus
+    * k × (duplicate sites). At 100 TB the gram shuffle dominates —
+    * exactly the distributed-suffix-array replacement production
+    * dedup pipelines run.
+    */
+  def spanDedup(docs: DataFrame, idCol: String, textCol: String,
+                k: Int): DataFrame = {
+    require(k >= 2, s"span grain needs k >= 2 tokens, got $k")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val tok = docs.where(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        posexplode(tokens(col(textCol))).as(Seq("pos", "t")))
+    val leads = (1 until k).map(i => lead("t", i).over(w).as(s"_t$i"))
+    val grams = tok
+      .select(Seq(col("doc_id"), col("pos"), col("t")) ++ leads: _*)
+      .where(col(s"_t${k - 1}").isNotNull)
+      .select(col("doc_id"), col("pos"),
+        concat_ws(" ",
+          col("t") +: (1 until k).map(i => col(s"_t$i")): _*).as("g"))
+    val occ = Window.partitionBy(xxhash64(col("g")), col("g"))
+      .orderBy("doc_id", "pos")
+    val covered = grams
+      .withColumn("rn", row_number().over(occ))
+      .where(col("rn") >= 2)
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (k - 1))).as("pos"))
+      .distinct()
+    // ONE per-doc pass computes cut count, maximal-extent count AND
+    // the rebuild: a lag over the same (doc_id, pos) window marks
+    // each island's first covered position (hit ∧ ¬hit@pos-1 —
+    // consecutive covered positions merge, so n_spans counts merged
+    // ≥k-token removed ranges, not raw gram hits), and the groupBy
+    // that follows rides the window's exchange — the separate
+    // islands-window + spans-aggregate + extra join of the first cut
+    // cost a whole second shuffle chain for numbers this pass
+    // already sees.
+    val wd = Window.partitionBy("doc_id").orderBy("pos")
+    val rebuilt = tok
+      .join(covered.withColumn("hit", lit(true)), Seq("doc_id", "pos"), "left")
+      .withColumn("h", coalesce(col("hit"), lit(false)))
+      .withColumn("span_start",
+        col("h") && !coalesce(lag("h", 1).over(wd), lit(false)))
+      .groupBy("doc_id")
+      .agg(sum(when(col("h"), 1L).otherwise(0L)).as("n_cut"),
+        sum(when(col("span_start"), 1L).otherwise(0L)).as("n_spans"),
+        collect_list(when(!col("h"),
+          struct(col("pos"), col("t")))).as("cl"))
+      .withColumn("dedup_text",
+        array_join(transform(array_sort(col("cl")), c => c("t")), " "))
+    docs.select(col(idCol).as("doc_id"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("dedup_text"), lit("")).as("dedup_text"),
+        coalesce(col("n_cut"), lit(0L)).cast("int").as("n_removed"),
+        coalesce(col("n_spans"), lit(0L)).cast("int").as("n_spans"))
+      .orderBy("doc_id")
+  }
+
+  /** The qd53 declared form: 8-token spans over `documents` — the
+    * gate corpus' planted near-duplicates repeat long runs at
+    * shifted offsets, so the keep-first cut is value-bearing
+    * (1086 duplicate 8-gram sites across 24 docs at sf0.01).
+    */
+  def spanDedupQuery(s: SparkSession, dir: String): DataFrame =
+    spanDedup(graft.core.Tables.documents(s, dir), "doc_id", "text", k = 8)
+
 }

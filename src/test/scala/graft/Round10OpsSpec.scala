@@ -1,0 +1,85 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+/** Round-10 additions: exact repeated-span dedup boundary semantics
+  * (qd53 — the DuckDB oracle carries corpus exactness; these pin the
+  * span-boundary edge cases on constructed inputs).
+  */
+class Round10OpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def run(rows: Seq[(Long, String)], k: Int = 3) =
+    Dedup.spanDedup(rows.toDF("doc_id", "text"), "doc_id", "text", k)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("dedup_text"), r.getAs[Int]("n_removed"),
+          r.getAs[Int]("n_spans")))).toMap
+
+  test("qd53 boundary semantics: keep-first, extents merge, islands count") {
+    val got = run(Seq(
+      1L -> "a b c d e f",        // first occurrences: survives intact
+      2L -> "x y b c d e z",      // span b-c-d-e (L=4>k) at shifted offset
+      3L -> "p q r P q r",        // within-doc repeat (case-folded)
+      4L -> "a b",                // shorter than k: never touched
+      5L -> "m a b c n d e f m",  // two disjoint repeated spans
+      6L -> "a b c d e f",        // whole-doc duplicate of doc 1
+      7L -> ""))                  // empty doc passes through
+    assert(got(1L) == (("a b c d e f", 0, 0)),
+      "the corpus-wide first occurrence of every span must survive")
+    assert(got(2L) == (("x y z", 4, 1)),
+      "overlapping duplicated 3-grams must merge to ONE removed extent " +
+        "covering exactly the repeated 4-token span")
+    assert(got(3L) == (("p q r", 3, 1)),
+      "within-doc repetition dedups against the doc's own earlier span")
+    assert(got(4L) == (("a b", 0, 0)))
+    assert(got(5L) == (("m n m", 6, 2)),
+      "disjoint repeated spans count as separate extents")
+    assert(got(6L) == (("", 6, 1)),
+      "a full duplicate is one wall-to-wall extent, empty survivor")
+    assert(got(7L) == (("", 0, 0)))
+  }
+
+  test("qd53: adjacent removed extents merge; k-boundary exactness") {
+    // doc 12's two repeated spans touch (positions 0-2 and 3-5):
+    // island logic must report ONE merged extent, not two
+    val got = run(Seq(
+      10L -> "a b c x y z q",
+      11L -> "d e f g h i q",
+      12L -> "a b c d e f"))
+    assert(got(12L) == (("", 6, 1)),
+      "touching extents from different source spans merge into one island")
+    // a (k-1)-token shared run must NOT trigger any removal
+    val got2 = run(Seq(20L -> "a b c d", 21L -> "x a b y"))
+    assert(got2(21L) == (("x a b y", 0, 0)),
+      "a shared run shorter than k tokens is below the span grain")
+  }
+
+  test("qd53: the declared query is value-bearing and conserves tokens") {
+    val dir = "/root/testdata/sf0.001"
+    val out = Dedup.spanDedupQuery(spark, dir)
+    val rows = out.collect()
+    val docs = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(rows.length == docs, "one output row per document")
+    assert(rows.map(_.getAs[Int]("n_removed")).sum > 0,
+      "planted near-duplicates must produce removed spans")
+    // conservation: kept tokens + removed tokens == original tokens,
+    // and every removed extent is at least one merged span
+    def toksOf(s: String): Array[String] =
+      s.toLowerCase.replaceAll("[^a-z0-9]+", " ").split(" ").filter(_.nonEmpty)
+    val orig = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> toksOf(r.getString(1)).length).toMap
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val keptN = toksOf(r.getAs[String]("dedup_text")).length
+      assert(keptN + r.getAs[Int]("n_removed") == orig(id), s"doc $id")
+      assert((r.getAs[Int]("n_spans") == 0) == (r.getAs[Int]("n_removed") == 0))
+      // disjoint merged extents each contain >= one full 8-gram range
+      assert(r.getAs[Int]("n_removed") >= 8 * r.getAs[Int]("n_spans"),
+        s"doc $id extent floor")
+    }
+  }
+}
