@@ -79,6 +79,8 @@ object Bench {
         graft.operators.TrainingOps.bigramModel(spark, sfDir) }
       prebuild("sq_pack_artifact") {
         graft.operators.TrainingOps.sqPacked(spark, sfDir) }
+      prebuild("hamming_sigs_artifact") {
+        graft.operators.TrainingOps.hammingSigs(spark, sfDir) }
       prebuild("knn_edges_artifact") {
         graft.operators.GraphOps.knnEdges(spark, sfDir) }
       prebuild("dup_labels_artifact") {

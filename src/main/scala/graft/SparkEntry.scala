@@ -470,31 +470,17 @@ object SparkEntry {
          |  mad_raw / 100.0 AS mad,
          |  CASE WHEN med = 0 THEN 0.0 ELSE mad_raw / med END AS robust_cv
          |FROM s ORDER BY event_type""".stripMargin),
-    // qe11: identical 128-bit packing — word 1 sign bits (strict > 0
-    // on the double value), word 2 the v[i] > v[i mod dim + 1]
-    // comparison bits; 1-based i maps to bit i-1; bit 63 is the
+    // qe11: identical 1024-bit packing — generated from the SAME
+    // stride list as the Spark side (hammingSigCtes): sign word +
+    // 15 ordinal words; 1-based i maps to bit i-1; bit 63 is the
     // BIGINT min literal since DuckDB rejects 1<<63. Exact integer
-    // Hamming = popcount word 1 + popcount word 2.
+    // Hamming = Σ popcount over the 16 words.
     "qe11_knn_hamming" -> {
       val ids = graft.operators.TrainingOps.knnQueryIds.mkString(", ")
-      s"""WITH e AS (SELECT vec_id,
-         |    CAST(embedding[i] AS DOUBLE) AS v,
-         |    CAST(embedding[CASE WHEN i = len(embedding) THEN 1
-         |                        ELSE i + 1 END] AS DOUBLE) AS vn,
-         |    CASE WHEN i = 64 THEN CAST(-9223372036854775808 AS BIGINT)
-         |         ELSE CAST(1 AS BIGINT) << (i - 1) END AS bit
-         |  FROM embeddings, unnest(range(1, len(embedding)+1)) u(i)),
-         |s AS (SELECT vec_id,
-         |    bit_or(CASE WHEN v > 0 THEN bit ELSE CAST(0 AS BIGINT) END)
-         |      AS sig,
-         |    bit_or(CASE WHEN v > vn THEN bit ELSE CAST(0 AS BIGINT) END)
-         |      AS sig2
-         |  FROM e GROUP BY 1),
-         |q AS (SELECT vec_id AS query_id, sig AS qsig, sig2 AS qsig2
-         |  FROM s WHERE vec_id IN ($ids)),
+      s"""WITH ${hammingSigCtes("e", "s")},
+         |${hammingQCte("q", "s", ids)},
          |h AS (SELECT q.query_id, s.vec_id,
-         |    CAST(bit_count(xor(s.sig, q.qsig))
-         |       + bit_count(xor(s.sig2, q.qsig2)) AS INTEGER) AS hamming
+         |    CAST(${hammingDist("s", "q")} AS INTEGER) AS hamming
          |  FROM s, q WHERE s.vec_id <> q.query_id),
          |r AS (SELECT query_id, vec_id, hamming,
          |    CAST(rank() OVER (PARTITION BY query_id
@@ -2485,7 +2471,7 @@ object SparkEntry {
        |WHERE rnk <= 5 ORDER BY query_id, rnk, term""".stripMargin
   }
 
-  /** qe22 oracle: qe20's two bit-recomputable rankings — the 128-bit
+  /** qe22 oracle: qe20's two bit-recomputable rankings — the 1024-bit
     * Hamming top-50 (qe11's CTEs) and the SQ8 integer-scored top-50 —
     * fused by exact-integer RRF: 10⁹ // (60 + rank) per list,
     * summed, top-10 by (rrf DESC, vec_id). Truncating // ≡ DIV on
@@ -2493,24 +2479,10 @@ object SparkEntry {
     */
   private lazy val rrfSql: String = {
     val ids = graft.operators.TrainingOps.knnQueryIds.mkString(", ")
-    s"""WITH he AS (SELECT vec_id,
-       |    CAST(embedding[i] AS DOUBLE) AS v,
-       |    CAST(embedding[CASE WHEN i = len(embedding) THEN 1
-       |                        ELSE i + 1 END] AS DOUBLE) AS vn,
-       |    CASE WHEN i = 64 THEN CAST(-9223372036854775808 AS BIGINT)
-       |         ELSE CAST(1 AS BIGINT) << (i - 1) END AS bit
-       |  FROM embeddings, unnest(range(1, len(embedding)+1)) u(i)),
-       |hs AS (SELECT vec_id,
-       |    bit_or(CASE WHEN v > 0 THEN bit ELSE CAST(0 AS BIGINT) END)
-       |      AS sig,
-       |    bit_or(CASE WHEN v > vn THEN bit ELSE CAST(0 AS BIGINT) END)
-       |      AS sig2
-       |  FROM he GROUP BY 1),
-       |hq AS (SELECT vec_id AS query_id, sig AS qsig, sig2 AS qsig2
-       |  FROM hs WHERE vec_id IN ($ids)),
+    s"""WITH ${hammingSigCtes("he", "hs")},
+       |${hammingQCte("hq", "hs", ids)},
        |hd AS (SELECT hq.query_id, hs.vec_id,
-       |    CAST(bit_count(xor(hs.sig, hq.qsig))
-       |       + bit_count(xor(hs.sig2, hq.qsig2)) AS INTEGER) AS hamming
+       |    CAST(${hammingDist("hs", "hq")} AS INTEGER) AS hamming
        |  FROM hs, hq WHERE hs.vec_id <> hq.query_id),
        |rh AS (SELECT query_id, vec_id, rnk FROM (
        |    SELECT query_id, vec_id,
@@ -2554,6 +2526,52 @@ object SparkEntry {
        |WHERE rnk <= 10 ORDER BY query_id, rnk, vec_id""".stripMargin
   }
 
+  /** Shared DuckDB CTE generator for the 1024-bit Hamming sketch
+    * (qe11 / qe20 / qe22 all recompute it bit-for-bit): emits the
+    * exploded-component CTE `e` and the 16-word signature CTE `s` —
+    * sign word + ordinal-comparison words at
+    * [[graft.operators.Similarity.hammingStrides]], modular
+    * wraparound neighbor, and strides ≥ dim pinned to an all-zero
+    * word on both engines so low-dim inputs agree by construction.
+    * Generated from the SAME stride list the Spark operator uses, so
+    * the two sides cannot drift on sketch geometry.
+    */
+  private def hammingSigCtes(e: String, sCte: String): String = {
+    val strides = graft.operators.Similarity.hammingStrides
+    val vn = strides.map(s =>
+      s"    CAST(embedding[((i - 1 + $s) % len(embedding)) + 1] AS DOUBLE)" +
+        s" AS vn$s,").mkString("\n")
+    val sigs = (Seq("    bit_or(CASE WHEN v > 0 THEN bit" +
+      " ELSE CAST(0 AS BIGINT) END) AS sig0") ++
+      strides.map(s =>
+        s"    bit_or(CASE WHEN $s <= dim - 1 AND v > vn$s THEN bit" +
+          s" ELSE CAST(0 AS BIGINT) END) AS sig$s")).mkString(",\n")
+    s"""$e AS (SELECT vec_id, len(embedding) AS dim,
+       |    CAST(embedding[i] AS DOUBLE) AS v,
+       |$vn
+       |    CASE WHEN i = 64 THEN CAST(-9223372036854775808 AS BIGINT)
+       |         ELSE CAST(1 AS BIGINT) << (i - 1) END AS bit
+       |  FROM embeddings, unnest(range(1, len(embedding)+1)) u(i)),
+       |$sCte AS (SELECT vec_id,
+       |$sigs
+       |  FROM $e GROUP BY 1)""".stripMargin
+  }
+
+  private def hammingWords: Seq[Int] =
+    0 +: graft.operators.Similarity.hammingStrides
+
+  private def hammingQCte(q: String, sCte: String, ids: String): String =
+    s"$q AS (SELECT vec_id AS query_id, " +
+      hammingWords.map(i => s"sig$i AS qsig$i").mkString(", ") +
+      s" FROM $sCte WHERE vec_id IN ($ids))"
+
+  // DuckDB's bit_count returns a TINYINT (int8_t): 16 words sum past
+  // 127, so each term must widen BEFORE the addition
+  private def hammingDist(sCte: String, qCte: String): String =
+    hammingWords.map(i =>
+      s"CAST(bit_count(xor($sCte.sig$i, $qCte.qsig$i)) AS INTEGER)")
+      .mkString("\n       + ")
+
   private lazy val annQualitySql: String = {
     val ids = graft.operators.TrainingOps.knnQueryIds.mkString(", ")
     s"""WITH base AS (
@@ -2571,24 +2589,10 @@ object SparkEntry {
        |      rank() OVER (PARTITION BY query_id
        |        ORDER BY sim DESC, vec_id) AS rnk
        |    FROM sims) WHERE rnk <= 10),
-       |he AS (SELECT vec_id,
-       |    CAST(embedding[i] AS DOUBLE) AS v,
-       |    CAST(embedding[CASE WHEN i = len(embedding) THEN 1
-       |                        ELSE i + 1 END] AS DOUBLE) AS vn,
-       |    CASE WHEN i = 64 THEN CAST(-9223372036854775808 AS BIGINT)
-       |         ELSE CAST(1 AS BIGINT) << (i - 1) END AS bit
-       |  FROM embeddings, unnest(range(1, len(embedding)+1)) u(i)),
-       |hs AS (SELECT vec_id,
-       |    bit_or(CASE WHEN v > 0 THEN bit ELSE CAST(0 AS BIGINT) END)
-       |      AS sig,
-       |    bit_or(CASE WHEN v > vn THEN bit ELSE CAST(0 AS BIGINT) END)
-       |      AS sig2
-       |  FROM he GROUP BY 1),
-       |hq AS (SELECT vec_id AS query_id, sig AS qsig, sig2 AS qsig2
-       |  FROM hs WHERE vec_id IN ($ids)),
+       |${hammingSigCtes("he", "hs")},
+       |${hammingQCte("hq", "hs", ids)},
        |hd AS (SELECT hq.query_id, hs.vec_id,
-       |    CAST(bit_count(xor(hs.sig, hq.qsig))
-       |       + bit_count(xor(hs.sig2, hq.qsig2)) AS INTEGER) AS hamming
+       |    CAST(${hammingDist("hs", "hq")} AS INTEGER) AS hamming
        |  FROM hs, hq WHERE hs.vec_id <> hq.query_id),
        |rh AS (SELECT query_id, vec_id FROM (
        |    SELECT query_id, vec_id,
@@ -2617,7 +2621,7 @@ object SparkEntry {
        |      row_number() OVER (PARTITION BY query_id
        |        ORDER BY sco DESC, vec_id) AS rn
        |    FROM sc) WHERE rn <= 50),
-       |hr AS (SELECT 'hamming128' AS method, t.query_id,
+       |hr AS (SELECT 'hamming1024' AS method, t.query_id,
        |    CAST(SUM(CASE WHEN rh.vec_id IS NOT NULL THEN 1 ELSE 0 END)
        |      AS BIGINT) AS n_hits
        |  FROM tr t LEFT JOIN rh

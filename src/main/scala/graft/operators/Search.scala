@@ -171,7 +171,7 @@ object Search {
     * score calibration between heterogeneous rankers (a Hamming
     * distance and an ADC dot share no scale; their RANKS fuse
     * cleanly). Declared over the two compressed indexes BOTH engines
-    * recompute bit-for-bit (qe20's pair): the 128-bit Hamming top-50
+    * recompute bit-for-bit (qe20's pair): the 1024-bit Hamming top-50
     * and the SQ8 integer-scored top-50.
     *
     * Parity: contributions are exact integer micro-units —
@@ -205,11 +205,14 @@ object Search {
   }
 
   /** qe22 declared form: Hamming-top-50 ⊕ SQ8-int-top-50 → top-10,
-    * packed codes from the stored artifact.
+    * both first-pass indexes read from their stored artifacts
+    * (hamming_sigs + sq_packed — the search path never rebuilds an
+    * index).
     */
   def hybridSearch(s: SparkSession, dir: String): DataFrame = {
     val emb = graft.core.Tables.embeddings(s, dir)
-    val ham = Similarity.hammingKnn(emb, TrainingOps.knnQueryIds, 50)
+    val ham = Similarity.hammingKnnFrom(
+      TrainingOps.hammingSigs(s, dir), TrainingOps.knnQueryIds, 50)
     val sq = Sq.approxIntShortlist(emb, TrainingOps.sqModel(s, dir),
       TrainingOps.knnQueryIds, 50,
       packedTable = Some(TrainingOps.sqPacked(s, dir)))

@@ -1185,7 +1185,7 @@ object TrainingOps {
       threshold = 0.3)
   }
 
-  /** The qe11 declared form: 128-bit sign+ordinal Hamming top-10,
+  /** The qe11 declared form: 1024-bit sign+ordinal Hamming top-10,
     * same query batch as qe1 — the compressed-scan baseline (16-byte
     * two-long signatures, XOR+popcount distances, all exact ints).
     */
@@ -1712,6 +1712,21 @@ object TrainingOps {
       Sq.encodePacked(Tables.embeddings(s, dir), sqModel(s, dir))
     }
 
+  /** Stored 1024-bit Hamming signature table per (dir, corpus stamp)
+    * — the [[sqPacked]] pattern for the binary index (round 10): the
+    * widened 16-word sketch made per-query signature rebuilds the
+    * dominant cost of qe20/qe22, and production builds a binary index
+    * once and scans the artifact. qe11 stays the measured builder;
+    * Round10OpsSpec pins artifact ≡ fresh-build parity. Version 2:
+    * the r10 sketch (sign + ordinal strides 1..15) replaced the
+    * 2-word r6 sketch.
+    */
+  def hammingSigs(s: SparkSession, dir: String): DataFrame =
+    graft.io.ArtifactStore.parquetArtifact(s, dir, "embeddings",
+      "hamming_sigs", version = 2) {
+      Similarity.hammingSignatures(Tables.embeddings(s, dir))
+    }
+
   /** qe16 — SQ8 scalar-quantized ANN, same queries, declared at a
     * full-corpus shortlist: every candidate is exact-cosine re-ranked,
     * so the result equals brute force for ANY quantization grid (the
@@ -1885,7 +1900,7 @@ object TrainingOps {
     * per query — the qd48 move applied to the vector family ("measure,
     * don't guess" for index selection). The two indexes evaluated are
     * exactly the ones BOTH engines can recompute bit-for-bit:
-    * qe11's 128-bit Hamming signatures (exact integer distances) and
+    * qe11's 1024-bit Hamming signatures (exact integer distances) and
     * the SQ8 scan in its integer-weight form ([[Sq.approxIntShortlist]]
     * — exact long scores, so the shortlist boundary carries no
     * last-ulp hazard). IVF/PQ recall stays spec-measured (their
@@ -1897,7 +1912,7 @@ object TrainingOps {
     val emb = Tables.embeddings(s, dir)
     val truth = Similarity.bruteForceKnn(emb, knnQueryIds, 10)
       .select("query_id", "vec_id")
-    val ham = Similarity.hammingKnn(emb, knnQueryIds, 50)
+    val ham = Similarity.hammingKnnFrom(hammingSigs(s, dir), knnQueryIds, 50)
       .select("query_id", "vec_id")
     val sq = Sq.approxIntShortlist(emb, sqModel(s, dir), knnQueryIds, 50,
       packedTable = Some(sqPacked(s, dir)))
@@ -1909,7 +1924,7 @@ object TrainingOps {
         .agg(sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hits"))
         .select(lit(name).as("method"), col("query_id"), col("n_hits"),
           (col("n_hits").cast("double") / lit(10.0)).as("recall"))
-    recallOf(ham, "hamming128").union(recallOf(sq, "sq8_int"))
+    recallOf(ham, "hamming1024").union(recallOf(sq, "sq8_int"))
       .orderBy("method", "query_id")
   }
 

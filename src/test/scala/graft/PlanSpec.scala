@@ -751,8 +751,9 @@ class PlanSpec extends SparkSpec
         // qd42: the reference model's (t, V) scalars as a 1-row
         // broadcast (the qd22/qd23 class)
         "qd42_cross_perplexity",
-        // qe11: brute scan BY DESIGN over 16-byte signatures — the
-        // compressed-scan baseline (qe1's class, 1/16th the bytes)
+        // qe11: brute scan BY DESIGN over 128-byte signatures — the
+        // compressed-scan baseline (qe1's class; 2x the float bytes
+        // at dim 64, order-of-magnitude at production dims)
         "qe11_knn_hamming",
         // qs33: the corpus anchor day as a 1-row broadcast (the
         // qd22/qd23 class)

@@ -57,6 +57,20 @@ class Round10OpsSpec extends SparkSpec {
       "a shared run shorter than k tokens is below the span grain")
   }
 
+  test("hamming_sigs artifact == fresh signature build (parity)") {
+    val dir = "/root/testdata/sf0.001"
+    val art = graft.operators.TrainingOps.hammingSigs(spark, dir)
+      .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long].toString)
+    val fresh = graft.operators.Similarity
+      .hammingSignatures(graft.core.Tables.embeddings(spark, dir))
+      .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long].toString)
+    assert(art.length == fresh.length && art.sameElements(fresh))
+    // 16 words and nothing else rides the artifact
+    assert(graft.operators.TrainingOps.hammingSigs(spark, dir)
+      .columns.toSeq == "vec_id" +:
+        (0 +: graft.operators.Similarity.hammingStrides).map(i => s"sig$i"))
+  }
+
   test("qd53: the declared query is value-bearing and conserves tokens") {
     val dir = "/root/testdata/sf0.001"
     val out = Dedup.spanDedupQuery(spark, dir)

@@ -148,7 +148,7 @@ class SearchSpec extends SparkSpec {
       assert(rows.map(_._2).distinct.length == 10)
     }
     // fusion recall vs exact truth must not be worse than the weaker
-    // member alone (measured: hamming ~0.3-0.7, sq8 1.0 at 50)
+    // member alone (measured r10: hamming1024 0.8-1.0, sq8 1.0 at 50)
     val truth = Similarity.bruteForceKnn(emb, TrainingOps.knnQueryIds, 10)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val fusedSet = fused.map(t => (t._1, t._2)).toSet

@@ -225,8 +225,8 @@ class SimilaritySpec extends SparkSpec
       s"equal distance 3; vec_id is IN the rank order (oracle parity): $got")
   }
 
-  test("qe11: 128-bit hamming recall vs exact cosine on the real sf0.01 corpus") {
-    // the compressed-scan trade measured: 16-byte signatures vs
+  test("qe11: 1024-bit hamming recall vs exact cosine on the real sf0.01 corpus") {
+    // the compressed-scan trade measured: 128-byte signatures vs
     // 256-byte floats. 20 queries, k=10.
     val emb01 = spark.read
       .parquet("/root/testdata/sf0.01/embeddings.parquet").cache()
@@ -238,18 +238,20 @@ class SimilaritySpec extends SparkSpec
         .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
       val recall = q20.map(q =>
         (brute(q) & ham.getOrElse(q, Set.empty)).size / 10.0).sum / q20.size
-      info(f"128-bit hamming recall@10: $recall%.3f")
+      info(f"1024-bit hamming recall@10: $recall%.3f")
       // uniform-random embeddings are sign-bits' WORST case (pairs
       // sit near 90°, so ~half the sign bits disagree for everyone):
-      // the 64-bit sign-only variant measured 0.270 here. Adding the
-      // 64 ordinal comparison bits (VERDICT r6 stretch) lifted the
-      // measurement — the floor below pins the re-measured value on
-      // the round-7 (micros-encoded) corpus, minus slack for future
-      // regenerations. Production still re-ranks a wider hamming
-      // shortlist exactly (the Pq pattern); clustered real corpora
-      // separate far better. The floor pins the measurement, not a
-      // promise.
-      assert(recall >= 0.25,
+      // the 64-bit sign-only variant measured 0.270 here, the r6
+      // 128-bit sign+1-stride-ordinal form ~0.35. The round-10
+      // 16-word sketch (sign + ordinal strides 1..15, VERDICT r9 #4)
+      // measures ~0.60 at this harsh shortlist-10 setting and
+      // 0.92 mean / 0.8 floor at qe20's shortlist-50 — the floor
+      // below pins the re-measured value minus slack for future
+      // corpus regenerations. Production still re-ranks a wider
+      // hamming shortlist exactly (the Pq pattern); clustered real
+      // corpora separate far better. The floor pins the measurement,
+      // not a promise.
+      assert(recall >= 0.45,
         f"hamming recall $recall%.3f fell below the measured floor")
     } finally emb01.unpersist(blocking = false)
   }
