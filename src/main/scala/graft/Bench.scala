@@ -62,11 +62,19 @@ object Bench {
     // timing is its steady-state cost; each build cost is reported
     // separately here (and the trainers stay measured by their own
     // queries/specs: qd35 BPE, qe13/qe14 graph build, BigramLmSpec).
+    // prebuild costs are driver-visible in the detail JSON (VERDICT
+    // r9 #6): the stderr lines fall outside the driver's 2 KB tail
+    // capture, so stderr-only timing made the amortized build costs
+    // invisible in BENCH_r*.json
+    val prebuildSecs =
+      scala.collection.mutable.LinkedHashMap.empty[String, Double]
     def prebuild(label: String)(f: => Any): Unit = {
       val t0 = System.nanoTime()
       f
+      val sec = (System.nanoTime() - t0) / 1e9
+      prebuildSecs(label) = sec
       System.err.println(
-        f"[bench] $label%-24s (amortized) ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+        f"[bench] $label%-24s (amortized) $sec%8.2f s")
     }
     // Prebuilds run only for the FULL suite (the driver's invocation):
     // a named-subset debugging run skips them — on a query's first
@@ -187,8 +195,11 @@ object Bench {
     // median must not masquerade as a speedup; its absence plus
     // ok:false + the failures list is the signal
     val total = results.filter(_.ok).map(_.sec).sum
+    val prebuilds = prebuildSecs
+      .map { case (l, s) => s""""$l":${jd(s)}""" }.mkString("{", ",", "}")
     val json = s"""{"metric":"total","value":$total,"unit":"sec"""" +
       s""","queries":$qs,"details":$details,"phases":{$phases}""" +
+      s""","prebuilds":$prebuilds""" +
       s""","failures":$failures,"ok":$allOk,"runs":$repeats,"sf":"$sfDir"}"""
     // full per-query detail goes to the file; stdout gets ONLY a
     // compact summary line. The driver's stdout tail capture is ~2 KB
@@ -198,6 +209,7 @@ object Bench {
     // the capture window no matter how many queries are declared.
     val summary = s"""{"metric":"total","value":${jd(total)}""" +
       s""","unit":"sec","ok":$allOk,"n":${results.size}""" +
+      s""","prebuild_sec":${jd(prebuildSecs.values.sum)}""" +
       s""","failures":$failures,"runs":$repeats,"sf":"$sfDir"""" +
       s""","detail":"/tmp/bench.json"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("/tmp/bench.json"),

@@ -6,76 +6,139 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * the amortization family (VERDICT r8 #2-4). The driver-side model
   * caches (`TrainingOps.ivfModel` et al.) hold kilobyte-sized arrays
   * in the JVM; artifacts that are CORPUS-grain — the kNN edge list
-  * (k·N rows), the SQ8 packed-code table (N rows) — are what
-  * production materializes ONCE to storage and then reads per query,
-  * exactly like any other table. This helper is that shape on the
-  * local scratch disk: build → write parquet → read back, keyed by
-  * the same (dir, source-table file stamp) contract as the model
-  * caches, so a regenerated corpus invalidates the artifact instead
-  * of silently serving stale derived data.
+  * (k·N rows), the SQ8 packed-code table (N rows), the Hamming
+  * signature table — are what production materializes ONCE to storage
+  * and then reads per query, exactly like any other table. This
+  * helper is that shape on a local scratch disk: build → write
+  * parquet → read back, keyed by the (dir, source-table file stamp,
+  * build version) contract, so a regenerated corpus or a changed
+  * build invalidates the artifact instead of silently serving stale
+  * derived data.
+  *
+  * Publication protocol (round 10, hardening the r9 design): the
+  * stamp IS the directory name — each build writes to a private
+  * `tmp-*` dir and atomically renames it to `data-<stampHash>`, so a
+  * reader (in THIS process or any other sharing the scratch root)
+  * either sees a complete tree or no tree; there is no
+  * mutate-in-place window and no separate `_stamp` file to tear. A
+  * build that loses the rename race discards its own tmp tree and
+  * reads the winner's. Stale stamp dirs are reaped lazily with an
+  * age guard so a concurrent reader of a just-replaced artifact is
+  * not unlinked mid-scan.
+  *
+  * The scratch root is USER-OWNED (`$GRAFT_ARTIFACT_DIR` override,
+  * default `~/.cache/graft-artifacts`) rather than the shared
+  * world-writable java.io.tmpdir, so another local user cannot
+  * pre-create or symlink the artifact paths.
   *
   * At 100 TB the artifact lives on the object store next to the
   * source tables and the build is a scheduled job; the read side —
-  * `spark.read.parquet` of a partitioned derived table — is identical.
-  * Unlike a cached/localCheckpoint'd DataFrame, a parquet artifact
-  * survives `Bench`'s inter-query block-manager reset and costs zero
-  * executor storage memory.
+  * `spark.read.parquet` of a derived table — is identical, and the
+  * rename-publish protocol maps onto any store with atomic
+  * rename/commit semantics.
   */
 object ArtifactStore {
 
-  /** File-stat stamp for a table under the sf dir (names + sizes +
-    * mtimes) — a pure filesystem stat, no Spark job (an earlier
-    * count()-based key paid a scan per call), and it catches the
-    * same-count rewrite a count key is blind to.
+  /** File-stat stamp for a table under the sf dir: RELATIVE PATH +
+    * size + mtime of every regular file, walked recursively in
+    * sorted order — a pure filesystem stat, no Spark job. Recursion
+    * (round 10, ADVICE r9) covers partitioned sources: an in-place
+    * rewrite of a nested leaf changes neither the top-level subdir
+    * name nor its length, which the old one-level listing missed.
     */
   def tableStamp(dir: String, table: String): String = {
     val root = new java.io.File(s"$dir/$table.parquet")
-    def stat(f: java.io.File) = s"${f.getName}:${f.length}:${f.lastModified}"
-    if (root.isDirectory)
-      root.listFiles().sortBy(_.getName).map(stat).mkString(",")
-    else stat(root)
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty)
+          .sortBy(_.getName).toSeq.flatMap(walk)
+      else Seq(f)
+    val base = root.toPath
+    walk(root).map { f =>
+      val rel =
+        if (f == root) f.getName else base.relativize(f.toPath).toString
+      s"$rel:${f.length}:${f.lastModified}"
+    }.mkString(",")
   }
 
   private val locks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
+  /** User-owned artifact root: `$GRAFT_ARTIFACT_DIR` when set, else
+    * `~/.cache/graft-artifacts`, falling back to a tmpdir subdir only
+    * when no home directory exists.
+    */
+  private[graft] def scratchRoot: java.io.File =
+    sys.env.get("GRAFT_ARTIFACT_DIR").map(new java.io.File(_)).getOrElse {
+      sys.props.get("user.home").filter(h => h.nonEmpty && h != "?")
+        .map(h => new java.io.File(h, ".cache/graft-artifacts"))
+        .getOrElse(new java.io.File(
+          System.getProperty("java.io.tmpdir"), "graft-artifacts"))
+    }
+
+  private def deleteRec(f: java.io.File): Unit = {
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRec)
+    f.delete(): Unit
+  }
+
   /** Read the artifact `name` derived from `dir/table.parquet`,
-    * building it via `build` iff absent or the stamp changed.
+    * building it iff no tree exists for the current stamp.
     *
     * The stamp is (source file stats + `version`): artifacts OUTLIVE
     * the JVM, so unlike the in-JVM model caches a change to the BUILD
     * LOGIC would silently serve a stale tree from a previous session
-    * — callers must bump `version` whenever the build's code or
-    * parameters change. The stamp is computed INSIDE the per-artifact
-    * lock (a pre-lock stamp could be written over a newer build's
-    * data after losing a regeneration race) and written AFTER the
-    * parquet commit, so a crashed build re-runs rather than serving a
-    * torn tree. The artifact root embeds a hash of the RAW dir string
-    * — sanitizing alone can collapse distinct dirs onto one root and
-    * thrash rebuilds.
+    * — `version` is REQUIRED (round 10, VERDICT r9 #4: the implicit
+    * default rode every call site, leaving the bump-on-logic-change
+    * rule doc-only) and callers must bump it whenever the build's
+    * code or parameters change. The stamp is computed INSIDE the
+    * per-artifact lock (a pre-lock stamp could publish over a newer
+    * build after losing a regeneration race). The artifact root
+    * embeds a hash of the RAW dir string — sanitizing alone can
+    * collapse distinct dirs onto one root and thrash rebuilds.
     */
   def parquetArtifact(s: SparkSession, dir: String, table: String,
-                      name: String, version: Int = 1)
+                      name: String, version: Int)
                      (build: => DataFrame): DataFrame = {
     val dirHash = java.lang.Long.toHexString(
       scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffffL)
-    val root = new java.io.File(System.getProperty("java.io.tmpdir"),
-      "graft_art_" + name + "_" + dirHash + "_" +
+    val root = new java.io.File(scratchRoot,
+      name + "_" + dirHash + "_" +
         dir.replaceAll("[^A-Za-z0-9._-]", "_").takeRight(32))
-    val dataDir = new java.io.File(root, "data").getAbsolutePath
-    val stampPath = new java.io.File(root, "_stamp").toPath
     val lock = locks.computeIfAbsent(root.getAbsolutePath, _ => new Object)
     lock.synchronized {
       val stamp = s"v$version;" + tableStamp(dir, table)
-      val fresh = java.nio.file.Files.isRegularFile(stampPath) &&
-        new String(java.nio.file.Files.readAllBytes(stampPath),
-          "UTF-8") == stamp
-      if (!fresh) {
-        build.write.mode("overwrite").parquet(dataDir)
-        java.nio.file.Files.createDirectories(stampPath.getParent)
-        java.nio.file.Files.write(stampPath, stamp.getBytes("UTF-8"))
+      val stampHash = java.lang.Long.toHexString(
+        (scala.util.hashing.MurmurHash3.stringHash(stamp).toLong << 32)
+          | (scala.util.hashing.MurmurHash3
+              .stringHash(stamp.reverse).toLong & 0xffffffffL))
+      val dataDir = new java.io.File(root, s"data-$stampHash")
+      if (!dataDir.isDirectory) {
+        java.nio.file.Files.createDirectories(root.toPath)
+        val tmp = new java.io.File(root,
+          "tmp-" + java.util.UUID.randomUUID.toString.take(13))
+        build.write.mode("overwrite").parquet(tmp.getAbsolutePath)
+        try
+          java.nio.file.Files.move(tmp.toPath, dataDir.toPath,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch {
+          // lost a cross-process race: the winner's tree is complete
+          // (rename is atomic), ours is surplus
+          case _: java.nio.file.FileAlreadyExistsException
+               | _: java.nio.file.DirectoryNotEmptyException
+            if dataDir.isDirectory => deleteRec(tmp)
+        }
+        // reap superseded stamp dirs and orphaned tmp trees, with an
+        // age guard so another process still scanning a just-replaced
+        // artifact is not unlinked mid-read
+        val cutoff = System.currentTimeMillis - 15L * 60 * 1000
+        Option(root.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.getName != dataDir.getName &&
+            (f.getName.startsWith("data-") || f.getName.startsWith("tmp-")) &&
+            f.lastModified < cutoff)
+          .foreach(deleteRec)
       }
+      s.read.parquet(dataDir.getAbsolutePath)
     }
-    s.read.parquet(dataDir)
   }
 }

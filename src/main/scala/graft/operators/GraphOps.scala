@@ -112,7 +112,7 @@ object GraphOps {
     */
   def knnEdges(s: SparkSession, dir: String): DataFrame =
     graft.io.ArtifactStore.parquetArtifact(s, dir, "embeddings",
-      "knn_edges") {
+      "knn_edges", version = 1) {
       val emb = graft.core.Tables.embeddings(s, dir)
       val model = TrainingOps.ivfModel(s, dir)
       Similarity.knnGraphBlocked(emb, model, k = 3, nProbe = model.k)

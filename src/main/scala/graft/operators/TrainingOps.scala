@@ -439,6 +439,17 @@ object TrainingOps {
     * scheduler runs concurrently. Revisit if the upstream ever grows
     * an expensive stage.
     */
+  /** CALLER CONTRACT (ADVICE r9): this operator persists its gram
+    * grain (MEMORY_AND_DISK) and the handle rides the returned
+    * frame's lineage — it cannot unpersist eagerly without forcing an
+    * action. The driver mains reap it (Bench/Verify inter-query
+    * unpersist-all + clearCache); any OTHER caller that runs actions
+    * must do the same afterwards (`sparkContext.getPersistentRDDs
+    * .values.foreach(_.unpersist(false))`, the
+    * DedupQualityInvariantSpec pattern) or it leaks corpus-grain
+    * cached blocks for the session. Same contract on
+    * [[dedupQualityOn]].
+    */
   def pairJaccard(s: SparkSession, dir: String): DataFrame = {
     // Three consumers (sizes + both self-join sides) with no shared
     // exchange — materialize the gram grain once (the qd48 move;
@@ -574,7 +585,7 @@ object TrainingOps {
     */
   def dupLabels(s: SparkSession, dir: String): DataFrame =
     graft.io.ArtifactStore.parquetArtifact(s, dir, "documents",
-      "dup_labels") {
+      "dup_labels", version = 1) {
       dupClusters(s, dir)
     }
 
@@ -1708,7 +1719,7 @@ object TrainingOps {
     */
   def sqPacked(s: SparkSession, dir: String): DataFrame =
     graft.io.ArtifactStore.parquetArtifact(s, dir, "embeddings",
-      "sq_packed") {
+      "sq_packed", version = 1) {
       Sq.encodePacked(Tables.embeddings(s, dir), sqModel(s, dir))
     }
 
@@ -1825,7 +1836,10 @@ object TrainingOps {
     dedupQualityOn(Tables.documents(s, dir), Seq(0.5, 0.7, 0.9))
   }
 
-  /** Core of [[dedupQuality]] over any (doc_id, text) frame. */
+  /** Core of [[dedupQuality]] over any (doc_id, text) frame.
+    * CALLER CONTRACT: persists the gram grain — same
+    * reap-after-actions rule as [[pairJaccard]].
+    */
   def dedupQualityOn(docs: DataFrame, thresholds: Seq[Double]): DataFrame = {
     val P = DocFingerprint.Modulus
     // The gram stream feeds TWO independent shapes (distinct-hash
@@ -1947,6 +1961,17 @@ object TrainingOps {
     * ≤ 10¹², so the exact BIGINT sum holds to ~9·10⁶ vectors; a
     * 100 TB corpus drops the quantization to 10³ (headroom ~9·10¹²)
     * or splits the sum by vec_id range — same plan either way.
+    *
+    * DIMENSION bound (VERDICT r9 #8): the in-stage fanout is D²/2
+    * rows per vector — 2 080 at D=64 (fine), ~0.5 M at D=1024 (not:
+    * the Generate output would dwarf the corpus bytes). Past
+    * D ≈ 256, switch to the dim-BLOCKED two-pass form: tile the
+    * (d, e) triangle into B×B blocks (B ≈ 64), run one pass per
+    * block row with `slice(embedding, …)` feeding the same
+    * chained-Generate + partial-agg plan, and union the tiles —
+    * per-pass fanout drops to D·B/… ≤ B² rows/vector while the
+    * exchange stays partial-sum-sized. Same plan shape, bounded
+    * amplification; nothing else changes.
     *
     * Parity: floor quantization and integer sums are order-free;
     * both engines produce identical BIGINTs.

@@ -109,7 +109,7 @@ class Round9OpsSpec extends SparkSpec {
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration._
     val reads = (1 to 4).map(_ => Future {
-      ArtifactStore.parquetArtifact(spark, root, "t", "conc_art") {
+      ArtifactStore.parquetArtifact(spark, root, "t", "conc_art", version = 1) {
         builds.incrementAndGet()
         spark.read.parquet(tbl)
       }.count()
@@ -125,7 +125,7 @@ class Round9OpsSpec extends SparkSpec {
     val tbl = s"$root/t.parquet"
     Seq(1L, 2L, 3L).toDF("x").coalesce(1).write.parquet(tbl)
     var builds = 0
-    def art() = ArtifactStore.parquetArtifact(spark, root, "t", "spec_art") {
+    def art() = ArtifactStore.parquetArtifact(spark, root, "t", "spec_art", version = 1) {
       builds += 1
       spark.read.parquet(tbl).withColumn("y", col("x") * 2)
     }
