@@ -93,6 +93,12 @@ object Bench {
         graft.operators.GraphOps.knnEdges(spark, sfDir) }
       prebuild("dup_labels_artifact") {
         graft.operators.TrainingOps.dupLabels(spark, sfDir) }
+      // qd54's STANDING index is yesterday's corpus-only clustering —
+      // the query measures the per-batch refresh, per its design
+      prebuild("dup_labels_corpus_art") {
+        graft.operators.TrainingOps.dupLabelsCorpus(spark, sfDir) }
+      prebuild("corpus_bands_artifact") {
+        graft.operators.TrainingOps.corpusBands(spark, sfDir) }
     }
 
     def median(xs: Seq[Double]): Double = {

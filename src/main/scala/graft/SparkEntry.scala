@@ -200,6 +200,7 @@ object SparkEntry {
     "qd52_prf_expansion" -> (graft.operators.Search.prfExpand _),
     "qe23_gram_matrix"   -> (TrainingOps.gramMatrix _),
     "qd53_span_dedup"    -> (graft.operators.Dedup.spanDedupQuery _),
+    "qd54_refresh_labels" -> (TrainingOps.refreshedDupLabels _),
   )
 
   /** Queries intentionally without an oracle — EMPTY since round 5:
@@ -324,6 +325,11 @@ object SparkEntry {
     // qd16 computes the same components via large-star/small-star —
     // identical labels, identical oracle.
     "qd16_dup_clusters_star" -> dupClustersSql,
+    // qd54 refreshes a standing corpus label table with the batch via
+    // cluster contraction — labels provably equal the full rebuild's
+    // (min-label quotient argument in Dedup.refreshClusterLabels), so
+    // the rebuild's recursive CTE is its oracle too.
+    "qd54_refresh_labels" -> dupClustersSql,
     "qd14_decontaminate" -> decontaminateSql,
     "qd36_leakage_split" -> leakageSplitSql,
     // qd37: the oracle takes the plain self-join formulation — same

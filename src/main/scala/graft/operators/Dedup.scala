@@ -178,7 +178,7 @@ object Dedup {
     * signature rows. String grams are the opposite trade (allocation-
     * heavy lambdas), which is why pairJaccard went relational.
     */
-  private def shingleFrame(docs: DataFrame, idCol: String,
+  private[operators] def shingleFrame(docs: DataFrame, idCol: String,
                            textCol: String): DataFrame =
     docs.select(col(idCol).as("doc_id"),
         tokenHashes(col(textCol)).as("_th"))
@@ -209,9 +209,29 @@ object Dedup {
     * frame. Buckets larger than `maxBucket` are dropped (recall
     * trade-off, see object doc).
     */
-  def minhashCandidates(sh: DataFrame, maxBucket: Int): DataFrame = {
-    val withBands = minhashSignatures(sh)
-      .select(col("doc_id"), posexplode(bandCols).as(Seq("band_idx", "band_hash")))
+  def minhashCandidates(sh: DataFrame, maxBucket: Int): DataFrame =
+    candidatesFromBands(bandFrame(sh), maxBucket)
+
+  /** The (doc_id, band_idx, band_hash) banding index of a shingle
+    * frame — factored out so a STANDING corpus's index can be stored
+    * as an artifact and joined against per batch (qd54).
+    */
+  private[operators] def bandFrame(sh: DataFrame): DataFrame =
+    minhashSignatures(sh)
+      .select(col("doc_id"),
+        posexplode(bandCols).as(Seq("band_idx", "band_hash")))
+
+  /** [[bandFrame]] from raw (id, text) docs — the standing-index
+    * artifact builder's entry point ([[refreshClusterLabels]]).
+    */
+  def bandIndex(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    bandFrame(shingleFrame(docs, idCol, textCol))
+
+  /** Candidate pairs from a prebuilt band frame (the second half of
+    * [[minhashCandidates]]).
+    */
+  private[operators] def candidatesFromBands(withBands: DataFrame,
+                                             maxBucket: Int): DataFrame = {
     val buckets = withBands
       .groupBy("band_idx", "band_hash")
       .agg(collect_list("doc_id").as("ids"))
@@ -285,6 +305,147 @@ object Dedup {
       .select(col("doc_id"), col("dup_of"),
         col("dup_of").isNotNull.as("is_dup"))
       .orderBy("doc_id")
+  }
+
+  /** qd54 — incremental cluster-label REFRESH: fold a new batch into
+    * a STANDING duplicate-cluster label table (qd13's components,
+    * stored as the `dup_labels` artifact) without re-clustering the
+    * corpus — the growing-corpus production shape VERDICT r9 #5 asked
+    * for. qd40 answers "which corpus doc does each batch doc
+    * duplicate"; this goes the rest of the way and emits the full
+    * post-ingest label table: batch docs joined into existing
+    * clusters, batch-internal components given new labels, and —
+    * the case a naive append misses — existing clusters MERGED when
+    * one batch doc bridges two of them.
+    *
+    * Algorithm (contraction): corpus↔corpus edges are already folded
+    * into `standing`, so each endpoint of a new edge that lands in
+    * the corpus is CONTRACTED to its standing cluster label, and
+    * connected components run over the graph whose nodes are {batch
+    * doc ids} ∪ {touched cluster labels} — O(batch + touched
+    * clusters) work, INDEPENDENT of corpus size, vs the full
+    * rebuild's O(corpus) per round. Correctness: components of
+    * G_corpus ∪ E_new equal components of contract(G_corpus) ∪
+    * contract(E_new) (quotient-graph connectivity), and because a
+    * standing label IS the min doc id of its cluster, the contracted
+    * component's min node id equals the rebuild's min doc id — labels
+    * match the full rebuild exactly, which is why qd54 can reuse
+    * qd13's recursive-CTE oracle verbatim.
+    *
+    * At 100 TB: the standing label table and the corpus MinHash
+    * signatures live as stored artifacts; the per-batch job computes
+    * batch signatures, joins them against the standing banding index
+    * (never corpus×corpus again), runs this contraction, APPENDS the
+    * batch labels and writes the (tiny) touched-cluster relabel map —
+    * yesterday's work is never redone. The MinHash/banding compute in
+    * the refresh therefore touches ONLY batch text: the corpus
+    * appears as (a) its stored band index and (b) a shingle re-derive
+    * of just the docs that actually banded with the batch — at a
+    * realistic batch fraction the refresh costs a small fraction of
+    * the rebuild, and the gap widens linearly with corpus/batch.
+    *
+    * Determinism caveat: banding candidates are per-bucket order-free,
+    * but the `maxBucket` hot-bucket cap could in principle admit a
+    * slightly different pair set than the rebuild's combined-bucket
+    * cap once buckets run near capacity — same documented trade as
+    * qd6/qd40 (gate corpora sit far under the cap; the exact-jaccard
+    * verify bounds any divergence to banding-admission, never scores).
+    */
+  def refreshClusterLabels(standing: DataFrame, corpusBands: DataFrame,
+                           docs: DataFrame, isCorpus: Column,
+                           threshold: Double,
+                           maxBucket: Int = 64): DataFrame = {
+    val batchDocs = docs.where(!isCorpus)
+    val batchSh = shingleFrame(batchDocs, "doc_id", "text")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // TWO consumers of the batch band frame (cross join + batch
+    // banding) — materialize it once; it is batch-sized (8 rows/doc)
+    val batchBands = bandFrame(batchSh)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // batch↔corpus candidates: equi-join the batch bands against the
+    // STANDING index — the corpus never re-minhashes
+    val cross = batchBands
+      .join(corpusBands.withColumnRenamed("doc_id", "doc_b"),
+        Seq("band_idx", "band_hash"))
+      .select(col("doc_id").as("doc_a"), col("doc_b"))
+    // batch↔batch candidates: the usual banding, batch-only
+    val within = candidatesFromBands(batchBands, maxBucket)
+    // exact-jaccard verify: shingles exist for the batch already; the
+    // corpus side re-derives ONLY the docs that banded with the batch
+    val candCorpusIds = cross.select(col("doc_b").as("doc_id")).distinct()
+    val corpusSh = shingleFrame(
+      docs.where(isCorpus).join(candCorpusIds, Seq("doc_id"), "left_semi"),
+      "doc_id", "text")
+    val edges = jaccardOver(batchSh.union(corpusSh),
+        cross.union(within).distinct())
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b")
+    val out = refreshLabelsOn(standing, batchDocs.select("doc_id"), edges)
+    // refreshLabelsOn checkpoints the contracted edges and runs the
+    // component rounds eagerly, so the batch-side persists are already
+    // consumed — release them here rather than leaking to the caller
+    // (the returned frame's lineage reads only the checkpointed
+    // component labels, the standing artifact, and the docs scan)
+    batchBands.unpersist(blocking = false)
+    batchSh.unpersist(blocking = false)
+    out
+  }
+
+  /** Contraction core of [[refreshClusterLabels]] over an explicit
+    * verified edge list (every edge touches >= 1 batch doc) — the
+    * spec entry point for merge/bridge/singleton geometry. `standing`
+    * must cover every corpus doc (qd13 labels singletons too) and
+    * batch ids must be disjoint from corpus ids.
+    */
+  def refreshLabelsOn(standing: DataFrame, batchIds: DataFrame,
+                      edges: DataFrame): DataFrame = {
+    // contract corpus endpoints to their standing cluster label;
+    // batch endpoints (absent from `standing`) keep their own id.
+    // Cluster labels are corpus doc ids and the id spaces are
+    // disjoint, so contracted node ids stay unambiguous.
+    // localCheckpoint: the contracted edge list fans out to FOUR
+    // consumers (both node-side selects, the star algorithm's
+    // symmetrized edge union) — without materialization each
+    // reference re-runs the entire upstream banding + jaccard-verify
+    // pipeline (measured ~1 s × 4 at sf0.1). The frame is batch-scale
+    // tiny, so eager materialization costs one small job.
+    val cEdges = edges
+      .join(standing.select(col("doc_id").as("doc_a"),
+        col("cluster").as("na")), Seq("doc_a"), "left")
+      .join(standing.select(col("doc_id").as("doc_b"),
+        col("cluster").as("nb")), Seq("doc_b"), "left")
+      .select(coalesce(col("na"), col("doc_a")).as("doc_a"),
+        coalesce(col("nb"), col("doc_b")).as("doc_b"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .localCheckpoint()
+    // nodes: every batch doc (so batch singletons self-label) plus
+    // every TOUCHED standing cluster (untouched clusters never enter
+    // the component computation at all — the scale win)
+    val nodes = batchIds.select(col("doc_id").as("id"))
+      .union(cEdges.select(col("doc_a").as("id")))
+      .union(cEdges.select(col("doc_b").as("id")))
+      .distinct()
+    // min-label propagation, not the star rounds: contracted
+    // components are shallow (batch docs fanning into cluster
+    // super-nodes — diameter rarely above 3), so min-label converges
+    // in diameter+1 driver-synchronized rounds, and at the contracted
+    // graph's size the ROUND COUNT is the entire cost (measured: the
+    // star variant's extra rounds doubled qd54's components phase)
+    val comp = dupClusters(nodes, cEdges, "id")
+      .withColumnRenamed("cluster", "cluster_new")
+    // relabel map for merged standing clusters: contracted nodes that
+    // are NOT batch docs are old cluster labels
+    val relabel = comp
+      .join(batchIds.select(col("doc_id").as("id")), Seq("id"), "left_anti")
+      .select(col("id").as("cluster"), col("cluster_new"))
+    val corpusOut = standing
+      .join(relabel, Seq("cluster"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_new"), col("cluster")).as("cluster"))
+    val batchOut = comp
+      .join(batchIds.select(col("doc_id").as("id")), Seq("id"), "left_semi")
+      .select(col("id").as("doc_id"), col("cluster_new").as("cluster"))
+    corpusOut.union(batchOut).orderBy("doc_id")
   }
 
   /** qd41 — gram-containment pairs: directed `|A∩B| / |A|` over the
@@ -363,7 +524,7 @@ object Dedup {
                    textCol: String): DataFrame =
     jaccardOver(shingleFrame(docs, idCol, textCol), pairs)
 
-  private def jaccardOver(sh: DataFrame, pairs: DataFrame): DataFrame =
+  private[operators] def jaccardOver(sh: DataFrame, pairs: DataFrame): DataFrame =
     pairs
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")

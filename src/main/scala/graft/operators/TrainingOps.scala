@@ -800,6 +800,56 @@ object TrainingOps {
     Dedup.incrementalDedup(Tables.documents(s, dir),
       col("source") === "src0", threshold = 0.9)
 
+  /** qd54 — incremental refresh of the duplicate-cluster label table
+    * ([[Dedup.refreshClusterLabels]]): src0 is the standing corpus
+    * whose labels are a STORED artifact (built once per (dir, stamp)
+    * — the qd40 scenario continued into the artifact tier), every
+    * other source is the incoming batch; the query measures only the
+    * per-batch work (batch signatures + cross edges + contracted
+    * components), never re-clustering the corpus. Output ≡ the full
+    * qd13-style rebuild over all docs (contraction argument in the
+    * operator scaladoc), so the oracle is qd13's recursive CTE
+    * verbatim at the same threshold.
+    */
+  /** qd54's batch predicate: src19 is today's incoming batch (5% of
+    * docs), every other source is the standing corpus — the realistic
+    * corpus≫batch proportion the incremental shape exists for
+    * (contrast qd40, which keeps its original small-corpus framing).
+    */
+  private val qd54IsCorpus = col("source") =!= "src19"
+
+  /** qd54's standing index, part 1: cluster labels of the corpus
+    * ALONE, stored per (dir, stamp) — "yesterday's clustering",
+    * prebuilt by Bench like the other artifacts so the declared query
+    * measures only the per-batch refresh. version 2: corpus flipped
+    * from src0-only to all-but-src19.
+    */
+  def dupLabelsCorpus(s: SparkSession, dir: String): DataFrame =
+    graft.io.ArtifactStore.parquetArtifact(s, dir,
+      "documents", "dup_labels_corpus", version = 2) {
+      val corpus = Tables.documents(s, dir).where(qd54IsCorpus)
+      Dedup.dupClustersStar(corpus,
+        Dedup.minhashNearDups(corpus, "doc_id", "text", threshold = 0.9),
+        "doc_id")
+        .select(col("id").as("doc_id"), col("cluster"))
+    }
+
+  /** qd54's standing index, part 2: the corpus MinHash BAND index
+    * (doc_id, band_idx, band_hash) — what a batch joins against so
+    * the refresh never re-minhashes corpus text.
+    */
+  def corpusBands(s: SparkSession, dir: String): DataFrame =
+    graft.io.ArtifactStore.parquetArtifact(s, dir,
+      "documents", "corpus_bands", version = 1) {
+      Dedup.bandIndex(Tables.documents(s, dir).where(qd54IsCorpus),
+        "doc_id", "text")
+    }
+
+  def refreshedDupLabels(s: SparkSession, dir: String): DataFrame =
+    Dedup.refreshClusterLabels(dupLabelsCorpus(s, dir),
+      corpusBands(s, dir), Tables.documents(s, dir), qd54IsCorpus,
+      threshold = 0.9)
+
   /** The qd41 declared form: containment >= 0.8 over the corpus —
     * the quote-expansion surfacing threshold (planted dups score ~1
     * in both directions; asymmetric embeddings only A→B).

@@ -110,4 +110,17 @@ class ComponentsInvariantSpec extends SparkSpec {
       pairs.unpersist(blocking = false)
     }
   }
+
+  test("qd54: incremental refresh ≡ full rebuild at sf0.1") {
+    // the contraction-equivalence claim certified at bench scale —
+    // the driver gate can only check it at sf0.01 (qd54 shares qd13's
+    // recursive-CTE oracle, the >180 s DuckDB class at sf0.1)
+    val got = TrainingOps.refreshedDupLabels(spark, dir)
+    val full = TrainingOps.dupClusters(spark, dir)
+    assert(got.count() == full.count(), "row counts diverge")
+    assert(got.exceptAll(full).isEmpty && full.exceptAll(got).isEmpty,
+      "refresh labels diverge from the full rebuild at sf0.1")
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(false)) // shingle-persist caller contract
+  }
 }

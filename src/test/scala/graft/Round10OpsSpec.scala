@@ -136,4 +136,41 @@ class Round10OpsSpec extends SparkSpec {
         s"doc $id extent floor")
     }
   }
+
+  test("qd54 contraction core: join, merge-bridge, new cluster, singleton") {
+    // standing corpus: clusters {1,2} (label 1), {3,4} (label 3),
+    // singleton {5} (label 5), untouched {6} (label 6)
+    val standing = Seq(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L,
+      5L -> 5L, 6L -> 6L).toDF("doc_id", "cluster")
+    val batch = Seq(10L, 11L, 12L, 13L, 14L).toDF("doc_id")
+    val edges = Seq(
+      10L -> 2L,  // batch 10 joins cluster 1 via member 2...
+      10L -> 3L,  // ...AND bridges cluster 3 => clusters 1+3 MERGE
+      11L -> 5L,  // batch 11 joins singleton 5
+      12L -> 13L  // batch-internal pair => NEW cluster labeled 12
+    ).toDF("doc_a", "doc_b") // batch 14: singleton, self-labeled
+    val got = Dedup.refreshLabelsOn(standing, batch, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 1L, // merged
+      5L -> 5L, 11L -> 5L,                               // joined
+      12L -> 12L, 13L -> 12L,                            // new
+      6L -> 6L, 14L -> 14L)                              // untouched
+    assert(got == want)
+  }
+
+  test("qd54: refresh over the stored standing index ≡ full rebuild") {
+    // the equivalence the contraction argument claims, pinned on the
+    // live corpus: standing = src0-only clusters (stored artifact),
+    // refresh with the other sources ≡ qd13's full-corpus components
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.operators.TrainingOps.refreshedDupLabels(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val full = graft.operators.TrainingOps.dupClusters(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.sorted.sameElements(full.sorted),
+      "incremental refresh must reproduce the full rebuild's labels")
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(false)) // pairJaccard-family caller contract
+  }
 }
