@@ -261,13 +261,19 @@ class PlanSpec extends SparkSpec
     assert(p.contains("rangepartitioning"), p)
   }
 
-  test("qd18: stopword strip is shuffle-free and evaluates each array once") {
+  test("qd18: stopword strip is shuffle-free, pure regex, no array HOF") {
     val p = plan(graft.operators.TextPrep.stripQuery(spark, sf))
+    // the only exchange is the output-order range partitioning
     assert("Exchange".r.findAllIn(p).size == 1, p)
-    // split and filter each appear once: the materialized _toks/_kept
-    // aliases must not be re-inlined per consumer (CSE rule)
-    assert("split\\(".r.findAllIn(p).size == 1, p)
-    assert("filter\\(".r.findAllIn(p).size == 1, p)
+    // round-10 shape: three codegen regex traversals (2 replace +
+    // 1 count) — the interpreted split/filter HOF form must stay out
+    // of the declared plan (it drops the whole stage to interpreted
+    // eval; stripStopwordsHof remains only as TextPrepSpec's truth)
+    assert("regexp_replace\\(".r.findAllIn(p).size == 2, p)
+    // regexp_count is RuntimeReplaceable → size(regexp_extract_all)
+    assert("regexp_extract_all\\(".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("split("), p)
+    assert(!p.contains("filter("), p)
   }
 
   test("qe5: norm audit combines map-side; the scan reads two columns") {
