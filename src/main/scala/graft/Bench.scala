@@ -99,6 +99,8 @@ object Bench {
         graft.operators.TrainingOps.dupLabelsCorpus(spark, sfDir) }
       prebuild("corpus_bands_artifact") {
         graft.operators.TrainingOps.corpusBands(spark, sfDir) }
+      prebuild("dsir_model_train") {
+        graft.operators.Selection.dsirModel(spark, sfDir) }
     }
 
     def median(xs: Seq[Double]): Double = {

@@ -201,6 +201,8 @@ object SparkEntry {
     "qe23_gram_matrix"   -> (TrainingOps.gramMatrix _),
     "qd53_span_dedup"    -> (graft.operators.Dedup.spanDedupQuery _),
     "qd54_refresh_labels" -> (TrainingOps.refreshedDupLabels _),
+    "qd55_dsir_weights"  -> (graft.operators.Selection.dsirQuery _),
+    "qd56_dsir_resample" -> (graft.operators.Selection.resampleQuery _),
   )
 
   /** Queries intentionally without an oracle — EMPTY since round 5:
@@ -330,6 +332,8 @@ object SparkEntry {
     // (min-label quotient argument in Dedup.refreshClusterLabels), so
     // the rebuild's recursive CTE is its oracle too.
     "qd54_refresh_labels" -> dupClustersSql,
+    "qd55_dsir_weights" -> dsirSql,
+    "qd56_dsir_resample" -> dsirResampleSql,
     "qd14_decontaminate" -> decontaminateSql,
     "qd36_leakage_split" -> leakageSplitSql,
     // qd37: the oracle takes the plain self-join formulation — same
@@ -2442,6 +2446,78 @@ object SparkEntry {
        |      ORDER BY micro DESC, doc_id) AS INTEGER) AS rnk
        |  FROM u WHERE m)""".stripMargin
   }
+
+  /** Shared qd55/qd56 CTE prefix: exact BIGINT counts at every grain,
+    * capped-vocab weights through the dialect-shared
+    * [[graft.operators.Selection.weightMicroSql]], doc-grain micro-nat
+    * score sums in `sc`.
+    */
+  private lazy val dsirCtes: String =
+    s"""WITH toks AS (SELECT doc_id, source = 'src0' AS is_tgt,
+       |    unnest(list_filter(
+       |    string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'),
+       |      ' '), t -> t != '')) AS token FROM documents),
+       |tfd AS (SELECT doc_id, is_tgt, token,
+       |    CAST(count(*) AS BIGINT) AS tf
+       |  FROM toks GROUP BY 1, 2, 3),
+       |vc AS (SELECT token, CAST(SUM(tf) AS BIGINT) AS c_all,
+       |    CAST(SUM(CASE WHEN is_tgt THEN tf ELSE 0 END) AS BIGINT)
+       |      AS c_tgt
+       |  FROM tfd GROUP BY 1),
+       |vocab AS (SELECT token, c_all, c_tgt FROM vc
+       |  ORDER BY c_all DESC, token LIMIT 65536),
+       |st AS (SELECT CAST(count(*) AS BIGINT) AS vn,
+       |    CAST(SUM(c_all) AS BIGINT) AS t_all,
+       |    CAST(SUM(c_tgt) AS BIGINT) AS t_tgt FROM vocab),
+       |wv AS (SELECT token,
+       |    ${graft.operators.Selection.weightMicroSql} AS w_micro
+       |  FROM vocab, st),
+       |sc AS (SELECT t.doc_id,
+       |    CAST(SUM(t.tf * w.w_micro) AS BIGINT) AS score_micro,
+       |    CAST(SUM(t.tf) AS BIGINT) AS matched_toks
+       |  FROM tfd t JOIN wv w USING (token) GROUP BY 1)""".stripMargin
+
+  /** qd55 oracle: the shared CTEs' exact BIGINT score sums; the only
+    * doubles are inside [[graft.operators.Selection.weightMicroSql]]
+    * — the SAME expression text the Spark side evaluates — and the
+    * final micro→double division. Vocabulary cap ties break on the
+    * token string; docs with no vocabulary tokens keep score 0 via
+    * the left join.
+    */
+  private lazy val dsirSql: String =
+    s"""$dsirCtes
+       |SELECT d.doc_id,
+       |  CAST(COALESCE(sc.score_micro, 0) AS BIGINT) AS score_micro,
+       |  CAST(COALESCE(sc.matched_toks, 0) AS BIGINT) AS matched_toks,
+       |  CAST(COALESCE(sc.score_micro, 0) AS DOUBLE) / 1000000.0
+       |    AS score
+       |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
+  /** qd56 oracle: the shared DSIR CTEs, the qd5/qd12 portable
+    * rolling-fingerprint expression for the per-doc uniform, and the
+    * dialect-shared [[graft.operators.Selection.keyMicroSql]] Gumbel
+    * key — every double op evaluates from exact BIGINT inputs through
+    * one shared expression text, so the drawn sample is identical
+    * cross-engine. Top-64 by (key DESC, doc_id).
+    */
+  private lazy val dsirResampleSql: String =
+    s"""$dsirCtes,
+       |f AS (SELECT doc_id, source,
+       |    CAST(CASE WHEN length(text) = 0 THEN 0 ELSE
+       |      list_reduce(list_transform(string_split(text, ''),
+       |          c -> CAST(unicode(c) AS BIGINT)),
+       |        (acc, x) -> (acc * 31 + x) % 2147483647) END
+       |      AS BIGINT) AS fp
+       |  FROM documents),
+       |j AS (SELECT f.doc_id, f.source, f.fp,
+       |    CAST(COALESCE(sc.score_micro, 0) AS BIGINT) AS score_micro
+       |  FROM f LEFT JOIN sc ON f.doc_id = sc.doc_id)
+       |SELECT doc_id, source,
+       |  ${graft.operators.Selection.keyMicroSql} AS sel_key,
+       |  CAST(score_micro AS DOUBLE) / 1000000.0 AS score
+       |FROM j
+       |ORDER BY sel_key DESC, doc_id LIMIT 64""".stripMargin
 
   private lazy val bm25Sql: String =
     s"""$bm25Ctes

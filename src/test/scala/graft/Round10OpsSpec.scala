@@ -173,4 +173,109 @@ class Round10OpsSpec extends SparkSpec {
     spark.sparkContext.getPersistentRDDs.values
       .foreach(_.unpersist(false)) // pairJaccard-family caller contract
   }
+
+  test("qd55: DSIR weight math, vocab-cap binding, zero-match docs") {
+    import graft.operators.Selection
+    // target doc is all "aa"; pool adds "bb"-heavy and an OOV-only doc
+    val docs = Seq(
+      (1L, "aa aa bb", "src0"),
+      (2L, "bb bb bb aa", "srcX"),
+      (3L, "zz zz", "srcX"),   // zz drops out under vocabCap=2
+      (4L, "", "srcX")         // empty text: score 0, matched 0
+    ).toDF("doc_id", "text", "source")
+    val got = Selection.dsirWeights(docs, col("source") === "src0",
+        vocabCap = 2)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("score_micro"), r.getAs[Long]("matched_toks"))))
+      .toMap
+    // vocab (top-2 by c_all desc, token): bb(c_all=4,c_tgt=1),
+    // aa(c_all=3,c_tgt=2); vn=2, t_all=7, t_tgt=3
+    def w(cTgt: Long, cAll: Long): Long =
+      math.floor((math.log((cTgt + 1.0) / (3 + 2.0))
+        - math.log((cAll + 1.0) / (7 + 2.0))) * 1e6 + 0.5).toLong
+    val wAa = w(2, 3); val wBb = w(1, 4)
+    assert(wAa > 0 && wBb < 0, "seed-heavy token up, pool-heavy down")
+    assert(got(1L) == ((2 * wAa + 1 * wBb, 3L)))
+    assert(got(2L) == ((1 * wAa + 3 * wBb, 4L)))
+    assert(got(3L) == ((0L, 0L)),
+      "a doc of only beyond-cap vocabulary scores 0 with 0 matches")
+    assert(got(4L) == ((0L, 0L)), "empty docs survive with score 0")
+  }
+
+  test("qd55: scoring is ONE tokenize pass over a broadcast weight table") {
+    val df = graft.operators.Selection
+      .dsirQuery(spark, "/root/testdata/sf0.001")
+    val p = df.queryExecution.executedPlan.toString
+    // the corpus text is tokenized exactly once at scoring time (the
+    // trainer is its own amortized pass — dsirModel); the weight
+    // table joins as a broadcast build side, never an exchange
+    assert("Generate explode".r.findAllIn(p).size == 1, p)
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("qd56: Gumbel-top-k key math binds to the hand-computed draw") {
+    import graft.operators.Selection
+    val docs = Seq(
+      (1L, "aa aa bb", "src0"),
+      (2L, "bb bb bb aa", "srcX"),
+      (3L, "zz zz", "srcX"),
+      (4L, "", "srcX")
+    ).toDF("doc_id", "text", "source")
+    val model = Selection.trainDsir(docs, col("source") === "src0",
+      vocabCap = 2)
+    // hand recompute: same weight quantization as the qd55 spec...
+    def w(cTgt: Long, cAll: Long): Long =
+      math.floor((math.log((cTgt + 1.0) / (3 + 2.0))
+        - math.log((cAll + 1.0) / (7 + 2.0))) * 1e6 + 0.5).toLong
+    val scoreMicro = Map(
+      1L -> (2 * w(2, 3) + 1 * w(1, 4)),
+      2L -> (1 * w(2, 3) + 3 * w(1, 4)),
+      3L -> 0L, 4L -> 0L)
+    // ...then the Gumbel key over the portable fingerprint uniform
+    val text = Map(1L -> "aa aa bb", 2L -> "bb bb bb aa",
+      3L -> "zz zz", 4L -> "")
+    def key(id: Long): Long = {
+      val fp = graft.functions.DocFingerprint.reference(text(id))
+      val u = ((fp % 4096).toDouble + 0.5) / 4096.0
+      math.floor((scoreMicro(id) / 1e6 - math.log(-math.log(u))) * 1e6
+        + 0.5).toLong
+    }
+    val expect = Seq(1L, 2L, 3L, 4L)
+      .map(id => (id, key(id))).sortBy { case (id, k) => (-k, id) }
+    val got = Selection.dsirResample(docs, model, k = 4).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("sel_key")))
+      .toSeq
+    assert(got == expect, s"got $got expect $expect")
+  }
+
+  test("qd56: top-k plans as TakeOrderedAndProject, no global sort") {
+    val df = graft.operators.Selection
+      .resampleQuery(spark, "/root/testdata/sf0.001")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    // the importance property on the live corpus: the drawn sample's
+    // mean score must exceed the corpus mean (exp(score)-biased draw)
+    val sel = df.agg(avg("score")).first().getDouble(0)
+    val all = graft.operators.Selection
+      .dsirQuery(spark, "/root/testdata/sf0.001")
+      .agg(avg("score")).first().getDouble(0)
+    assert(sel > all,
+      s"resampled mean $sel should exceed corpus mean $all")
+  }
+
+  test("qd55: cached-model scoring ≡ inline-trained scoring") {
+    import graft.operators.Selection
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.core.Tables.documents(spark, dir)
+    val viaCache = Selection.dsirQuery(spark, dir).collect()
+    val inline = Selection
+      .dsirWeights(docs, col("source") === "src0").collect()
+    assert(viaCache.sameElements(inline),
+      "the amortized model must reproduce the inline trainer bit-for-bit")
+  }
 }
