@@ -155,34 +155,40 @@ object Selection {
     * docs with zero vocabulary tokens keep score 0 via the left
     * join.
     */
-  /** Doc-grain micro-nat scores (pre-join, unordered) — shared by
-    * the qd55 report and the qd56 resampler: ONE tokenize pass,
-    * (doc, token) map-side-combined tf, broadcast weight join, one
-    * doc-grain aggregate. Docs with zero vocabulary tokens are
-    * absent (callers left-join and coalesce to 0).
+  /** Doc-grain micro-nat scores (unordered) — shared by the qd55
+    * report and the qd56 resampler: ONE corpus pass, join-free at
+    * corpus grain. `explode_outer` keeps token-free documents as a
+    * single null-token row and the weight join is a LEFT broadcast
+    * probe, so every document reaches the doc-grain aggregate and
+    * zero-match docs score 0 WITHOUT a second corpus scan + doc-grain
+    * zero-fill join (the first cut's shape — a whole SortMergeJoin
+    * at 100 TB saved by a null row per empty doc). `carry` names
+    * doc-constant columns (e.g. qd56's source/fingerprint) to thread
+    * through the aggregates as extra keys — a few bytes per shuffle
+    * row instead of ANOTHER doc-grain join; text itself never rides
+    * the Generate output (the qd23 amplification trap).
     */
-  private def scoreGrain(docs: DataFrame, model: DsirModel): DataFrame = {
+  private def scoreGrain(docs: DataFrame, model: DsirModel,
+                         carry: Seq[String] = Nil): DataFrame = {
     val wv = weightTable(docs.sparkSession, model)
-    docs.select(col("doc_id"),
-        explode(Dedup.tokens(col("text"))).as("token"))
-      .groupBy("doc_id", "token")
+    val keys = "doc_id" +: carry
+    docs.select(keys.map(col) :+
+        explode_outer(Dedup.tokens(col("text"))).as("token"): _*)
+      .groupBy((keys :+ "token").map(col): _*)
       .agg(count(lit(1)).as("tf"))
-      .join(broadcast(wv), Seq("token"))
-      .groupBy("doc_id")
-      .agg(sum(col("tf") * col("w_micro")).as("score_micro"),
-        sum("tf").as("matched_toks"))
+      .join(broadcast(wv), Seq("token"), "left")
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("tf") * coalesce(col("w_micro"), lit(0L)))
+          .as("score_micro"),
+        sum(when(col("w_micro").isNotNull, col("tf")).otherwise(0L))
+          .as("matched_toks"))
   }
 
-  def dsirScore(docs: DataFrame, model: DsirModel): DataFrame = {
-    val sc = scoreGrain(docs, model)
-    docs.select("doc_id").join(sc, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("score_micro"), lit(0L)).as("score_micro"),
-        coalesce(col("matched_toks"), lit(0L)).as("matched_toks"))
+  def dsirScore(docs: DataFrame, model: DsirModel): DataFrame =
+    scoreGrain(docs, model)
       .withColumn("score",
         col("score_micro").cast("double") / lit(1000000.0))
       .orderBy("doc_id")
-  }
 
   /** Train-and-score in one call — the spec/ad-hoc entry point (the
     * declared query rides the cached model instead).
