@@ -130,13 +130,31 @@ object ArtifactStore {
         }
         // reap superseded stamp dirs and orphaned tmp trees, with an
         // age guard so another process still scanning a just-replaced
-        // artifact is not unlinked mid-read
+        // artifact is not unlinked mid-read. The guard must run off
+        // the SUPERSESSION time, not the dir's own mtime (its BUILD
+        // time — ADVICE r10): a tree built an hour ago would
+        // otherwise be unlinked the instant a new stamp publishes,
+        // exactly when a lazy DataFrame may still be scanning it. A
+        // zero-byte `stale-<dir>` marker records when the tree was
+        // FIRST seen superseded; deletion happens only on a later
+        // pass once the marker itself has aged past the cutoff.
         val cutoff = System.currentTimeMillis - 15L * 60 * 1000
         Option(root.listFiles()).getOrElse(Array.empty)
           .filter(f => f.getName != dataDir.getName &&
-            (f.getName.startsWith("data-") || f.getName.startsWith("tmp-")) &&
-            f.lastModified < cutoff)
-          .foreach(deleteRec)
+            (f.getName.startsWith("data-") || f.getName.startsWith("tmp-")))
+          .foreach { f =>
+            val marker = new java.io.File(root, "stale-" + f.getName)
+            if (!marker.exists) marker.createNewFile(): Unit
+            else if (marker.lastModified < cutoff) {
+              deleteRec(f); marker.delete(): Unit
+            }
+          }
+        // markers whose tree is already gone (deleted above, or by an
+        // earlier process) are themselves litter
+        Option(root.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.getName.startsWith("stale-") &&
+            !new java.io.File(root, f.getName.stripPrefix("stale-")).exists)
+          .foreach(_.delete(): Unit)
       }
       s.read.parquet(dataDir.getAbsolutePath)
     }

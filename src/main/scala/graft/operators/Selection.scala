@@ -224,11 +224,17 @@ object Selection {
   def dsirResample(docs: DataFrame, model: DsirModel,
                    k: Int = 64): DataFrame = {
     graft.functions.DocFingerprint.register(docs.sparkSession)
-    val sc = scoreGrain(docs, model)
-    docs.select(col("doc_id"), col("source"),
-        graft.functions.DocFingerprint.of(col("text")).as("fp"))
-      .join(sc.select("doc_id", "score_micro"), Seq("doc_id"), "left")
-      .withColumn("score_micro", coalesce(col("score_micro"), lit(0L)))
+    // source and fp are doc-constant: thread them through scoreGrain's
+    // aggregates as carried keys (a few bytes per token-grain shuffle
+    // row) instead of the first cut's SECOND corpus text scan +
+    // doc-grain join — fp is computed once per document in the
+    // projection BELOW the Generate, so the text column never rides
+    // the exploded rows (the qd23 amplification trap), and
+    // explode_outer already keeps zero-token docs, so no zero-fill
+    // coalesce is needed either.
+    val withFp = docs.withColumn("fp",
+      graft.functions.DocFingerprint.of(col("text")))
+    scoreGrain(withFp, model, carry = Seq("source", "fp"))
       .withColumn("sel_key", expr(keyMicroSql))
       .select(col("doc_id"), col("source"), col("sel_key"),
         (col("score_micro").cast("double") / lit(1000000.0)).as("score"))

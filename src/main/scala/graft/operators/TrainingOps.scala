@@ -1247,8 +1247,8 @@ object TrainingOps {
   }
 
   /** The qe11 declared form: 1024-bit sign+ordinal Hamming top-10,
-    * same query batch as qe1 — the compressed-scan baseline (16-byte
-    * two-long signatures, XOR+popcount distances, all exact ints).
+    * same query batch as qe1 — the compressed-scan baseline (128-byte
+    * 16-long signatures, XOR+popcount distances, all exact ints).
     */
   def knnHamming(s: SparkSession, dir: String): DataFrame =
     Similarity.hammingKnn(Tables.embeddings(s, dir), knnQueryIds, 10)

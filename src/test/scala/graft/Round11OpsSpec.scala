@@ -53,6 +53,71 @@ class Round11OpsSpec extends SparkSpec {
       "a byte fold must diverge from the codepoint fold on non-ASCII")
   }
 
+  test("ArtifactStore reap ages from SUPERSESSION, not build time") {
+    // ADVICE r10: the old guard filtered on the stale dir's own mtime
+    // (its BUILD time), so a tree built >15 min ago was unlinked the
+    // instant a new stamp published — exactly when a lazy reader may
+    // still scan it. The marker protocol defers deletion one aged pass.
+    import org.apache.spark.sql.SaveMode
+    val dir = tempDir("reapsrc")
+    val name = "reap_probe_" + System.nanoTime()
+    spark.range(5).toDF("x").write.mode(SaveMode.Overwrite)
+      .parquet(s"$dir/documents.parquet")
+    def build(v: Int) = graft.io.ArtifactStore.parquetArtifact(
+      spark, dir, "documents", name, version = v) {
+      spark.range(v).toDF("v")
+    }
+    build(1)
+    val root = graft.io.ArtifactStore.scratchRoot.listFiles()
+      .filter(_.getName.startsWith(name)).head
+    def dataDirs = root.listFiles().filter(_.getName.startsWith("data-"))
+    val first = dataDirs.head
+    // age the v1 tree far past the cutoff: under build-time ageing it
+    // would be reaped by the very next publish
+    first.setLastModified(System.currentTimeMillis - 60L * 60 * 1000)
+    build(2)
+    assert(first.isDirectory,
+      "just-superseded tree must survive the publish that superseded it")
+    val marker = new java.io.File(root, "stale-" + first.getName)
+    assert(marker.exists, "supersession must be marked")
+    // now age the MARKER past the cutoff; the next publish pass reaps
+    marker.setLastModified(System.currentTimeMillis - 16L * 60 * 1000)
+    build(3)
+    assert(!first.exists, "aged-marker tree is reaped on a later pass")
+    assert(!marker.exists, "reap removes its marker")
+    assert(dataDirs.length >= 1)
+    def deleteRec(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(deleteRec); f.delete()
+    }
+    deleteRec(root)
+  }
+
+  test("qd56 carry-threaded resample ≡ the join-shaped score+fp form") {
+    import graft.operators.Selection
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val model = Selection.trainDsir(docs, col("source") === "src0")
+    val got = Selection.dsirResample(docs, model, k = 16).collect()
+    // independent join-shaped reference: score via dsirScore, fp via a
+    // separate scan, zero-fill, same key
+    graft.functions.DocFingerprint.register(spark)
+    val want = docs.select(col("doc_id"), col("source"),
+        graft.functions.DocFingerprint.of(col("text")).as("fp"))
+      .join(Selection.dsirScore(docs, model)
+          .select("doc_id", "score_micro"), Seq("doc_id"), "left")
+      .withColumn("score_micro", coalesce(col("score_micro"), lit(0L)))
+      .withColumn("sel_key", expr(Selection.keyMicroSql))
+      .select(col("doc_id"), col("source"), col("sel_key"),
+        (col("score_micro").cast("double") / lit(1000000.0)).as("score"))
+      .orderBy(col("sel_key").desc, col("doc_id"))
+      .limit(16).collect()
+    assert(got.toSeq == want.toSeq)
+    // and the carried shape keeps ONE Generate / ONE scan of documents
+    val plan = Selection.dsirResample(docs, model, k = 16)
+      .queryExecution.executedPlan.toString
+    assert(plan.split("Generate").length - 1 == 1,
+      "resample must tokenize in a single Generate")
+  }
+
   test("doc_fingerprint: codegen and interpreted paths agree off-ASCII") {
     graft.functions.DocFingerprint.register(spark)
     val texts = Seq("é", "中文 docs", "😀😀", "añño")
