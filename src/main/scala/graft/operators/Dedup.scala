@@ -251,8 +251,12 @@ object Dedup {
     */
   def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
                       threshold: Double, maxBucket: Int = 64): DataFrame = {
+    // eager localCheckpoint, not persist: the shingle grain feeds the
+    // banding AND the exact verify; checkpointed blocks free on GC via
+    // the ContextCleaner instead of a caller reap contract (the
+    // TrainingOps.pairJaccard lifecycle note, VERDICT r10 #7)
     val sh = shingleFrame(docs, idCol, textCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     jaccardOver(sh, minhashCandidates(sh, maxBucket))
       .filter(col("jaccard") >= threshold)
   }
@@ -281,8 +285,9 @@ object Dedup {
     */
   def incrementalDedup(docs: DataFrame, isCorpus: Column,
                        threshold: Double): DataFrame = {
+    // same lifecycle as [[minhashNearDups]]: checkpoint, don't persist
     val sh = shingleFrame(docs, "doc_id", "text")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     val corpusIds = docs.where(isCorpus).select(col("doc_id"))
     val batchIds = docs.where(!isCorpus).select(col("doc_id"))
     // orient the CANDIDATE list batch→corpus BEFORE the exact verify:

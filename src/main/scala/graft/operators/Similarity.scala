@@ -240,30 +240,23 @@ object Similarity {
     * the scan side streams and every pair evaluates inside one
     * codegen stage.
     */
-  /** The most recent parity-config base: each invocation unpersists
-    * its predecessor's snapshot (by then consumed — Bench/Verify
-    * materialize between calls), bounding the block-manager footprint
-    * to ONE persisted base instead of one per invocation (ADVICE r5).
-    * The final snapshot is freed on the next call or by session end.
-    */
-  private val lastParityBase =
-    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
-
   private def complementPrunedNearDups(emb: DataFrame, threshold: Double,
                                        dim: Int, nPlanes: Int): DataFrame = {
     require(nPlanes >= 1 && nPlanes <= 62,
       s"complement mask is a packed long: 1..62 planes, got $nPlanes")
     val mask = (1L << nPlanes) - 1L
-    // persist: both self-join sides consume the same signature
-    // lineage (explode + two aggregates); without it the plan computes
-    // signatures twice (same trade Dedup.minhashNearDups makes)
+    // eager localCheckpoint: both self-join sides consume the same
+    // signature lineage (explode + two aggregates); without
+    // materialization the plan computes signatures twice. Checkpoint
+    // rather than persist (VERDICT r10 #7): the blocks free on GC via
+    // the ContextCleaner, which retires the r5-era one-slot
+    // AtomicReference swap this site used to bound its CacheManager
+    // footprint.
     val base = emb
       .join(packedSignatures(emb, dim, nPlanes), "vec_id")
       .select(col("vec_id"), col("embedding"),
         normN(col("embedding")).as("nrm"), col("sig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    Option(lastParityBase.getAndSet(base))
-      .filter(_ ne base).foreach(_.unpersist(false))
+      .localCheckpoint()
     val a = base.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"),
       col("nrm").as("nrm_a"), col("sig").as("sig_a"))
     val b = base.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"),

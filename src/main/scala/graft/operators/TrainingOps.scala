@@ -439,24 +439,20 @@ object TrainingOps {
     * scheduler runs concurrently. Revisit if the upstream ever grows
     * an expensive stage.
     */
-  /** CALLER CONTRACT (ADVICE r9): this operator persists its gram
-    * grain (MEMORY_AND_DISK) and the handle rides the returned
-    * frame's lineage — it cannot unpersist eagerly without forcing an
-    * action. The driver mains reap it (Bench/Verify inter-query
-    * unpersist-all + clearCache); any OTHER caller that runs actions
-    * must do the same afterwards (`sparkContext.getPersistentRDDs
-    * .values.foreach(_.unpersist(false))`, the
-    * DedupQualityInvariantSpec pattern) or it leaks corpus-grain
-    * cached blocks for the session. Same contract on
-    * [[dedupQualityOn]].
-    */
   def pairJaccard(s: SparkSession, dir: String): DataFrame = {
     // Three consumers (sizes + both self-join sides) with no shared
-    // exchange — materialize the gram grain once (the qd48 move;
-    // Bench's inter-query reset reaps it)
+    // exchange — materialize the gram grain once. Eager
+    // localCheckpoint, NOT persist (VERDICT r10 #7): a persist here
+    // rides the returned frame's lineage through the session
+    // CacheManager, which holds it strongly until an explicit
+    // unpersist — the old shape leaked corpus-grain blocks to every
+    // non-driver caller (specs reaped by hand). Checkpointed blocks
+    // are RDD-level (MEMORY_AND_DISK) and the ContextCleaner frees
+    // them when the frame is GC'd — no caller contract. Same move in
+    // [[dedupQualityOn]] and Dedup.minhashNearDups/incrementalDedup.
     val grams =
       Dedup.gramsRelational(Tables.documents(s, dir), "doc_id", "text")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint()
     val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
     // |A ∩ B| for consecutive-id pairs: gram equi-join + count
     val inter = grams.as("ga")
@@ -1948,22 +1944,20 @@ object TrainingOps {
     dedupQualityOn(Tables.documents(s, dir), Seq(0.5, 0.7, 0.9))
   }
 
-  /** Core of [[dedupQuality]] over any (doc_id, text) frame.
-    * CALLER CONTRACT: persists the gram grain — same
-    * reap-after-actions rule as [[pairJaccard]].
-    */
+  /** Core of [[dedupQuality]] over any (doc_id, text) frame. */
   def dedupQualityOn(docs: DataFrame, thresholds: Seq[Double]): DataFrame = {
     val P = DocFingerprint.Modulus
     // The gram stream feeds TWO independent shapes (distinct-hash
     // exact side, minhash-signature blocking side) whose aggregates
     // don't share an exchange — without materialization the tokenize
-    // + shingle Generate runs twice. Persist the gram grain once
-    // (MEMORY_AND_DISK; Bench's inter-query reset reaps it): this is
-    // the evaluation query, and its input is the gram table a
-    // production run would have materialized anyway.
+    // + shingle Generate runs twice. Eager localCheckpoint, not
+    // persist (the [[pairJaccard]] lifecycle note — ContextCleaner
+    // frees the blocks on GC, no caller reap contract): this is the
+    // evaluation query, and its input is the gram table a production
+    // run would have materialized anyway.
     val grams = Dedup.gramsRelational(docs, "doc_id", "text")
       .withColumn("fp", DocFingerprint.of(col("g")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     // exact side: distinct gram sets → co-gram pair intersections
     val gh = grams.select(col("doc_id"), xxhash64(col("g")).as("gh"))
       .distinct()

@@ -120,7 +120,7 @@ class ComponentsInvariantSpec extends SparkSpec {
     assert(got.count() == full.count(), "row counts diverge")
     assert(got.exceptAll(full).isEmpty && full.exceptAll(got).isEmpty,
       "refresh labels diverge from the full rebuild at sf0.1")
-    spark.sparkContext.getPersistentRDDs.values
-      .foreach(_.unpersist(false)) // shingle-persist caller contract
+    // no reap needed: the operators' internal materializations are
+    // eager localCheckpoints, freed on GC by the ContextCleaner
   }
 }

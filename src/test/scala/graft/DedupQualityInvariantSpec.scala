@@ -90,12 +90,10 @@ class DedupQualityInvariantSpec extends SparkSpec {
         assert(rec1 >= 0.99, s"t=$t: recall fell to $rec1 after planting")
       }
     } finally {
+      // dedupQualityOn's internal gram materialization is an eager
+      // localCheckpoint — its blocks free on GC via the ContextCleaner
+      // (VERDICT r10 #7), so only this suite's OWN persist needs reaping
       docs.unpersist(blocking = false)
-      // dedupQualityOn persists the sf0.1 gram grain internally (two
-      // instances here: base + planted) — reap them so later suites
-      // in the shared session don't inherit the storage pressure
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
     }
   }
 }

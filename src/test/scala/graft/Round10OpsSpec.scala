@@ -170,8 +170,8 @@ class Round10OpsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(got.sorted.sameElements(full.sorted),
       "incremental refresh must reproduce the full rebuild's labels")
-    spark.sparkContext.getPersistentRDDs.values
-      .foreach(_.unpersist(false)) // pairJaccard-family caller contract
+    // no reap needed: the operators' internal materializations are
+    // eager localCheckpoints, freed on GC by the ContextCleaner
   }
 
   test("qd55: DSIR weight math, vocab-cap binding, zero-match docs") {
