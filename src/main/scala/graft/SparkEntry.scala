@@ -205,6 +205,8 @@ object SparkEntry {
     "qd56_dsir_resample" -> (graft.operators.Selection.resampleQuery _),
     "qd57_refresh_publish" -> (TrainingOps.publishedLabels _),
     "qe24_opq_permute"   -> (TrainingOps.opqPermuteReport _),
+    "qs38_jsonl_stream"  -> (graft.ingest.JsonlIngest.jsonlStreamGate _),
+    "qm6_phash_neardup"  -> (TrainingOps.phashNearDups _),
   )
 
   /** Queries intentionally without an oracle — EMPTY since round 5:
@@ -1145,6 +1147,58 @@ object SparkEntry {
          |    AS wasted_bytes
          |FROM documents GROUP BY text
          |ORDER BY keeper_id""".stripMargin),
+    // qm6: every ingredient is integer-exact and recomputable from
+    // the source table — pixels are codepoints of the payload (the
+    // DocFingerprint unicode(c) convention), sample index and
+    // threshold are cleared of divisions ((i·len) div 64, p·64 > Σp),
+    // bands are bit sums, and the 4-band pigeonhole blocking is EXACT
+    // for hamming ≤ 3, so the oracle reproduces the pair set with the
+    // same banding equi-join. doc_id % 50 = 0 blobs are the planted
+    // invalid containers (excluded before feature-extract, the qm5
+    // router), empty payloads likewise.
+    "qm6_phash_neardup" ->
+      ("""WITH px AS (
+         |  SELECT doc_id AS media_id,
+         |    list_transform(string_split(text, ''), c -> unicode(c)) AS cps
+         |  FROM documents
+         |  WHERE doc_id % 50 <> 0 AND length(text) > 0),
+         |sam AS (
+         |  SELECT media_id, CAST(t.range AS INTEGER) AS i,
+         |    cps[CAST((t.range * len(cps)) // 64 AS INTEGER) + 1] AS p
+         |  FROM px, range(64) t),
+         |ag AS (
+         |  SELECT media_id, i, p,
+         |    SUM(p) OVER (PARTITION BY media_id) AS s
+         |  FROM sam),
+         |bd AS (
+         |  SELECT media_id, CAST(i // 16 AS INTEGER) AS bi,
+         |    CAST(SUM(CASE WHEN p * 64 > s THEN 1 ELSE 0 END
+         |      * (CAST(1 AS BIGINT) << CAST(i % 16 AS INTEGER)))
+         |      AS BIGINT) AS bv
+         |  FROM ag GROUP BY 1, 2),
+         |cand AS (
+         |  SELECT a.media_id AS media_a, b.media_id AS media_b
+         |  FROM bd a JOIN bd b ON a.bi = b.bi AND a.bv = b.bv
+         |    AND a.media_id < b.media_id
+         |  GROUP BY 1, 2),
+         |h AS (
+         |  SELECT media_id,
+         |    MAX(CASE WHEN bi = 0 THEN bv END) AS b0,
+         |    MAX(CASE WHEN bi = 1 THEN bv END) AS b1,
+         |    MAX(CASE WHEN bi = 2 THEN bv END) AS b2,
+         |    MAX(CASE WHEN bi = 3 THEN bv END) AS b3
+         |  FROM bd GROUP BY 1),
+         |sc AS (
+         |  SELECT media_a, media_b,
+         |    CAST(bit_count(xor(ha.b0, hb.b0)) + bit_count(xor(ha.b1, hb.b1))
+         |      + bit_count(xor(ha.b2, hb.b2)) + bit_count(xor(ha.b3, hb.b3))
+         |      AS INTEGER) AS hamming
+         |  FROM cand
+         |  JOIN h ha ON cand.media_a = ha.media_id
+         |  JOIN h hb ON cand.media_b = hb.media_id)
+         |SELECT media_a, media_b, hamming FROM sc
+         |WHERE hamming <= 3
+         |ORDER BY media_a, media_b""".stripMargin),
     // qd42: qd23's char-bigram mirror split ref/score; Laplace terms
     // quantized to micro-nats AFTER identical double divisions, so
     // per-doc sums are exact integers; ln-vs-log ulp absorbed by the
@@ -1549,6 +1603,17 @@ object SparkEntry {
     // query itself, so the ledger is fully recomputable — per-lang
     // counts from the source table plus the fixed quarantine row.
     "qd49_jsonl_roundtrip" ->
+      ("""SELECT lang AS bucket, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+         |FROM documents GROUP BY lang
+         |UNION ALL
+         |SELECT '_corrupt', CAST(2 AS BIGINT), CAST(NULL AS BIGINT)
+         |ORDER BY bucket""".stripMargin),
+    // qs38: the streaming drain of qd49's quarantined JSONL ingest —
+    // counts and long-sums are order-free monoids, so the incremental
+    // complete-mode ledger is bit-equal to the batch rescan and qd49's
+    // oracle carries over verbatim.
+    "qs38_jsonl_stream" ->
       ("""SELECT lang AS bucket, CAST(count(*) AS BIGINT) AS n,
          |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
          |FROM documents GROUP BY lang

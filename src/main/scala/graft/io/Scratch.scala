@@ -86,6 +86,15 @@ object Scratch {
       "graft_qd49_" + sfDir.replaceAll("[^A-Za-z0-9._-]", "_"))
       .getAbsolutePath
 
+  /** qs38's streaming-JSONL landing root (good export + planted
+    * corrupt file in ONE directory — the file-stream source lists a
+    * single landing path), keyed like [[qp1Dir]].
+    */
+  def qs38Dir(sfDir: String): String =
+    new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_qs38_" + sfDir.replaceAll("[^A-Za-z0-9._-]", "_"))
+      .getAbsolutePath
+
   /** qd50's sharded-export root, keyed like [[qp1Dir]]. */
   def qd50Dir(sfDir: String): String =
     new java.io.File(System.getProperty("java.io.tmpdir"),

@@ -304,6 +304,13 @@ object TrainingOps {
   def mediaDedup(s: SparkSession, dir: String): DataFrame =
     Multimodal.mediaDedup(Multimodal.mediaFromDocs(Tables.documents(s, dir)))
 
+  /** qm6's declared form: perceptual near-dups over the deterministic
+    * media corpus — see [[Multimodal.phashNearDups]].
+    */
+  def phashNearDups(s: SparkSession, dir: String): DataFrame =
+    Multimodal.phashNearDups(
+      Multimodal.mediaFromDocs(Tables.documents(s, dir)))
+
   /** qd42 — CROSS-corpus perplexity filter (the CCNet/Wikipedia-LM
     * move): estimate the character-bigram model on a REFERENCE corpus
     * (src0), score every OTHER document against it — qd23 scores the

@@ -272,7 +272,7 @@ object EventStream {
     * drain completes inside the scope, so every micro-batch plans
     * with the override.
     */
-  private[streaming] def withShufflePartitions[A](s: SparkSession, n: Int)
+  private[graft] def withShufflePartitions[A](s: SparkSession, n: Int)
       (body: => A): A = {
     val key = "spark.sql.shuffle.partitions"
     val prev = s.conf.getOption(key)

@@ -180,6 +180,62 @@ class MultimodalSpec extends SparkSpec {
         r.getAs[Array[Byte]]("resized_bytes")).toMap
     assert(a(1L).sameElements(b(1L)))
   }
+
+  test("qm6 phash bands match an independent per-doc recomputation") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text")
+    val got = Multimodal.phashBands(Multimodal.mediaFromDocs(docs))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    val want = docs.collect().flatMap { r =>
+      val id = r.getLong(0); val text = r.getString(1)
+      if (id % 50 == 0 || text.isEmpty) None
+      else {
+        val cps = text.codePoints().toArray
+        val px = Array.tabulate(64)(i => cps(i * cps.length / 64))
+        val s = px.sum
+        val b = Array.fill(4)(0L)
+        for (i <- 0 until 64 if px(i) * 64 > s) b(i / 16) |= 1L << (i % 16)
+        Some(id -> (b(0), b(1), b(2), b(3)))
+      }
+    }.toMap
+    assert(got == want)
+  }
+
+  test("qm6 finds a planted perceptual near-dup; exact blocking at ham<=3") {
+    // base doc + a copy with ONE character nudged: at most a few
+    // sampled pixels move, the pair must survive blocking and verify
+    val base = ("abcdefgh " * 40).trim
+    val edited = base.updated(5, 'x')
+    val far = ("zz 99 !! " * 40).trim
+    val rows = Seq(
+      (10L, base), (11L, edited), (12L, far),
+      (13L, base),            // exact perceptual copy of 10 → hamming 0
+      (650L, base))           // 650 % 50 == 0 → invalid blob, excluded
+    val media = Multimodal.mediaFromDocs(rows.toDF("doc_id", "text"))
+    val pairs = Multimodal.phashNearDups(media).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs.contains((10L, 13L)) && pairs((10L, 13L)) == 0,
+      s"exact copy must pair at hamming 0: $pairs")
+    assert(pairs.keySet.forall { case (a, b) => a != 650L && b != 650L },
+      "invalid blobs must never be hashed")
+    // the single-character edit moves few pixels: if admitted, its
+    // hamming must be the true distance; EXACTNESS of the blocking is
+    // the real pin — recompute all pairs brute-force and compare
+    val hs = Multimodal.phashBands(media).collect()
+      .map(r => r.getLong(0) -> Seq(r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toMap
+    val brute = (for {
+      a <- hs.keys; b <- hs.keys if a < b
+      d = hs(a).zip(hs(b))
+        .map { case (x, y) => java.lang.Long.bitCount(x ^ y) }.sum
+      if d <= 3
+    } yield (a, b) -> d).toMap
+    assert(pairs == brute,
+      s"pigeonhole blocking must be exact: got $pairs want $brute")
+  }
 }
 
 /** Companion holding the injected real decoder as a STATIC function —

@@ -785,7 +785,10 @@ class PlanSpec extends SparkSpec
         "qd52_prf_expansion",
         // qe22: fuses the qe11-class Hamming scan with the SQ8
         // artifact scan — the broadcast is the 5-query signature set
-        "qe22_rrf_fusion")
+        "qe22_rrf_fusion",
+        // qe24: evaluates the brute truth (qe1's broadcast-cross
+        // class), same as qe20
+        "qe24_opq_permute")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val p = plan(fn(spark, sf))
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian")
