@@ -207,6 +207,10 @@ object SparkEntry {
     "qe24_opq_permute"   -> (TrainingOps.opqPermuteReport _),
     "qs38_jsonl_stream"  -> (graft.ingest.JsonlIngest.jsonlStreamGate _),
     "qm6_phash_neardup"  -> (TrainingOps.phashNearDups _),
+    "qd58_nb_classify"   -> (graft.operators.Selection.nbQuery _),
+    "qd59_hll_profile"   -> (graft.operators.Sketch.hllQuery _),
+    "qs39_admission_gate" -> (graft.streaming.Admission.admissionGate _),
+    "qd60_hll_overlap"   -> (graft.operators.Sketch.hllOverlapQuery _),
   )
 
   /** Queries intentionally without an oracle — EMPTY since round 5:
@@ -343,6 +347,27 @@ object SparkEntry {
     "qd57_refresh_publish" -> dupClustersSql,
     "qd55_dsir_weights" -> dsirSql,
     "qd56_dsir_resample" -> dsirResampleSql,
+    "qd58_nb_classify" -> nbSql,
+    "qd59_hll_profile" -> hllSql,
+    "qd60_hll_overlap" -> hllOverlapSql,
+    // qs39: qd40's exhaustive batch×corpus oracle re-framed on the
+    // qd54 corpus split (src19 arrives, everything else stands) — the
+    // streaming gate's micro-batch union is provably boundary-free
+    // (per-doc verdicts are order-free; Dedup.admitAgainst scaladoc),
+    // so the batch oracle carries over verbatim.
+    "qs39_admission_gate" ->
+      (s"""$shingleCte,
+         |m AS (SELECT sh.doc_id, d.source != 'src19' AS corp, sh.s
+         |  FROM sh JOIN documents d USING (doc_id)),
+         |x AS (SELECT b.doc_id, CAST(min(c.doc_id) AS BIGINT) AS dup_of
+         |  FROM m b JOIN m c ON NOT b.corp AND c.corp
+         |    AND CAST(len(list_intersect(b.s, c.s)) AS DOUBLE)
+         |      / CAST(len(list_distinct(list_concat(b.s, c.s)))
+         |          AS DOUBLE) >= 0.9
+         |  GROUP BY 1)
+         |SELECT m.doc_id, x.dup_of, x.dup_of IS NOT NULL AS is_dup
+         |FROM m LEFT JOIN x USING (doc_id) WHERE NOT m.corp
+         |ORDER BY doc_id""".stripMargin),
     "qd14_decontaminate" -> decontaminateSql,
     "qd36_leakage_split" -> leakageSplitSql,
     // qd37: the oracle takes the plain self-join formulation — same
@@ -1155,13 +1180,21 @@ object SparkEntry {
     // for hamming ≤ 3, so the oracle reproduces the pair set with the
     // same banding equi-join. doc_id % 50 = 0 blobs are the planted
     // invalid containers (excluded before feature-extract, the qm5
-    // router), empty payloads likewise.
+    // router), empty payloads likewise; doc_id % 40 = 7 docs also
+    // land as re-wrapped copies at media_id doc_id + 10^9 (same
+    // payload, different container — Multimodal.mediaWithRewraps),
+    // which phash must pair at hamming 0.
     "qm6_phash_neardup" ->
       ("""WITH px AS (
          |  SELECT doc_id AS media_id,
          |    list_transform(string_split(text, ''), c -> unicode(c)) AS cps
          |  FROM documents
-         |  WHERE doc_id % 50 <> 0 AND length(text) > 0),
+         |  WHERE doc_id % 50 <> 0 AND length(text) > 0
+         |  UNION ALL
+         |  SELECT doc_id + 1000000000 AS media_id,
+         |    list_transform(string_split(text, ''), c -> unicode(c)) AS cps
+         |  FROM documents
+         |  WHERE doc_id % 40 = 7 AND length(text) > 0),
          |sam AS (
          |  SELECT media_id, CAST(t.range AS INTEGER) AS i,
          |    cps[CAST((t.range * len(cps)) // 64 AS INTEGER) + 1] AS p
@@ -2591,6 +2624,201 @@ object SparkEntry {
        |  CAST(score_micro AS DOUBLE) / 1000000.0 AS score
        |FROM j
        |ORDER BY sel_key DESC, doc_id LIMIT 64""".stripMargin
+
+  /** qd58 oracle: retrains the capped-vocabulary Naive Bayes model
+    * from scratch — (token, lang) exact counts, top-8192 vocabulary
+    * by (count DESC, token ASC), zero-filled class grid, per-class
+    * totals — evaluates weights and priors through the SAME
+    * dialect-shared micro-nat expressions the Spark side applies
+    * ([[graft.operators.Selection.nbWeightMicroSql]] /
+    * [[nbPriorMicroSql]]), scores every document against every class
+    * (CROSS JOIN + COALESCE 0 covers token-free docs — the Spark
+    * side's explode_outer + left-probe shape), and takes the argmax
+    * with the same (score DESC, lang ASC) tie-break. Every score is
+    * an exact BIGINT sum, so the confusion matrix is bit-equal.
+    */
+  private lazy val nbSql: String =
+    s"""WITH toks AS (SELECT doc_id, lang, unnest(list_filter(
+       |    string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'),
+       |      ' '), t -> t != '')) AS token FROM documents),
+       |tfd AS (SELECT doc_id, lang, token, CAST(count(*) AS BIGINT) AS tf
+       |  FROM toks GROUP BY 1, 2, 3),
+       |vc AS (SELECT token, lang, CAST(SUM(tf) AS BIGINT) AS c
+       |  FROM tfd GROUP BY 1, 2),
+       |vocab AS (SELECT token FROM (
+       |    SELECT token, CAST(SUM(c) AS BIGINT) AS c_all FROM vc GROUP BY 1)
+       |  ORDER BY c_all DESC, token LIMIT 8192),
+       |cl AS (SELECT DISTINCT lang FROM documents),
+       |cnt AS (SELECT v.token, cl.lang,
+       |    CAST(COALESCE(vc.c, 0) AS BIGINT) AS c
+       |  FROM vocab v CROSS JOIN cl
+       |  LEFT JOIN vc ON vc.token = v.token AND vc.lang = cl.lang),
+       |tot AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS t_l
+       |  FROM cnt GROUP BY 1),
+       |vv AS (SELECT CAST(count(*) AS BIGINT) AS vn FROM vocab),
+       |wv AS (SELECT c.token, c.lang,
+       |    ${graft.operators.Selection.nbWeightMicroSql} AS w
+       |  FROM cnt c JOIN tot USING (lang), vv),
+       |pri AS (SELECT nd.lang,
+       |    ${graft.operators.Selection.nbPriorMicroSql} AS p
+       |  FROM (SELECT lang, CAST(count(*) AS BIGINT) AS n_l
+       |      FROM documents GROUP BY 1) nd,
+       |    (SELECT CAST(count(*) AS BIGINT) AS n FROM documents) nn),
+       |ts AS (SELECT t.doc_id, w.lang AS cand,
+       |    CAST(SUM(t.tf * w.w) AS BIGINT) AS s
+       |  FROM tfd t JOIN wv w ON t.token = w.token GROUP BY 1, 2),
+       |sc AS (SELECT d.doc_id, d.lang AS actual, cl.lang AS cand,
+       |    CAST(COALESCE(ts.s, 0) + pri.p AS BIGINT) AS score
+       |  FROM documents d CROSS JOIN cl
+       |  LEFT JOIN ts ON ts.doc_id = d.doc_id AND ts.cand = cl.lang
+       |  JOIN pri ON pri.lang = cl.lang),
+       |pred AS (SELECT actual, cand AS pred_lang,
+       |    row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY score DESC, cand) AS rn
+       |  FROM sc)
+       |SELECT actual AS lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+       |FROM pred WHERE rn = 1 GROUP BY 1, 2
+       |ORDER BY lang, pred_lang""".stripMargin
+
+  /** qd59 oracle: rebuilds the portable two-grain HLL from first
+    * principles — the qd37 shingle CTE for the gram leg (the SAME
+    * text the near-dup oracles use) plus a token-occurrence leg off
+    * its doc-grain token lists, the qd5/qd12 rolling fingerprint of
+    * each item, the same Fibonacci avalanche / register split in
+    * exact BIGINT ops (`//`, `%` ≡ the Spark side's
+    * shiftright/bitwiseAND on these nonnegative fields), rank via
+    * LENGTH(BIN(r)) which both engines evaluate identically, and the
+    * estimator through the dialect-shared
+    * [[graft.operators.Sketch.hllEstSql]] — so even the corrected
+    * estimate matches to the bit.
+    */
+  private lazy val hllSql: String =
+    s"""$shingleCte,
+       |items AS (
+       |  SELECT d.source, 'token' AS grain, unnest(t.t) AS item
+       |  FROM toks t JOIN documents d USING (doc_id)
+       |  UNION ALL
+       |  SELECT d.source, 'shingle' AS grain, unnest(sh.s) AS item
+       |  FROM sh JOIN documents d USING (doc_id)),
+       |tfc AS (SELECT source, grain, item, CAST(count(*) AS BIGINT) AS tf
+       |  FROM items GROUP BY 1, 2, 3),
+       |h0 AS (SELECT source, grain,
+       |    (CAST(CASE WHEN length(item) = 0 THEN 0 ELSE
+       |      list_reduce(list_transform(string_split(item, ''),
+       |        c -> CAST(unicode(c) AS BIGINT)),
+       |      (acc, x) -> (acc * 31 + x) % 2147483647) END AS BIGINT)
+       |     * 2654435761) % 2147483648 AS h1
+       |  FROM tfc),
+       |ha AS (SELECT source, grain,
+       |    (xor(h1, h1 // 32768) * 2246822519) % 2147483648 AS h3
+       |  FROM h0),
+       |hx AS (SELECT source, grain, xor(h3, h3 // 8192) AS h2 FROM ha),
+       |rr AS (SELECT source, grain, h2 // 8388608 AS idx,
+       |    CASE WHEN h2 % 8388608 = 0 THEN 24
+       |      ELSE 24 - CAST(length(bin(h2 % 8388608)) AS INTEGER) END AS mx0
+       |  FROM hx),
+       |regs AS (SELECT source, grain, idx, MAX(mx0) AS mx
+       |  FROM rr GROUP BY 1, 2, 3),
+       |sk AS (SELECT source, grain,
+       |    CAST(SUM(${graft.operators.Sketch.hllTermSql}) AS BIGINT)
+       |      AS s_present,
+       |    CAST(count(*) AS BIGINT) AS m_p
+       |  FROM regs GROUP BY 1, 2),
+       |st AS (SELECT source, grain, CAST(SUM(tf) AS BIGINT) AS n_items,
+       |    CAST(count(*) AS BIGINT) AS exact_distinct
+       |  FROM tfc GROUP BY 1, 2),
+       |j AS (SELECT st.source, st.grain, n_items, exact_distinct,
+       |    CAST(256 - m_p AS BIGINT) AS zeros,
+       |    CAST(s_present + (256 - m_p) * 16777216 AS BIGINT) AS s_total
+       |  FROM st JOIN sk ON st.source = sk.source AND st.grain = sk.grain),
+       |e AS (SELECT source, grain, n_items, exact_distinct, zeros,
+       |    ${graft.operators.Sketch.hllEstSql} AS hll_est FROM j)
+       |SELECT source, grain, n_items, exact_distinct, hll_est,
+       |  zeros AS zero_regs,
+       |  ${graft.operators.Sketch.hllErrSql} AS err_micro
+       |FROM e ORDER BY source, grain""".stripMargin
+
+  /** qd60 oracle: rebuilds the qd59 portable registers at the
+    * (source, distinct shingle) grain, densifies onto the 256-index
+    * spine, folds pair unions with GREATEST (the register-max
+    * monoid), and evaluates every estimate through the SAME
+    * dialect-shared expressions the Spark side applies
+    * ([[graft.operators.Sketch.hllTermSql]] / [[Sketch.hllEstSql]] /
+    * [[Sketch.jaccMicroSql]] / [[Sketch.jaccEstMicroSql]]) — exact
+    * BIGINT register sums in, bit-identical estimates out. The exact
+    * columns are the qd37-style item equi-join recomputed in full.
+    */
+  private lazy val hllOverlapSql: String =
+    s"""$shingleCte,
+       |items AS (SELECT DISTINCT d.source, unnest(sh.s) AS item
+       |  FROM sh JOIN documents d USING (doc_id)),
+       |exn AS (SELECT source, CAST(count(*) AS BIGINT) AS exact_n
+       |  FROM items GROUP BY 1),
+       |exo AS (SELECT x.source AS src_a, y.source AS src_b,
+       |    CAST(count(*) AS BIGINT) AS ov
+       |  FROM items x JOIN items y
+       |    ON x.item = y.item AND x.source < y.source
+       |  GROUP BY 1, 2),
+       |h0 AS (SELECT source,
+       |    (CAST(CASE WHEN length(item) = 0 THEN 0 ELSE
+       |      list_reduce(list_transform(string_split(item, ''),
+       |        c -> CAST(unicode(c) AS BIGINT)),
+       |      (acc, x) -> (acc * 31 + x) % 2147483647) END AS BIGINT)
+       |     * 2654435761) % 2147483648 AS h1
+       |  FROM items),
+       |ha AS (SELECT source,
+       |    (xor(h1, h1 // 32768) * 2246822519) % 2147483648 AS h3
+       |  FROM h0),
+       |hx AS (SELECT source, xor(h3, h3 // 8192) AS h2 FROM ha),
+       |rr AS (SELECT source, h2 // 8388608 AS idx,
+       |    CASE WHEN h2 % 8388608 = 0 THEN 24
+       |      ELSE 24 - CAST(length(bin(h2 % 8388608)) AS INTEGER) END AS rho
+       |  FROM hx),
+       |regs AS (SELECT source, idx, MAX(rho) AS mx0
+       |  FROM rr GROUP BY 1, 2),
+       |dense AS (SELECT s.source, CAST(t.range AS BIGINT) AS idx,
+       |    CAST(COALESCE(regs.mx0, 0) AS BIGINT) AS mx
+       |  FROM (SELECT DISTINCT source FROM items) s
+       |  CROSS JOIN range(256) t
+       |  LEFT JOIN regs ON regs.source = s.source AND regs.idx = t.range),
+       |e1p AS (SELECT source,
+       |    CAST(SUM(${graft.operators.Sketch.hllTermSql}) AS BIGINT)
+       |      AS s_present,
+       |    CAST(count(*) AS BIGINT) AS m_nz
+       |  FROM dense WHERE mx > 0 GROUP BY 1),
+       |e1b AS (SELECT source, CAST(256 - m_nz AS BIGINT) AS zeros,
+       |    CAST(s_present + (256 - m_nz) * 16777216 AS BIGINT) AS s_total
+       |  FROM e1p),
+       |e1 AS (SELECT source, ${graft.operators.Sketch.hllEstSql} AS est
+       |  FROM e1b),
+       |pup AS (SELECT a.source AS src_a, b.source AS src_b,
+       |    GREATEST(a.mx, b.mx) AS mx
+       |  FROM dense a JOIN dense b
+       |    ON a.idx = b.idx AND a.source < b.source),
+       |pue AS (SELECT src_a, src_b,
+       |    CAST(SUM(${graft.operators.Sketch.hllTermSql}) AS BIGINT)
+       |      AS s_present,
+       |    CAST(count(*) AS BIGINT) AS m_nz
+       |  FROM pup WHERE mx > 0 GROUP BY 1, 2),
+       |pub AS (SELECT src_a, src_b, CAST(256 - m_nz AS BIGINT) AS zeros,
+       |    CAST(s_present + (256 - m_nz) * 16777216 AS BIGINT) AS s_total
+       |  FROM pue),
+       |pu AS (SELECT src_a, src_b,
+       |    ${graft.operators.Sketch.hllEstSql} AS est_union FROM pub),
+       |j AS (SELECT na.source AS src_a, nb.source AS src_b,
+       |    na.exact_n AS exact_a, nb.exact_n AS exact_b,
+       |    CAST(COALESCE(exo.ov, 0) AS BIGINT) AS exact_overlap
+       |  FROM exn na JOIN exn nb ON na.source < nb.source
+       |  LEFT JOIN exo ON exo.src_a = na.source AND exo.src_b = nb.source),
+       |f AS (SELECT j.*, ea.est AS est_a, eb.est AS est_b, pu.est_union
+       |  FROM j JOIN e1 ea ON ea.source = j.src_a
+       |  JOIN e1 eb ON eb.source = j.src_b
+       |  JOIN pu ON pu.src_a = j.src_a AND pu.src_b = j.src_b)
+       |SELECT src_a, src_b, exact_a, exact_b, exact_overlap,
+       |  CAST(est_a + est_b - est_union AS BIGINT) AS est_overlap,
+       |  ${graft.operators.Sketch.jaccMicroSql} AS jacc_micro,
+       |  ${graft.operators.Sketch.jaccEstMicroSql} AS jacc_est_micro
+       |FROM f ORDER BY src_a, src_b""".stripMargin
 
   private lazy val bm25Sql: String =
     s"""$bm25Ctes

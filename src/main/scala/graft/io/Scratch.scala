@@ -95,6 +95,14 @@ object Scratch {
       "graft_qs38_" + sfDir.replaceAll("[^A-Za-z0-9._-]", "_"))
       .getAbsolutePath
 
+  /** qs39's admission-gate roots (JSONL batch landing + per-batch
+    * verdict sink), keyed like [[qp1Dir]].
+    */
+  def qs39Dir(sfDir: String): String =
+    new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_qs39_" + sfDir.replaceAll("[^A-Za-z0-9._-]", "_"))
+      .getAbsolutePath
+
   /** qd50's sharded-export root, keyed like [[qp1Dir]]. */
   def qd50Dir(sfDir: String): String =
     new java.io.File(System.getProperty("java.io.tmpdir"),

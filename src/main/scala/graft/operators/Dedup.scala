@@ -116,7 +116,7 @@ object Dedup {
     * drift between them.
     */
   def gramsRelational(df: DataFrame, idCol: String,
-                      textCol: String): DataFrame = {
+                      textCol: String, carry: Seq[String] = Nil): DataFrame = {
     val w = Window.partitionBy("doc_id").orderBy("pos")
     // ONE scan, ONE tokenize. The earlier long/short branch split cost
     // two full scans, and filter pushdown substituted the token
@@ -135,9 +135,12 @@ object Dedup {
     // two-branch form, where size(null) compared false on both sides
     // (without this guard, posexplode_outer's (null, null) row would
     // give null-text docs an "" gram that empty-STRING docs get)
+    // `carry` threads doc-constant columns (e.g. qd59's source)
+    // through the one window pass as shuffle-row payload — the
+    // Selection.scoreGrain move, replacing a whole doc-grain join
     df.where(col(textCol).isNotNull)
-      .select(col(idCol).as("doc_id"),
-        posexplode_outer(tokens(col(textCol))).as(Seq("pos", "t")))
+      .select(col(idCol).as("doc_id") +: carry.map(col) :+
+        posexplode_outer(tokens(col(textCol))).as(Seq("pos", "t")): _*)
       .withColumn("t2", lead("t", 1).over(w))
       .withColumn("t3", lead("t", 2).over(w))
       .withColumn("g",
@@ -146,7 +149,7 @@ object Dedup {
           .when(col("pos").isNull || col("pos") === 0,
             concat_ws(" ", col("t"), col("t2"))))
       .filter(col("g").isNotNull)
-      .select("doc_id", "g")
+      .select(("doc_id" +: carry :+ "g").map(col): _*)
       .distinct()
   }
 
@@ -310,6 +313,47 @@ object Dedup {
       .select(col("doc_id"), col("dup_of"),
         col("dup_of").isNotNull.as("is_dup"))
       .orderBy("doc_id")
+  }
+
+  /** Batch-vs-STANDING admission: [[incrementalDedup]]'s (qd40)
+    * exact per-doc contract — smallest corpus doc each batch doc
+    * near-duplicates at `threshold`, or nothing — re-expressed
+    * against a stored corpus BAND INDEX (qd54's artifact) so the
+    * corpus never re-minhashes: candidates come from ONE equi-join
+    * of the batch's bands against the standing index, and corpus
+    * shingles re-derive ONLY for the docs that actually banded with
+    * the batch (the [[refreshClusterLabels]] cross-leg, including
+    * its uncapped standing-side join — production caps hot
+    * boilerplate bands at artifact-PUBLISH time, not per batch).
+    *
+    * Each output row depends only on (that doc, the corpus) — never
+    * on other batch docs — so ANY split of a batch into micro-batches
+    * unions to the same result. That order-free argument is what lets
+    * the qs39 streaming gate run this per arriving file and inherit
+    * qd40's exhaustive DuckDB oracle verbatim.
+    */
+  def admitAgainst(corpusDocs: DataFrame, corpusBands: DataFrame,
+                   batchDocs: DataFrame, threshold: Double): DataFrame = {
+    // same lifecycle as [[refreshClusterLabels]]: the batch shingle
+    // grain feeds banding AND the exact verify — checkpoint once
+    val batchSh = shingleFrame(batchDocs, "doc_id", "text")
+      .localCheckpoint()
+    val cross = bandFrame(batchSh)
+      .join(corpusBands.withColumnRenamed("doc_id", "doc_b"),
+        Seq("band_idx", "band_hash"))
+      .select(col("doc_id").as("doc_a"), col("doc_b"))
+      .distinct() // a pair sharing k bands verifies once, not k times
+    val candCorpusIds = cross.select(col("doc_b").as("doc_id")).distinct()
+    val corpusSh = shingleFrame(
+      corpusDocs.join(candCorpusIds, Seq("doc_id"), "left_semi"),
+      "doc_id", "text")
+    val dupOf = jaccardOver(batchSh.unionAll(corpusSh), cross)
+      .filter(col("jaccard") >= threshold)
+      .groupBy(col("doc_a").as("doc_id"))
+      .agg(min("doc_b").as("dup_of"))
+    batchDocs.select("doc_id").join(dupOf, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("dup_of"),
+        col("dup_of").isNotNull.as("is_dup"))
   }
 
   /** qd54 — incremental cluster-label REFRESH: fold a new batch into

@@ -222,6 +222,24 @@ object Multimodal {
       .orderBy("kind")
   }
 
+  /** qm6's declared corpus: [[mediaFromDocs]] plus RE-WRAPPED copies
+    * — every doc_id ≡ 7 (mod 40) also lands as media_id doc_id + 10⁹
+    * with the SAME payload under a DIFFERENT container (the shifted
+    * id drives kind/width/height/frames, so the wrapper genuinely
+    * changes). This is the scenario perceptual dedup exists for —
+    * the same underlying media re-encoded into another container —
+    * and it guarantees hamming-0 pairs at every corpus scale (the
+    * live sf0.001 corpus has no organic hamming ≤ 3 text pair, which
+    * left qm6 empty — exactly the planted-case rule qd48's spec
+    * follows). 7 mod 40 is odd and 10⁹ is even, so neither original
+    * nor copy can hit the doc_id % 50 == 0 invalid-blob slot; the
+    * oracle recomputes the copies from the same arithmetic.
+    */
+  def mediaWithRewraps(docs: DataFrame): DataFrame =
+    mediaFromDocs(docs).unionAll(mediaFromDocs(
+      docs.where(pmod(col("doc_id"), lit(40)) === 7)
+        .withColumn("doc_id", col("doc_id") + lit(1000000000L))))
+
   /** Per-blob perceptual-hash BANDS — the feature half of qm6's
     * near-dup pass, run at the codec seam ([[decodeMeta]]'s
     * mapPartitions discipline: decode + feature-extract per batch,

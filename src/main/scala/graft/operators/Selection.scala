@@ -247,4 +247,166 @@ object Selection {
     */
   def resampleQuery(s: SparkSession, dir: String): DataFrame =
     dsirResample(Tables.documents(s, dir), dsirModel(s, dir))
+
+  // ── qd58: multiclass Naive Bayes language classifier ──────────────
+
+  /** Dialect-shared per-(token, class) Naive Bayes log-likelihood
+    * (valid verbatim in Spark SQL and DuckDB, the [[weightMicroSql]]
+    * construction): add-1-smoothed ln((c+1)/(t_l+vn)) quantized to
+    * integer micro-nats, where `c` is the class-conditional count of
+    * the token, `t_l` the class's total count over the capped
+    * vocabulary, and `vn` the vocabulary size. Expects columns `c`,
+    * `t_l`, `vn` in scope.
+    */
+  val nbWeightMicroSql: String =
+    "CAST(FLOOR(LN((CAST(c AS DOUBLE) + 1.0) " +
+      "/ (CAST(t_l AS DOUBLE) + CAST(vn AS DOUBLE))) " +
+      "* 1000000.0 + 0.5) AS BIGINT)"
+
+  /** Dialect-shared class log-prior ln(n_l/n) in micro-nats; expects
+    * columns `n_l`, `n` in scope.
+    */
+  val nbPriorMicroSql: String =
+    "CAST(FLOOR(LN(CAST(n_l AS DOUBLE) / CAST(n AS DOUBLE)) " +
+      "* 1000000.0 + 0.5) AS BIGINT)"
+
+  /** The trained multinomial Naive Bayes model: class labels (sorted
+    * ascending — the tie-break order), the zero-filled class-
+    * conditional count grid over the top-`vocabCap` vocabulary, the
+    * per-class in-vocabulary totals, and the document-count priors.
+    * Driver-sized by construction (vocabCap × L longs — low MB at
+    * the 8192×5 default), the same table the scoring join broadcasts.
+    */
+  final case class NbModel(langs: Array[String],
+                           vocab: Array[(String, Array[Long])],
+                           tl: Array[Long], vn: Long,
+                           nl: Array[Long], n: Long)
+
+  private val nbModels =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, Int),
+      NbModel]
+
+  /** Train an [[NbModel]]: one tokenize pass to the (token, lang)
+    * count grain (map-side combined), vocabulary capped by (corpus
+    * count DESC, token ASC) exactly as [[trainDsir]], counts
+    * collected only at the capped grain (≤ vocabCap × L rows — the
+    * Ivf-collect class), priors from a lang-grain count.
+    */
+  def trainNb(docs: DataFrame, vocabCap: Int = 8192): NbModel = {
+    val tl = docs.select(col("lang"),
+        explode(Dedup.tokens(col("text"))).as("token"))
+      .groupBy("token", "lang").agg(count(lit(1)).as("c"))
+      .localCheckpoint() // two consumers: vocab cap + capped collect
+    val vocabDf = tl.groupBy("token").agg(sum("c").as("c_all"))
+      .orderBy(col("c_all").desc, col("token")).limit(vocabCap)
+    val counts = tl.join(vocabDf.select("token"), "token")
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    val priorRows = docs.groupBy("lang").agg(count(lit(1)).as("n_l"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    val langs = priorRows.map(_._1)
+    val vocabTokens = counts.keysIterator.map(_._1).toArray.distinct
+    val grid = vocabTokens.map(t =>
+      (t, langs.map(l => counts.getOrElse((t, l), 0L))))
+    NbModel(langs, grid,
+      langs.indices.map(i => grid.iterator.map(_._2(i)).sum).toArray,
+      vocabTokens.length.toLong, priorRows.map(_._2), priorRows.map(_._2).sum)
+  }
+
+  /** The amortized declared-query model — the [[dsirModel]] contract:
+    * cached per (dir, documents stamp, cap).
+    */
+  def nbModel(s: SparkSession, dir: String,
+              vocabCap: Int = 8192): NbModel = {
+    if (nbModels.size > 16) nbModels.clear()
+    nbModels.computeIfAbsent(
+      (dir, graft.io.ArtifactStore.tableStamp(dir, "documents"), vocabCap),
+      _ => trainNb(Tables.documents(s, dir), vocabCap))
+  }
+
+  /** The model as a broadcastable WIDE weight table (token, w_0 …
+    * w_{L-1}) — micro-nat weights evaluated from the local count
+    * grid through [[nbWeightMicroSql]], the SAME expression text the
+    * oracle runs, so they stay bit-identical cross-engine; then
+    * pivoted to one column per class so scoring is L conditional
+    * sums in ONE doc-grain aggregate instead of an L-way row blowup.
+    */
+  private def nbWeightTable(s: SparkSession, m: NbModel): DataFrame = {
+    import s.implicits._
+    val rows = for {
+      (tok, cs) <- m.vocab.toSeq
+      i <- m.langs.indices
+    } yield (tok, m.langs(i), cs(i), m.tl(i))
+    rows.toDF("token", "lang", "c", "t_l")
+      .withColumn("vn", lit(m.vn))
+      .select(col("token"), col("lang"), expr(nbWeightMicroSql).as("w"))
+      .groupBy("token").pivot("lang", m.langs.toSeq).agg(first("w"))
+      .select(col("token") +:
+        m.langs.indices.map(i => col(m.langs(i)).as(s"w_$i")): _*)
+  }
+
+  /** Class log-priors in micro-nats, through [[nbPriorMicroSql]] —
+    * same bit-parity argument as [[nbWeightTable]]; L-row collect.
+    */
+  private def nbPriors(s: SparkSession, m: NbModel): Array[Long] = {
+    import s.implicits._
+    m.langs.zip(m.nl).toSeq.toDF("lang", "n_l")
+      .withColumn("n", lit(m.n))
+      .select(col("lang"), expr(nbPriorMicroSql).as("p"))
+      .collect().sortBy(_.getString(0)).map(_.getLong(1))
+  }
+
+  /** qd58 — multiclass Naive Bayes LANGUAGE CLASSIFIER, reported as
+    * the resubstitution confusion matrix (actual lang × predicted
+    * lang × count): the fastText-style linear text classifier as a
+    * closed-form Spark plan. Complements qd4 (fixed marker-list
+    * langid heuristic) with a model LEARNED from the corpus's own
+    * labels — the production shape for routing unlabeled text, and
+    * the standard report for "can the mixture's languages be told
+    * apart at all".
+    *
+    * Scale shape: scoring is ONE corpus pass — tokenize →
+    * (doc, token) map-side-combined tf aggregate → broadcast LEFT
+    * probe of the ≤vocabCap-row WIDE weight table → ONE doc-grain
+    * aggregate computing all L class sums at once → a map-side
+    * argmax expression (array_min over (−score, lang) structs — a
+    * codegen collection op, not a lambda HOF) → an L²-row confusion
+    * aggregate. Two shuffles total, no doc×class row blowup, no
+    * window. `explode_outer` keeps token-free documents (they score
+    * prior-only, same as the oracle's CROSS JOIN + COALESCE 0).
+    * The trainer is one additional pass, amortized per (dir, stamp)
+    * via [[nbModel]].
+    *
+    * Parity: counts are exact BIGINTs both engines; the only doubles
+    * are inside [[nbWeightMicroSql]]/[[nbPriorMicroSql]] — shared
+    * expression texts evaluated from exact integer inputs — so
+    * per-doc score sums are exact long arithmetic (|w| ≤ ~20·10⁶,
+    * tf ≤ dl ⇒ far under 2⁶³). Argmax ties break (score DESC, lang
+    * ASC) on both sides; vocabulary-cap ties break on the token
+    * string.
+    */
+  def nbConfusion(docs: DataFrame, m: NbModel): DataFrame = {
+    val s = docs.sparkSession
+    val wide = nbWeightTable(s, m)
+    val priors = nbPriors(s, m)
+    val tf = docs.select(col("doc_id"), col("lang"),
+        explode_outer(Dedup.tokens(col("text"))).as("token"))
+      .groupBy("doc_id", "lang", "token").agg(count(lit(1)).as("tf"))
+    val classSums = m.langs.indices.map(i =>
+      sum(col("tf") * coalesce(col(s"w_$i"), lit(0L))).as(s"s_$i"))
+    val sums = tf.join(broadcast(wide), Seq("token"), "left")
+      .groupBy("doc_id", "lang")
+      .agg(classSums.head, classSums.tail: _*)
+    val cands = array(m.langs.indices.map(i => struct(
+      (-(col(s"s_$i") + lit(priors(i)))).as("neg"),
+      lit(m.langs(i)).as("cand"))): _*)
+    sums
+      .select(col("lang"), array_min(cands).getField("cand").as("pred_lang"))
+      .groupBy("lang", "pred_lang").agg(count(lit(1)).as("n"))
+      .orderBy("lang", "pred_lang")
+  }
+
+  /** qd58 declared form: the cached model's confusion matrix. */
+  def nbQuery(s: SparkSession, dir: String): DataFrame =
+    nbConfusion(Tables.documents(s, dir), nbModel(s, dir))
 }

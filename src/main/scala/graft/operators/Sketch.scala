@@ -1,0 +1,264 @@
+package graft.operators
+
+import graft.core.Tables
+import graft.functions.DocFingerprint
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Cardinality SKETCHES — the 100 TB profiling story. A corpus-health
+  * dashboard wants per-source distinct-token counts, but an exact
+  * COUNT(DISTINCT) is a full (source, token) dedup shuffle; the
+  * HyperLogLog estimate (Flajolet et al. 2007) needs 256 longs per
+  * source. Spark's own approx_count_distinct is HLL++ — but its
+  * register hashing isn't reproducible outside the JVM, so a DuckDB
+  * oracle can't recompute it. This is a PORTABLE HLL built from the
+  * repo's cross-engine fingerprint convention: every ingredient is
+  * exact integer arithmetic or one dialect-shared double expression,
+  * so the estimate — registers, corrections and all — is
+  * bit-reproducible in both engines. The declared report (qd59) runs
+  * the sketch NEXT TO the exact count, so its error is measured, not
+  * asserted.
+  */
+object Sketch {
+
+  /** 2⁸ = 256 registers: the 31-bit fingerprint splits into an 8-bit
+    * register index (top, best-mixed bits of the multiplicative
+    * hash) and a 23-bit rank field. Standard error 1.04/√256 ≈ 6.5%.
+    */
+  val HllRegisters = 256
+  val RankWidth = 23
+
+  /** Dialect-shared per-register geometric term 2^(24−mx) — POWER(2,k)
+    * is IEEE-exact for k ∈ [1, 24] and the ≤256-term BIGINT sum stays
+    * far under 2⁵³, so the register sum is exact in both engines.
+    * Expects the register maximum `mx` in scope.
+    */
+  val hllTermSql: String =
+    "CAST(POWER(2.0, CAST(24 - mx AS DOUBLE)) AS BIGINT)"
+
+  /** Dialect-shared HLL estimator (one expression text, both
+    * engines): raw E = α₂₅₆·m²·2²³⁺¹/S with α_m = 0.7213/(1+1.079/m),
+    * switched to linear counting m·ln(m/V) in the small range
+    * (E ≤ 2.5m and V > 0 empty registers) — the Flajolet small-range
+    * correction. All inputs are exact BIGINTs (`s_total` = Σ 2^(24−M_j)
+    * over all 256 registers, `zeros` = count of never-hit registers),
+    * so the rounded estimate is bit-identical cross-engine. The raw-E
+    * text repeats across the CASE branches — the conditional-CSE trap
+    * is irrelevant at the ≤sources-row grain this evaluates on.
+    */
+  val hllEstSql: String =
+    "CAST(FLOOR(CASE WHEN 0.7213 / (1.0 + 1.079 / 256.0) " +
+      "* 65536.0 * 16777216.0 / CAST(s_total AS DOUBLE) <= 640.0 " +
+      "AND zeros > 0 " +
+      "THEN 256.0 * LN(256.0 / CAST(zeros AS DOUBLE)) " +
+      "ELSE 0.7213 / (1.0 + 1.079 / 256.0) " +
+      "* 65536.0 * 16777216.0 / CAST(s_total AS DOUBLE) END " +
+      "+ 0.5) AS BIGINT)"
+
+  /** Dialect-shared signed relative error of the estimate vs the
+    * exact count, in integer micro-units (round-half-up, the qd11
+    * family). Expects `hll_est`, `exact_distinct` in scope.
+    */
+  val hllErrSql: String =
+    "CAST(FLOOR((CAST(hll_est AS DOUBLE) / CAST(exact_distinct AS DOUBLE) " +
+      "- 1.0) * 1000000.0 + 0.5) AS BIGINT)"
+
+  /** qd59 — per-(source, grain) distinct-item profile: exact count vs
+    * the portable 256-register HLL estimate, with empty-register
+    * count and signed relative error. Two grains per source — word
+    * TOKENS (the vocabulary statistic; low-cardinality on this
+    * corpus, so it exercises the linear-counting small-range path,
+    * where the sketch is exact) and the qd37/qd48 3-gram SHINGLES
+    * (the dedup band-index sizing statistic; ~10⁴ per source, the
+    * genuine large-range estimator regime with its honest ~6.5%
+    * error). The quality report for replacing exact-distinct
+    * shuffles with kilobyte sketch state at 100 TB.
+    *
+    * Register derivation (all exact integer ops, no shared-text
+    * needed): the rolling 31-bit item fingerprint is avalanched by a
+    * murmur3-style 31-bit finalizer — TWO multiplicative rounds
+    * (Knuth's 2654435761, lz4's 2246822519) with xorshift folds
+    * (>>15, >>13) between them. One multiplicative step is NOT
+    * enough: it maps near-sequential fingerprints (structured token
+    * sets like w0…w499) to a low-discrepancy, over-uniform register
+    * spread that inflates linear counting by 50%+ (measured;
+    * Round11OpsSpec's structured-input spec holds the fixed mix to
+    * ±20%). Register = h >> 23 (the well-mixed HIGH bits), rank
+    * field r = h & (2²³−1), rank ρ = 24 − bitlength(r) via
+    * LENGTH(BIN(r)) — BIN/LENGTH agree in Spark SQL and DuckDB.
+    *
+    * Scale shape: ONE tokenize pass per grain (the shingle pass is
+    * [[Dedup.gramsRelational]] with source carried through its
+    * existing window shuffle as payload — no doc-grain join), union
+    * to one item stream → (source, grain, item) map-side-combined
+    * count grain (feeding BOTH the exact count and the sketch, so
+    * the comparison is one scan); register state is ≤ 256 rows ×
+    * source × grain after the second map-combined aggregate — the
+    * sketch path's shuffle is kilobytes regardless of corpus size.
+    * A production profile (estimate only, no exact column) drops the
+    * distinct grain entirely and shuffles ONLY register maxima —
+    * that path is this plan minus the `tfc` exchange.
+    */
+  /** The portable (idx, rho) register derivation from an item column
+    * — fingerprint → murmur-style avalanche → register split (see
+    * [[hllProfile]]'s scaladoc for why two mix rounds are required).
+    * Factored so [[hllOverlap]] sketches with bit-identical registers.
+    */
+  private def withRegisterCols(df: DataFrame, itemCol: String): DataFrame =
+    df.withColumn("fp", DocFingerprint.of(col(itemCol)))
+      .withColumn("h1", (col("fp") * lit(2654435761L)) % lit(2147483648L))
+      .withColumn("ha", col("h1").bitwiseXOR(shiftright(col("h1"), 15)))
+      .withColumn("h3", (col("ha") * lit(2246822519L)) % lit(2147483648L))
+      .withColumn("h2", col("h3").bitwiseXOR(shiftright(col("h3"), 13)))
+      .withColumn("idx", shiftright(col("h2"), RankWidth))
+      .withColumn("r", col("h2").bitwiseAND(lit((1L << RankWidth) - 1)))
+      .withColumn("rho", when(col("r") === 0, lit(RankWidth + 1))
+        .otherwise(lit(RankWidth + 1) - length(bin(col("r")))))
+
+  def hllProfile(docs: DataFrame): DataFrame = {
+    DocFingerprint.register(docs.sparkSession)
+    val toks = docs.select(col("source"), lit("token").as("grain"),
+      explode(Dedup.tokens(col("text"))).as("item"))
+    val grams = Dedup
+      .gramsRelational(docs, "doc_id", "text", carry = Seq("source"))
+      .select(col("source"), lit("shingle").as("grain"),
+        col("g").as("item"))
+    val tfc = toks.unionByName(grams)
+      .groupBy("source", "grain", "item").agg(count(lit(1)).as("tf"))
+      .localCheckpoint() // two consumers: exact grain + sketch grain
+    val regs = withRegisterCols(tfc, "item")
+      .groupBy("source", "grain", "idx").agg(max(col("rho")).as("mx"))
+    val sk = regs.groupBy("source", "grain").agg(
+      sum(expr(hllTermSql)).as("s_present"),
+      count(lit(1)).as("m_p"))
+    val exact = tfc.groupBy("source", "grain").agg(
+      sum(col("tf")).as("n_items"),
+      count(lit(1)).as("exact_distinct"))
+    exact.join(sk, Seq("source", "grain")) // ≤ sources × 2 rows
+      .withColumn("zeros", lit(HllRegisters.toLong) - col("m_p"))
+      .withColumn("s_total",
+        col("s_present") + col("zeros") * lit(1L << (RankWidth + 1)))
+      .withColumn("hll_est", expr(hllEstSql))
+      .withColumn("err_micro", expr(hllErrSql))
+      .select(col("source"), col("grain"), col("n_items"),
+        col("exact_distinct"), col("hll_est"),
+        col("zeros").as("zero_regs"), col("err_micro"))
+      .orderBy("source", "grain")
+  }
+
+  /** qd59 declared form. */
+  def hllQuery(s: SparkSession, dir: String): DataFrame =
+    hllProfile(Tables.documents(s, dir))
+
+  /** Dialect-shared jaccard estimates in integer micro-units
+    * (round-half-up, the qd11 family). Expects the named inputs in
+    * scope; `est_union` > 0 always (the estimator is positive), and
+    * the exact union ≥ 1 for any source that shingles at all.
+    */
+  val jaccMicroSql: String =
+    "CAST(FLOOR(CAST(exact_overlap AS DOUBLE) " +
+      "/ CAST(exact_a + exact_b - exact_overlap AS DOUBLE) " +
+      "* 1000000.0 + 0.5) AS BIGINT)"
+  val jaccEstMicroSql: String =
+    "CAST(FLOOR(CAST(est_a + est_b - est_union AS DOUBLE) " +
+      "/ CAST(est_union AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)"
+
+  /** qd60 — cross-source distinct-shingle OVERLAP from HLL register
+    * algebra, reported next to the exact answer. qd37 measures
+    * cross-source contamination with a gram-keyed equi-join — exact,
+    * but its exchange carries every (gram, source) row. HLL registers
+    * are a MONOID under per-index max, so |A∪B| is estimable from the
+    * two sources' 256-register vectors alone and
+    * |A∩B| ≈ E(A) + E(B) − E(A∪B) (inclusion–exclusion); at 100 TB
+    * the per-source sketches are kilobyte artifacts and every pairwise
+    * overlap estimate costs a 256-row fold — no corpus-sized join at
+    * all. The declared report runs both paths so the estimator's
+    * error is measured, not asserted (est_overlap CAN go negative on
+    * near-disjoint pairs — sketch noise, reported honestly as-is).
+    *
+    * Everything is the qd59 portable construction (same registers,
+    * same dialect-shared estimator), so DuckDB reproduces the
+    * estimate to the bit: per-pair union registers are
+    * max(mx_a, mx_b) over a DENSE 256-index spine (zeros explicit —
+    * the pair fold is an equi-join on idx, no outer-join null
+    * handling), single-source estimates reuse the same dense frame.
+    *
+    * Scale shape: ONE shingle pass → (source, item) distinct grain,
+    * localCheckpointed for its two consumers (exact leg + sketch
+    * leg); the sketch side's state is sources × 256 rows after one
+    * map-combined max — the pair join is report-sized (S²·256/2
+    * rows, independent of corpus size). The exact leg exists only as
+    * the report's truth column; the production path drops it.
+    */
+  def hllOverlap(docs: DataFrame): DataFrame = {
+    DocFingerprint.register(docs.sparkSession)
+    val items = Dedup
+      .gramsRelational(docs, "doc_id", "text", carry = Seq("source"))
+      .select(col("source"), col("g").as("item"))
+      .distinct()
+      .localCheckpoint() // two consumers: exact overlap + registers
+    val exactN = items.groupBy("source").agg(count(lit(1)).as("exact_n"))
+    val exactOv = items.as("x").join(items.as("y"),
+        col("x.item") === col("y.item") &&
+          col("x.source") < col("y.source"))
+      .groupBy(col("x.source").as("src_a"), col("y.source").as("src_b"))
+      .agg(count(lit(1)).as("ov"))
+    val spine = docs.sparkSession.range(HllRegisters.toLong)
+      .select(col("id").as("idx"))
+    val regs = withRegisterCols(items, "item")
+      .groupBy("source", "idx").agg(max(col("rho")).cast("long").as("mx0"))
+    val dense = exactN.select("source")
+      .crossJoin(broadcast(spine)) // report-sized: sources × 256
+      .join(regs, Seq("source", "idx"), "left")
+      .withColumn("mx", coalesce(col("mx0"), lit(0L)))
+      .select("source", "idx", "mx")
+      .localCheckpoint() // two consumers: single ests + pair unions
+    def estimate(grouped: DataFrame): DataFrame = grouped
+      .withColumn("zeros", lit(HllRegisters.toLong) - col("m_nz"))
+      .withColumn("s_total",
+        col("s_present") + col("zeros") * lit(1L << (RankWidth + 1)))
+      .withColumn("est", expr(hllEstSql))
+    val est1 = estimate(dense.filter(col("mx") > 0)
+        .groupBy("source").agg(
+          sum(expr(hllTermSql)).as("s_present"),
+          count(lit(1)).as("m_nz")))
+      .select(col("source"), col("est"))
+    // the pair folds and the source-pair spine are REPORT-sized
+    // (S × 256 and S² rows) — broadcast them explicitly so the
+    // non-equi `<` conditions plan as bounded nested loops (the qe10
+    // label-matrix class), never a keyless corpus-side cartesian
+    val estU = estimate(dense.as("a").join(broadcast(dense.as("b")),
+        col("a.idx") === col("b.idx") &&
+          col("a.source") < col("b.source"))
+      .select(col("a.source").as("src_a"), col("b.source").as("src_b"),
+        greatest(col("a.mx"), col("b.mx")).as("mx"))
+      .filter(col("mx") > 0)
+      .groupBy("src_a", "src_b").agg(
+        sum(expr(hllTermSql)).as("s_present"),
+        count(lit(1)).as("m_nz")))
+      .select(col("src_a"), col("src_b"), col("est").as("est_union"))
+    exactN.as("na").join(broadcast(exactN.as("nb")),
+        col("na.source") < col("nb.source"))
+      .select(col("na.source").as("src_a"), col("nb.source").as("src_b"),
+        col("na.exact_n").as("exact_a"), col("nb.exact_n").as("exact_b"))
+      .join(exactOv, Seq("src_a", "src_b"), "left")
+      .withColumn("exact_overlap", coalesce(col("ov"), lit(0L)))
+      .join(est1.select(col("source").as("src_a"), col("est").as("est_a")),
+        Seq("src_a"))
+      .join(est1.select(col("source").as("src_b"), col("est").as("est_b")),
+        Seq("src_b"))
+      .join(estU, Seq("src_a", "src_b"))
+      .withColumn("est_overlap",
+        (col("est_a") + col("est_b") - col("est_union")).cast("long"))
+      .withColumn("jacc_micro", expr(jaccMicroSql))
+      .withColumn("jacc_est_micro", expr(jaccEstMicroSql))
+      .select(col("src_a"), col("src_b"), col("exact_a"), col("exact_b"),
+        col("exact_overlap"), col("est_overlap"),
+        col("jacc_micro"), col("jacc_est_micro"))
+      .orderBy("src_a", "src_b")
+  }
+
+  /** qd60 declared form. */
+  def hllOverlapQuery(s: SparkSession, dir: String): DataFrame =
+    hllOverlap(Tables.documents(s, dir))
+}

@@ -305,11 +305,15 @@ object TrainingOps {
     Multimodal.mediaDedup(Multimodal.mediaFromDocs(Tables.documents(s, dir)))
 
   /** qm6's declared form: perceptual near-dups over the deterministic
-    * media corpus — see [[Multimodal.phashNearDups]].
+    * media corpus plus its planted re-wrapped copies
+    * ([[Multimodal.mediaWithRewraps]] — same payload, different
+    * container, the case payload-hash qm4 already catches and a REAL
+    * re-encode would defeat; phash is the tier that also survives
+    * small payload edits). See [[Multimodal.phashNearDups]].
     */
   def phashNearDups(s: SparkSession, dir: String): DataFrame =
     Multimodal.phashNearDups(
-      Multimodal.mediaFromDocs(Tables.documents(s, dir)))
+      Multimodal.mediaWithRewraps(Tables.documents(s, dir)))
 
   /** qd42 — CROSS-corpus perplexity filter (the CCNet/Wikipedia-LM
     * move): estimate the character-bigram model on a REFERENCE corpus

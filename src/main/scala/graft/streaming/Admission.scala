@@ -1,0 +1,95 @@
+package graft.streaming
+
+import graft.core.Tables
+import graft.operators.{Dedup, TrainingOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** STREAMING near-dup admission — the production arrival path's
+  * dedup gate. New documents land as JSONL files in a drop folder;
+  * each arriving file becomes one micro-batch that is scored against
+  * the STANDING corpus band index ([[TrainingOps.corpusBands]], the
+  * qd54 stored artifact) with [[Dedup.admitAgainst]], and the
+  * per-doc verdict (smallest corpus near-duplicate at 0.9, or
+  * admitted) is written to a per-batch-id idempotent parquet sink
+  * (the qs16 exactly-once recipe: a retried batch overwrites its own
+  * `batch=<id>` directory instead of duplicating verdicts).
+  *
+  * This composes the round-11 streaming pieces into the loop a
+  * growing corpus actually runs: qs38 quarantines the arriving
+  * JSONL, THIS gate decides admit/reject per document against
+  * yesterday's index, and [[Dedup.publishRefresh]] (qd57) folds the
+  * admitted docs into the next index generation — each stage
+  * individually oracle-checked, the composition pinned in
+  * Round11StreamSpec.
+  *
+  * Batch ≡ stream: every verdict row depends only on (that doc, the
+  * standing index) — [[Dedup.admitAgainst]]'s order-free argument —
+  * so the union across micro-batches provably equals the one-shot
+  * batch gate regardless of how the files split the batch, and
+  * qd40's exhaustive DuckDB oracle carries over verbatim (corpus =
+  * every source but src19, the qd54 corpus≫batch framing).
+  *
+  * Scale shape: per micro-batch the work is batch-sized MinHash +
+  * one equi-join against the standing index plus a shingle re-derive
+  * of ONLY the corpus docs that banded — identical to qd54's refresh
+  * economics; nothing rescans or re-minhashes the corpus, and the
+  * sink is append-only parquet. At 100 TB/day the same foreachBatch
+  * body runs under a real file-arrival trigger with the index served
+  * from the artifact tier.
+  */
+object Admission {
+
+  /** qd54's batch predicate, shared framing: src19 is today's
+    * arrival, everything else is the standing corpus.
+    */
+  private val isCorpus = col("source") =!= "src19"
+
+  /** Land the src19 batch as JSONL in the watched drop folder,
+    * repartitioned so the drain sees SEVERAL micro-batches (one per
+    * file under maxFilesPerTrigger=1) — the boundary-independence
+    * the gate's correctness argument is about.
+    */
+  def landBatchJsonl(s: SparkSession, dir: String): String = {
+    val landing = graft.io.Scratch.qs39Dir(dir) + "/landing"
+    Tables.documents(s, dir).where(!isCorpus)
+      .repartition(4)
+      .select(to_json(struct(col("doc_id"), col("text"), col("lang"),
+        col("source"), col("n_chars"))).as("value"))
+      .write.mode("overwrite").text(landing)
+    landing
+  }
+
+  /** qs39 — drain the drop folder, score each micro-batch against
+    * the standing index, read the accumulated verdicts back.
+    */
+  def admissionGate(s: SparkSession, dir: String): DataFrame = {
+    val outRoot = graft.io.Scratch.qs39Dir(dir) + "/verdicts"
+    org.apache.commons.io.FileUtils
+      .deleteQuietly(new java.io.File(outRoot))
+    val corpus = Tables.documents(s, dir).where(isCorpus)
+    // the standing artifact: built once per (dir, stamp), amortized
+    // across qd54/qd57/qs39 — the gate measures per-batch work only
+    val bands = TrainingOps.corpusBands(s, dir)
+    val landing = landBatchJsonl(s, dir)
+    EventStream.withShufflePartitions(s, 8) {
+      val stream = s.readStream
+        .schema(graft.ingest.JsonlIngest.DocSchema)
+        .option("maxFilesPerTrigger", 1)
+        .json(landing)
+      val q = stream.writeStream
+        .foreachBatch { (df: DataFrame, batchId: Long) =>
+          Dedup.admitAgainst(corpus, bands, df, threshold = 0.9)
+            .write.mode("overwrite").parquet(s"$outRoot/batch=$batchId")
+          ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    s.read.parquet(outRoot)
+      .select("doc_id", "dup_of", "is_dup")
+      .orderBy("doc_id")
+  }
+}

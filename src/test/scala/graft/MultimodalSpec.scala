@@ -236,6 +236,27 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs == brute,
       s"pigeonhole blocking must be exact: got $pairs want $brute")
   }
+
+  test("qm6 declared corpus: re-wrapped copies pair at hamming 0") {
+    val rows = Seq(
+      (7L, ("alpha beta gamma " * 20).trim),   // 7 % 40 == 7 → planted
+      (8L, ("delta epsilon " * 25).trim),      // not planted
+      (47L, ("zeta eta theta " * 22).trim))    // 47 % 40 == 7 → planted
+    val media = Multimodal.mediaWithRewraps(rows.toDF("doc_id", "text"))
+    assert(media.count() == 5, "two re-wrapped copies on top of the base")
+    // the copy is the SAME payload under a DIFFERENT container: phash
+    // pairs it at hamming 0, while the wrapper kind genuinely changes
+    // (7 → audio, 10^9+7 → video under the id-driven header)
+    val kinds = Multimodal.decodeMeta(media).toDF()
+      .select("media_id", "kind").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(kinds(7L) != kinds(1000000007L),
+      s"re-wrap must change the container: $kinds")
+    val pairs = Multimodal.phashNearDups(media).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs((7L, 1000000007L)) == 0 &&
+      pairs((47L, 1000000047L)) == 0, s"got $pairs")
+  }
 }
 
 /** Companion holding the injected real decoder as a STATIC function —

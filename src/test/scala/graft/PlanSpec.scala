@@ -788,7 +788,12 @@ class PlanSpec extends SparkSpec
         "qe22_rrf_fusion",
         // qe24: evaluates the brute truth (qe1's broadcast-cross
         // class), same as qe20
-        "qe24_opq_permute")
+        "qe24_opq_permute",
+        // qd60: source_a < source_b over aggregate outputs bounded by
+        // source cardinality (the qe10 label-matrix class) plus the
+        // broadcast 256-row register spine — report-sized by
+        // construction, never corpus-scale
+        "qd60_hll_overlap")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val p = plan(fn(spark, sf))
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian")

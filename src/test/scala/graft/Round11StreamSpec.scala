@@ -29,6 +29,56 @@ class Round11StreamSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("qs39: streaming admission gate ≡ one-shot batch admission") {
+    // boundary-independence made concrete: the gate drains the src19
+    // batch as four separate micro-batches (repartition(4) landing,
+    // maxFilesPerTrigger = 1), and its unioned verdicts must equal
+    // Dedup.admitAgainst run once over the whole batch. The driver's
+    // DuckDB gate then checks the same rows against qd40's exhaustive
+    // batch×corpus oracle.
+    val docs = graft.core.Tables.documents(spark, dir)
+    val corpus = docs.where(col("source") =!= "src19")
+    val bands = Dedup.bandIndex(corpus, "doc_id", "text").localCheckpoint()
+    val oneShot = Dedup.admitAgainst(corpus, bands,
+        docs.where(col("source") === "src19"), threshold = 0.9)
+      .orderBy("doc_id").collect().toSeq
+    val streamed = graft.streaming.Admission.admissionGate(spark, dir)
+      .collect().toSeq
+    assert(streamed == oneShot)
+    assert(streamed.nonEmpty)
+  }
+
+  test("admitAgainst: rejects vs corpus only, never intra-batch") {
+    // contract edge the oracle can't isolate: a batch doc that
+    // duplicates ONLY another batch doc is ADMITTED — intra-batch
+    // dedup is qd1/qd6's job downstream; the gate scores each arrival
+    // against the standing corpus alone, which is exactly what makes
+    // its verdicts micro-batch-order-free.
+    import spark.implicits._
+    val mk = (id: Long, t: String) => (id, t)
+    val corpusText = "alpha beta gamma delta epsilon zeta eta theta " +
+      "iota kappa lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val otherText = "one two three four five six seven eight nine ten " +
+      "eleven twelve thirteen fourteen fifteen sixteen seventeen"
+    val corpus = Seq(mk(1L, corpusText), mk(2L, "unrelated corpus words " +
+        "entirely disjoint vocabulary nothing shared here at all with " +
+        "anything else in this fixture"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      mk(10L, corpusText),   // exact dup of corpus doc 1 → rejected
+      mk(11L, otherText),    // novel → admitted
+      mk(12L, otherText))    // dup of batch doc 11 ONLY → admitted
+      .toDF("doc_id", "text")
+    val bands = Dedup.bandIndex(corpus, "doc_id", "text")
+    val got = Dedup.admitAgainst(corpus, bands, batch, threshold = 0.9)
+      .orderBy("doc_id")
+      .select("doc_id", "dup_of", "is_dup")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1), r.getBoolean(2))).toSeq
+    assert(got == Seq((10L, 1L, true), (11L, -1L, false),
+      (12L, -1L, false)))
+  }
+
   test("arrival path: JSONL drops → quarantine → publishRefresh ≡ rebuild") {
     val docs = graft.core.Tables.documents(spark, dir)
     val isB1 = col("source") === "src18"
