@@ -252,16 +252,41 @@ object Dedup {
   /** LSH candidates verified with exact shingle-set Jaccard;
     * keeps pairs with jaccard >= threshold.
     */
+  /** `materialize = false` skips both the persist and the eager
+    * result checkpoint — the plan-inspection / composition mode
+    * (PlanSpec pins the join/aggregate shape, which the checkpoint's
+    * ExistingRDD scan would otherwise hide); executing in this mode
+    * computes the shingle grain once per consumer.
+    */
   def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
-                      threshold: Double, maxBucket: Int = 64): DataFrame = {
-    // eager localCheckpoint, not persist: the shingle grain feeds the
-    // banding AND the exact verify; checkpointed blocks free on GC via
-    // the ContextCleaner instead of a caller reap contract (the
-    // TrainingOps.pairJaccard lifecycle note, VERDICT r10 #7)
+                      threshold: Double, maxBucket: Int = 64,
+                      materialize: Boolean = true): DataFrame = {
+    if (!materialize) {
+      val sh = shingleFrame(docs, idCol, textCol)
+      return jaccardOver(sh, minhashCandidates(sh, maxBucket))
+        .filter(col("jaccard") >= threshold)
+    }
+    // Lifecycle (r11 refinement of the VERDICT r10 #7 fix): persist
+    // the corpus-grain shingle frame for its two consumers (banding +
+    // exact verify), EAGERLY materialize the pair-sized RESULT via
+    // localCheckpoint, then unpersist before returning — the
+    // [[refreshClusterLabels]] pattern. The r10 shape (localCheckpoint
+    // on the SHINGLE grain) had no caller reap contract either, but
+    // checkpointing the big intermediate instead of the small result
+    // measured +0.5-0.7 s on qd6/qd13/qd16 (checkpoint blocks are
+    // serialized RDD rows; persist serves the two consumers from the
+    // deserialized columnar cache). This shape keeps persist's speed
+    // AND leaks nothing: the returned frame's lineage reads only the
+    // checkpointed pair blocks, which the ContextCleaner frees on GC.
+    // Eager-materializing pairs also pre-pays work every consumer
+    // (qd13/qd16's component rounds re-read pairs per round) repeats.
     val sh = shingleFrame(docs, idCol, textCol)
-      .localCheckpoint()
-    jaccardOver(sh, minhashCandidates(sh, maxBucket))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = jaccardOver(sh, minhashCandidates(sh, maxBucket))
       .filter(col("jaccard") >= threshold)
+      .localCheckpoint()
+    sh.unpersist(blocking = false)
+    out
   }
 
   /** qd40 — incremental dedup: score a NEW batch of documents
@@ -288,9 +313,10 @@ object Dedup {
     */
   def incrementalDedup(docs: DataFrame, isCorpus: Column,
                        threshold: Double): DataFrame = {
-    // same lifecycle as [[minhashNearDups]]: checkpoint, don't persist
+    // same lifecycle as [[minhashNearDups]]: persist the shingle
+    // grain, eager-checkpoint the batch-sized verdict, unpersist
     val sh = shingleFrame(docs, "doc_id", "text")
-      .localCheckpoint()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val corpusIds = docs.where(isCorpus).select(col("doc_id"))
     val batchIds = docs.where(!isCorpus).select(col("doc_id"))
     // orient the CANDIDATE list batch→corpus BEFORE the exact verify:
@@ -309,10 +335,12 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .groupBy(col("doc_a").as("doc_id"))
       .agg(min("doc_b").as("dup_of"))
-    batchIds.join(dupOf, Seq("doc_id"), "left")
+    val out = batchIds.join(dupOf, Seq("doc_id"), "left")
       .select(col("doc_id"), col("dup_of"),
         col("dup_of").isNotNull.as("is_dup"))
-      .orderBy("doc_id")
+      .localCheckpoint()
+    sh.unpersist(blocking = false)
+    out.orderBy("doc_id")
   }
 
   /** Batch-vs-STANDING admission: [[incrementalDedup]]'s (qd40)
@@ -334,10 +362,11 @@ object Dedup {
     */
   def admitAgainst(corpusDocs: DataFrame, corpusBands: DataFrame,
                    batchDocs: DataFrame, threshold: Double): DataFrame = {
-    // same lifecycle as [[refreshClusterLabels]]: the batch shingle
-    // grain feeds banding AND the exact verify — checkpoint once
+    // same lifecycle as [[minhashNearDups]]: persist the batch
+    // shingle grain for its two consumers (banding + exact verify),
+    // eager-checkpoint the batch-sized verdict, unpersist
     val batchSh = shingleFrame(batchDocs, "doc_id", "text")
-      .localCheckpoint()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cross = bandFrame(batchSh)
       .join(corpusBands.withColumnRenamed("doc_id", "doc_b"),
         Seq("band_idx", "band_hash"))
@@ -351,9 +380,12 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .groupBy(col("doc_a").as("doc_id"))
       .agg(min("doc_b").as("dup_of"))
-    batchDocs.select("doc_id").join(dupOf, Seq("doc_id"), "left")
+    val out = batchDocs.select("doc_id").join(dupOf, Seq("doc_id"), "left")
       .select(col("doc_id"), col("dup_of"),
         col("dup_of").isNotNull.as("is_dup"))
+      .localCheckpoint()
+    batchSh.unpersist(blocking = false)
+    out
   }
 
   /** qd54 — incremental cluster-label REFRESH: fold a new batch into

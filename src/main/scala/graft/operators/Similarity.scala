@@ -126,7 +126,8 @@ object Similarity {
     */
   def embeddingNearDups(emb: DataFrame, threshold: Double,
                         dim: Int = 64, nPlanes: Int = 32,
-                        nBands: Int = 4): DataFrame = {
+                        nBands: Int = 4,
+                        materialize: Boolean = true): DataFrame = {
     graft.functions.VecDot.register(emb.sparkSession)
     // nBands = nPlanes (1-bit bands) is the oracle-parity geometry —
     // a pair escapes blocking only when EVERY sign bit differs,
@@ -141,7 +142,7 @@ object Similarity {
     // -> ~2 s at sf0.1). Inherently O(n^2) — it is the verification
     // configuration, not the production one.
     if (nBands == nPlanes) return complementPrunedNearDups(
-      emb, threshold, dim, nPlanes)
+      emb, threshold, dim, nPlanes, materialize)
     // blocking resolution vs threshold: 8-bit bands (default) catch
     // moderately-similar pairs; for strict near-dup thresholds
     // (>0.95) use nPlanes=64 (16-bit bands) so random pairs almost
@@ -241,34 +242,42 @@ object Similarity {
     * codegen stage.
     */
   private def complementPrunedNearDups(emb: DataFrame, threshold: Double,
-                                       dim: Int, nPlanes: Int): DataFrame = {
+                                       dim: Int, nPlanes: Int,
+                                       materialize: Boolean = true)
+      : DataFrame = {
     require(nPlanes >= 1 && nPlanes <= 62,
       s"complement mask is a packed long: 1..62 planes, got $nPlanes")
     val mask = (1L << nPlanes) - 1L
-    // eager localCheckpoint: both self-join sides consume the same
-    // signature lineage (explode + two aggregates); without
-    // materialization the plan computes signatures twice. Checkpoint
-    // rather than persist (VERDICT r10 #7): the blocks free on GC via
-    // the ContextCleaner, which retires the r5-era one-slot
-    // AtomicReference swap this site used to bound its CacheManager
-    // footprint.
-    val base = emb
+    // Lifecycle (the Dedup.minhashNearDups r11 pattern): persist the
+    // signature base for its two self-join sides (without
+    // materialization the plan computes signatures twice),
+    // eager-checkpoint the pair-sized result, unpersist before
+    // returning — retires both the r5-era one-slot AtomicReference
+    // swap and the r10 checkpoint-the-intermediate shape.
+    // materialize = false: plan-inspection mode (PlanSpec pins the
+    // broadcast-verify shape, which the checkpoint would hide).
+    val rawBase = emb
       .join(packedSignatures(emb, dim, nPlanes), "vec_id")
       .select(col("vec_id"), col("embedding"),
         normN(col("embedding")).as("nrm"), col("sig"))
-      .localCheckpoint()
+    val base = if (materialize)
+      rawBase.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else rawBase
     val a = base.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"),
       col("nrm").as("nrm_a"), col("sig").as("sig_a"))
     val b = base.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"),
       col("nrm").as("nrm_b"), col("sig").as("sig_b"))
-    a.crossJoin(broadcast(b))
+    val pairs = a.crossJoin(broadcast(b))
       .filter(col("id_a") < col("id_b") &&
         col("sig_a") =!= lit(mask).bitwiseXOR(col("sig_b")))
       .withColumn("sim",
         dotN(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")))
       .filter(col("sim") >= threshold)
       .select("id_a", "id_b", "sim")
-      .orderBy("id_a", "id_b")
+    if (!materialize) return pairs.orderBy("id_a", "id_b")
+    val out = pairs.localCheckpoint()
+    base.unpersist(blocking = false)
+    out.orderBy("id_a", "id_b")
   }
 
   /** ANN top-k: score only vectors sharing >= 1 LSH band with the

@@ -123,9 +123,13 @@ object Sketch {
       .gramsRelational(docs, "doc_id", "text", carry = Seq("source"))
       .select(col("source"), lit("shingle").as("grain"),
         col("g").as("item"))
+    // two consumers (exact grain + sketch grain): localCheckpoint,
+    // not persist — the flat tf grain is the pairJaccard case (the
+    // columnar cache build measured slower than the checkpoint;
+    // blocks free on GC, no caller reap contract)
     val tfc = toks.unionByName(grams)
       .groupBy("source", "grain", "item").agg(count(lit(1)).as("tf"))
-      .localCheckpoint() // two consumers: exact grain + sketch grain
+      .localCheckpoint()
     val regs = withRegisterCols(tfc, "item")
       .groupBy("source", "grain", "idx").agg(max(col("rho")).as("mx"))
     val sk = regs.groupBy("source", "grain").agg(
@@ -192,11 +196,14 @@ object Sketch {
     */
   def hllOverlap(docs: DataFrame): DataFrame = {
     DocFingerprint.register(docs.sparkSession)
+    // two consumers (exact overlap + registers): localCheckpoint, not
+    // persist — the flat item grain is the pairJaccard case (blocks
+    // free on GC, no caller reap contract)
     val items = Dedup
       .gramsRelational(docs, "doc_id", "text", carry = Seq("source"))
       .select(col("source"), col("g").as("item"))
       .distinct()
-      .localCheckpoint() // two consumers: exact overlap + registers
+      .localCheckpoint()
     val exactN = items.groupBy("source").agg(count(lit(1)).as("exact_n"))
     val exactOv = items.as("x").join(items.as("y"),
         col("x.item") === col("y.item") &&

@@ -452,15 +452,14 @@ object TrainingOps {
     */
   def pairJaccard(s: SparkSession, dir: String): DataFrame = {
     // Three consumers (sizes + both self-join sides) with no shared
-    // exchange — materialize the gram grain once. Eager
-    // localCheckpoint, NOT persist (VERDICT r10 #7): a persist here
-    // rides the returned frame's lineage through the session
-    // CacheManager, which holds it strongly until an explicit
-    // unpersist — the old shape leaked corpus-grain blocks to every
-    // non-driver caller (specs reaped by hand). Checkpointed blocks
-    // are RDD-level (MEMORY_AND_DISK) and the ContextCleaner frees
-    // them when the frame is GC'd — no caller contract. Same move in
-    // [[dedupQualityOn]] and Dedup.minhashNearDups/incrementalDedup.
+    // exchange — materialize the gram grain once, via localCheckpoint
+    // NOT persist: the flat (doc_id, g) gram grain measured ~25%
+    // slower under the columnar cache (the build cost exceeds three
+    // recomputes of a cheap scan+window lineage — recorded r9, re-held
+    // r11 when the persist variant was tried and reverted). Contrast
+    // Dedup.minhashNearDups, whose shingle-ARRAY grain goes the other
+    // way (persist there, +0.5-0.7 s if checkpointed). Checkpointed
+    // blocks free on GC via the ContextCleaner — no caller contract.
     val grams =
       Dedup.gramsRelational(Tables.documents(s, dir), "doc_id", "text")
         .localCheckpoint()
@@ -1961,11 +1960,10 @@ object TrainingOps {
     // The gram stream feeds TWO independent shapes (distinct-hash
     // exact side, minhash-signature blocking side) whose aggregates
     // don't share an exchange — without materialization the tokenize
-    // + shingle Generate runs twice. Eager localCheckpoint, not
-    // persist (the [[pairJaccard]] lifecycle note — ContextCleaner
-    // frees the blocks on GC, no caller reap contract): this is the
-    // evaluation query, and its input is the gram table a production
-    // run would have materialized anyway.
+    // + shingle Generate runs twice. localCheckpoint, not persist:
+    // the flat gram grain is the [[pairJaccard]] case (columnar cache
+    // build costs more than it saves), and checkpointed blocks free
+    // on GC — no caller reap contract.
     val grams = Dedup.gramsRelational(docs, "doc_id", "text")
       .withColumn("fp", DocFingerprint.of(col("g")))
       .localCheckpoint()

@@ -69,7 +69,13 @@ class PlanSpec extends SparkSpec
   }
 
   test("qd6: minhash pipeline is equi-join only, with partial aggregation") {
-    val p = plan(graft.operators.TrainingOps.minhashTopPairs(spark, sf))
+    // materialize = false: the declared form eager-checkpoints its
+    // pair-sized result (lifecycle), which would hide the pipeline
+    // behind an ExistingRDD scan — the pin's subject is the
+    // computation shape, identical modulo the materialization point
+    val p = plan(graft.operators.Dedup.minhashNearDups(
+      graft.core.Tables.documents(spark, sf), "doc_id", "text",
+      threshold = 0.9, materialize = false))
     noAllPairs(p)
     // signature min-aggregates must combine map-side: partial + final
     assert("HashAggregate".r.findAllIn(p).size >= 2)
@@ -84,7 +90,10 @@ class PlanSpec extends SparkSpec
     // declared query is ONE broadcast nested-loop verify — the O(n^2)
     // work happens inside a codegen stage, and no exchange ever moves
     // pair rows (the only shuffles build the per-vector signatures).
-    val df = graft.operators.TrainingOps.embeddingNearDups(spark, sf)
+    // materialize = false: plan-inspection mode (the qd6 pin's note).
+    val df = graft.operators.Similarity.embeddingNearDups(
+      graft.core.Tables.embeddings(spark, sf), threshold = 0.3,
+      nPlanes = 16, nBands = 16, materialize = false)
     val p = plan(df)
     assert(p.contains("BroadcastNestedLoopJoin"))
     assert(!p.contains("CartesianProduct"))
