@@ -211,6 +211,7 @@ object SparkEntry {
     "qd59_hll_profile"   -> (graft.operators.Sketch.hllQuery _),
     "qs39_admission_gate" -> (graft.streaming.Admission.admissionGate _),
     "qd60_hll_overlap"   -> (graft.operators.Sketch.hllOverlapQuery _),
+    "qs40_stream_hll"    -> (graft.streaming.SketchStream.hllStreamGate _),
   )
 
   /** Queries intentionally without an oracle — EMPTY since round 5:
@@ -350,6 +351,45 @@ object SparkEntry {
     "qd58_nb_classify" -> nbSql,
     "qd59_hll_profile" -> hllSql,
     "qd60_hll_overlap" -> hllOverlapSql,
+    // qs40: qd59's token-grain register chain, estimate-only — the
+    // streaming register-max aggregate provably equals the batch one
+    // (max is an order-free monoid; micro-batch boundaries can't
+    // change the drained register table), so the batch oracle
+    // carries over. Registers over token OCCURRENCES equal registers
+    // over DISTINCT tokens (max ignores duplicates), so the oracle
+    // derives from the distinct grain.
+    "qs40_stream_hll" ->
+      (s"""$shingleCte,
+         |items AS (SELECT DISTINCT d.source, unnest(t.t) AS item
+         |  FROM toks t JOIN documents d USING (doc_id)),
+         |h0 AS (SELECT source,
+         |    (CAST(CASE WHEN length(item) = 0 THEN 0 ELSE
+         |      list_reduce(list_transform(string_split(item, ''),
+         |        c -> CAST(unicode(c) AS BIGINT)),
+         |      (acc, x) -> (acc * 31 + x) % 2147483647) END AS BIGINT)
+         |     * 2654435761) % 2147483648 AS h1
+         |  FROM items),
+         |ha AS (SELECT source,
+         |    (xor(h1, h1 // 32768) * 2246822519) % 2147483648 AS h3
+         |  FROM h0),
+         |hx AS (SELECT source, xor(h3, h3 // 8192) AS h2 FROM ha),
+         |rr AS (SELECT source, h2 // 8388608 AS idx,
+         |    CASE WHEN h2 % 8388608 = 0 THEN 24
+         |      ELSE 24 - CAST(length(bin(h2 % 8388608)) AS INTEGER) END AS rho
+         |  FROM hx),
+         |regs AS (SELECT source, idx, MAX(rho) AS mx
+         |  FROM rr GROUP BY 1, 2),
+         |sk AS (SELECT source,
+         |    CAST(SUM(${graft.operators.Sketch.hllTermSql}) AS BIGINT)
+         |      AS s_present,
+         |    CAST(count(*) AS BIGINT) AS m_p
+         |  FROM regs GROUP BY 1),
+         |e AS (SELECT source, CAST(256 - m_p AS BIGINT) AS zeros,
+         |    CAST(s_present + (256 - m_p) * 16777216 AS BIGINT) AS s_total
+         |  FROM sk)
+         |SELECT source, ${graft.operators.Sketch.hllEstSql} AS hll_est,
+         |  zeros AS zero_regs
+         |FROM e ORDER BY source""".stripMargin),
     // qs39: qd40's exhaustive batch×corpus oracle re-framed on the
     // qd54 corpus split (src19 arrives, everything else stands) — the
     // streaming gate's micro-batch union is provably boundary-free

@@ -103,6 +103,12 @@ object Scratch {
       "graft_qs39_" + sfDir.replaceAll("[^A-Za-z0-9._-]", "_"))
       .getAbsolutePath
 
+  /** qs40's streaming-HLL landing root, keyed like [[qp1Dir]]. */
+  def qs40Dir(sfDir: String): String =
+    new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_qs40_" + sfDir.replaceAll("[^A-Za-z0-9._-]", "_"))
+      .getAbsolutePath
+
   /** qd50's sharded-export root, keyed like [[qp1Dir]]. */
   def qd50Dir(sfDir: String): String =
     new java.io.File(System.getProperty("java.io.tmpdir"),

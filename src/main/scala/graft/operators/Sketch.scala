@@ -115,6 +115,41 @@ object Sketch {
       .withColumn("rho", when(col("r") === 0, lit(RankWidth + 1))
         .otherwise(lit(RankWidth + 1) - length(bin(col("r")))))
 
+  /** Stateless (source, idx, rho) register stream at the TOKEN grain
+    * — the ONE transform both qd59's batch profile (via the tf grain)
+    * and qs40's STREAMING profile derive their registers from. Every
+    * step is a per-row projection (tokenize → explode → fingerprint →
+    * avalanche → split), so it runs unchanged on a streaming
+    * DataFrame; the downstream `groupBy(source, idx).max(rho)` is the
+    * register-max monoid, which is what makes the streaming state
+    * BOUNDED (≤ 256 rows × source forever) where a streaming exact
+    * COUNT DISTINCT would keep every token seen (the qs9 documented
+    * caveat, solved the way production solves it).
+    */
+  def tokenRegisters(docs: DataFrame): DataFrame = {
+    DocFingerprint.register(docs.sparkSession)
+    withRegisterCols(
+      docs.where(col("text").isNotNull)
+        .select(col("source"), explode(Dedup.tokens(col("text"))).as("item")),
+      "item")
+      .select(col("source"), col("idx"), col("rho"))
+  }
+
+  /** Estimate step over a drained register table (source, idx, mx) —
+    * the batch tail of qs40's gate: fold registers to the
+    * dialect-shared estimator. Output (source, hll_est, zero_regs).
+    */
+  def registerEstimate(regs: DataFrame): DataFrame =
+    regs.groupBy("source").agg(
+        sum(expr(hllTermSql)).as("s_present"),
+        count(lit(1)).as("m_p"))
+      .withColumn("zeros", lit(HllRegisters.toLong) - col("m_p"))
+      .withColumn("s_total",
+        col("s_present") + col("zeros") * lit(1L << (RankWidth + 1)))
+      .withColumn("hll_est", expr(hllEstSql))
+      .select(col("source"), col("hll_est"), col("zeros").as("zero_regs"))
+      .orderBy("source")
+
   def hllProfile(docs: DataFrame): DataFrame = {
     DocFingerprint.register(docs.sparkSession)
     val toks = docs.select(col("source"), lit("token").as("grain"),

