@@ -212,6 +212,7 @@ object SparkEntry {
     "qs39_admission_gate" -> (graft.streaming.Admission.admissionGate _),
     "qd60_hll_overlap"   -> (graft.operators.Sketch.hllOverlapQuery _),
     "qs40_stream_hll"    -> (graft.streaming.SketchStream.hllStreamGate _),
+    "qd61_quantile_sketch" -> (graft.operators.Sketch.quantileQuery _),
   )
 
   /** Queries intentionally without an oracle — EMPTY since round 5:
@@ -351,6 +352,48 @@ object SparkEntry {
     "qd58_nb_classify" -> nbSql,
     "qd59_hll_profile" -> hllSql,
     "qd60_hll_overlap" -> hllOverlapSql,
+    // qd61: every ingredient is exact integer arithmetic — bucket
+    // index from bitlength+shift (the qd59 BIN/LENGTH convention),
+    // k = ceil(p·n/100) in integer form, bucket lower edge from
+    // shifts, exact side the rank-k order statistic (well-defined
+    // under ties) — so the whole report is bit-identical cross-engine.
+    "qd61_quantile_sketch" ->
+      ("""WITH b AS (SELECT source,
+         |    CASE WHEN n_chars <= 0 THEN 0 ELSE
+         |      8 * CAST(length(bin(n_chars)) - 1 AS BIGINT)
+         |      + ((n_chars << 3) >> CAST(length(bin(n_chars)) - 1
+         |          AS INTEGER)) - 7 END AS idx,
+         |    CAST(count(*) AS BIGINT) AS n_in
+         |  FROM documents GROUP BY 1, 2),
+         |c AS (SELECT source, idx,
+         |    SUM(n_in) OVER (PARTITION BY source ORDER BY idx) AS cum
+         |  FROM b),
+         |t AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+         |  FROM documents GROUP BY 1),
+         |k AS (SELECT source, n, p.pct,
+         |    CAST((n * p.pct + 99) // 100 AS BIGINT) AS k
+         |  FROM t, (VALUES (50), (90), (99)) p(pct)),
+         |e AS (SELECT k.source, k.n, k.pct, MIN(c.idx) AS idx
+         |  FROM k JOIN c ON c.source = k.source AND c.cum >= k.k
+         |  GROUP BY 1, 2, 3),
+         |ev AS (SELECT source, n, pct,
+         |    CASE WHEN idx = 0 THEN 0 ELSE
+         |      CAST((((idx - 1) % 8 + 8) << CAST((idx - 1) // 8
+         |        AS INTEGER)) >> 3 AS BIGINT) END AS est_v
+         |  FROM e),
+         |r AS (SELECT source, n_chars AS v,
+         |    row_number() OVER (PARTITION BY source ORDER BY n_chars)
+         |      AS rn
+         |  FROM documents),
+         |x AS (SELECT k.source, k.pct, r.v AS exact_v
+         |  FROM k JOIN r ON r.source = k.source AND r.rn = k.k)
+         |SELECT ev.source, ev.pct, ev.n, x.exact_v, ev.est_v,
+         |  CASE WHEN x.exact_v = 0 THEN 0 ELSE
+         |    CAST(FLOOR((CAST(ev.est_v AS DOUBLE)
+         |      / CAST(x.exact_v AS DOUBLE) - 1.0) * 1000000.0 + 0.5)
+         |      AS BIGINT) END AS err_micro
+         |FROM ev JOIN x ON x.source = ev.source AND x.pct = ev.pct
+         |ORDER BY ev.source, ev.pct""".stripMargin),
     // qs40: qd59's token-grain register chain, estimate-only — the
     // streaming register-max aggregate provably equals the batch one
     // (max is an order-free monoid; micro-batch boundaries can't

@@ -3,6 +3,7 @@ package graft.operators
 import graft.core.Tables
 import graft.functions.DocFingerprint
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Cardinality SKETCHES — the 100 TB profiling story. A corpus-health
@@ -303,4 +304,87 @@ object Sketch {
   /** qd60 declared form. */
   def hllOverlapQuery(s: SparkSession, dir: String): DataFrame =
     hllOverlap(Tables.documents(s, dir))
+
+  /** qd61 — per-source length QUANTILES from a bounded log-bucket
+    * histogram, reported next to the exact order statistics. An
+    * exact percentile needs the sorted values (a full shuffle whose
+    * state is corpus-sized); the DDSketch/HdrHistogram move replaces
+    * it with a histogram over log-spaced buckets — here 8 sub-buckets
+    * per octave, ALL-INTEGER (bucket = (bitlength, next-3-bits), no
+    * FP log whose boundary ulps could diverge cross-engine), giving a
+    * guaranteed ≤ 12.5% relative error and ≤ 8·60 bucket rows per
+    * source for any BIGINT value range. Buckets merge by summing
+    * counts — the same order-free-monoid property that made qs40's
+    * streaming state bounded applies verbatim (this histogram IS
+    * streamable / map-side combinable / shard-mergeable).
+    *
+    * Report per (source, percentile ∈ {50, 90, 99}): n, the exact
+    * rank-k order statistic (k = ⌈p·n⌉, integer-exact — the truth
+    * column the sketch replaces at scale), the bucket lower edge the
+    * histogram answers with, and the signed relative error in
+    * micro-units. Every ingredient is exact integer arithmetic, so
+    * DuckDB reproduces the report to the bit.
+    */
+  def quantileSketch(docs: DataFrame): DataFrame = {
+    val pcts = Seq(50, 90, 99)
+    // bucket index: v = 0 → 0; else e = bitlength(v)−1,
+    // sub = ⌊v·8 / 2^e⌋ − 8 ∈ [0,7], idx = 8e + sub + 1.
+    // Shift/bitlength only (BIN/LENGTH is the established
+    // cross-engine bitlength, the qd59 rank construction); SQL-form
+    // shiftright because the shift amount is a column.
+    val hist = docs
+      .select(col("source"), when(col("n_chars") <= 0, lit(0L))
+        .otherwise(expr(
+          "8 * CAST(length(bin(n_chars)) - 1 AS BIGINT) + " +
+            "shiftright(shiftleft(n_chars, 3), " +
+            "CAST(length(bin(n_chars)) - 1 AS INT)) - 7"))
+        .as("idx"))
+      .groupBy("source", "idx").agg(count(lit(1)).as("n_in"))
+    // cumulative over the ≤ buckets-per-source report grain (the
+    // window partitions by source — never corpus-sized rows)
+    val wcum = Window.partitionBy("source").orderBy("idx")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("cum", sum(col("n_in")).over(wcum))
+    val tot = docs.groupBy("source").agg(count(lit(1)).as("n"))
+    // integer-exact k = ⌈p·n/100⌉ per percentile; smallest bucket
+    // whose cumulative reaches k answers the query
+    val ks = tot.select(col("source"), col("n"),
+        explode(array(pcts.map(p => struct(lit(p).as("pct"),
+          expr(s"CAST((n * $p + 99) div 100 AS BIGINT)").as("k"))): _*))
+          .as("pk"))
+      .select(col("source"), col("n"), col("pk.pct").as("pct"),
+        col("pk.k").as("k"))
+    val est = ks.join(cum, Seq("source"))
+      .where(col("cum") >= col("k"))
+      .groupBy("source", "n", "pct", "k").agg(min("idx").as("idx"))
+      // bucket lower edge: idx ≥ 1 → e = (idx−1) div 8,
+      // sub = (idx−1) mod 8, lo = ((8+sub)·2^e) div 8
+      .withColumn("est_v", when(col("idx") === 0, lit(0L)).otherwise(expr(
+        "shiftright(shiftleft((idx - 1) % 8 + 8, " +
+          "CAST((idx - 1) div 8 AS INT)), 3)")))
+    // exact rank-k order statistic: the value at position k of the
+    // per-source sort — well-defined under ties regardless of their
+    // permutation. THE state the sketch replaces: this side sorts
+    // corpus rows, the histogram side never holds more than the
+    // bucket grain.
+    val ranked = docs.select(col("source"), col("n_chars").as("v"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("source").orderBy("v")))
+    val exact = ks.as("q").join(ranked.as("r"),
+        col("q.source") === col("r.source") && col("r.rn") === col("q.k"))
+      .select(col("q.source").as("source"), col("q.pct").as("pct"),
+        col("r.v").as("exact_v"))
+    est.join(exact, Seq("source", "pct"))
+      .withColumn("err_micro",
+        when(col("exact_v") === 0, lit(0L)).otherwise(expr(
+          "CAST(FLOOR((CAST(est_v AS DOUBLE) / CAST(exact_v AS DOUBLE) " +
+            "- 1.0) * 1000000.0 + 0.5) AS BIGINT)")))
+      .select(col("source"), col("pct"), col("n"),
+        col("exact_v"), col("est_v"), col("err_micro"))
+      .orderBy("source", "pct")
+  }
+
+  /** qd61 declared form. */
+  def quantileQuery(s: SparkSession, dir: String): DataFrame =
+    quantileSketch(Tables.documents(s, dir))
 }

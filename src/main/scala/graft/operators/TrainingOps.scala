@@ -443,12 +443,13 @@ object TrainingOps {
     * form (transform + per-gram concat) measured 3.3 s at sf0.1;
     * interpreted lambda evaluation was the entire difference.
     *
-    * `grams` feeds four consumers and is deliberately NOT persisted:
-    * measured at sf0.1, caching it was ~25% slower end-to-end (6.0 s
-    * vs 4.7 s cold) — the columnar cache build costs more than three
-    * recomputes of a cheap scan+window lineage whose subtrees the
-    * scheduler runs concurrently. Revisit if the upstream ever grows
-    * an expensive stage.
+    * `grams` materializes via localCheckpoint, never the columnar
+    * cache: caching the flat gram grain measured ~25% slower
+    * end-to-end at sf0.1 (6.0 s vs 4.7 s — the cache build costs more
+    * than recomputing a cheap scan+window lineage), re-confirmed in
+    * r11 when the persist variant was tried and reverted. The
+    * grain-shape rule is in CLAUDE.md: flat grains checkpoint,
+    * shingle-array grains persist (Dedup.minhashNearDups).
     */
   def pairJaccard(s: SparkSession, dir: String): DataFrame = {
     // Three consumers (sizes + both self-join sides) with no shared

@@ -185,6 +185,34 @@ class Round11OpsSpec extends SparkSpec {
       "jaccard estimate of disjoint sources stays near zero")
   }
 
+  test("qd61: hand-exact bucket answers; estimate is the answering " +
+    "bucket's lower edge, never above exact, within 12.5%") {
+    // 100 → e=6, sub=(800>>6)−8=4, lo=((12)<<6)>>3=96;
+    // 200 → e=7, sub=4, lo=192; 400 → e=8, sub=4, lo=384.
+    // n=4: k50=2 (exact 200), k90=4 (exact 400), k99=4.
+    val docs = Seq((1L, 100L), (2L, 200L), (3L, 300L), (4L, 400L))
+      .map { case (id, n) => (id, n, "sA") }
+      .toDF("doc_id", "n_chars", "source")
+    val got = Sketch.quantileSketch(docs).collect()
+      .map(r => (r.getInt(1)) -> (r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    assert(got(50) == ((4L, 200L, 192L, -40000L)), s"$got")
+    assert(got(90) == ((4L, 400L, 384L, -40000L)), s"$got")
+    assert(got(99) == ((4L, 400L, 384L, -40000L)), s"$got")
+    // guaranteed-error property at scale: the answering bucket
+    // CONTAINS the rank-k value, so lower edge ≤ exact and the
+    // relative shortfall is bounded by the bucket width / lower edge
+    // = 1/8 — for any value distribution
+    val big = (1 to 1000)
+      .map(i => (i.toLong, (i * 37 % 997 + 1).toLong, s"s${i % 3}"))
+      .toDF("doc_id", "n_chars", "source")
+    Sketch.quantileSketch(big).collect().foreach { r =>
+      val (exact, est, err) = (r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(est <= exact && err <= 0L && err >= -125000L,
+        s"bound violated: exact $exact est $est err $err")
+    }
+  }
+
   test("gramsRelational carry threads doc-constant columns without " +
     "changing the gram set") {
     val df = Seq((1L, "a b c d", "sA"), (2L, "x y", "sB"))
