@@ -85,6 +85,25 @@ class PlanSpec extends SparkSpec
     noAllPairs(plan(graft.operators.TrainingOps.knnLsh(spark, sf)))
   }
 
+  test("qd59/qd61 sketch family: map-side-combined aggregates, " +
+    "no corpus-scale join") {
+    // qd59: the register path is aggregate-only off the one item
+    // grain — partial + final HashAggregates, no join touches corpus
+    // rows (the report join is sources × 2)
+    val p59 = plan(graft.operators.Sketch.hllProfile(
+      graft.core.Tables.documents(spark, sf)))
+    noAllPairs(p59)
+    assert("HashAggregate".r.findAllIn(p59).size >= 4,
+      "register + exact aggregates must combine map-side")
+    // qd61: the histogram leg is one map-combined aggregate; the only
+    // per-row window is the exact TRUTH column's rank (the state the
+    // sketch exists to replace — dropped in production)
+    val p61 = plan(graft.operators.Sketch.quantileSketch(
+      graft.core.Tables.documents(spark, sf)))
+    noAllPairs(p61)
+    assert("HashAggregate".r.findAllIn(p61).size >= 2)
+  }
+
   test("qe3 declared (parity geometry): broadcast verify, no pair shuffles") {
     // 1-bit bands degenerate to a complement-signature compare, so the
     // declared query is ONE broadcast nested-loop verify — the O(n^2)
