@@ -367,11 +367,16 @@ object Dedup {
     // eager-checkpoint the batch-sized verdict, unpersist
     val batchSh = shingleFrame(batchDocs, "doc_id", "text")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // cross feeds TWO consumers (the corpus-candidate semi-join and
+    // the verify's pair list); without materialization each one
+    // re-runs the batch MinHash shuffle + the standing-index join.
+    // Pair-sized — eager checkpoint, the usual small-result move.
     val cross = bandFrame(batchSh)
       .join(corpusBands.withColumnRenamed("doc_id", "doc_b"),
         Seq("band_idx", "band_hash"))
       .select(col("doc_id").as("doc_a"), col("doc_b"))
       .distinct() // a pair sharing k bands verifies once, not k times
+      .localCheckpoint()
     val candCorpusIds = cross.select(col("doc_b").as("doc_id")).distinct()
     val corpusSh = shingleFrame(
       corpusDocs.join(candCorpusIds, Seq("doc_id"), "left_semi"),
