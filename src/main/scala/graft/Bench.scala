@@ -146,6 +146,21 @@ object Bench {
       spark.catalog.clearCache()
       System.gc()
     }
+    // Between a query's OWN runs, drop Spark-side leftovers too
+    // (VERDICT r11 #2: qd54's three same-JVM runs escalated
+    // 3.6→8.8→23.5 s on the driver box — each run of a
+    // checkpoint-heavy query leaves its result's retained blocks
+    // behind, and ContextCleaner only reaps them on a GC that may
+    // not come mid-query). No query reuses Spark state across its
+    // runs by design — cross-run reuse is all driver-side models and
+    // parquet artifacts, which this does not touch — so the reset
+    // only removes compounding, never warmth. GC stays inter-query:
+    // a full collection per run would add ~2 min of untimed wall.
+    def interRunReset(): Unit = {
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      spark.catalog.clearCache()
+    }
 
     // optional args: bench only the named queries (debugging aid; the
     // driver invokes with no args -> all queries, sorted for stable
@@ -164,6 +179,7 @@ object Bench {
       interQueryReset()
       val gc0 = gcMillis
       val runs = (1 to repeats).map { i =>
+        if (i > 1) interRunReset()
         graft.operators.Marts.lastWriteNanos.set(0L)
         val t0 = System.nanoTime()
         // noop-sink write: materializes every output column AND keeps

@@ -519,6 +519,12 @@ object Dedup {
     // star variant's extra rounds doubled qd54's components phase)
     val comp = dupClusters(nodes, cEdges, "id")
       .withColumnRenamed("cluster", "cluster_new")
+    // comp is itself checkpointed (lineage truncated), so the
+    // contracted edges have no remaining consumer — release their
+    // blocks NOW instead of leaving them for ContextCleaner
+    // (VERDICT r11 #2: the retained per-run blocks are exactly what
+    // a long-lived bench JVM — or a long-lived cluster — accumulates)
+    unpersistCheckpointed(cEdges)
     // relabel map for merged standing clusters: contracted nodes that
     // are NOT batch docs are old cluster labels
     val relabel = comp

@@ -448,8 +448,12 @@ object TrainingOps {
     * end-to-end at sf0.1 (6.0 s vs 4.7 s — the cache build costs more
     * than recomputing a cheap scan+window lineage), re-confirmed in
     * r11 when the persist variant was tried and reverted. The
-    * grain-shape rule is in CLAUDE.md: flat grains checkpoint,
-    * shingle-array grains persist (Dedup.minhashNearDups).
+    * grain-shape rule, measured at sf0.1: FLAT grains (one scalar per
+    * row — grams, term frequencies) are cheaper to recompute or
+    * localCheckpoint than to build a columnar cache for, while
+    * ARRAY-valued grains (per-doc shingle sets) amortize their
+    * expensive build across consumers under persist
+    * (Dedup.minhashNearDups is the persist-side example).
     */
   def pairJaccard(s: SparkSession, dir: String): DataFrame = {
     // Three consumers (sizes + both self-join sides) with no shared
@@ -2159,12 +2163,16 @@ object TrainingOps {
     * 64×64 kilobyte matrix — the standard FAISS-OPQ move, off-cluster
     * like every model fit here. Returns (eigenvalues desc,
     * rotation-rows); rotating onto the eigenbasis decorrelates the
-    * dims, which is what makes downstream per-dim quantizers (SQ8's
-    * min/max grid, PQ's contiguous subspaces) spend their bits where
-    * the variance is — PqSpec measures the recall effect in qe20's
-    * harness; the relationally-expressible half of the idea (the
-    * variance-balancing permutation) is DECLARED as qe24. Amortized
-    * per (dir, corpus stamp), the ivfModel pattern.
+    * dims. For PQ the rotation must COMPOSE with the subspace-balance
+    * permutation ([[PqInt.dimMapVariance]] on the rotated table) —
+    * rotation alone concentrates all energy into the lead dims, and a
+    * contiguous subspace map then stacks it into ONE subspace, PQ's
+    * worst case. PqSpec measures all three operating points on a
+    * skewed off-axis fixture (recall@10/15: raw 0.80, rot+identity
+    * 0.47, rot+balance 1.00) and the doesn't-break claim on the
+    * near-isotropic gate corpus; the relationally-expressible half of
+    * the idea (the variance-balancing permutation alone) is DECLARED
+    * as qe24. Amortized per (dir, corpus stamp), the ivfModel pattern.
     */
   def pcaRotation(s: SparkSession, dir: String):
       (Array[Double], Array[Array[Double]]) = {
