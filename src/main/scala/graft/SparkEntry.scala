@@ -65,7 +65,8 @@ object SparkEntry {
     "qs9_stream_dedup"   -> (graft.streaming.EventStream.dedupGate _),
     "qd8_source_stats"   -> TrainingOps.sourceStats _,
     "qd9_token_freq"     -> TrainingOps.tokenFreq _,
-    "qd10_pair_jaccard"  -> TrainingOps.pairJaccard _,
+    "qd10_pair_jaccard"  -> ((s: SparkSession, d: String) =>
+      TrainingOps.pairJaccard(s, d)),
     "qd11_doc_keywords"  -> TrainingOps.docKeywords _,
     "qd12_hash_sample"   -> TrainingOps.hashSample _,
     "qx1_left_join"      -> Extras.leftJoinOrders _,

@@ -172,16 +172,22 @@ object JsonlIngest {
   }
 
   private val gateRuns = new java.util.concurrent.atomic.AtomicLong(0L)
-  private val lastLedgerView =
-    new java.util.concurrent.atomic.AtomicReference[String](null)
 
   /** qs38's gate form: land, drain, present qd49's exact output shape
     * (shared oracle — see [[streamLedgerAvailableNow]]).
+    *
+    * View lifecycle (ADVICE r11): the ledger is language-bucket-sized,
+    * so the memory-sink table is eagerly checkpointed and its temp
+    * view dropped BEFORE returning — zero sink tables retained on the
+    * driver between invocations, and the returned frame stays valid
+    * no matter when (or whether) the caller consumes it.
     */
   def jsonlStreamGate(s: SparkSession, dir: String): DataFrame = {
     val name = s"qs38_jsonl_${gateRuns.incrementAndGet()}"
-    Option(lastLedgerView.getAndSet(name)).foreach(s.catalog.dropTempView(_))
-    streamLedgerAvailableNow(s, landJsonl(s, dir), name)
+    val out = streamLedgerAvailableNow(s, landJsonl(s, dir), name)
       .orderBy("bucket")
+      .localCheckpoint()
+    s.catalog.dropTempView(name)
+    out
   }
 }

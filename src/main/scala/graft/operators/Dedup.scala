@@ -252,7 +252,12 @@ object Dedup {
   /** LSH candidates verified with exact shingle-set Jaccard;
     * keeps pairs with jaccard >= threshold.
     */
-  /** `materialize = false` skips both the persist and the eager
+  /** CONSTRUCTION-TIME EXECUTION (ADVICE r11): with the default
+    * `materialize = true` this is NOT a pure builder — it runs full
+    * Spark jobs (persist + eager localCheckpoint) before returning,
+    * so a caller that builds but never consumes still pays the
+    * compute, and execution failures surface at construction.
+    * `materialize = false` skips both the persist and the eager
     * result checkpoint — the plan-inspection / composition mode
     * (PlanSpec pins the join/aggregate shape, which the checkpoint's
     * ExistingRDD scan would otherwise hide); executing in this mode
@@ -311,12 +316,23 @@ object Dedup {
     * probability, verified exhaustively on the gate corpora), so the
     * exhaustive batch×corpus DuckDB join is the oracle.
     */
+  /** CONSTRUCTION-TIME EXECUTION (ADVICE r11): with
+    * `materialize = true` (default) this runs full Spark jobs before
+    * returning — persist the shingle grain, eager-checkpoint the
+    * batch-sized verdict, unpersist — so a caller that builds but
+    * never consumes still pays the compute, and execution failures
+    * surface at construction. Pass `materialize = false` for plan
+    * inspection / conditional composition: pure-lazy, no persist, the
+    * shingle grain recomputes once per consumer.
+    */
   def incrementalDedup(docs: DataFrame, isCorpus: Column,
-                       threshold: Double): DataFrame = {
-    // same lifecycle as [[minhashNearDups]]: persist the shingle
-    // grain, eager-checkpoint the batch-sized verdict, unpersist
-    val sh = shingleFrame(docs, "doc_id", "text")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+                       threshold: Double,
+                       materialize: Boolean = true): DataFrame = {
+    val shRaw = shingleFrame(docs, "doc_id", "text")
+    val sh =
+      if (materialize)
+        shRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else shRaw
     val corpusIds = docs.where(isCorpus).select(col("doc_id"))
     val batchIds = docs.where(!isCorpus).select(col("doc_id"))
     // orient the CANDIDATE list batch→corpus BEFORE the exact verify:
@@ -335,10 +351,11 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .groupBy(col("doc_a").as("doc_id"))
       .agg(min("doc_b").as("dup_of"))
-    val out = batchIds.join(dupOf, Seq("doc_id"), "left")
+    val outRaw = batchIds.join(dupOf, Seq("doc_id"), "left")
       .select(col("doc_id"), col("dup_of"),
         col("dup_of").isNotNull.as("is_dup"))
-      .localCheckpoint()
+    if (!materialize) return outRaw.orderBy("doc_id")
+    val out = outRaw.localCheckpoint()
     sh.unpersist(blocking = false)
     out.orderBy("doc_id")
   }
@@ -360,23 +377,34 @@ object Dedup {
     * the qs39 streaming gate run this per arriving file and inherit
     * qd40's exhaustive DuckDB oracle verbatim.
     */
+  /** CONSTRUCTION-TIME EXECUTION (ADVICE r11): with
+    * `materialize = true` (default) this runs full Spark jobs before
+    * returning — same lifecycle as [[minhashNearDups]]: persist the
+    * batch shingle grain for its two consumers (banding + exact
+    * verify), eager-checkpoint the candidate list and the batch-sized
+    * verdict, unpersist. Pass `materialize = false` for plan
+    * inspection / composition: pure-lazy, each intermediate recomputes
+    * per consumer.
+    */
   def admitAgainst(corpusDocs: DataFrame, corpusBands: DataFrame,
-                   batchDocs: DataFrame, threshold: Double): DataFrame = {
-    // same lifecycle as [[minhashNearDups]]: persist the batch
-    // shingle grain for its two consumers (banding + exact verify),
-    // eager-checkpoint the batch-sized verdict, unpersist
-    val batchSh = shingleFrame(batchDocs, "doc_id", "text")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+                   batchDocs: DataFrame, threshold: Double,
+                   materialize: Boolean = true): DataFrame = {
+    val batchShRaw = shingleFrame(batchDocs, "doc_id", "text")
+    val batchSh =
+      if (materialize)
+        batchShRaw
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else batchShRaw
     // cross feeds TWO consumers (the corpus-candidate semi-join and
     // the verify's pair list); without materialization each one
     // re-runs the batch MinHash shuffle + the standing-index join.
     // Pair-sized — eager checkpoint, the usual small-result move.
-    val cross = bandFrame(batchSh)
+    val crossRaw = bandFrame(batchSh)
       .join(corpusBands.withColumnRenamed("doc_id", "doc_b"),
         Seq("band_idx", "band_hash"))
       .select(col("doc_id").as("doc_a"), col("doc_b"))
       .distinct() // a pair sharing k bands verifies once, not k times
-      .localCheckpoint()
+    val cross = if (materialize) crossRaw.localCheckpoint() else crossRaw
     val candCorpusIds = cross.select(col("doc_b").as("doc_id")).distinct()
     val corpusSh = shingleFrame(
       corpusDocs.join(candCorpusIds, Seq("doc_id"), "left_semi"),
@@ -385,10 +413,11 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .groupBy(col("doc_a").as("doc_id"))
       .agg(min("doc_b").as("dup_of"))
-    val out = batchDocs.select("doc_id").join(dupOf, Seq("doc_id"), "left")
+    val outRaw = batchDocs.select("doc_id").join(dupOf, Seq("doc_id"), "left")
       .select(col("doc_id"), col("dup_of"),
         col("dup_of").isNotNull.as("is_dup"))
-      .localCheckpoint()
+    if (!materialize) return outRaw
+    val out = outRaw.localCheckpoint()
     batchSh.unpersist(blocking = false)
     out
   }

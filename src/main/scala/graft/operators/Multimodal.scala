@@ -312,11 +312,17 @@ object Multimodal {
     * pair with the same banding join. The hash frame is an eager
     * localCheckpoint: one decode pass feeds the four band branches
     * and both verify sides (the pairJaccard lifecycle note).
+    *
+    * CONSTRUCTION-TIME EXECUTION (ADVICE r11): the default runs the
+    * decode pass eagerly at build; `materialize = false` is the
+    * pure-lazy plan-inspection mode (decode recomputes per consumer).
     */
-  def phashNearDups(media: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def phashNearDups(media: DataFrame, maxHamming: Int = 3,
+                    materialize: Boolean = true): DataFrame = {
     require(maxHamming <= 3,
       "4-band pigeonhole blocking is exact only for maxHamming <= 3")
-    val hashes = phashBands(media).localCheckpoint()
+    val hashesRaw = phashBands(media)
+    val hashes = if (materialize) hashesRaw.localCheckpoint() else hashesRaw
     val bands = (0 until 4).map { b =>
       hashes.select(col("media_id"), lit(b).as("bi"), col(s"b$b").as("bv"))
     }.reduce(_.unionAll(_))

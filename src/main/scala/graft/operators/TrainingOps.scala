@@ -455,7 +455,11 @@ object TrainingOps {
     * expensive build across consumers under persist
     * (Dedup.minhashNearDups is the persist-side example).
     */
-  def pairJaccard(s: SparkSession, dir: String): DataFrame = {
+  def pairJaccard(s: SparkSession, dir: String,
+                  materialize: Boolean = true): DataFrame = {
+    // CONSTRUCTION-TIME EXECUTION (ADVICE r11): the default runs the
+    // gram scan eagerly at build; materialize = false is the pure-lazy
+    // plan-inspection mode (gram grain recomputes per consumer).
     // Three consumers (sizes + both self-join sides) with no shared
     // exchange — materialize the gram grain once, via localCheckpoint
     // NOT persist: the flat (doc_id, g) gram grain measured ~25%
@@ -465,9 +469,9 @@ object TrainingOps {
     // Dedup.minhashNearDups, whose shingle-ARRAY grain goes the other
     // way (persist there, +0.5-0.7 s if checkpointed). Checkpointed
     // blocks free on GC via the ContextCleaner — no caller contract.
-    val grams =
+    val gramsRaw =
       Dedup.gramsRelational(Tables.documents(s, dir), "doc_id", "text")
-        .localCheckpoint()
+    val grams = if (materialize) gramsRaw.localCheckpoint() else gramsRaw
     val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
     // |A ∩ B| for consecutive-id pairs: gram equi-join + count
     val inter = grams.as("ga")

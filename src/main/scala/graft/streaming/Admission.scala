@@ -68,12 +68,19 @@ object Admission {
     val outRoot = graft.io.Scratch.qs39Dir(dir) + "/verdicts"
     org.apache.commons.io.FileUtils
       .deleteQuietly(new java.io.File(outRoot))
-    val corpus = Tables.documents(s, dir).where(isCorpus)
     // the standing artifact: built once per (dir, stamp), amortized
-    // across qd54/qd57/qs39 — the gate measures per-batch work only
+    // across qd54/qd57/qs39 — the gate measures per-batch work only.
+    // PERSIST both standing frames across the drain (VERDICT r11 #4):
+    // every micro-batch joins against `bands` and semi-joins `corpus`,
+    // and without the persist each of the four batches re-reads the
+    // parquet trees from scratch. Released after the drain — the
+    // standing state's lifetime is the stream's, not the session's.
+    val corpus = Tables.documents(s, dir).where(isCorpus)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bands = TrainingOps.corpusBands(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val landing = landBatchJsonl(s, dir)
-    EventStream.withShufflePartitions(s, 8) {
+    try EventStream.withShufflePartitions(s, 8) {
       val stream = s.readStream
         .schema(graft.ingest.JsonlIngest.DocSchema)
         .option("maxFilesPerTrigger", 1)
@@ -87,6 +94,9 @@ object Admission {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+    } finally {
+      corpus.unpersist(blocking = false)
+      bands.unpersist(blocking = false)
     }
     s.read.parquet(outRoot)
       .select("doc_id", "dup_of", "is_dup")

@@ -29,8 +29,6 @@ import org.apache.spark.sql.streaming.Trigger
 object SketchStream {
 
   private val gateRuns = new java.util.concurrent.atomic.AtomicLong(0L)
-  private val lastView =
-    new java.util.concurrent.atomic.AtomicReference[String](null)
 
   /** Land the corpus as JSONL in qs40's watched folder (several part
     * files → several micro-batches under maxFilesPerTrigger = 1).
@@ -67,10 +65,20 @@ object SketchStream {
       s.table(queryName)
     }
 
-  /** qs40's gate form: land, drain, estimate. */
+  /** qs40's gate form: land, drain, estimate.
+    *
+    * View lifecycle (ADVICE r11): the estimate is source-count-sized,
+    * so it is eagerly checkpointed and the memory-sink temp view
+    * dropped BEFORE returning — zero sink tables retained on the
+    * driver between invocations, and the returned frame stays valid
+    * no matter when (or whether) the caller consumes it.
+    */
   def hllStreamGate(s: SparkSession, dir: String): DataFrame = {
     val name = s"qs40_hll_${gateRuns.incrementAndGet()}"
-    Option(lastView.getAndSet(name)).foreach(s.catalog.dropTempView(_))
-    Sketch.registerEstimate(streamRegisters(s, landJsonl(s, dir), name))
+    val out = Sketch
+      .registerEstimate(streamRegisters(s, landJsonl(s, dir), name))
+      .localCheckpoint()
+    s.catalog.dropTempView(name)
+    out
   }
 }

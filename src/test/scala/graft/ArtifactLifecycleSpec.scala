@@ -66,6 +66,26 @@ class ArtifactLifecycleSpec extends SparkSpec {
     assert(freshCells == artCells)
   }
 
+  test("corpus_bands artifact ≡ a fresh bandIndex build (geometry drift)") {
+    // ADVICE r11: qs39's admission gate joins arriving batches against
+    // the STORED corpus_bands artifact; a change to minhashSignatures
+    // / band geometry without a version bump would serve a stale index
+    // silently and the gate would admit everything — caught only at
+    // the DuckDB gate. This pins artifact ≡ fresh build in sbt test,
+    // so geometry/version drift fails fast.
+    import graft.operators.{Dedup, TrainingOps}
+    val dir = "/root/testdata/sf0.001"
+    val stored = TrainingOps.corpusBands(spark, dir)
+      .orderBy("doc_id", "band_idx", "band_hash").collect().toSeq
+    val fresh = Dedup.bandIndex(
+        graft.core.Tables.documents(spark, dir)
+          .where(col("source") =!= "src19"), "doc_id", "text")
+      .orderBy("doc_id", "band_idx", "band_hash").collect().toSeq
+    assert(stored == fresh,
+      "stored corpus_bands diverges from the current band geometry — " +
+        "bump the artifact version in TrainingOps.corpusBands")
+  }
+
   test("qd57: publish ∘ publish ≡ rebuild on the union, through parquet") {
     // the production arrival loop, two generations deep: batch b1
     // folds into the standing index, the result is WRITTEN and READ
