@@ -214,6 +214,8 @@ object SparkEntry {
     "qd60_hll_overlap"   -> (graft.operators.Sketch.hllOverlapQuery _),
     "qs40_stream_hll"    -> (graft.streaming.SketchStream.hllStreamGate _),
     "qd61_quantile_sketch" -> (graft.operators.Sketch.quantileQuery _),
+    "qd62_heavy_hitters" -> (graft.operators.Sketch.cmQuery _),
+    "qs41_stream_cm"     -> (graft.streaming.SketchStream.cmStreamGate _),
   )
 
   /** Queries intentionally without an oracle — EMPTY since round 5:
@@ -395,6 +397,18 @@ object SparkEntry {
          |      AS BIGINT) END AS err_micro
          |FROM ev JOIN x ON x.source = ev.source AND x.pct = ev.pct
          |ORDER BY ev.source, ev.pct""".stripMargin),
+    // qd62: the count-min counters are plain BIGINT sums over the
+    // same portable fingerprint + avalanche chain as qd59 (per-row
+    // affine pre-mix, the portablePerms convention), the top-5 rank
+    // ties to the lexically smaller token, and the estimate is a MIN
+    // over 4 exact counters — every ingredient integer-exact, so the
+    // report is bit-identical cross-engine.
+    "qd62_heavy_hitters" -> cmSql,
+    // qs41: counter sums are an order-free monoid — the drained
+    // streaming counter table provably equals qd62's batch counters
+    // for ANY micro-batch split, so qd62's oracle carries verbatim
+    // (the qs40 argument, third member of the sketch tier).
+    "qs41_stream_cm" -> cmSql,
     // qs40: qd59's token-grain register chain, estimate-only — the
     // streaming register-max aggregate provably equals the batch one
     // (max is an order-free monoid; micro-batch boundaries can't
@@ -2776,6 +2790,58 @@ object SparkEntry {
     * [[graft.operators.Sketch.hllEstSql]] — so even the corrected
     * estimate matches to the bit.
     */
+  /** qd62/qs41 oracle: recomputes the count-min counter table from
+    * the token tf grain — per-row affine pre-mix over the 31-bit
+    * fingerprint, the qd59 two-round avalanche, bucket = top 8 bits —
+    * then the true per-source top-5 (row_number over (tf DESC, token))
+    * and each candidate's MIN over its 4 counters. Exact BIGINT
+    * arithmetic end to end; [[graft.operators.Sketch.cmOverSql]] is
+    * the dialect-shared error expression.
+    */
+  private lazy val cmSql: String = {
+    val perms = graft.operators.Sketch.cmPerms.zipWithIndex
+      .map { case ((a, b), r) => s"($r, $a, $b)" }.mkString(", ")
+    s"""$shingleCte,
+       |items AS (SELECT d.source, unnest(t.t) AS item
+       |  FROM toks t JOIN documents d USING (doc_id)),
+       |tfc AS (SELECT source, item, CAST(count(*) AS BIGINT) AS tf
+       |  FROM items GROUP BY 1, 2),
+       |fps AS (SELECT source, item, tf,
+       |    CAST(CASE WHEN length(item) = 0 THEN 0 ELSE
+       |      list_reduce(list_transform(string_split(item, ''),
+       |        c -> CAST(unicode(c) AS BIGINT)),
+       |      (acc, x) -> (acc * 31 + x) % 2147483647) END AS BIGINT)
+       |      AS fp
+       |  FROM tfc),
+       |m0 AS (SELECT source, item, tf, p.r,
+       |    ((fp * p.a + p.bb) % 2147483647) * 2654435761
+       |      % 2147483648 AS h1
+       |  FROM fps, (VALUES $perms) p(r, a, bb)),
+       |ha AS (SELECT source, item, tf, r,
+       |    (xor(h1, h1 // 32768) * 2246822519) % 2147483648 AS h3
+       |  FROM m0),
+       |hb AS (SELECT source, item, tf, r,
+       |    xor(h3, h3 // 8192) // 8388608 AS b
+       |  FROM ha),
+       |counters AS (SELECT source, r, b, CAST(SUM(tf) AS BIGINT) AS cnt
+       |  FROM hb GROUP BY 1, 2, 3),
+       |t5 AS (SELECT source, item, tf AS exact_tf, rnk FROM (
+       |    SELECT source, item, tf,
+       |      CAST(row_number() OVER (PARTITION BY source
+       |        ORDER BY tf DESC, item) AS INTEGER) AS rnk
+       |    FROM tfc) WHERE rnk <= 5),
+       |e AS (SELECT t.source, t.rnk, t.item, t.exact_tf,
+       |    MIN(c.cnt) AS cm_est
+       |  FROM t5 t
+       |  JOIN hb ON hb.source = t.source AND hb.item = t.item
+       |  JOIN counters c ON c.source = hb.source AND c.r = hb.r
+       |    AND c.b = hb.b
+       |  GROUP BY 1, 2, 3, 4)
+       |SELECT source, rnk, item, exact_tf, cm_est,
+       |  ${graft.operators.Sketch.cmOverSql} AS over_micro
+       |FROM e ORDER BY source, rnk""".stripMargin
+  }
+
   private lazy val hllSql: String =
     s"""$shingleCte,
        |items AS (

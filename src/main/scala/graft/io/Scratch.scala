@@ -109,6 +109,12 @@ object Scratch {
       "graft_qs40_" + sfDir.replaceAll("[^A-Za-z0-9._-]", "_"))
       .getAbsolutePath
 
+  /** qs41's streaming count-min landing root, keyed like [[qp1Dir]]. */
+  def qs41Dir(sfDir: String): String =
+    new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_qs41_" + sfDir.replaceAll("[^A-Za-z0-9._-]", "_"))
+      .getAbsolutePath
+
   /** qd50's sharded-export root, keyed like [[qp1Dir]]. */
   def qd50Dir(sfDir: String): String =
     new java.io.File(System.getProperty("java.io.tmpdir"),

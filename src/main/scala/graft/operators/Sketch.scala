@@ -387,4 +387,152 @@ object Sketch {
   /** qd61 declared form. */
   def quantileQuery(s: SparkSession, dir: String): DataFrame =
     quantileSketch(Tables.documents(s, dir))
+
+  // ---- count-min heavy hitters (qd62 / qs41) ---------------------
+
+  /** Count-min geometry: 4 independent rows × 256 buckets — 1024
+    * counters per (source), the third bounded-state profiling monoid
+    * next to the HLL registers (qd59) and the log-bucket histogram
+    * (qd61). SpaceSaving keeps O(k) state but is ORDER-DEPENDENT
+    * (its summary depends on arrival order, so batch ≡ stream is
+    * unprovable and no SQL oracle can recompute it); count-min
+    * counters are plain sums — an order-free monoid, streamable,
+    * shard-mergeable, and bit-recomputable by DuckDB. The classic
+    * trade: est(item) ≥ true(item) always, with expected
+    * overestimate ≤ e/width · N per row and the MIN over 4
+    * independent rows driving the error toward the floor.
+    */
+  val CmDepth = 4
+  val CmWidth = 256
+
+  /** Per-row affine pre-mixes over the 31-bit fingerprint space
+    * (mod 2147483647, the fingerprint modulus — the portablePerms
+    * convention): row r hashes (fp·a + b) through the SAME two-round
+    * avalanche as the HLL registers, bucket = top 8 bits. Row 0 is
+    * the identity mix, so its buckets coincide with the HLL register
+    * indexes — one shared derivation, spec-checkable against qd59.
+    */
+  val cmPerms: Seq[(Long, Long)] = Seq(
+    (1L, 0L), (1299721L, 29L), (104729L, 868211L),
+    (15485863L, 32452843L))
+
+  /** The qd59 avalanche as a column function: 31-bit input → 8-bit
+    * bucket (top bits of the mixed hash). Exact integer ops only.
+    */
+  private def avalancheBucket(mixed: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val h1 = (mixed * lit(2654435761L)) % lit(2147483648L)
+    val ha = h1.bitwiseXOR(shiftright(h1, 15))
+    val h3 = (ha * lit(2246822519L)) % lit(2147483648L)
+    val h2 = h3.bitwiseXOR(shiftright(h3, 13))
+    shiftright(h2, RankWidth)
+  }
+
+  /** The 4 (row, bucket) structs for a materialized `fp` column —
+    * shared by the counter build and the estimate side so the two
+    * cannot diverge. `fp` must be a materialized column, not an
+    * expression (each struct references it; the array is not a
+    * lambda HOF, so codegen evaluates fp once per row).
+    */
+  private def cmRowBuckets(): org.apache.spark.sql.Column =
+    array(cmPerms.zipWithIndex.map { case ((a, b), r) =>
+      struct(lit(r).as("r"),
+        avalancheBucket((col("fp") * lit(a) + lit(b)) % lit(2147483647L))
+          .as("b"))
+    }: _*)
+
+  /** Stateless (source, r, b) counter-event stream at the token
+    * grain — the qs41 twin of [[tokenRegisters]]: every step is a
+    * per-row projection (tokenize → explode → fingerprint → 4 bucket
+    * rows), so it runs unchanged on a streaming DataFrame; the
+    * downstream `groupBy(source, r, b).count()` is the counter-sum
+    * monoid, whose streaming state is ≤ 4·256 rows per source
+    * FOREVER (the qs40 boundedness argument, third member).
+    */
+  def tokenCmEvents(docs: DataFrame): DataFrame = {
+    DocFingerprint.register(docs.sparkSession)
+    docs.where(col("text").isNotNull)
+      .select(col("source"), explode(Dedup.tokens(col("text"))).as("item"))
+      .withColumn("fp", DocFingerprint.of(col("item")))
+      .select(col("source"), explode(cmRowBuckets()).as("rb"))
+      .select(col("source"), col("rb.r").as("r"), col("rb.b").as("b"))
+  }
+
+  /** Fold a (source, item, tf) grain into the count-min counter
+    * table (source, r, b, cnt) — ≤ 4·256 rows per source after one
+    * map-side-combined aggregate, regardless of vocabulary size.
+    */
+  def cmCounters(tfc: DataFrame): DataFrame = {
+    DocFingerprint.register(tfc.sparkSession)
+    tfc.withColumn("fp", DocFingerprint.of(col("item")))
+      .select(col("source"), col("tf"), explode(cmRowBuckets()).as("rb"))
+      .groupBy(col("source"), col("rb.r").as("r"), col("rb.b").as("b"))
+      .agg(sum(col("tf")).as("cnt"))
+  }
+
+  /** Dialect-shared signed relative OVERestimate in micro-units
+    * (count-min never underestimates, so this is ≥ 0). Expects
+    * `cm_est`, `exact_tf` in scope.
+    */
+  val cmOverSql: String =
+    "CAST(FLOOR((CAST(cm_est AS DOUBLE) / CAST(exact_tf AS DOUBLE) " +
+      "- 1.0) * 1000000.0 + 0.5) AS BIGINT)"
+
+  /** The heavy-hitter report over an explicit tf grain and counter
+    * table — shared by qd62 (batch counters) and qs41 (counters
+    * drained from the streaming aggregate): per source, the true
+    * top-`k` tokens by exact count (rank ties to the lexically
+    * smaller token), each with its count-min estimate
+    * (min over the 4 row counters) and the signed overestimate.
+    */
+  def cmReport(tfc: DataFrame, counters: DataFrame, k: Int): DataFrame = {
+    DocFingerprint.register(tfc.sparkSession)
+    val top = tfc
+      .withColumn("rnk", row_number().over(Window.partitionBy("source")
+        .orderBy(col("tf").desc, col("item"))))
+      .filter(col("rnk") <= k)
+    // candidates are report-sized (k × sources); their 4 bucket rows
+    // broadcast against the counter table (itself sources × 1024)
+    val cand = top
+      .withColumn("fp", DocFingerprint.of(col("item")))
+      .select(col("source"), col("rnk"), col("item"),
+        col("tf").as("exact_tf"), explode(cmRowBuckets()).as("rb"))
+      .select(col("source"), col("rnk"), col("item"), col("exact_tf"),
+        col("rb.r").as("r"), col("rb.b").as("b"))
+    broadcast(cand).join(counters, Seq("source", "r", "b"))
+      .groupBy("source", "rnk", "item", "exact_tf")
+      .agg(min(col("cnt")).as("cm_est"))
+      .withColumn("over_micro", expr(cmOverSql))
+      .select(col("source"), col("rnk").cast("int").as("rnk"), col("item"),
+        col("exact_tf"), col("cm_est"), col("over_micro"))
+      .orderBy("source", "rnk")
+  }
+
+  /** qd62 — per-source heavy hitters: the true top-5 tokens (the
+    * exact leg, a full (source, token) count — THE corpus-grain
+    * shuffle the sketch replaces at 100 TB) reported next to their
+    * count-min estimates from the 1024-counter-per-source table.
+    * Like qd59/qd61, the exact leg exists as the measured truth
+    * column; the production dashboard keeps only the kilobyte
+    * counter state (plus a candidate tracker — at scale candidates
+    * come from a previous window's report or a cheap per-partition
+    * pre-top-k, not a full count).
+    *
+    * Scale shape: ONE tokenize pass → map-side-combined (source,
+    * token, tf) grain feeding BOTH legs (localCheckpoint, the flat-
+    * grain rule); the sketch side's exchange carries ≤ 4·256 rows
+    * per source; the report join is broadcast × counter-table sized.
+    */
+  def cmHeavyHitters(docs: DataFrame, k: Int = 5): DataFrame = {
+    DocFingerprint.register(docs.sparkSession)
+    val tfc = docs.where(col("text").isNotNull)
+      .select(col("source"), explode(Dedup.tokens(col("text"))).as("item"))
+      .groupBy("source", "item").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    cmReport(tfc, cmCounters(tfc), k)
+  }
+
+  /** qd62 declared form. */
+  def cmQuery(s: SparkSession, dir: String): DataFrame =
+    cmHeavyHitters(Tables.documents(s, dir))
 }

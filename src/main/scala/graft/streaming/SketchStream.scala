@@ -30,11 +30,14 @@ object SketchStream {
 
   private val gateRuns = new java.util.concurrent.atomic.AtomicLong(0L)
 
-  /** Land the corpus as JSONL in qs40's watched folder (several part
+  /** Land the corpus as JSONL in a watched folder (several part
     * files → several micro-batches under maxFilesPerTrigger = 1).
+    * `root` defaults to qs40's scratch tree; qs41 lands its own.
     */
-  def landJsonl(s: SparkSession, dir: String): String = {
-    val landing = graft.io.Scratch.qs40Dir(dir) + "/landing"
+  def landJsonl(s: SparkSession, dir: String,
+                root: String => String = graft.io.Scratch.qs40Dir)
+      : String = {
+    val landing = root(dir) + "/landing"
     Tables.documents(s, dir)
       .repartition(4)
       .select(to_json(struct(col("doc_id"), col("text"), col("lang"),
@@ -78,6 +81,55 @@ object SketchStream {
     val out = Sketch
       .registerEstimate(streamRegisters(s, landJsonl(s, dir), name))
       .localCheckpoint()
+    s.catalog.dropTempView(name)
+    out
+  }
+
+  /** Drain a landing folder through the streaming count-min counter
+    * aggregate; return the DRAINED counter table (source, r, b, cnt)
+    * — qs41's streaming state, ≤ 4·256 rows per source forever (the
+    * counter-sum monoid; [[Sketch.tokenCmEvents]]).
+    */
+  def streamCmCounters(s: SparkSession, landing: String,
+                       queryName: String): DataFrame =
+    EventStream.withShufflePartitions(s, 8) {
+      val stream = s.readStream
+        .schema(graft.ingest.JsonlIngest.DocSchema)
+        .option("maxFilesPerTrigger", 1)
+        .json(landing)
+      val q = Sketch.tokenCmEvents(stream)
+        .groupBy("source", "r", "b").agg(count(lit(1)).as("cnt"))
+        .writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(queryName)
+    }
+
+  /** qs41 — STREAMING heavy hitters: counter sums are an order-free
+    * monoid, so the drained streaming counter table provably equals
+    * qd62's batch counters regardless of micro-batch boundaries, and
+    * qd62's report (and its DuckDB oracle) carries over VERBATIM.
+    * The report tail (true top-5 + estimate read-side) is the batch
+    * step every profiling gate here ends with (qs40's estimator
+    * argument) — the streaming state under test is the counters.
+    * Same view lifecycle as [[hllStreamGate]] (ADVICE r11): the
+    * report is checkpointed and the memory-sink view dropped before
+    * returning.
+    */
+  def cmStreamGate(s: SparkSession, dir: String): DataFrame = {
+    val name = s"qs41_cm_${gateRuns.incrementAndGet()}"
+    val counters = streamCmCounters(s,
+      landJsonl(s, dir, graft.io.Scratch.qs41Dir), name)
+    val tfc = Tables.documents(s, dir)
+      .where(col("text").isNotNull)
+      .select(col("source"),
+        explode(graft.operators.Dedup.tokens(col("text"))).as("item"))
+      .groupBy("source", "item").agg(count(lit(1)).as("tf"))
+    val out = Sketch.cmReport(tfc, counters, k = 5).localCheckpoint()
     s.catalog.dropTempView(name)
     out
   }

@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-12 additions: the count-min heavy-hitter sketch (qd62) and
+  * its streaming twin (qs41) — the third bounded-state profiling
+  * monoid next to the HLL registers (qd59) and the log-bucket
+  * histogram (qd61).
+  */
+class Round12OpsSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.Sketch
+
+  /** The oracle-side hash chain, reimplemented independently: affine
+    * pre-mix, two-round avalanche, top-8-bit bucket.
+    */
+  private def refBucket(item: String, row: Int): Long = {
+    var fp = 0L
+    item.codePoints().toArray.foreach { cp =>
+      fp = (fp * 31L + cp) % graft.functions.DocFingerprint.Modulus
+    }
+    val (a, b) = Sketch.cmPerms(row)
+    val mixed = (fp * a + b) % 2147483647L
+    val h1 = (mixed * 2654435761L) % 2147483648L
+    val ha = h1 ^ (h1 >> 15)
+    val h3 = (ha * 2246822519L) % 2147483648L
+    val h2 = h3 ^ (h3 >> 13)
+    h2 >> 23
+  }
+
+  test("qd62: counters match a hand-computed reference on a tiny corpus") {
+    val docs = Seq(
+      (1L, "alpha beta alpha", "srcA"),
+      (2L, "beta gamma", "srcA"),
+      (3L, "alpha", "srcB"))
+      .toDF("doc_id", "text", "source")
+    val got = Sketch.cmCounters(
+        docs.select(col("source"),
+            explode(graft.operators.Dedup.tokens(col("text"))).as("item"))
+          .groupBy("source", "item").agg(count(lit(1)).as("tf")))
+      .collect()
+      .map(r => ((r.getString(0), r.getInt(1), r.getLong(2)), r.getLong(3)))
+      .toMap
+    // independent reference: fold each (source, token, count) into
+    // 4 × 256 counters through the reimplemented hash chain
+    val tf = Map(("srcA", "alpha") -> 2L, ("srcA", "beta") -> 2L,
+      ("srcA", "gamma") -> 1L, ("srcB", "alpha") -> 1L)
+    val want = tf.toSeq
+      .flatMap { case ((s, tok), n) =>
+        (0 until Sketch.CmDepth).map(r => ((s, r, refBucket(tok, r)), n))
+      }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    assert(got == want)
+    // and row 0's buckets coincide with qd59's HLL register indexes
+    // (shared derivation, spec-checkable cross-sketch)
+    val hllIdx = Sketch.tokenRegisters(docs)
+      .select("idx").distinct().collect().map(_.getLong(0)).toSet
+    val row0 = got.keySet.filter(_._2 == 0).map(_._3)
+    assert(row0.subsetOf(hllIdx))
+  }
+
+  test("qd62: est >= exact always (the count-min guarantee), top-5 shape") {
+    val out = Sketch.cmQuery(spark, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val exact = r.getAs[Long]("exact_tf")
+      val est = r.getAs[Long]("cm_est")
+      assert(est >= exact,
+        s"count-min must never underestimate: $r")
+      assert(r.getAs[Long]("over_micro") >= 0L)
+    }
+    // exactly 5 ranks per source, ranks 1..5, exact_tf descending
+    out.groupBy(_.getAs[String]("source")).foreach { case (s, rows) =>
+      assert(rows.map(_.getAs[Int]("rnk")).sorted.sameElements(1 to 5), s)
+      val tfs = rows.sortBy(_.getAs[Int]("rnk")).map(_.getAs[Long]("exact_tf"))
+      assert(tfs.zip(tfs.tail).forall { case (a, b) => a >= b }, s)
+    }
+  }
+
+  test("qd62: counter state is geometry-bounded, not vocabulary-bounded") {
+    val tfc = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("source"),
+        explode(graft.operators.Dedup.tokens(col("text"))).as("item"))
+      .groupBy("source", "item").agg(count(lit(1)).as("tf"))
+    val counters = Sketch.cmCounters(tfc)
+    val perSource = counters.groupBy("source").count().collect()
+    perSource.foreach { r =>
+      assert(r.getLong(1) <= Sketch.CmDepth.toLong * Sketch.CmWidth,
+        s"counter rows per source must be <= 4*256: $r")
+    }
+    // mass conservation per row: each row's counters sum to the total
+    // token count (every occurrence lands in exactly one bucket/row)
+    val total = tfc.agg(sum("tf")).collect().head.getLong(0)
+    val perRow = counters.groupBy("r").agg(sum("cnt").as("s")).collect()
+    assert(perRow.length == Sketch.CmDepth)
+    perRow.foreach(r => assert(r.getLong(1) == total, s"row $r"))
+  }
+
+  test("qs41: drained streaming counters ≡ batch; gate report ≡ qd62") {
+    val dir = "/root/testdata/sf0.001"
+    val landing = graft.streaming.SketchStream.landJsonl(spark, dir,
+      graft.io.Scratch.qs41Dir)
+    val drained = graft.streaming.SketchStream
+      .streamCmCounters(spark, landing, "qs41_spec_probe")
+      .orderBy("source", "r", "b").collect().toSeq
+    val batch = Sketch.cmCounters(
+        graft.core.Tables.documents(spark, dir)
+          .where(col("text").isNotNull)
+          .select(col("source"),
+            explode(graft.operators.Dedup.tokens(col("text"))).as("item"))
+          .groupBy("source", "item").agg(count(lit(1)).as("tf")))
+      .orderBy("source", "r", "b").collect().toSeq
+    assert(drained == batch,
+      "counter sums are an order-free monoid: any micro-batch split " +
+        "must drain to the batch counter table")
+    spark.catalog.dropTempView("qs41_spec_probe")
+    val gate = graft.streaming.SketchStream.cmStreamGate(spark, dir)
+      .collect().toSeq
+    val want = Sketch.cmQuery(spark, dir).collect().toSeq
+    assert(gate == want)
+  }
+}
