@@ -216,6 +216,9 @@ object SparkEntry {
     "qd61_quantile_sketch" -> (graft.operators.Sketch.quantileQuery _),
     "qd62_heavy_hitters" -> (graft.operators.Sketch.cmQuery _),
     "qs41_stream_cm"     -> (graft.streaming.SketchStream.cmStreamGate _),
+    "qd63_bottomk_profile" -> (graft.operators.Sketch.bottomkQuery _),
+    "qs42_stream_bottomk" ->
+      (graft.streaming.SketchStream.bottomkStreamGate _),
   )
 
   /** Queries intentionally without an oracle — EMPTY since round 5:
@@ -409,6 +412,16 @@ object SparkEntry {
     // for ANY micro-batch split, so qd62's oracle carries verbatim
     // (the qs40 argument, third member of the sketch tier).
     "qs41_stream_cm" -> cmSql,
+    // qd63: the bottom-k sample is the k smallest distinct avalanched
+    // hashes (the qd59 chain verbatim), the estimator one dialect-
+    // shared expression over (n_kept, kth_hash) — integer-exact
+    // inputs, bit-identical report.
+    "qd63_bottomk_profile" -> bkSql,
+    // qs42: min-k over a set is an order-free monoid (the streaming
+    // aggregator's merge is union + take-k), so the drained sample
+    // provably equals the batch bottom-k for any micro-batch split —
+    // qd63's oracle carries verbatim.
+    "qs42_stream_bottomk" -> bkSql,
     // qs40: qd59's token-grain register chain, estimate-only — the
     // streaming register-max aggregate provably equals the batch one
     // (max is an order-free monoid; micro-batch boundaries can't
@@ -2841,6 +2854,43 @@ object SparkEntry {
        |  ${graft.operators.Sketch.cmOverSql} AS over_micro
        |FROM e ORDER BY source, rnk""".stripMargin
   }
+
+  /** qd63/qs42 oracle: distinct (source, token) → the qd59 avalanche
+    * chain → distinct hashes; bottom-16 via row_number, then the
+    * dialect-shared k-th-minimum estimator and error
+    * ([[graft.operators.Sketch.bkEstSql]] / [[Sketch.bkErrSql]])
+    * against the exact distinct-hash count.
+    */
+  private lazy val bkSql: String =
+    s"""$shingleCte,
+       |items AS (SELECT DISTINCT d.source, unnest(t.t) AS item
+       |  FROM toks t JOIN documents d USING (doc_id)),
+       |h0 AS (SELECT source,
+       |    (CAST(CASE WHEN length(item) = 0 THEN 0 ELSE
+       |      list_reduce(list_transform(string_split(item, ''),
+       |        c -> CAST(unicode(c) AS BIGINT)),
+       |      (acc, x) -> (acc * 31 + x) % 2147483647) END AS BIGINT)
+       |     * 2654435761) % 2147483648 AS h1
+       |  FROM items),
+       |ha AS (SELECT source,
+       |    (xor(h1, h1 // 32768) * 2246822519) % 2147483648 AS h3
+       |  FROM h0),
+       |hh AS (SELECT DISTINCT source, xor(h3, h3 // 8192) AS h2 FROM ha),
+       |rk AS (SELECT source, h2,
+       |    row_number() OVER (PARTITION BY source ORDER BY h2) AS rnk
+       |  FROM hh),
+       |kk AS (SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+       |    MAX(h2) AS kth_hash
+       |  FROM rk WHERE rnk <= ${graft.operators.Sketch.BottomK}
+       |  GROUP BY 1),
+       |ex AS (SELECT source, CAST(count(*) AS BIGINT) AS exact_distinct
+       |  FROM hh GROUP BY 1),
+       |e AS (SELECT kk.source, n_kept, kth_hash, exact_distinct,
+       |    ${graft.operators.Sketch.bkEstSql} AS bk_est
+       |  FROM kk JOIN ex ON ex.source = kk.source)
+       |SELECT source, n_kept, kth_hash, exact_distinct, bk_est,
+       |  ${graft.operators.Sketch.bkErrSql} AS err_micro
+       |FROM e ORDER BY source""".stripMargin
 
   private lazy val hllSql: String =
     s"""$shingleCte,

@@ -115,6 +115,12 @@ object Scratch {
       "graft_qs41_" + sfDir.replaceAll("[^A-Za-z0-9._-]", "_"))
       .getAbsolutePath
 
+  /** qs42's streaming bottom-k landing root, keyed like [[qp1Dir]]. */
+  def qs42Dir(sfDir: String): String =
+    new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_qs42_" + sfDir.replaceAll("[^A-Za-z0-9._-]", "_"))
+      .getAbsolutePath
+
   /** qd50's sharded-export root, keyed like [[qp1Dir]]. */
   def qd50Dir(sfDir: String): String =
     new java.io.File(System.getProperty("java.io.tmpdir"),

@@ -105,12 +105,20 @@ object Sketch {
     * [[hllProfile]]'s scaladoc for why two mix rounds are required).
     * Factored so [[hllOverlap]] sketches with bit-identical registers.
     */
-  private def withRegisterCols(df: DataFrame, itemCol: String): DataFrame =
+  /** The 31-bit fingerprint → avalanched uniform hash `h2` ∈ [0, 2³¹)
+    * — the shared front half of [[withRegisterCols]], also the
+    * bottom-k sketch's rank hash (qd63/qs42).
+    */
+  private[operators] def withAvalanche(df: DataFrame,
+                                       itemCol: String): DataFrame =
     df.withColumn("fp", DocFingerprint.of(col(itemCol)))
       .withColumn("h1", (col("fp") * lit(2654435761L)) % lit(2147483648L))
       .withColumn("ha", col("h1").bitwiseXOR(shiftright(col("h1"), 15)))
       .withColumn("h3", (col("ha") * lit(2246822519L)) % lit(2147483648L))
       .withColumn("h2", col("h3").bitwiseXOR(shiftright(col("h3"), 13)))
+
+  private def withRegisterCols(df: DataFrame, itemCol: String): DataFrame =
+    withAvalanche(df, itemCol)
       .withColumn("idx", shiftright(col("h2"), RankWidth))
       .withColumn("r", col("h2").bitwiseAND(lit((1L << RankWidth) - 1)))
       .withColumn("rho", when(col("r") === 0, lit(RankWidth + 1))
@@ -535,4 +543,128 @@ object Sketch {
   /** qd62 declared form. */
   def cmQuery(s: SparkSession, dir: String): DataFrame =
     cmHeavyHitters(Tables.documents(s, dir))
+
+  // ---- bottom-k sketch (qd63 / qs42) ------------------------------
+
+  /** Bottom-k sample size: k = 16 smallest distinct hashes per
+    * source. The k-th-minimum estimator's relative error is
+    * ~1/√(k−2) ≈ 27% — honest and measured in the report; production
+    * picks k for its error budget (k = 1024 → ~3%), the state stays
+    * O(k) either way.
+    */
+  val BottomK = 16
+
+  /** Dialect-shared k-th-minimum distinct estimator: hashes are
+    * uniform on [0, 2³¹), so E[h_(k)] ≈ k/(n+1)·2³¹ and
+    * n̂ = (k−1)·2³¹ / h_(k) (the classic bottom-k estimator, Cohen &
+    * Kaplan); a source with fewer than k distinct hashes IS its
+    * sample, so the "estimate" is exact there. GREATEST guards the
+    * (astronomically unlikely) h_(k) = 0. Expects `n_kept`,
+    * `kth_hash` in scope.
+    */
+  val bkEstSql: String =
+    s"CAST(CASE WHEN n_kept < $BottomK THEN n_kept " +
+      s"ELSE FLOOR(${BottomK - 1}.0 * 2147483648.0 " +
+      "/ CAST(GREATEST(kth_hash, 1) AS DOUBLE) + 0.5) END AS BIGINT)"
+
+  /** Dialect-shared signed relative error vs the exact count, in
+    * integer micro-units. Expects `bk_est`, `exact_distinct`.
+    */
+  val bkErrSql: String =
+    "CAST(FLOOR((CAST(bk_est AS DOUBLE) / CAST(exact_distinct AS DOUBLE) " +
+      "- 1.0) * 1000000.0 + 0.5) AS BIGINT)"
+
+  /** Stateless (source, h2) hash stream at the token grain — qs42's
+    * input: per-row projections only, so it runs unchanged on a
+    * streaming DataFrame. NOT de-duplicated (a streaming distinct
+    * would hold every hash forever — the qs9 caveat); duplicate
+    * absorption is the [[graft.functions.BottomKAggregator]] buffer's
+    * job, at O(k) state.
+    */
+  def tokenHashEvents(docs: DataFrame): DataFrame = {
+    DocFingerprint.register(docs.sparkSession)
+    withAvalanche(
+      docs.where(col("text").isNotNull)
+        .select(col("source"), explode(Dedup.tokens(col("text"))).as("item")),
+      "item")
+      .select(col("source"), col("h2"))
+  }
+
+  /** The per-source bottom-k hash sample: the k smallest DISTINCT
+    * avalanched token hashes, ranked ascending. One WindowGroupLimit
+    * top-k (the qd62 plan shape: per-partition partial bottom-k
+    * BEFORE the shuffle), never a full per-source sort at the
+    * executor grain.
+    */
+  def bottomkSample(docs: DataFrame, k: Int = BottomK): DataFrame = {
+    DocFingerprint.register(docs.sparkSession)
+    val hashed = withAvalanche(
+        docs.where(col("text").isNotNull)
+          .select(col("source"),
+            explode(Dedup.tokens(col("text"))).as("item")),
+        "item")
+      .select(col("source"), col("h2")).distinct()
+    hashed
+      .withColumn("rnk", row_number().over(Window.partitionBy("source")
+        .orderBy(col("h2"))))
+      .filter(col("rnk") <= k)
+  }
+
+  /** Fold a drained (source, h2-ascending-array) state — [[qs42]]'s
+    * streaming aggregate output, or the batch sample regrouped — plus
+    * the exact leg into the report: (source, n_kept, kth_hash,
+    * exact_distinct, bk_est, err_micro).
+    */
+  def bottomkReport(sample: DataFrame, exact: DataFrame): DataFrame =
+    sample.groupBy("source")
+      .agg(count(lit(1)).as("n_kept"), max(col("h2")).as("kth_hash"))
+      .join(exact, Seq("source"))
+      .withColumn("bk_est", expr(bkEstSql))
+      .withColumn("err_micro", expr(bkErrSql))
+      .select(col("source"), col("n_kept"), col("kth_hash"),
+        col("exact_distinct"), col("bk_est"), col("err_micro"))
+      .orderBy("source")
+
+  /** qd63 — per-source bottom-k distinct-token sketch: the k smallest
+    * distinct hashes ARE a fixed-size deterministic sample (unlike
+    * reservoir sampling, min-k is an order-free MONOID — merge =
+    * union, take k smallest — so shards/streams/batches compose
+    * provably), and the k-th minimum doubles as a distinct-count
+    * estimator, reported here next to the exact count (the qd59
+    * pattern; the HLL estimates cheaper at ~6.5% vs bottom-k's ~27%
+    * at k=16, but the HLL keeps no exemplars). What the sample buys
+    * at 100 TB: the hashes are COORDINATED across sources (same hash
+    * function), so stored per-source bottom-k sketches support
+    * audit-sample pulls and cross-source resemblance estimates with
+    * no corpus rescan.
+    *
+    * Scale shape: one tokenize pass → (source, h2) distinct →
+    * WindowGroupLimit bottom-k (partial top-k before the shuffle);
+    * the exact leg rides the SAME distinct grain — one exchange
+    * feeds both.
+    */
+  def bottomkProfile(docs: DataFrame, k: Int = BottomK): DataFrame = {
+    DocFingerprint.register(docs.sparkSession)
+    val hashed = withAvalanche(
+        docs.where(col("text").isNotNull)
+          .select(col("source"),
+            explode(Dedup.tokens(col("text"))).as("item")),
+        "item")
+      .select(col("source"), col("h2")).distinct()
+      .localCheckpoint() // two consumers: bottom-k + exact count
+    val sample = hashed
+      .withColumn("rnk", row_number().over(Window.partitionBy("source")
+        .orderBy(col("h2"))))
+      .filter(col("rnk") <= k)
+    // exact distinct at the HASH grain — the same universe the
+    // estimator lives in (fingerprint collisions are part of the
+    // TOKENIZER's story, not the estimator's; both engines agree)
+    val exact = hashed.groupBy("source")
+      .agg(count(lit(1)).as("exact_distinct"))
+    bottomkReport(sample, exact)
+  }
+
+  /** qd63 declared form. */
+  def bottomkQuery(s: SparkSession, dir: String): DataFrame =
+    bottomkProfile(Tables.documents(s, dir))
 }

@@ -109,6 +109,59 @@ object SketchStream {
       s.table(queryName)
     }
 
+  /** Drain a landing folder through the streaming TYPED bottom-k
+    * aggregate ([[graft.functions.BottomKAggregator]] inside a
+    * streaming `groupByKey(...).agg(...)`) — qs42's streaming state:
+    * one O(k)-long buffer per source FOREVER, no matter how many
+    * token occurrences stream through. Returns the drained
+    * (source, h2) sample, exploded back to rows.
+    */
+  def streamBottomk(s: SparkSession, landing: String,
+                    queryName: String): DataFrame =
+    EventStream.withShufflePartitions(s, 8) {
+      import s.implicits._
+      val stream = s.readStream
+        .schema(graft.ingest.JsonlIngest.DocSchema)
+        .option("maxFilesPerTrigger", 1)
+        .json(landing)
+      val q = Sketch.tokenHashEvents(stream)
+        .as[(String, Long)]
+        .groupByKey(_._1)
+        .mapValues(_._2)
+        .agg(new graft.functions.BottomKAggregator(Sketch.BottomK)
+          .toColumn.name("bk"))
+        .toDF("source", "bk")
+        .writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(queryName)
+        .select(col("source"), explode(col("bk")).as("h2"))
+    }
+
+  /** qs42 — STREAMING bottom-k sketch: min-k over a set is an
+    * order-free monoid (the aggregator's merge is union + take-k),
+    * so the drained sample provably equals qd63's batch bottom-k for
+    * ANY micro-batch split, and qd63's oracle carries over VERBATIM.
+    * The report tail (exact distinct leg + k-th-minimum estimator)
+    * is the batch step every profiling gate ends with. Same view
+    * lifecycle as the other gates (ADVICE r11).
+    */
+  def bottomkStreamGate(s: SparkSession, dir: String): DataFrame = {
+    val name = s"qs42_bk_${gateRuns.incrementAndGet()}"
+    val sample = streamBottomk(s,
+      landJsonl(s, dir, graft.io.Scratch.qs42Dir), name)
+    val exact = Sketch.tokenHashEvents(Tables.documents(s, dir))
+      .distinct()
+      .groupBy("source").agg(count(lit(1)).as("exact_distinct"))
+    val out = Sketch.bottomkReport(sample, exact).localCheckpoint()
+    s.catalog.dropTempView(name)
+    out
+  }
+
   /** qs41 — STREAMING heavy hitters: counter sums are an order-free
     * monoid, so the drained streaming counter table provably equals
     * qd62's batch counters regardless of micro-batch boundaries, and

@@ -104,6 +104,26 @@ class PlanSpec extends SparkSpec
     assert("HashAggregate".r.findAllIn(p61).size >= 2)
   }
 
+  test("qd62/qd63 sketch family: partial top-k before the shuffle, " +
+    "broadcast report joins") {
+    // qd62: the truth leg's top-5 must ride WindowGroupLimit (the
+    // per-partition partial top-k — a regression to a full per-source
+    // sort+window would be silent otherwise), the candidate side of
+    // the report join must broadcast, and nothing goes all-pairs
+    val docs = graft.core.Tables.documents(spark, sf)
+    val p62 = plan(graft.operators.Sketch.cmHeavyHitters(docs))
+    noAllPairs(p62)
+    assert(p62.contains("WindowGroupLimit"),
+      "top-5 must prune per-partition before the shuffle")
+    assert(p62.contains("BroadcastHashJoin"),
+      "the report join must broadcast the candidate side")
+    // qd63: same WindowGroupLimit contract for the bottom-k sample
+    val p63 = plan(graft.operators.Sketch.bottomkProfile(docs))
+    noAllPairs(p63)
+    assert(p63.contains("WindowGroupLimit"),
+      "bottom-k must prune per-partition before the shuffle")
+  }
+
   test("qe3 declared (parity geometry): broadcast verify, no pair shuffles") {
     // 1-bit bands degenerate to a complement-signature compare, so the
     // declared query is ONE broadcast nested-loop verify — the O(n^2)

@@ -96,6 +96,92 @@ class Round12OpsSpec extends SparkSpec {
     perRow.foreach(r => assert(r.getLong(1) == total, s"row $r"))
   }
 
+  test("qd63: bottom-k sample is the hand-sorted k smallest distinct hashes") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta", "srcA"),
+      (2L, "beta epsilon zeta", "srcA"),
+      (3L, "eta theta", "srcB"))
+      .toDF("doc_id", "text", "source")
+    // independent reference: fingerprint + avalanche per token
+    def h2(item: String): Long = {
+      var fp = 0L
+      item.codePoints().toArray.foreach { cp =>
+        fp = (fp * 31L + cp) % graft.functions.DocFingerprint.Modulus
+      }
+      val h1 = (fp * 2654435761L) % 2147483648L
+      val ha = h1 ^ (h1 >> 15)
+      val h3 = (ha * 2246822519L) % 2147483648L
+      h3 ^ (h3 >> 13)
+    }
+    val got = Sketch.bottomkSample(docs, k = 3)
+      .orderBy("source", "rnk").collect()
+      .map(r => (r.getString(0), r.getInt(2), r.getLong(1)))
+    val want = Map(
+      "srcA" -> Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta"),
+      "srcB" -> Seq("eta", "theta"))
+      .flatMap { case (s, ts) =>
+        ts.map(h2).distinct.sorted.take(3).zipWithIndex
+          .map { case (h, i) => (s, i + 1, h) }
+      }.toSeq.sortBy(t => (t._1, t._2))
+    assert(got.toSeq == want)
+  }
+
+  test("BottomKAggregator: distinct, sorted, capped, order-free merge") {
+    val agg = new graft.functions.BottomKAggregator(4)
+    val xs = Seq(9L, 3L, 3L, 7L, 1L, 8L, 1L, 5L, 2L)
+    val l = xs.foldLeft(agg.zero)(agg.reduce)
+    assert(l == Seq(1L, 2L, 3L, 5L), "k smallest DISTINCT, sorted")
+    // merge of any split equals the whole (the qs42 monoid argument)
+    for (cut <- 0 to xs.length) {
+      val (a, b) = xs.splitAt(cut)
+      val m = agg.merge(a.foldLeft(agg.zero)(agg.reduce),
+        b.foldLeft(agg.zero)(agg.reduce))
+      assert(m == l, s"split at $cut")
+      assert(agg.merge(b.foldLeft(agg.zero)(agg.reduce),
+        a.foldLeft(agg.zero)(agg.reduce)) == l, s"commuted at $cut")
+    }
+  }
+
+  test("qd63: under-k sources report exactly; estimator internally consistent") {
+    val out = Sketch.bottomkQuery(spark, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (kept, kth) = (r.getAs[Long]("n_kept"), r.getAs[Long]("kth_hash"))
+      val (exact, est) =
+        (r.getAs[Long]("exact_distinct"), r.getAs[Long]("bk_est"))
+      assert(kept <= Sketch.BottomK)
+      if (kept < Sketch.BottomK)
+        assert(est == exact && exact == kept,
+          s"a source smaller than k IS its own sample: $r")
+      else
+        assert(est == math.floor(
+          (Sketch.BottomK - 1).toDouble * 2147483648.0 /
+            math.max(kth, 1L) + 0.5).toLong, s"estimator formula: $r")
+    }
+  }
+
+  test("qs42: drained streaming bottom-k ≡ batch sample; gate ≡ qd63") {
+    val dir = "/root/testdata/sf0.001"
+    val landing = graft.streaming.SketchStream.landJsonl(spark, dir,
+      graft.io.Scratch.qs42Dir)
+    val drained = graft.streaming.SketchStream
+      .streamBottomk(spark, landing, "qs42_spec_probe")
+      .orderBy("source", "h2").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val batch = Sketch
+      .bottomkSample(graft.core.Tables.documents(spark, dir))
+      .orderBy("source", "h2").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(drained == batch,
+      "min-k over a set is an order-free monoid: any micro-batch " +
+        "split must drain to the batch bottom-k")
+    spark.catalog.dropTempView("qs42_spec_probe")
+    val gate = graft.streaming.SketchStream.bottomkStreamGate(spark, dir)
+      .collect().toSeq
+    val want = Sketch.bottomkQuery(spark, dir).collect().toSeq
+    assert(gate == want)
+  }
+
   test("qs41: drained streaming counters ≡ batch; gate report ≡ qd62") {
     val dir = "/root/testdata/sf0.001"
     val landing = graft.streaming.SketchStream.landJsonl(spark, dir,
