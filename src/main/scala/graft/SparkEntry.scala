@@ -219,6 +219,10 @@ object SparkEntry {
     "qd63_bottomk_profile" -> (graft.operators.Sketch.bottomkQuery _),
     "qs42_stream_bottomk" ->
       (graft.streaming.SketchStream.bottomkStreamGate _),
+    "qd64_bottomk_resemblance" ->
+      (graft.operators.Sketch.bottomkResQuery _),
+    "qs43_stream_quantile" ->
+      (graft.streaming.SketchStream.quantileStreamGate _),
   )
 
   /** Queries intentionally without an oracle — EMPTY since round 5:
@@ -363,43 +367,12 @@ object SparkEntry {
     // k = ceil(p·n/100) in integer form, bucket lower edge from
     // shifts, exact side the rank-k order statistic (well-defined
     // under ties) — so the whole report is bit-identical cross-engine.
-    "qd61_quantile_sketch" ->
-      ("""WITH b AS (SELECT source,
-         |    CASE WHEN n_chars <= 0 THEN 0 ELSE
-         |      8 * CAST(length(bin(n_chars)) - 1 AS BIGINT)
-         |      + ((n_chars << 3) >> CAST(length(bin(n_chars)) - 1
-         |          AS INTEGER)) - 7 END AS idx,
-         |    CAST(count(*) AS BIGINT) AS n_in
-         |  FROM documents GROUP BY 1, 2),
-         |c AS (SELECT source, idx,
-         |    SUM(n_in) OVER (PARTITION BY source ORDER BY idx) AS cum
-         |  FROM b),
-         |t AS (SELECT source, CAST(count(*) AS BIGINT) AS n
-         |  FROM documents GROUP BY 1),
-         |k AS (SELECT source, n, p.pct,
-         |    CAST((n * p.pct + 99) // 100 AS BIGINT) AS k
-         |  FROM t, (VALUES (50), (90), (99)) p(pct)),
-         |e AS (SELECT k.source, k.n, k.pct, MIN(c.idx) AS idx
-         |  FROM k JOIN c ON c.source = k.source AND c.cum >= k.k
-         |  GROUP BY 1, 2, 3),
-         |ev AS (SELECT source, n, pct,
-         |    CASE WHEN idx = 0 THEN 0 ELSE
-         |      CAST((((idx - 1) % 8 + 8) << CAST((idx - 1) // 8
-         |        AS INTEGER)) >> 3 AS BIGINT) END AS est_v
-         |  FROM e),
-         |r AS (SELECT source, n_chars AS v,
-         |    row_number() OVER (PARTITION BY source ORDER BY n_chars)
-         |      AS rn
-         |  FROM documents),
-         |x AS (SELECT k.source, k.pct, r.v AS exact_v
-         |  FROM k JOIN r ON r.source = k.source AND r.rn = k.k)
-         |SELECT ev.source, ev.pct, ev.n, x.exact_v, ev.est_v,
-         |  CASE WHEN x.exact_v = 0 THEN 0 ELSE
-         |    CAST(FLOOR((CAST(ev.est_v AS DOUBLE)
-         |      / CAST(x.exact_v AS DOUBLE) - 1.0) * 1000000.0 + 0.5)
-         |      AS BIGINT) END AS err_micro
-         |FROM ev JOIN x ON x.source = ev.source AND x.pct = ev.pct
-         |ORDER BY ev.source, ev.pct""".stripMargin),
+    "qd61_quantile_sketch" -> quantileSql,
+    // qs43: bucket counts are a summable order-free monoid — the
+    // drained streaming histogram provably equals qd61's batch one
+    // for any micro-batch split, so qd61's oracle carries verbatim
+    // (the fourth member of the bounded-state streaming tier).
+    "qs43_stream_quantile" -> quantileSql,
     // qd62: the count-min counters are plain BIGINT sums over the
     // same portable fingerprint + avalanche chain as qd59 (per-row
     // affine pre-mix, the portablePerms convention), the top-5 rank
@@ -422,6 +395,11 @@ object SparkEntry {
     // provably equals the batch bottom-k for any micro-batch split —
     // qd63's oracle carries verbatim.
     "qs42_stream_bottomk" -> bkSql,
+    // qd64: both sketches, the union fold (k smallest of the tagged
+    // union — the monoid merge in SQL), the membership counts and
+    // both dialect-shared estimate expressions rebuilt — all exact
+    // integer arithmetic, bit-identical cross-engine.
+    "qd64_bottomk_resemblance" -> bkResSql,
     // qs40: qd59's token-grain register chain, estimate-only — the
     // streaming register-max aggregate provably equals the batch one
     // (max is an order-free monoid; micro-batch boundaries can't
@@ -2891,6 +2869,105 @@ object SparkEntry {
        |SELECT source, n_kept, kth_hash, exact_distinct, bk_est,
        |  ${graft.operators.Sketch.bkErrSql} AS err_micro
        |FROM e ORDER BY source""".stripMargin
+
+  /** qd64 oracle: the bkSql hash chain, the per-source bottom-16,
+    * the union fold as a tagged GROUP BY + row_number take-k (the
+    * monoid merge in SQL), the exact distinct-hash equi-join, and
+    * both dialect-shared estimate expressions.
+    */
+  private lazy val bkResSql: String =
+    s"""$shingleCte,
+       |items AS (SELECT DISTINCT d.source, unnest(t.t) AS item
+       |  FROM toks t JOIN documents d USING (doc_id)),
+       |h0 AS (SELECT source,
+       |    (CAST(CASE WHEN length(item) = 0 THEN 0 ELSE
+       |      list_reduce(list_transform(string_split(item, ''),
+       |        c -> CAST(unicode(c) AS BIGINT)),
+       |      (acc, x) -> (acc * 31 + x) % 2147483647) END AS BIGINT)
+       |     * 2654435761) % 2147483648 AS h1
+       |  FROM items),
+       |ha AS (SELECT source,
+       |    (xor(h1, h1 // 32768) * 2246822519) % 2147483648 AS h3
+       |  FROM h0),
+       |hh AS (SELECT DISTINCT source, xor(h3, h3 // 8192) AS h2 FROM ha),
+       |rk AS (SELECT source, h2,
+       |    row_number() OVER (PARTITION BY source ORDER BY h2) AS rnk
+       |  FROM hh),
+       |sk AS (SELECT source, h2 FROM rk
+       |  WHERE rnk <= ${graft.operators.Sketch.BottomK}),
+       |ex AS (SELECT source, CAST(count(*) AS BIGINT) AS exact_n
+       |  FROM hh GROUP BY 1),
+       |sp AS (SELECT a.source AS src_a, b.source AS src_b,
+       |    a.exact_n AS exact_a, b.exact_n AS exact_b
+       |  FROM ex a JOIN ex b ON a.source < b.source),
+       |tg AS (SELECT sp.src_a, sp.src_b, s.h2,
+       |    MAX(CASE WHEN s.source = sp.src_a THEN 1 ELSE 0 END) AS in_a,
+       |    MAX(CASE WHEN s.source = sp.src_b THEN 1 ELSE 0 END) AS in_b
+       |  FROM sp JOIN sk s ON s.source = sp.src_a OR s.source = sp.src_b
+       |  GROUP BY 1, 2, 3),
+       |ur AS (SELECT src_a, src_b, h2, in_a, in_b,
+       |    row_number() OVER (PARTITION BY src_a, src_b ORDER BY h2)
+       |      AS urnk
+       |  FROM tg),
+       |uk AS (SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS k_union,
+       |    CAST(SUM(in_a * in_b) AS BIGINT) AS shared_in_k
+       |  FROM ur WHERE urnk <= ${graft.operators.Sketch.BottomK}
+       |  GROUP BY 1, 2),
+       |ov AS (SELECT x.source AS src_a, y.source AS src_b,
+       |    CAST(count(*) AS BIGINT) AS ov
+       |  FROM hh x JOIN hh y ON x.h2 = y.h2 AND x.source < y.source
+       |  GROUP BY 1, 2),
+       |j AS (SELECT sp.src_a, sp.src_b, exact_a, exact_b,
+       |    CAST(COALESCE(ov.ov, 0) AS BIGINT) AS exact_overlap,
+       |    k_union, shared_in_k
+       |  FROM sp
+       |  JOIN uk ON uk.src_a = sp.src_a AND uk.src_b = sp.src_b
+       |  LEFT JOIN ov ON ov.src_a = sp.src_a AND ov.src_b = sp.src_b)
+       |SELECT src_a, src_b, exact_a, exact_b, exact_overlap, k_union,
+       |  shared_in_k,
+       |  ${graft.operators.Sketch.jaccMicroSql} AS jacc_micro,
+       |  ${graft.operators.Sketch.bkResSql} AS jacc_est_micro
+       |FROM j ORDER BY src_a, src_b""".stripMargin
+
+  /** qd61/qs43 oracle (shared: the drained streaming histogram is
+    * the same summable monoid as the batch one). */
+  private lazy val quantileSql: String =
+    """WITH b AS (SELECT source,
+         |    CASE WHEN n_chars <= 0 THEN 0 ELSE
+         |      8 * CAST(length(bin(n_chars)) - 1 AS BIGINT)
+         |      + ((n_chars << 3) >> CAST(length(bin(n_chars)) - 1
+         |          AS INTEGER)) - 7 END AS idx,
+         |    CAST(count(*) AS BIGINT) AS n_in
+         |  FROM documents GROUP BY 1, 2),
+         |c AS (SELECT source, idx,
+         |    SUM(n_in) OVER (PARTITION BY source ORDER BY idx) AS cum
+         |  FROM b),
+         |t AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+         |  FROM documents GROUP BY 1),
+         |k AS (SELECT source, n, p.pct,
+         |    CAST((n * p.pct + 99) // 100 AS BIGINT) AS k
+         |  FROM t, (VALUES (50), (90), (99)) p(pct)),
+         |e AS (SELECT k.source, k.n, k.pct, MIN(c.idx) AS idx
+         |  FROM k JOIN c ON c.source = k.source AND c.cum >= k.k
+         |  GROUP BY 1, 2, 3),
+         |ev AS (SELECT source, n, pct,
+         |    CASE WHEN idx = 0 THEN 0 ELSE
+         |      CAST((((idx - 1) % 8 + 8) << CAST((idx - 1) // 8
+         |        AS INTEGER)) >> 3 AS BIGINT) END AS est_v
+         |  FROM e),
+         |r AS (SELECT source, n_chars AS v,
+         |    row_number() OVER (PARTITION BY source ORDER BY n_chars)
+         |      AS rn
+         |  FROM documents),
+         |x AS (SELECT k.source, k.pct, r.v AS exact_v
+         |  FROM k JOIN r ON r.source = k.source AND r.rn = k.k)
+         |SELECT ev.source, ev.pct, ev.n, x.exact_v, ev.est_v,
+         |  CASE WHEN x.exact_v = 0 THEN 0 ELSE
+         |    CAST(FLOOR((CAST(ev.est_v AS DOUBLE)
+         |      / CAST(x.exact_v AS DOUBLE) - 1.0) * 1000000.0 + 0.5)
+         |      AS BIGINT) END AS err_micro
+         |FROM ev JOIN x ON x.source = ev.source AND x.pct = ev.pct
+         |ORDER BY ev.source, ev.pct""".stripMargin
 
   private lazy val hllSql: String =
     s"""$shingleCte,

@@ -333,21 +333,40 @@ object Sketch {
     * micro-units. Every ingredient is exact integer arithmetic, so
     * DuckDB reproduces the report to the bit.
     */
-  def quantileSketch(docs: DataFrame): DataFrame = {
+  /** Stateless (source, idx) log-bucket projection of `n_chars` —
+    * the ONE transform qd61's batch histogram and qs43's STREAMING
+    * histogram derive their buckets from (per-row shifts/bitlength
+    * only, so it runs unchanged on a streaming DataFrame; the
+    * downstream `groupBy(source, idx).count()` is the summable
+    * histogram monoid with ≤ 8·60+1 state rows per source forever).
+    *
+    * Bucket index: v = 0 → 0; else e = bitlength(v)−1,
+    * sub = ⌊v·8 / 2^e⌋ − 8 ∈ [0,7], idx = 8e + sub + 1.
+    * Shift/bitlength only (BIN/LENGTH is the established
+    * cross-engine bitlength, the qd59 rank construction); SQL-form
+    * shiftright because the shift amount is a column.
+    */
+  def lengthBuckets(docs: DataFrame): DataFrame =
+    docs.select(col("source"), when(col("n_chars") <= 0, lit(0L))
+      .otherwise(expr(
+        "8 * CAST(length(bin(n_chars)) - 1 AS BIGINT) + " +
+          "shiftright(shiftleft(n_chars, 3), " +
+          "CAST(length(bin(n_chars)) - 1 AS INT)) - 7"))
+      .as("idx"))
+
+  def quantileSketch(docs: DataFrame): DataFrame =
+    quantileReport(
+      lengthBuckets(docs).groupBy("source", "idx")
+        .agg(count(lit(1)).as("n_in")),
+      docs)
+
+  /** The qd61 report over an EXPLICIT histogram (source, idx, n_in)
+    * — shared by the batch sketch and qs43's drained streaming state:
+    * per (source, percentile), the histogram's answer next to the
+    * exact rank-k order statistic computed from `docs`.
+    */
+  def quantileReport(hist: DataFrame, docs: DataFrame): DataFrame = {
     val pcts = Seq(50, 90, 99)
-    // bucket index: v = 0 → 0; else e = bitlength(v)−1,
-    // sub = ⌊v·8 / 2^e⌋ − 8 ∈ [0,7], idx = 8e + sub + 1.
-    // Shift/bitlength only (BIN/LENGTH is the established
-    // cross-engine bitlength, the qd59 rank construction); SQL-form
-    // shiftright because the shift amount is a column.
-    val hist = docs
-      .select(col("source"), when(col("n_chars") <= 0, lit(0L))
-        .otherwise(expr(
-          "8 * CAST(length(bin(n_chars)) - 1 AS BIGINT) + " +
-            "shiftright(shiftleft(n_chars, 3), " +
-            "CAST(length(bin(n_chars)) - 1 AS INT)) - 7"))
-        .as("idx"))
-      .groupBy("source", "idx").agg(count(lit(1)).as("n_in"))
     // cumulative over the ≤ buckets-per-source report grain (the
     // window partitions by source — never corpus-sized rows)
     val wcum = Window.partitionBy("source").orderBy("idx")
@@ -667,4 +686,89 @@ object Sketch {
   /** qd63 declared form. */
   def bottomkQuery(s: SparkSession, dir: String): DataFrame =
     bottomkProfile(Tables.documents(s, dir))
+
+  /** Dialect-shared bottom-k resemblance estimate in micro-units:
+    * |bk(A∪B) ∩ bk(A) ∩ bk(B)| / |bk(A∪B)| (Cohen & Kaplan's
+    * coordinated-sample estimator — every member of the size-k union
+    * sketch is a uniform sample of A∪B, and membership in both
+    * sketches marks it as shared). `k_union` ≥ 1 whenever both
+    * sources tokenize at all. Expects `shared_in_k`, `k_union`.
+    */
+  val bkResSql: String =
+    "CAST(FLOOR(CAST(shared_in_k AS DOUBLE) / CAST(k_union AS DOUBLE) " +
+      "* 1000000.0 + 0.5) AS BIGINT)"
+
+  /** qd64 — pairwise cross-source RESEMBLANCE from the bottom-k
+    * sketches alone, reported next to the exact distinct-hash
+    * Jaccard (the qd60 pattern with the other sketch): because the
+    * per-source samples are COORDINATED (one shared hash function),
+    * bk(A∪B) is just the k smallest of bk(A) ∪ bk(B) — the monoid
+    * merge — and the fraction of that union sketch present in BOTH
+    * sides estimates Jaccard(A, B). This is the measured payoff of
+    * qd63's coordination claim: at 100 TB every pairwise estimate
+    * folds two stored k-row sketches (S²·2k report-sized work, no
+    * corpus rescan); the exact equi-join leg exists only as the
+    * truth column. k=16 quantizes the estimate to 1/16 steps —
+    * honest and visible in the report; production picks k for its
+    * resolution the same way qd63's scaladoc notes.
+    */
+  def bottomkResemblance(docs: DataFrame, k: Int = BottomK): DataFrame = {
+    DocFingerprint.register(docs.sparkSession)
+    val hashed = withAvalanche(
+        docs.where(col("text").isNotNull)
+          .select(col("source"),
+            explode(Dedup.tokens(col("text"))).as("item")),
+        "item")
+      .select(col("source"), col("h2")).distinct()
+      .localCheckpoint() // two consumers: sample + exact legs
+    val sk = hashed
+      .withColumn("rnk", row_number().over(Window.partitionBy("source")
+        .orderBy(col("h2"))))
+      .filter(col("rnk") <= k)
+      .select("source", "h2")
+    val sizes = hashed.groupBy("source")
+      .agg(count(lit(1)).as("exact_n"))
+    // source-pair spine and sketch folds are REPORT-sized (S² and
+    // S·k rows) — broadcast explicitly, the qd60 convention
+    val spine = sizes.as("na").join(broadcast(sizes.as("nb")),
+        col("na.source") < col("nb.source"))
+      .select(col("na.source").as("src_a"), col("nb.source").as("src_b"),
+        col("na.exact_n").as("exact_a"), col("nb.exact_n").as("exact_b"))
+    val tagged = spine.select("src_a", "src_b")
+      .join(broadcast(sk.withColumnRenamed("source", "src_a")), Seq("src_a"))
+      .select(col("src_a"), col("src_b"), col("h2"),
+        lit(1L).as("in_a"), lit(0L).as("in_b"))
+      .unionAll(spine.select("src_a", "src_b")
+        .join(broadcast(sk.withColumnRenamed("source", "src_b")),
+          Seq("src_b"))
+        .select(col("src_a"), col("src_b"), col("h2"),
+          lit(0L).as("in_a"), lit(1L).as("in_b")))
+    val unionK = tagged
+      .groupBy("src_a", "src_b", "h2")
+      .agg(max(col("in_a")).as("in_a"), max(col("in_b")).as("in_b"))
+      .withColumn("urnk", row_number().over(
+        Window.partitionBy("src_a", "src_b").orderBy(col("h2"))))
+      .filter(col("urnk") <= k)
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("k_union"),
+        sum(col("in_a") * col("in_b")).as("shared_in_k"))
+    val exactOv = hashed.as("x").join(hashed.as("y"),
+        col("x.h2") === col("y.h2") && col("x.source") < col("y.source"))
+      .groupBy(col("x.source").as("src_a"), col("y.source").as("src_b"))
+      .agg(count(lit(1)).as("ov"))
+    spine
+      .join(exactOv, Seq("src_a", "src_b"), "left")
+      .withColumn("exact_overlap", coalesce(col("ov"), lit(0L)))
+      .join(unionK, Seq("src_a", "src_b"))
+      .withColumn("jacc_micro", expr(jaccMicroSql))
+      .withColumn("jacc_est_micro", expr(bkResSql))
+      .select(col("src_a"), col("src_b"), col("exact_a"), col("exact_b"),
+        col("exact_overlap"), col("k_union"), col("shared_in_k"),
+        col("jacc_micro"), col("jacc_est_micro"))
+      .orderBy("src_a", "src_b")
+  }
+
+  /** qd64 declared form. */
+  def bottomkResQuery(s: SparkSession, dir: String): DataFrame =
+    bottomkResemblance(Tables.documents(s, dir))
 }

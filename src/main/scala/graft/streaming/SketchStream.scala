@@ -162,6 +162,49 @@ object SketchStream {
     out
   }
 
+  /** Drain a landing folder through the streaming log-bucket
+    * histogram aggregate; return the drained (source, idx, n_in)
+    * state — ≤ 8·60+1 rows per source forever (the summable
+    * histogram monoid; [[Sketch.lengthBuckets]]).
+    */
+  def streamLengthHist(s: SparkSession, landing: String,
+                       queryName: String): DataFrame =
+    EventStream.withShufflePartitions(s, 8) {
+      val stream = s.readStream
+        .schema(graft.ingest.JsonlIngest.DocSchema)
+        .option("maxFilesPerTrigger", 1)
+        .json(landing)
+      val q = Sketch.lengthBuckets(stream)
+        .groupBy("source", "idx").agg(count(lit(1)).as("n_in"))
+        .writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(queryName)
+    }
+
+  /** qs43 — STREAMING length quantiles: bucket counts are a summable
+    * order-free monoid, so the drained histogram provably equals
+    * qd61's batch histogram for ANY micro-batch split and qd61's
+    * oracle carries over VERBATIM — the fourth and last member of
+    * the bounded-state streaming profiling tier (qs40 HLL distinct,
+    * qs41 count-min frequencies, qs42 bottom-k sample, THIS
+    * quantiles). The exact rank-k leg is the batch truth column, as
+    * in qd61. Same view lifecycle as the other gates (ADVICE r11).
+    */
+  def quantileStreamGate(s: SparkSession, dir: String): DataFrame = {
+    val name = s"qs43_qh_${gateRuns.incrementAndGet()}"
+    val hist = streamLengthHist(s,
+      landJsonl(s, dir, graft.io.Scratch.qs43Dir), name)
+    val out = Sketch.quantileReport(hist, Tables.documents(s, dir))
+      .localCheckpoint()
+    s.catalog.dropTempView(name)
+    out
+  }
+
   /** qs41 — STREAMING heavy hitters: counter sums are an order-free
     * monoid, so the drained streaming counter table provably equals
     * qd62's batch counters regardless of micro-batch boundaries, and

@@ -841,7 +841,11 @@ class PlanSpec extends SparkSpec
         // source cardinality (the qe10 label-matrix class) plus the
         // broadcast 256-row register spine — report-sized by
         // construction, never corpus-scale
-        "qd60_hll_overlap")
+        "qd60_hll_overlap",
+        // qd64: the same src_a < src_b source-pair spine as qd60 over
+        // per-source count aggregates, joined to broadcast S·k-row
+        // sketch folds — report-sized by construction
+        "qd64_bottomk_resemblance")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val p = plan(fn(spark, sf))
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian")

@@ -182,6 +182,63 @@ class Round12OpsSpec extends SparkSpec {
     assert(gate == want)
   }
 
+  test("qd64: identical sources read 1.0, disjoint read 0; bounds hold") {
+    // the estimator's two exact endpoints: equal token sets share
+    // their entire (coordinated) sketch; disjoint sets share none
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon", "srcA"),
+      (2L, "alpha beta gamma delta epsilon", "srcB"),
+      (3L, "zeta eta theta iota kappa", "srcC"))
+      .toDF("doc_id", "text", "source")
+    val out = Sketch.bottomkResemblance(docs, k = 4).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getAs[Long]("jacc_micro"), r.getAs[Long]("jacc_est_micro"))))
+      .toMap
+    assert(out(("srcA", "srcB")) == ((1000000L, 1000000L)))
+    assert(out(("srcA", "srcC"))._1 == 0L)
+    assert(out(("srcA", "srcC"))._2 == 0L)
+  }
+
+  test("qd64: internal consistency on the gate corpus") {
+    val out = Sketch.bottomkResQuery(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (ku, sh) = (r.getAs[Long]("k_union"), r.getAs[Long]("shared_in_k"))
+      assert(ku >= 1L && ku <= Sketch.BottomK, s"$r")
+      assert(sh >= 0L && sh <= ku, s"$r")
+      assert(r.getAs[Long]("jacc_est_micro") ==
+        math.floor(sh.toDouble / ku.toDouble * 1e6 + 0.5).toLong, s"$r")
+      assert(r.getAs[Long]("exact_overlap") <=
+        math.min(r.getAs[Long]("exact_a"), r.getAs[Long]("exact_b")), s"$r")
+    }
+  }
+
+  test("qs43: drained streaming histogram ≡ batch; gate report ≡ qd61") {
+    val dir = "/root/testdata/sf0.001"
+    val landing = graft.streaming.SketchStream.landJsonl(spark, dir,
+      graft.io.Scratch.qs43Dir)
+    val drained = graft.streaming.SketchStream
+      .streamLengthHist(spark, landing, "qs43_spec_probe")
+      .orderBy("source", "idx").collect().toSeq
+    val batch = Sketch
+      .lengthBuckets(graft.core.Tables.documents(spark, dir))
+      .groupBy("source", "idx").agg(count(lit(1)).as("n_in"))
+      .orderBy("source", "idx").collect().toSeq
+    assert(drained == batch,
+      "bucket counts are a summable monoid: any micro-batch split " +
+        "must drain to the batch histogram")
+    // state bound: ≤ 8·60+1 bucket rows per source
+    drained.groupBy(_.getString(0)).foreach { case (s, rows) =>
+      assert(rows.length <= 481, s)
+    }
+    spark.catalog.dropTempView("qs43_spec_probe")
+    val gate = graft.streaming.SketchStream.quantileStreamGate(spark, dir)
+      .collect().toSeq
+    val want = Sketch.quantileQuery(spark, dir).collect().toSeq
+    assert(gate == want)
+  }
+
   test("qs41: drained streaming counters ≡ batch; gate report ≡ qd62") {
     val dir = "/root/testdata/sf0.001"
     val landing = graft.streaming.SketchStream.landJsonl(spark, dir,
