@@ -183,4 +183,53 @@ class PropertySpec extends SparkSpec {
       .collect().map(_.toSeq).toSeq
     assert(x == y)
   }
+
+  test("bottom-k aggregator is a commutative, associative, " +
+    "duplicate-absorbing monoid on arbitrary streams") {
+    // the qs42 batch ≡ stream argument reduced to its algebra: any
+    // parenthesization/order/duplication of the fold equals the
+    // k-smallest-distinct of the whole multiset
+    val agg = new graft.functions.BottomKAggregator(5)
+    def fold(xs: Seq[Long]): Seq[Long] = xs.foldLeft(agg.zero)(agg.reduce)
+    (1L to 5L).foreach { seed =>
+      val xs = sample(Gen.listOfN(60, Gen.choose(0L, 40L)), seed)
+      val want = xs.distinct.sorted.take(5)
+      assert(fold(xs) == want, s"seed=$seed")
+      // random 3-way split, merged in both association orders
+      val (a, rest) = xs.splitAt(xs.length / 3)
+      val (b, c) = rest.splitAt(rest.length / 2)
+      val (fa, fb, fc) = (fold(a), fold(b), fold(c))
+      assert(agg.merge(agg.merge(fa, fb), fc) == want)
+      assert(agg.merge(fa, agg.merge(fb, fc)) == want)
+      assert(agg.merge(fc, agg.merge(fb, fa)) == want)
+      // idempotent under duplication of any shard
+      assert(agg.merge(fold(xs ++ a), fa) == want)
+    }
+  }
+
+  test("count-min counters: shard merge == whole-corpus build") {
+    // counter SUMS are the monoid; the frame-level claim behind
+    // qs41's batch ≡ stream: counters over any row partition, summed,
+    // equal counters over the union
+    import graft.operators.Sketch
+    (1L to 2L).foreach { seed =>
+      val toks = sample(Gen.listOfN(150, for {
+        s <- Gen.oneOf("sA", "sB")
+        t <- Gen.oneOf("a", "b", "c", "dd", "ee", "fff", "值")
+        n <- Gen.choose(1L, 4L)
+      } yield (s, t, n)), seed)
+      val whole = toks.toDF("source", "item", "tf")
+      val key = Sketch.cmCounters(whole).collect()
+        .map(r => ((r.getString(0), r.getInt(1), r.getLong(2)),
+          r.getLong(3))).toMap
+      val (p1, p2) = toks.splitAt(toks.length / 2)
+      def cnt(p: Seq[(String, String, Long)]) =
+        Sketch.cmCounters(p.toDF("source", "item", "tf")).collect()
+          .map(r => ((r.getString(0), r.getInt(1), r.getLong(2)),
+            r.getLong(3))).toMap
+      val merged = (cnt(p1).toSeq ++ cnt(p2).toSeq)
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      assert(merged == key, s"seed=$seed")
+    }
+  }
 }
