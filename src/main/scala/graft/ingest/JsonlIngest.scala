@@ -156,20 +156,18 @@ object JsonlIngest {
     * state visibly absorbs them incrementally). Returns the landing
     * path. Also the spec harness's entry for building a landing tree.
     */
-  def landJsonl(s: SparkSession, dir: String): String = {
-    import s.implicits._
-    val root = graft.io.Scratch.qs38Dir(dir)
-    val landing = s"$root/landing"
-    val docs = graft.core.Tables.documents(s, dir)
-    docs.select(to_json(struct(col("doc_id"), col("text"), col("lang"),
-        col("source"), col("n_chars"))).as("value"))
-      .write.mode("overwrite").text(landing)
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(landing, "zz-corrupt.jsonl"),
-      PlantedBad.mkString("", "\n", "\n")
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    landing
-  }
+  def landJsonl(s: SparkSession, dir: String): String =
+    graft.io.Scratch.landedOnce(dir, graft.io.Scratch.qs38Dir(dir)) {
+      landing =>
+        graft.core.Tables.documents(s, dir)
+          .select(to_json(struct(col("doc_id"), col("text"), col("lang"),
+            col("source"), col("n_chars"))).as("value"))
+          .write.mode("overwrite").text(landing)
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(landing, "zz-corrupt.jsonl"),
+          PlantedBad.mkString("", "\n", "\n")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+    }
 
   private val gateRuns = new java.util.concurrent.atomic.AtomicLong(0L)
 

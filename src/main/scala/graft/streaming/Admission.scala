@@ -51,15 +51,15 @@ object Admission {
     * file under maxFilesPerTrigger=1) — the boundary-independence
     * the gate's correctness argument is about.
     */
-  def landBatchJsonl(s: SparkSession, dir: String): String = {
-    val landing = graft.io.Scratch.qs39Dir(dir) + "/landing"
-    Tables.documents(s, dir).where(!isCorpus)
-      .repartition(4)
-      .select(to_json(struct(col("doc_id"), col("text"), col("lang"),
-        col("source"), col("n_chars"))).as("value"))
-      .write.mode("overwrite").text(landing)
-    landing
-  }
+  def landBatchJsonl(s: SparkSession, dir: String): String =
+    graft.io.Scratch.landedOnce(dir, graft.io.Scratch.qs39Dir(dir)) {
+      landing =>
+        Tables.documents(s, dir).where(!isCorpus)
+          .repartition(4)
+          .select(to_json(struct(col("doc_id"), col("text"), col("lang"),
+            col("source"), col("n_chars"))).as("value"))
+          .write.mode("overwrite").text(landing)
+    }
 
   /** qs39 — drain the drop folder, score each micro-batch against
     * the standing index, read the accumulated verdicts back.

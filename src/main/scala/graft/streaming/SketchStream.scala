@@ -32,19 +32,21 @@ object SketchStream {
 
   /** Land the corpus as JSONL in a watched folder (several part
     * files → several micro-batches under maxFilesPerTrigger = 1).
-    * `root` defaults to qs40's scratch tree; qs41 lands its own.
+    * `root` defaults to qs40's scratch tree; qs41/qs42/qs43 land
+    * their own. Stamp-cached ([[graft.io.Scratch.landedOnce]]): the
+    * landing is the upstream producer's work, re-exported only when
+    * the corpus changes.
     */
   def landJsonl(s: SparkSession, dir: String,
                 root: String => String = graft.io.Scratch.qs40Dir)
-      : String = {
-    val landing = root(dir) + "/landing"
-    Tables.documents(s, dir)
-      .repartition(4)
-      .select(to_json(struct(col("doc_id"), col("text"), col("lang"),
-        col("source"), col("n_chars"))).as("value"))
-      .write.mode("overwrite").text(landing)
-    landing
-  }
+      : String =
+    graft.io.Scratch.landedOnce(dir, root(dir)) { landing =>
+      Tables.documents(s, dir)
+        .repartition(4)
+        .select(to_json(struct(col("doc_id"), col("text"), col("lang"),
+          col("source"), col("n_chars"))).as("value"))
+        .write.mode("overwrite").text(landing)
+    }
 
   /** Drain the landing folder through the streaming register
     * aggregate; return the DRAINED register table (source, idx, mx).
