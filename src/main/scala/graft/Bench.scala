@@ -114,6 +114,8 @@ object Bench {
         graft.operators.TrainingOps.pqCodesOpq(spark, sfDir) }
       prebuild("ivf_cells_artifact") {
         graft.operators.TrainingOps.ivfCellsInt(spark, sfDir) }
+      prebuild("hll_registers_artifact") {
+        graft.operators.TrainingOps.hllRegistersStored(spark, sfDir) }
     }
 
     def median(xs: Seq[Double]): Double = {

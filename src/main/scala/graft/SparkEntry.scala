@@ -223,6 +223,7 @@ object SparkEntry {
       (graft.operators.Sketch.bottomkResQuery _),
     "qs43_stream_quantile" ->
       (graft.streaming.SketchStream.quantileStreamGate _),
+    "qd65_sketch_store"  -> (TrainingOps.storedSketchEstimate _),
   )
 
   /** Queries intentionally without an oracle — EMPTY since round 5:
@@ -407,38 +408,10 @@ object SparkEntry {
     // carries over. Registers over token OCCURRENCES equal registers
     // over DISTINCT tokens (max ignores duplicates), so the oracle
     // derives from the distinct grain.
-    "qs40_stream_hll" ->
-      (s"""$shingleCte,
-         |items AS (SELECT DISTINCT d.source, unnest(t.t) AS item
-         |  FROM toks t JOIN documents d USING (doc_id)),
-         |h0 AS (SELECT source,
-         |    (CAST(CASE WHEN length(item) = 0 THEN 0 ELSE
-         |      list_reduce(list_transform(string_split(item, ''),
-         |        c -> CAST(unicode(c) AS BIGINT)),
-         |      (acc, x) -> (acc * 31 + x) % 2147483647) END AS BIGINT)
-         |     * 2654435761) % 2147483648 AS h1
-         |  FROM items),
-         |ha AS (SELECT source,
-         |    (xor(h1, h1 // 32768) * 2246822519) % 2147483648 AS h3
-         |  FROM h0),
-         |hx AS (SELECT source, xor(h3, h3 // 8192) AS h2 FROM ha),
-         |rr AS (SELECT source, h2 // 8388608 AS idx,
-         |    CASE WHEN h2 % 8388608 = 0 THEN 24
-         |      ELSE 24 - CAST(length(bin(h2 % 8388608)) AS INTEGER) END AS rho
-         |  FROM hx),
-         |regs AS (SELECT source, idx, MAX(rho) AS mx
-         |  FROM rr GROUP BY 1, 2),
-         |sk AS (SELECT source,
-         |    CAST(SUM(${graft.operators.Sketch.hllTermSql}) AS BIGINT)
-         |      AS s_present,
-         |    CAST(count(*) AS BIGINT) AS m_p
-         |  FROM regs GROUP BY 1),
-         |e AS (SELECT source, CAST(256 - m_p AS BIGINT) AS zeros,
-         |    CAST(s_present + (256 - m_p) * 16777216 AS BIGINT) AS s_total
-         |  FROM sk)
-         |SELECT source, ${graft.operators.Sketch.hllEstSql} AS hll_est,
-         |  zeros AS zero_regs
-         |FROM e ORDER BY source""".stripMargin),
+    "qs40_stream_hll" -> hllEstOnlySql,
+    // qd65: reads the STORED register artifact; storage cannot change
+    // the registers, so the estimate-only chain carries verbatim.
+    "qd65_sketch_store" -> hllEstOnlySql,
     // qs39: qd40's exhaustive batch×corpus oracle re-framed on the
     // qd54 corpus split (src19 arrives, everything else stands) — the
     // streaming gate's micro-batch union is provably boundary-free
@@ -2968,6 +2941,43 @@ object SparkEntry {
          |      AS BIGINT) END AS err_micro
          |FROM ev JOIN x ON x.source = ev.source AND x.pct = ev.pct
          |ORDER BY ev.source, ev.pct""".stripMargin
+
+  /** qs40/qd65 oracle: qd59's register chain, estimate-only —
+    * shared by the streaming register gate (max is an order-free
+    * monoid) and the stored-register artifact read (what the store
+    * serves equals the registers built from the live corpus). */
+  private lazy val hllEstOnlySql: String =
+    s"""$shingleCte,
+         |items AS (SELECT DISTINCT d.source, unnest(t.t) AS item
+         |  FROM toks t JOIN documents d USING (doc_id)),
+         |h0 AS (SELECT source,
+         |    (CAST(CASE WHEN length(item) = 0 THEN 0 ELSE
+         |      list_reduce(list_transform(string_split(item, ''),
+         |        c -> CAST(unicode(c) AS BIGINT)),
+         |      (acc, x) -> (acc * 31 + x) % 2147483647) END AS BIGINT)
+         |     * 2654435761) % 2147483648 AS h1
+         |  FROM items),
+         |ha AS (SELECT source,
+         |    (xor(h1, h1 // 32768) * 2246822519) % 2147483648 AS h3
+         |  FROM h0),
+         |hx AS (SELECT source, xor(h3, h3 // 8192) AS h2 FROM ha),
+         |rr AS (SELECT source, h2 // 8388608 AS idx,
+         |    CASE WHEN h2 % 8388608 = 0 THEN 24
+         |      ELSE 24 - CAST(length(bin(h2 % 8388608)) AS INTEGER) END AS rho
+         |  FROM hx),
+         |regs AS (SELECT source, idx, MAX(rho) AS mx
+         |  FROM rr GROUP BY 1, 2),
+         |sk AS (SELECT source,
+         |    CAST(SUM(${graft.operators.Sketch.hllTermSql}) AS BIGINT)
+         |      AS s_present,
+         |    CAST(count(*) AS BIGINT) AS m_p
+         |  FROM regs GROUP BY 1),
+         |e AS (SELECT source, CAST(256 - m_p AS BIGINT) AS zeros,
+         |    CAST(s_present + (256 - m_p) * 16777216 AS BIGINT) AS s_total
+         |  FROM sk)
+         |SELECT source, ${graft.operators.Sketch.hllEstSql} AS hll_est,
+         |  zeros AS zero_regs
+         |FROM e ORDER BY source""".stripMargin
 
   private lazy val hllSql: String =
     s"""$shingleCte,

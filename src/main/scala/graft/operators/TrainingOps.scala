@@ -860,6 +860,27 @@ object TrainingOps {
         "doc_id", "text")
     }
 
+  /** qd65 — the profiling sketch tier's STORAGE seam: the per-source
+    * HLL register table published through [[graft.io.ArtifactStore]]
+    * (the qd57 move applied to sketches — at 100 TB the kilobyte
+    * register/counter/sample states ARE the stored artifacts a
+    * dashboard reads; nothing rescans the corpus per question). The
+    * declared query reads the STORED registers — storage roundtrip
+    * included — and folds them to the estimate, so the oracle is
+    * qs40's estimate-only chain verbatim: what the store serves
+    * equals the registers built from the live corpus.
+    */
+  def hllRegistersStored(s: SparkSession, dir: String): DataFrame =
+    graft.io.ArtifactStore.parquetArtifact(s, dir,
+      "documents", "hll_registers_token", version = 1) {
+      Sketch.tokenRegisters(Tables.documents(s, dir))
+        .groupBy("source", "idx").agg(max(col("rho")).as("mx"))
+    }
+
+  /** qd65 declared form: estimate from the stored register artifact. */
+  def storedSketchEstimate(s: SparkSession, dir: String): DataFrame =
+    Sketch.registerEstimate(hllRegistersStored(s, dir))
+
   def refreshedDupLabels(s: SparkSession, dir: String): DataFrame =
     Dedup.refreshClusterLabels(dupLabelsCorpus(s, dir),
       corpusBands(s, dir), Tables.documents(s, dir), qd54IsCorpus,

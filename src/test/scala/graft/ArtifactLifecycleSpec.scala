@@ -86,6 +86,20 @@ class ArtifactLifecycleSpec extends SparkSpec {
         "bump the artifact version in TrainingOps.corpusBands")
   }
 
+  test("hll_registers artifact ≡ fresh register build (qd65 parity)") {
+    import graft.operators.{Sketch, TrainingOps}
+    val dir = "/root/testdata/sf0.001"
+    val stored = TrainingOps.hllRegistersStored(spark, dir)
+      .orderBy("source", "idx").collect().toSeq
+    val fresh = Sketch
+      .tokenRegisters(graft.core.Tables.documents(spark, dir))
+      .groupBy("source", "idx").agg(max(col("rho")).as("mx"))
+      .orderBy("source", "idx").collect().toSeq
+    assert(stored == fresh,
+      "stored registers diverge from the current register derivation — " +
+        "bump the artifact version in TrainingOps.hllRegistersStored")
+  }
+
   test("qd57: publish ∘ publish ≡ rebuild on the union, through parquet") {
     // the production arrival loop, two generations deep: batch b1
     // folds into the standing index, the result is WRITTEN and READ
