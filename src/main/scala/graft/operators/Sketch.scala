@@ -550,12 +550,22 @@ object Sketch {
     * grain rule); the sketch side's exchange carries ≤ 4·256 rows
     * per source; the report join is broadcast × counter-table sized.
     */
-  def cmHeavyHitters(docs: DataFrame, k: Int = 5): DataFrame = {
+  /** The batch (source, token, tf) truth grain — shared by qd62's two
+    * legs and qs41's report tail (ADVICE r12: the two call sites used
+    * to construct this expression independently and could diverge).
+    * NOT checkpointed here: single-consumer callers (qs41) read it
+    * once; qd62 checkpoints for its two legs.
+    */
+  def tokenTf(docs: DataFrame): DataFrame = {
     DocFingerprint.register(docs.sparkSession)
-    val tfc = docs.where(col("text").isNotNull)
+    docs.where(col("text").isNotNull)
       .select(col("source"), explode(Dedup.tokens(col("text"))).as("item"))
       .groupBy("source", "item").agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
+  }
+
+  def cmHeavyHitters(docs: DataFrame, k: Int = 5): DataFrame = {
+    val tfc = tokenTf(docs)
+      .localCheckpoint() // two consumers: counters + true-top-k legs
     cmReport(tfc, cmCounters(tfc), k)
   }
 
@@ -609,25 +619,35 @@ object Sketch {
       .select(col("source"), col("h2"))
   }
 
-  /** The per-source bottom-k hash sample: the k smallest DISTINCT
-    * avalanched token hashes, ranked ascending. One WindowGroupLimit
-    * top-k (the qd62 plan shape: per-partition partial bottom-k
-    * BEFORE the shuffle), never a full per-source sort at the
-    * executor grain.
+  /** The (source, h2) DISTINCT avalanched-token-hash grain — the one
+    * frame every bottom-k member starts from (ADVICE r12: qd63/qd64
+    * used to re-inline this chain and could drift from the sample's).
     */
-  def bottomkSample(docs: DataFrame, k: Int = BottomK): DataFrame = {
+  private def distinctTokenHashes(docs: DataFrame): DataFrame = {
     DocFingerprint.register(docs.sparkSession)
-    val hashed = withAvalanche(
+    withAvalanche(
         docs.where(col("text").isNotNull)
           .select(col("source"),
             explode(Dedup.tokens(col("text"))).as("item")),
         "item")
       .select(col("source"), col("h2")).distinct()
+  }
+
+  /** The rnk ≤ k step over a distinct-hash frame: one WindowGroupLimit
+    * top-k (the qd62 plan shape: per-partition partial bottom-k BEFORE
+    * the shuffle), never a full per-source sort at the executor grain.
+    */
+  private def sampleK(hashed: DataFrame, k: Int): DataFrame =
     hashed
       .withColumn("rnk", row_number().over(Window.partitionBy("source")
         .orderBy(col("h2"))))
       .filter(col("rnk") <= k)
-  }
+
+  /** The per-source bottom-k hash sample: the k smallest DISTINCT
+    * avalanched token hashes, ranked ascending.
+    */
+  def bottomkSample(docs: DataFrame, k: Int = BottomK): DataFrame =
+    sampleK(distinctTokenHashes(docs), k)
 
   /** Fold a drained (source, h2-ascending-array) state — [[qs42]]'s
     * streaming aggregate output, or the batch sample regrouped — plus
@@ -663,18 +683,9 @@ object Sketch {
     * feeds both.
     */
   def bottomkProfile(docs: DataFrame, k: Int = BottomK): DataFrame = {
-    DocFingerprint.register(docs.sparkSession)
-    val hashed = withAvalanche(
-        docs.where(col("text").isNotNull)
-          .select(col("source"),
-            explode(Dedup.tokens(col("text"))).as("item")),
-        "item")
-      .select(col("source"), col("h2")).distinct()
+    val hashed = distinctTokenHashes(docs)
       .localCheckpoint() // two consumers: bottom-k + exact count
-    val sample = hashed
-      .withColumn("rnk", row_number().over(Window.partitionBy("source")
-        .orderBy(col("h2"))))
-      .filter(col("rnk") <= k)
+    val sample = sampleK(hashed, k)
     // exact distinct at the HASH grain — the same universe the
     // estimator lives in (fingerprint collisions are part of the
     // TOKENIZER's story, not the estimator's; both engines agree)
@@ -713,19 +724,9 @@ object Sketch {
     * resolution the same way qd63's scaladoc notes.
     */
   def bottomkResemblance(docs: DataFrame, k: Int = BottomK): DataFrame = {
-    DocFingerprint.register(docs.sparkSession)
-    val hashed = withAvalanche(
-        docs.where(col("text").isNotNull)
-          .select(col("source"),
-            explode(Dedup.tokens(col("text"))).as("item")),
-        "item")
-      .select(col("source"), col("h2")).distinct()
+    val hashed = distinctTokenHashes(docs)
       .localCheckpoint() // two consumers: sample + exact legs
-    val sk = hashed
-      .withColumn("rnk", row_number().over(Window.partitionBy("source")
-        .orderBy(col("h2"))))
-      .filter(col("rnk") <= k)
-      .select("source", "h2")
+    val sk = sampleK(hashed, k).select("source", "h2")
     val sizes = hashed.groupBy("source")
       .agg(count(lit(1)).as("exact_n"))
     // source-pair spine and sketch folds are REPORT-sized (S² and

@@ -52,7 +52,8 @@ object Admission {
     * the gate's correctness argument is about.
     */
   def landBatchJsonl(s: SparkSession, dir: String): String =
-    graft.io.Scratch.landedOnce(dir, graft.io.Scratch.qs39Dir(dir)) {
+    graft.io.Scratch.landedOnce(dir, graft.io.Scratch.qs39Dir(dir),
+        version = 1) {
       landing =>
         Tables.documents(s, dir).where(!isCorpus)
           .repartition(4)

@@ -40,7 +40,7 @@ object SketchStream {
   def landJsonl(s: SparkSession, dir: String,
                 root: String => String = graft.io.Scratch.qs40Dir)
       : String =
-    graft.io.Scratch.landedOnce(dir, root(dir)) { landing =>
+    graft.io.Scratch.landedOnce(dir, root(dir), version = 1) { landing =>
       Tables.documents(s, dir)
         .repartition(4)
         .select(to_json(struct(col("doc_id"), col("text"), col("lang"),
@@ -222,11 +222,7 @@ object SketchStream {
     val name = s"qs41_cm_${gateRuns.incrementAndGet()}"
     val counters = streamCmCounters(s,
       landJsonl(s, dir, graft.io.Scratch.qs41Dir), name)
-    val tfc = Tables.documents(s, dir)
-      .where(col("text").isNotNull)
-      .select(col("source"),
-        explode(graft.operators.Dedup.tokens(col("text"))).as("item"))
-      .groupBy("source", "item").agg(count(lit(1)).as("tf"))
+    val tfc = Sketch.tokenTf(Tables.documents(s, dir))
     val out = Sketch.cmReport(tfc, counters, k = 5).localCheckpoint()
     s.catalog.dropTempView(name)
     out
