@@ -224,6 +224,8 @@ object SparkEntry {
     "qs43_stream_quantile" ->
       (graft.streaming.SketchStream.quantileStreamGate _),
     "qd65_sketch_store"  -> (TrainingOps.storedSketchEstimate _),
+    "qd66_span_decontaminate" ->
+      (graft.operators.Dedup.spanDecontaminateQuery _),
   )
 
   /** Queries intentionally without an oracle — EMPTY since round 5:
@@ -412,6 +414,53 @@ object SparkEntry {
     // qd65: reads the STORED register artifact; storage cannot change
     // the registers, so the estimate-only chain carries verbatim.
     "qd65_sketch_store" -> hllEstOnlySql,
+    // qd66: qd53's exhaustive span machinery with cross-corpus-only
+    // coverage — a training position is cut iff its 8-gram appears in
+    // the src0 (eval) gram set; islands/rebuild carry verbatim. The
+    // join against a DISTINCT eval gram set replaces qd53's rn >= 2
+    // keep-first window (eval text must not leak at all), so no
+    // window determinism caveat applies.
+    "qd66_span_decontaminate" ->
+      ("""WITH toks AS (
+         |  SELECT doc_id, source, list_filter(string_split(
+         |    regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+         |    x -> x != '') AS t
+         |  FROM documents),
+         |eg AS (SELECT DISTINCT array_to_string(t[i:i+7], ' ') AS gram
+         |  FROM toks, unnest(range(1, len(t)-6)) AS u(i)
+         |  WHERE source = 'src0' AND len(t) >= 8),
+         |tok AS (SELECT doc_id, i-1 AS pos, t[i] AS tk
+         |  FROM toks, unnest(range(1, len(t)+1)) AS u(i)
+         |  WHERE source != 'src0'),
+         |tg AS (SELECT doc_id, i-1 AS pos,
+         |    array_to_string(t[i:i+7], ' ') AS gram
+         |  FROM toks, unnest(range(1, len(t)-6)) AS u(i)
+         |  WHERE source != 'src0' AND len(t) >= 8),
+         |hit AS (SELECT DISTINCT tg.doc_id, tg.pos
+         |  FROM tg JOIN eg USING (gram)),
+         |cov AS (SELECT DISTINCT doc_id, pos + j AS pos
+         |  FROM hit, unnest([0,1,2,3,4,5,6,7]) AS v(j)),
+         |isl AS (SELECT doc_id, pos,
+         |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+         |      AS grp FROM cov),
+         |sp AS (SELECT doc_id, count(*) AS n_cut,
+         |    count(DISTINCT grp) AS n_spans FROM isl GROUP BY 1),
+         |marked AS (SELECT t.doc_id, t.pos, t.tk,
+         |    c.pos IS NOT NULL AS hit
+         |  FROM tok t LEFT JOIN cov c
+         |    ON t.doc_id = c.doc_id AND t.pos = c.pos),
+         |reb AS (SELECT doc_id,
+         |    COALESCE(string_agg(CASE WHEN NOT hit THEN tk END,
+         |      ' ' ORDER BY pos), '') AS dedup_text
+         |  FROM marked GROUP BY 1)
+         |SELECT d.doc_id, COALESCE(r.dedup_text, '') AS dedup_text,
+         |  CAST(COALESCE(s.n_cut, 0) AS INTEGER) AS n_removed,
+         |  CAST(COALESCE(s.n_spans, 0) AS INTEGER) AS n_spans
+         |FROM documents d
+         |LEFT JOIN reb r ON d.doc_id = r.doc_id
+         |LEFT JOIN sp s ON d.doc_id = s.doc_id
+         |WHERE d.source != 'src0'
+         |ORDER BY d.doc_id""".stripMargin),
     // qs39: qd40's exhaustive batch×corpus oracle re-framed on the
     // qd54 corpus split (src19 arrives, everything else stands) — the
     // streaming gate's micro-batch union is provably boundary-free

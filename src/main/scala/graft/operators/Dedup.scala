@@ -1073,34 +1073,57 @@ object Dedup {
   def spanDedup(docs: DataFrame, idCol: String, textCol: String,
                 k: Int): DataFrame = {
     require(k >= 2, s"span grain needs k >= 2 tokens, got $k")
-    val w = Window.partitionBy("doc_id").orderBy("pos")
-    val tok = docs.where(col(textCol).isNotNull)
-      .select(col(idCol).as("doc_id"),
-        posexplode(tokens(col(textCol))).as(Seq("pos", "t")))
-    val leads = (1 until k).map(i => lead("t", i).over(w).as(s"_t$i"))
-    val grams = tok
-      .select(Seq(col("doc_id"), col("pos"), col("t")) ++ leads: _*)
-      .where(col(s"_t${k - 1}").isNotNull)
-      .select(col("doc_id"), col("pos"),
-        concat_ws(" ",
-          col("t") +: (1 until k).map(i => col(s"_t$i")): _*).as("g"))
+    val tok = posTokens(docs, idCol, textCol)
     val occ = Window.partitionBy(xxhash64(col("g")), col("g"))
       .orderBy("doc_id", "pos")
-    val covered = grams
+    val covered = anchoredGrams(tok, k)
       .withColumn("rn", row_number().over(occ))
       .where(col("rn") >= 2)
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + (k - 1))).as("pos"))
       .distinct()
-    // ONE per-doc pass computes cut count, maximal-extent count AND
-    // the rebuild: a lag over the same (doc_id, pos) window marks
-    // each island's first covered position (hit ∧ ¬hit@pos-1 —
-    // consecutive covered positions merge, so n_spans counts merged
-    // ≥k-token removed ranges, not raw gram hits), and the groupBy
-    // that follows rides the window's exchange — the separate
-    // islands-window + spans-aggregate + extra join of the first cut
-    // cost a whole second shuffle chain for numbers this pass
-    // already sees.
+    cutRebuild(docs.select(col(idCol).as("doc_id")), tok, covered)
+  }
+
+  /** (doc_id, pos, t) position-anchored token grain — the explode
+    * shared by [[spanDedup]] and [[spanDecontaminate]].
+    */
+  private def posTokens(docs: DataFrame, idCol: String,
+                        textCol: String): DataFrame =
+    docs.where(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        posexplode(tokens(col(textCol))).as(Seq("pos", "t")))
+
+  /** (doc_id, pos, g) k-token grams anchored at 0-based positions:
+    * k-1 `lead`s sharing ONE per-doc window sort (the relational form
+    * — interpreted string-building lambdas lose, see [[gramStrings]]'
+    * trap note).
+    */
+  private def anchoredGrams(tok: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val leads = (1 until k).map(i => lead("t", i).over(w).as(s"_t$i"))
+    tok
+      .select(Seq(col("doc_id"), col("pos"), col("t")) ++ leads: _*)
+      .where(col(s"_t${k - 1}").isNotNull)
+      .select(col("doc_id"), col("pos"),
+        concat_ws(" ",
+          col("t") +: (1 until k).map(i => col(s"_t$i")): _*).as("g"))
+  }
+
+  /** Shared tail of the span family: given a doc spine, the token
+    * grain and the covered (doc_id, pos) set, cut the covered tokens
+    * and rebuild each document. ONE per-doc pass computes cut count,
+    * maximal-extent count AND the rebuild: a lag over the same
+    * (doc_id, pos) window marks each island's first covered position
+    * (hit ∧ ¬hit@pos-1 — consecutive covered positions merge, so
+    * n_spans counts merged ≥k-token removed ranges, not raw gram
+    * hits), and the groupBy that follows rides the window's exchange
+    * — the separate islands-window + spans-aggregate + extra join of
+    * the first cut cost a whole second shuffle chain for numbers this
+    * pass already sees.
+    */
+  private def cutRebuild(spine: DataFrame, tok: DataFrame,
+                         covered: DataFrame): DataFrame = {
     val wd = Window.partitionBy("doc_id").orderBy("pos")
     val rebuilt = tok
       .join(covered.withColumn("hit", lit(true)), Seq("doc_id", "pos"), "left")
@@ -1114,7 +1137,7 @@ object Dedup {
           struct(col("pos"), col("t")))).as("cl"))
       .withColumn("dedup_text",
         array_join(transform(array_sort(col("cl")), c => c("t")), " "))
-    docs.select(col(idCol).as("doc_id"))
+    spine
       .join(rebuilt, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("dedup_text"), lit("")).as("dedup_text"),
@@ -1122,6 +1145,58 @@ object Dedup {
         coalesce(col("n_spans"), lit(0L)).cast("int").as("n_spans"))
       .orderBy("doc_id")
   }
+
+  /** qd66 — exact-substring DECONTAMINATION (Lee et al.'s ExactSubstr
+    * grain pointed at a benchmark): cut from every TRAINING document
+    * each ≥k-token span that appears verbatim at ANY offset in the
+    * held-out eval slice, and rebuild the document from its surviving
+    * tokens. This is the span-grain upgrade of qd14: its 3-gram
+    * containment FLAGS a doc sharing any single gram, but can neither
+    * locate the overlap nor bound it — a 13-gram filter misses a
+    * 12-token verbatim quote entirely, while a doc-level drop
+    * overreacts to one shared sentence. Span cutting removes exactly
+    * the contaminated tokens (the decontamination production
+    * pipelines run before eval-set release).
+    *
+    * Semantics vs [[spanDedup]]: coverage is CROSS-CORPUS ONLY — a
+    * training position is cut iff its k-gram occurs anywhere in the
+    * eval side (no keep-first: eval text must not leak at all), and
+    * within-training repeats are qd53's job, not this one's. Eval
+    * docs are not in the output (they are the benchmark, not the
+    * training set).
+    *
+    * Scale shape: the eval side is the SMALL one — its distinct grams
+    * broadcast (qd14's convention), so the training-side cost is one
+    * window-lead gram pass + a broadcast hash join + the per-doc
+    * rebuild; NOTHING shuffles on the gram key and nothing is
+    * all-pairs. At 100 TB the training token stream is the linear
+    * term and the eval gram set stays a few MB of broadcast state.
+    */
+  def spanDecontaminate(docs: DataFrame, idCol: String, textCol: String,
+                        k: Int, isEval: Column): DataFrame = {
+    require(k >= 2, s"span grain needs k >= 2 tokens, got $k")
+    val evalGrams = anchoredGrams(
+        posTokens(docs.where(isEval), idCol, textCol), k)
+      .select("g").distinct()
+    val trainTok = posTokens(docs.where(!isEval), idCol, textCol)
+    val covered = anchoredGrams(trainTok, k)
+      .join(broadcast(evalGrams), "g")
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (k - 1))).as("pos"))
+      .distinct()
+    cutRebuild(docs.where(!isEval).select(col(idCol).as("doc_id")),
+      trainTok, covered)
+  }
+
+  /** The qd66 declared form: 8-token spans (qd53's grain), src0 as
+    * the benchmark slice (qd14's convention) — the gate corpus plants
+    * long shifted-offset repeats that cross the src0 boundary, so the
+    * cut is value-bearing (116 tokens across 2 training docs at
+    * sf0.01; see FIXTURES.md).
+    */
+  def spanDecontaminateQuery(s: SparkSession, dir: String): DataFrame =
+    spanDecontaminate(graft.core.Tables.documents(s, dir), "doc_id",
+      "text", k = 8, isEval = col("source") === "src0")
 
   /** The qd53 declared form: 8-token spans over `documents` — the
     * gate corpus' planted near-duplicates repeat long runs at

@@ -202,6 +202,22 @@ class PlanSpec extends SparkSpec
       "corpus filter must reach the scan")
   }
 
+  test("qd66: eval gram side broadcasts, source filters pushed to scans") {
+    val p = plan(graft.operators.Dedup.spanDecontaminateQuery(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), "eval-gram join must broadcast")
+    // the rebuild's (doc_id, pos) join may sort-merge (both sides are
+    // training-corpus-sized); the GRAM join must not — pin that no
+    // sort-merge joins on the gram column
+    assert(!"SortMergeJoin.*\\bg#".r.findFirstIn(p).isDefined,
+      "gram join must not shuffle the training side on the gram key")
+    assert("EqualTo\\(source,src0\\)|\\(source#\\d+ = src0\\)".r
+      .findFirstIn(p).isDefined,
+      "eval filter must reach the scan")
+    assert("Not\\(EqualTo\\(source,src0\\)\\)|NOT \\(source#\\d+ = src0\\)".r
+      .findFirstIn(p).isDefined,
+      "training filter must reach the scan")
+  }
+
   test("qs6: bounded-frame window is one Window over one partition shuffle") {
     val p = plan(graft.operators.Events.movingAvg(spark, sf))
     assert("\\bWindow\\b".r.findAllIn(p).size == 1, p)
