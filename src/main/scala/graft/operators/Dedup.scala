@@ -815,26 +815,35 @@ object Dedup {
         .where(col("src") =!= col("dst"))
         .distinct()
     }
-    // (count, hash-sum) edge-set signature: one tiny agg job per
-    // round; a changed set colliding on both is ~2^-64 — accepted
-    // (documented) in exchange for not diffing full sets per round.
-    // The sum runs in DECIMAL(38,0): ANSI mode is on, and a long sum
-    // of 64-bit hashes overflows (the repo's standing hash-arithmetic
-    // rule)
-    def sig(e: DataFrame): (Long, String) = {
-      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
-      val r = e.agg(count(lit(1)),
+    // (count, hash-sum) edge-set signature; a changed set colliding
+    // on both is ~2^-64 — accepted (documented) in exchange for not
+    // diffing full sets per round. The sum runs in DECIMAL(38,0):
+    // ANSI mode is on, and a long sum of 64-bit hashes overflows (the
+    // repo's standing hash-arithmetic rule). The signature rides an
+    // observe() on the SAME job that materializes each round's
+    // localCheckpoint (the dupClusters convergence pattern, round 13:
+    // the separate sig() agg cost one extra full-edge-set job per
+    // round — measured ~0.4 s of qd16's sf0.1 floor).
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    def withSig(e: DataFrame)
+        : (DataFrame, org.apache.spark.sql.Observation) = {
+      val obs = org.apache.spark.sql.Observation()
+      (e.observe(obs, count(lit(1)).as("n"),
         coalesce(sum(xxhash64(col("src"), col("dst")).cast(dec)),
-          lit(0).cast(dec))).head
-      (r.getLong(0), r.getDecimal(1).toPlainString)
+          lit(0).cast(dec)).as("h")), obs)
     }
-    var edges = pairs
+    def sigOf(obs: org.apache.spark.sql.Observation): (Long, String) = {
+      val m = obs.get
+      (m("n").asInstanceOf[Long],
+        m("h").asInstanceOf[java.math.BigDecimal].toPlainString)
+    }
+    val (e0, obs0) = withSig(pairs
       .select(col("doc_a").cast("long").as("src"),
         col("doc_b").cast("long").as("dst"))
       .where(col("src") =!= col("dst"))
-      .distinct()
-      .localCheckpoint()
-    var prev = sig(edges)
+      .distinct())
+    var edges = e0.localCheckpoint()
+    var prev = sigOf(obs0)
     var round = 0
     var done = prev._1 == 0L // no edges: all singletons, skip the loop
     while (!done) {
@@ -844,8 +853,9 @@ object Dedup {
       // localCheckpoint per round: identical lineage-OOM trade to
       // dupClusters (see its scaladoc); previous round's blocks are
       // freed RDD-level below
-      val next = smallStar(largeStar(edges)).localCheckpoint()
-      val cur = sig(next)
+      val (nxt, obs) = withSig(smallStar(largeStar(edges)))
+      val next = nxt.localCheckpoint()
+      val cur = sigOf(obs)
       done = cur == prev
       prev = cur
       unpersistCheckpointed(edges)
