@@ -142,28 +142,14 @@ object Scratch {
       "graft_qs39_" + sfDir.replaceAll("[^A-Za-z0-9._-]", "_"))
       .getAbsolutePath
 
-  /** qs40's streaming-HLL landing root, keyed like [[qp1Dir]]. */
-  def qs40Dir(sfDir: String): String =
+  /** The sketch family's SHARED streaming landing root (round 13):
+    * qs40–qs43 all drain the same corpus arrival, so they share one
+    * landed JSONL tree (the per-gate qs40–qs43 roots this replaces
+    * held four identical copies). Keyed like [[qp1Dir]].
+    */
+  def sketchDir(sfDir: String): String =
     new java.io.File(System.getProperty("java.io.tmpdir"),
-      "graft_qs40_" + sfDir.replaceAll("[^A-Za-z0-9._-]", "_"))
-      .getAbsolutePath
-
-  /** qs41's streaming count-min landing root, keyed like [[qp1Dir]]. */
-  def qs41Dir(sfDir: String): String =
-    new java.io.File(System.getProperty("java.io.tmpdir"),
-      "graft_qs41_" + sfDir.replaceAll("[^A-Za-z0-9._-]", "_"))
-      .getAbsolutePath
-
-  /** qs42's streaming bottom-k landing root, keyed like [[qp1Dir]]. */
-  def qs42Dir(sfDir: String): String =
-    new java.io.File(System.getProperty("java.io.tmpdir"),
-      "graft_qs42_" + sfDir.replaceAll("[^A-Za-z0-9._-]", "_"))
-      .getAbsolutePath
-
-  /** qs43's streaming quantile-histogram landing root. */
-  def qs43Dir(sfDir: String): String =
-    new java.io.File(System.getProperty("java.io.tmpdir"),
-      "graft_qs43_" + sfDir.replaceAll("[^A-Za-z0-9._-]", "_"))
+      "graft_sketch_" + sfDir.replaceAll("[^A-Za-z0-9._-]", "_"))
       .getAbsolutePath
 
   /** qd50's sharded-export root, keyed like [[qp1Dir]]. */
@@ -212,10 +198,13 @@ object Scratch {
     */
   def reapTmp(): Unit = {
     val tmpRoot = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
-    // graft_qs7_ covers legacy round-6 landing trees (now graft_stream_)
+    // graft_qs7_ covers legacy round-6 landing trees (now graft_stream_);
+    // graft_qs40_..43_ cover the per-gate sketch landings replaced by
+    // the shared graft_sketch_ tree in round 13
     val prefixes = Seq("graft_q14_", "graft_qp1_", "graft_qx13_",
       "graft_qx20_", "graft_qs16_", "graft_qs7_", "graft_stream_",
-      "graft_qx24_", "graft_qp4_", "graft_qp5_")
+      "graft_qx24_", "graft_qp4_", "graft_qp5_",
+      "graft_qs40_", "graft_qs41_", "graft_qs42_", "graft_qs43_")
     if (java.nio.file.Files.isDirectory(tmpRoot)) {
       val it = java.nio.file.Files.list(tmpRoot)
       try it.forEach { p =>

@@ -32,13 +32,15 @@ object SketchStream {
 
   /** Land the corpus as JSONL in a watched folder (several part
     * files → several micro-batches under maxFilesPerTrigger = 1).
-    * `root` defaults to qs40's scratch tree; qs41/qs42/qs43 land
-    * their own. Stamp-cached ([[graft.io.Scratch.landedOnce]]): the
-    * landing is the upstream producer's work, re-exported only when
-    * the corpus changes.
+    * `root` defaults to the sketch family's SHARED tree (round 13,
+    * VERDICT r12 #3: qs40–qs43 all consume the same arrival, so four
+    * per-gate copies of one identical export were pure waste).
+    * Stamp-cached ([[graft.io.Scratch.landedOnce]]): the landing is
+    * the upstream producer's work, re-exported only when the corpus
+    * changes.
     */
   def landJsonl(s: SparkSession, dir: String,
-                root: String => String = graft.io.Scratch.qs40Dir)
+                root: String => String = graft.io.Scratch.sketchDir)
       : String =
     graft.io.Scratch.landedOnce(dir, root(dir), version = 1) { landing =>
       Tables.documents(s, dir)
@@ -70,22 +72,91 @@ object SketchStream {
       s.table(queryName)
     }
 
-  /** qs40's gate form: land, drain, estimate.
-    *
-    * View lifecycle (ADVICE r11): the estimate is source-count-sized,
-    * so it is eagerly checkpointed and the memory-sink temp view
-    * dropped BEFORE returning — zero sink tables retained on the
-    * driver between invocations, and the returned frame stays valid
-    * no matter when (or whether) the caller consumes it.
+  /** The four drained streaming states, cached per (dir, corpus
+    * stamp) as COLLECTED rows (round 13, VERDICT r12 #3): the family's
+    * gates all drain the same arrival, and each drained state is a
+    * deterministic function of the landing (each aggregate is an
+    * order-free monoid — the family's core claim, spec-proved), so
+    * one shared drain serves all four read-sides. On a cache miss the
+    * four streaming queries run CONCURRENTLY over the shared landing
+    * (wall-clock ≈ one drain, and each still consumes all four
+    * micro-batch files — the boundary-independence conditions are
+    * unchanged); what is cached is kilobyte-sized collected state
+    * (≤ 4·256 rows per source), never a DataFrame — the Bench
+    * interRunReset contract (driver caches hold collected objects or
+    * parquet paths only).
     */
-  def hllStreamGate(s: SparkSession, dir: String): DataFrame = {
-    val name = s"qs40_hll_${gateRuns.incrementAndGet()}"
-    val out = Sketch
-      .registerEstimate(streamRegisters(s, landJsonl(s, dir), name))
-      .localCheckpoint()
-    s.catalog.dropTempView(name)
-    out
+  private final case class Drained(
+      hll: (org.apache.spark.sql.types.StructType,
+            Seq[org.apache.spark.sql.Row]),
+      cm: (org.apache.spark.sql.types.StructType,
+           Seq[org.apache.spark.sql.Row]),
+      bk: (org.apache.spark.sql.types.StructType,
+           Seq[org.apache.spark.sql.Row]),
+      hist: (org.apache.spark.sql.types.StructType,
+             Seq[org.apache.spark.sql.Row]))
+
+  private val drainedCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Drained]()
+
+  private def drainedStates(s: SparkSession, dir: String): Drained = {
+    val key = dir + "|" +
+      graft.io.ArtifactStore.tableStamp(dir, "documents")
+    drainedCache.computeIfAbsent(key, _ => {
+      val landing = landJsonl(s, dir)
+      val runId = gateRuns.incrementAndGet()
+      def grab(name: String)(drain: => DataFrame)
+          : (org.apache.spark.sql.types.StructType,
+             Seq[org.apache.spark.sql.Row]) = {
+        val df = drain
+        val out = (df.schema, df.collect().toSeq)
+        s.catalog.dropTempView(name)
+        out
+      }
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      // the OUTER shuffle-partition scope makes the inner per-drain
+      // set/restore pairs idempotent (every interleaved write is "8"):
+      // without it the first-finishing future would restore the
+      // session default while a sibling is still planning its first
+      // micro-batch, handing that drain a 32-partition state store
+      try EventStream.withShufflePartitions(s, 8) {
+        val fHll = Future(grab(s"qs40_hll_$runId")(
+          streamRegisters(s, landing, s"qs40_hll_$runId")))
+        val fCm = Future(grab(s"qs41_cm_$runId")(
+          streamCmCounters(s, landing, s"qs41_cm_$runId")))
+        val fBk = Future(grab(s"qs42_bk_$runId")(
+          streamBottomk(s, landing, s"qs42_bk_$runId")))
+        val fHist = Future(grab(s"qs43_qh_$runId")(
+          streamLengthHist(s, landing, s"qs43_qh_$runId")))
+        Drained(
+          Await.result(fHll, Duration.Inf),
+          Await.result(fCm, Duration.Inf),
+          Await.result(fBk, Duration.Inf),
+          Await.result(fHist, Duration.Inf))
+      } finally pool.shutdown()
+    })
   }
+
+  private def localDf(s: SparkSession,
+      st: (org.apache.spark.sql.types.StructType,
+           Seq[org.apache.spark.sql.Row])): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    s.createDataFrame(st._2.asJava, st._1)
+  }
+
+  /** qs40's gate form: land, drain (shared across the family), fold
+    * the drained register state to the estimate. The drained state
+    * re-enters the plan as a local relation built from the cached
+    * collected rows — no memory-sink views are retained (the ADVICE
+    * r11 lifecycle concern dissolves: views are dropped inside the
+    * shared drain immediately after collection).
+    */
+  def hllStreamGate(s: SparkSession, dir: String): DataFrame =
+    Sketch.registerEstimate(localDf(s, drainedStates(s, dir).hll))
 
   /** Drain a landing folder through the streaming count-min counter
     * aggregate; return the DRAINED counter table (source, r, b, cnt)
@@ -153,15 +224,11 @@ object SketchStream {
     * lifecycle as the other gates (ADVICE r11).
     */
   def bottomkStreamGate(s: SparkSession, dir: String): DataFrame = {
-    val name = s"qs42_bk_${gateRuns.incrementAndGet()}"
-    val sample = streamBottomk(s,
-      landJsonl(s, dir, graft.io.Scratch.qs42Dir), name)
+    val sample = localDf(s, drainedStates(s, dir).bk)
     val exact = Sketch.tokenHashEvents(Tables.documents(s, dir))
       .distinct()
       .groupBy("source").agg(count(lit(1)).as("exact_distinct"))
-    val out = Sketch.bottomkReport(sample, exact).localCheckpoint()
-    s.catalog.dropTempView(name)
-    out
+    Sketch.bottomkReport(sample, exact)
   }
 
   /** Drain a landing folder through the streaming log-bucket
@@ -195,17 +262,11 @@ object SketchStream {
     * the bounded-state streaming profiling tier (qs40 HLL distinct,
     * qs41 count-min frequencies, qs42 bottom-k sample, THIS
     * quantiles). The exact rank-k leg is the batch truth column, as
-    * in qd61. Same view lifecycle as the other gates (ADVICE r11).
+    * in qd61. Drained state arrives via the family's shared drain.
     */
-  def quantileStreamGate(s: SparkSession, dir: String): DataFrame = {
-    val name = s"qs43_qh_${gateRuns.incrementAndGet()}"
-    val hist = streamLengthHist(s,
-      landJsonl(s, dir, graft.io.Scratch.qs43Dir), name)
-    val out = Sketch.quantileReport(hist, Tables.documents(s, dir))
-      .localCheckpoint()
-    s.catalog.dropTempView(name)
-    out
-  }
+  def quantileStreamGate(s: SparkSession, dir: String): DataFrame =
+    Sketch.quantileReport(localDf(s, drainedStates(s, dir).hist),
+      Tables.documents(s, dir))
 
   /** qs41 — STREAMING heavy hitters: counter sums are an order-free
     * monoid, so the drained streaming counter table provably equals
@@ -214,17 +275,10 @@ object SketchStream {
     * The report tail (true top-5 + estimate read-side) is the batch
     * step every profiling gate here ends with (qs40's estimator
     * argument) — the streaming state under test is the counters.
-    * Same view lifecycle as [[hllStreamGate]] (ADVICE r11): the
-    * report is checkpointed and the memory-sink view dropped before
-    * returning.
+    * Drained state arrives via the family's shared drain (see
+    * [[hllStreamGate]]).
     */
-  def cmStreamGate(s: SparkSession, dir: String): DataFrame = {
-    val name = s"qs41_cm_${gateRuns.incrementAndGet()}"
-    val counters = streamCmCounters(s,
-      landJsonl(s, dir, graft.io.Scratch.qs41Dir), name)
-    val tfc = Sketch.tokenTf(Tables.documents(s, dir))
-    val out = Sketch.cmReport(tfc, counters, k = 5).localCheckpoint()
-    s.catalog.dropTempView(name)
-    out
-  }
+  def cmStreamGate(s: SparkSession, dir: String): DataFrame =
+    Sketch.cmReport(Sketch.tokenTf(Tables.documents(s, dir)),
+      localDf(s, drainedStates(s, dir).cm), k = 5)
 }

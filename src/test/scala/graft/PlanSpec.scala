@@ -202,6 +202,40 @@ class PlanSpec extends SparkSpec
       "corpus filter must reach the scan")
   }
 
+  test("qd42: model and stats broadcast, corpus side never gram-shuffles") {
+    val p = plan(graft.operators.TrainingOps.crossPerplexity(spark, sf))
+    assert(p.contains("BroadcastHashJoin"),
+      "the scored-model join must broadcast the model side")
+    assert(!p.contains("SortMergeJoin"),
+      "the corpus bigram grain must never shuffle on the bigram key")
+    // the 1-row stats frame rides BroadcastNestedLoopJoin cross joins
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size >= 1, p)
+  }
+
+  test("qd30: hot-gram membership broadcasts; one per-doc lead window") {
+    val p = plan(graft.operators.TrainingOps.hotSpansQuery(spark, sf))
+    assert(p.contains("BroadcastHashJoin"),
+      "the >= minDf hot-gram set is report-sized and must broadcast")
+    // the gram subtree feeds TWO consumers (hot-gram derivation +
+    // coverage join) and is deliberately NOT persisted (hotSpans
+    // scaladoc: recompute measured cheaper at gate scale), so the
+    // lead-window appears once per consumer — exactly twice, never
+    // more (a third copy would mean a new unshared consumer)
+    assert("\\bWindow\\b".r.findAllIn(p).size == 2,
+      "one lead-window per gram consumer, three leads sharing each: " + p)
+  }
+
+  test("qp4: compacted read-back is scan + one range exchange") {
+    // NOTE: building this frame EXECUTES the two write phases
+    // (fragment + compact at sf0.001) — the declared query's contract
+    val p = plan(graft.operators.Marts.compactionRoundtrip(spark, sf))
+    assert("Exchange".r.findAllIn(p).size == 1,
+      "read-back must be scan -> one rangepartitioning exchange " +
+        "for the output sort, nothing else: " + p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      "compaction is a pure layout change — no joins in the read-back")
+  }
+
   test("qd66: eval gram side broadcasts, source filters pushed to scans") {
     val p = plan(graft.operators.Dedup.spanDecontaminateQuery(spark, sf))
     assert(p.contains("BroadcastHashJoin"), "eval-gram join must broadcast")

@@ -162,8 +162,7 @@ class Round12OpsSpec extends SparkSpec {
 
   test("qs42: drained streaming bottom-k ≡ batch sample; gate ≡ qd63") {
     val dir = "/root/testdata/sf0.001"
-    val landing = graft.streaming.SketchStream.landJsonl(spark, dir,
-      graft.io.Scratch.qs42Dir)
+    val landing = graft.streaming.SketchStream.landJsonl(spark, dir)
     val drained = graft.streaming.SketchStream
       .streamBottomk(spark, landing, "qs42_spec_probe")
       .orderBy("source", "h2").collect()
@@ -216,8 +215,7 @@ class Round12OpsSpec extends SparkSpec {
 
   test("qs43: drained streaming histogram ≡ batch; gate report ≡ qd61") {
     val dir = "/root/testdata/sf0.001"
-    val landing = graft.streaming.SketchStream.landJsonl(spark, dir,
-      graft.io.Scratch.qs43Dir)
+    val landing = graft.streaming.SketchStream.landJsonl(spark, dir)
     val drained = graft.streaming.SketchStream
       .streamLengthHist(spark, landing, "qs43_spec_probe")
       .orderBy("source", "idx").collect().toSeq
@@ -241,8 +239,7 @@ class Round12OpsSpec extends SparkSpec {
 
   test("qs41: drained streaming counters ≡ batch; gate report ≡ qd62") {
     val dir = "/root/testdata/sf0.001"
-    val landing = graft.streaming.SketchStream.landJsonl(spark, dir,
-      graft.io.Scratch.qs41Dir)
+    val landing = graft.streaming.SketchStream.landJsonl(spark, dir)
     val drained = graft.streaming.SketchStream
       .streamCmCounters(spark, landing, "qs41_spec_probe")
       .orderBy("source", "r", "b").collect().toSeq
