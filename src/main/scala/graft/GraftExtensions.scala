@@ -54,5 +54,11 @@ object GraftExtensions {
         require(exprs.length == 2, "vec_dot expects 2 arguments")
         graft.functions.VecDot(exprs.head, exprs(1))
       }),
+    (FunctionIdentifier("hist_l1"),
+      info("hist_l1", "L1 distance of two int-array histograms"),
+      exprs => {
+        require(exprs.length == 2, "hist_l1 expects 2 arguments")
+        graft.functions.HistL1(exprs.head, exprs(1))
+      }),
   )
 }

@@ -226,6 +226,10 @@ object SparkEntry {
     "qd65_sketch_store"  -> (TrainingOps.storedSketchEstimate _),
     "qd66_span_decontaminate" ->
       (graft.operators.Dedup.spanDecontaminateQuery _),
+    "qd67_edit_neardups" ->
+      (graft.operators.EditJoin.editNearDupsQuery _),
+    "qd68_edit_neardups_seg" ->
+      (graft.operators.EditJoin.editNearDupsSegQuery _),
   )
 
   /** Queries intentionally without an oracle — EMPTY since round 5:
@@ -479,6 +483,19 @@ object SparkEntry {
          |SELECT m.doc_id, x.dup_of, x.dup_of IS NOT NULL AS is_dup
          |FROM m LEFT JOIN x USING (doc_id) WHERE NOT m.corp
          |ORDER BY doc_id""".stripMargin),
+    // qd67: exhaustive edit-distance truth behind two SOUND
+    // prefilters (ed >= |Δlen|; ed >= L1(charHist)/2 under any
+    // alphabet projection — each edit moves the multiset by at most
+    // one removal + one insertion), so the prefilters cannot drop a
+    // qualifying pair. The candidate CTE is MATERIALIZED as an
+    // optimization fence: without it DuckDB reorders the O(n·m)
+    // levenshtein ahead of the histogram prune (39 candidate pairs
+    // vs 6258 — 0.7 s vs 25 s at sf0.01), same rows either way.
+    "qd67_edit_neardups" -> editNearDupsSql,
+    // qd68: SAME truth through the segment-indexed candidate path —
+    // the oracle is blocking-independent, so it carries verbatim
+    // (the qd13/qd16 two-algorithms-one-truth precedent).
+    "qd68_edit_neardups_seg" -> editNearDupsSql,
     "qd14_decontaminate" -> decontaminateSql,
     "qd36_leakage_split" -> leakageSplitSql,
     // qd37: the oracle takes the plain self-join formulation — same
@@ -3664,6 +3681,39 @@ object SparkEntry {
        |      (acc, x) -> (acc * 31 + x) % 2147483647) % 100 < 80
        |    THEN 'train' ELSE 'test' END AS split
        |FROM cl ORDER BY doc_id""".stripMargin
+
+  /** qd67/qd68 oracle: exhaustive edit-distance truth behind two
+    * SOUND prefilters (ed >= |Δlen|; 2·ed >= L1(charHist) under any
+    * alphabet projection — each edit moves the multiset by at most
+    * one removal plus one insertion), so neither can drop a
+    * qualifying pair. The candidate CTE is MATERIALIZED as an
+    * optimization fence: without it DuckDB reorders the O(n·m)
+    * levenshtein ahead of the histogram prune (39 verified pairs vs
+    * 6258 — 0.7 s vs 25 s at sf0.01); rows identical either way.
+    * Blocking-independent truth, shared by both blocking geometries.
+    */
+  private val editNearDupsSql: String =
+    """WITH h AS (
+      |  SELECT doc_id, text, length(text) AS len,
+      |    [length(lt) - length(replace(lt, chr(c), ''))
+      |     FOR c IN [97,98,99,100,101,102,103,104,105,106,107,108,
+      |               109,110,111,112,113,114,115,116,117,118,119,
+      |               120,121,122,32,48,49,50,51,52,53,54,55,56,57]]
+      |      AS hist
+      |  FROM (SELECT doc_id, text, lower(text) AS lt FROM documents)),
+      |cand AS MATERIALIZED (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    a.text AS ta, b.text AS tb
+      |  FROM h a JOIN h b ON a.doc_id < b.doc_id
+      |   AND abs(a.len - b.len) <= 12
+      |   AND list_sum(list_transform(list_zip(a.hist, b.hist),
+      |         x -> abs(x[1] - x[2]))) <= 24)
+      |SELECT doc_a, doc_b, edit_dist FROM (
+      |  SELECT doc_a, doc_b,
+      |    CAST(levenshtein(ta, tb) AS INTEGER) AS edit_dist
+      |  FROM cand)
+      |WHERE edit_dist <= 12
+      |ORDER BY doc_a, doc_b""".stripMargin
 
   /** Decontamination oracle: same word-3-gram derivation as the
     * jaccard family (shingleCte), benchmark = src0 grams, corpus =

@@ -1,0 +1,289 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Edit-distance similarity join — the sequence-level near-duplicate
+  * family (Ed-Join / PassJoin lineage) that complements the set-based
+  * blocking the rest of the dedup tier uses (MinHash bands qd6,
+  * SimHash qd7, gram Jaccard qd10): two documents can be one
+  * character-level patch apart yet share few shingles AND vice versa,
+  * so curation pipelines run both.
+  *
+  * Semantics: all unordered pairs (a, b), a.id < b.id, with
+  * Levenshtein(a.text, b.text) <= maxDist, plus the exact distance.
+  *
+  * Scale design (100 TB): never all-pairs, and never an unbounded
+  * DP. Three provably COMPLETE tiers — every filter only discards
+  * pairs that cannot qualify, so the result is exact:
+  *
+  *  1. Length-bucket equi-join. `ed >= |len(a)-len(b)|`, so
+  *     qualifying pairs satisfy |Δlen| <= maxDist. Bucket
+  *     `len div W` with W > maxDist and explode ONE side to its
+  *     {b-1, b, b+1} neighbourhood: every qualifying pair meets in
+  *     exactly one bucket (the neighbour values are distinct), and
+  *     the join stays a shuffle-partitionable equi-join — no range
+  *     join, no cartesian.
+  *  2. Character-histogram L1 prune inside the joined row. Each
+  *     single edit changes the character multiset by at most one
+  *     removal plus one insertion, so
+  *     `L1(hist(a), hist(b)) <= 2*ed` — and any PROJECTION of the
+  *     alphabet only shrinks the L1, keeping the bound sound. The
+  *     37-bin lowercase [a-z0-9 ] histogram is a per-doc LINEAR
+  *     precompute (one projection, codegen'd), and the prune is a
+  *     37-element fold per candidate — orders cheaper than the DP it
+  *     saves (sf0.01: 6258 length-band candidates -> 39 survivors).
+  *  3. Banded Levenshtein verify: the built-in threshold form
+  *     (`levenshtein(a, b, maxDist)`, SPARK-35325 lineage) runs the
+  *     O(maxDist * n) diagonal band and returns -1 the moment the
+  *     distance provably exceeds the threshold — never the full
+  *     O(n^2) table (EditJoinSpec pins the -1 contract).
+  *
+  * At real-corpus scale the length-cohort can still be large; the
+  * histogram prune is what keeps the verified set near the true
+  * pair count, and the whole pipeline composes with any additional
+  * complete candidate source (e.g. qd6's band index) by replacing
+  * tier 1. Against ~300-char documents the verify leg is ~25x
+  * cheaper than the unbanded DP the oracle runs.
+  *
+  * Oracle: exhaustive DuckDB `levenshtein` behind the same two sound
+  * prefilters (fenced with a MATERIALIZED CTE so the planner cannot
+  * reorder the DP ahead of them) — sub-second at sf0.01 vs ~25 s
+  * unfiltered, while still exact truth.
+  */
+object EditJoin {
+
+  /** Declared gate threshold: the sf corpus plants sit at ed 4-8 and
+    * the nearest non-plant pair is at 38, so 12 is comfortably inside
+    * the separation margin on both sides.
+    */
+  val MaxDist = 12
+
+  /** Bucket width; must exceed [[MaxDist]] so the +/-1 neighbourhood
+    * covers every qualifying |Δlen|.
+    */
+  val BucketWidth = 16
+
+  /** Histogram alphabet: lowercase letters, space, digits (37 bins).
+    * Everything else projects out — the L1 bound stays sound under
+    * any alphabet projection (it can only shrink).
+    */
+  private[operators] val HistChars: Seq[Int] =
+    (97 to 122) ++ Seq(32) ++ (48 to 57)
+
+  /** Per-doc signature projection: id, text, _len, _bkt, _hist.
+    * `_lc` is materialized as its own column first so the 37
+    * replace-scans reference an attribute, not a recomputed
+    * `lower(text)` (CollapseProject keeps non-cheap multi-referenced
+    * expressions materialized; the repo rule about computed columns
+    * in multi-reference positions).
+    */
+  private def sigs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val lc = df.select(col(idCol).as("_id"), col(textCol).as("_text"))
+      .withColumn("_lc", lower(col("_text")))
+    lc.select(
+      col("_id"), col("_text"),
+      length(col("_text")).as("_len"),
+      expr(s"length(_text) div $BucketWidth").as("_bkt"),
+      array(HistChars.map(c =>
+        (length(col("_lc")) - length(replace(col("_lc"), chr(lit(c)), lit(""))))
+          .cast("int")): _*).as("_hist"))
+  }
+
+  /** All pairs within Levenshtein distance `maxDist`, exact.
+    * Output: (doc_a, doc_b, edit_dist), doc_a < doc_b, unsorted.
+    */
+  def editNearDups(df: DataFrame, idCol: String, textCol: String,
+                   maxDist: Int = MaxDist): DataFrame = {
+    require(maxDist < BucketWidth, "bucket width must exceed maxDist")
+    graft.functions.HistL1.register(df.sparkSession)
+    val sig = sigs(df, idCol, textCol)
+    val left = sig.select(
+      col("_id").as("_ida"), col("_text").as("_ta"),
+      col("_len").as("_la"), col("_bkt").as("_ba"),
+      col("_hist").as("_ha"))
+    val right = sig.select(
+      col("_id").as("_idb"), col("_text").as("_tb"),
+      col("_len").as("_lb"), col("_bkt"),
+      col("_hist").as("_hb"))
+      // explode the RIGHT side to its bucket neighbourhood: a
+      // qualifying pair has |Δbkt| <= 1, so it meets in exactly one
+      // of the three (values distinct — no double counting).
+      .withColumn("_bb", explode(array(
+        col("_bkt") - 1, col("_bkt"), col("_bkt") + 1)))
+      .drop("_bkt")
+    // Join ON the bucket equality alone; every residual predicate
+    // rides ONE filter whose conjunct order is cheap -> expensive.
+    // Catalyst pushes the conjunction into the join condition
+    // PRESERVING order (splitConjunctivePredicates + reduce(And)), so
+    // codegen short-circuits the id/length/L1 prunes before ever
+    // touching the DP — putting the prunes in the ON clause instead
+    // lets the pushed filter land AHEAD of them (observed: the DP ran
+    // first on every bucket collision, the exact reordering the
+    // oracle's MATERIALIZED fence exists to stop on the DuckDB side).
+    // The DP conjunct is the threshold form's `>= 0` ALONE (-1 means
+    // "band proved > maxDist", values never exceed maxDist) — one
+    // unconditional reference, so no per-branch re-evaluation; the
+    // output projection recomputes it only for the surviving
+    // (true-pair-bounded) rows.
+    left.join(right, col("_ba") === col("_bb"))
+      .filter(verifyPredicate(maxDist))
+      .select(col("_ida").as("doc_a"), col("_idb").as("doc_b"),
+        levenshtein(col("_ta"), col("_tb"), maxDist).cast("int")
+          .as("edit_dist"))
+  }
+
+  /** Shared residual predicate over a joined candidate row
+    * (_ida/_idb/_la/_lb/_ha/_hb/_ta/_tb): ordered cheap -> expensive,
+    * ending in the banded DP (see [[editNearDups]] ordering note).
+    *
+    * The L1 rides the [[graft.functions.HistL1]] custom codegen
+    * Expression, not a composition: the zip_with/aggregate fold is
+    * CodegenFallback (interpreted tree walk per element per CANDIDATE
+    * — millions of rows), and the literal-unrolled 37-term
+    * `element_at` alternative was measured WORSE (qd67 6.1 -> 20.6 s
+    * at sf0.1: 37 ANSI-checked element_at terms inside the join
+    * condition knocked the stage out of whole-stage codegen). The
+    * custom loop keeps the stage fused.
+    */
+  private def verifyPredicate(maxDist: Int): Column = {
+    val l1 = graft.functions.HistL1.of(col("_ha"), col("_hb"))
+    col("_ida") < col("_idb") &&
+      abs(col("_la") - col("_lb")) <= maxDist &&
+      l1 <= 2 * maxDist &&
+      levenshtein(col("_ta"), col("_tb"), maxDist) >= 0
+  }
+
+  /** qd67 gate query: edit-distance near-dups over `documents`. */
+  def editNearDupsQuery(spark: SparkSession, dir: String): DataFrame =
+    editNearDups(graft.core.Tables.table(spark, dir, "documents"),
+      "doc_id", "text")
+      .orderBy("doc_a", "doc_b")
+
+  // ---- PassJoin-style segment index (qd68) ------------------------
+
+  /** Segment width for the chunk/window index. */
+  val SegWidth = 16
+
+  /** Same result as [[editNearDups]] through a segment-INDEXED
+    * candidate path (PassJoin / Li, Deng & Feng lineage) instead of
+    * the length-cohort band join — the blocking that still works when
+    * a single length bucket holds millions of docs at 100 TB:
+    *
+    * Pigeonhole: cut a doc into m contiguous chunks; each edit
+    * operation corrupts the copy of at most ONE chunk in the partner
+    * (an aligned substitution/indel lands inside one chunk; position
+    * shifts don't destroy substring identity). With m >= maxDist + 1
+    * chunks, a qualifying pair leaves >= 1 chunk of the CHUNKED side
+    * verbatim inside the other doc, displaced by at most the net
+    * indel balance, i.e. |Δstart| <= maxDist. So:
+    *
+    *  - chunk side (the LOWER id of each pair): ~len/W grid chunks
+    *    per doc — (id, start, gram);
+    *  - window side (every doc): the qd53 sliding grain — every
+    *    W-char substring with its offset;
+    *  - candidates = equi-join on the gram VALUE filtered to
+    *    |Δstart| <= maxDist and |Δlen| <= maxDist, distinct pairs.
+    *    The position constraint is what caps hot-gram fanout: a
+    *    boilerplate sentence shared by thousands of docs only pairs
+    *    the occurrences that are ALIGNED within +/-maxDist, not the
+    *    full df^2 cross product.
+    *
+    * Docs too short to carry maxDist+1 chunks of width W take the
+    * [[editNearDups]] length-band path instead; the pair space is
+    * split DISJOINTLY on the chunk side's (= lower id's) length, so
+    * the union counts every pair exactly once. Short docs are the
+    * cheap cohort by construction (their partners are within Δlen of
+    * short themselves).
+    *
+    * Verify tiers (histogram L1 prune + banded levenshtein) are
+    * shared with [[editNearDups]]; both paths end in the same exact
+    * DP, so the two operators hash-match the same oracle.
+    */
+  def editNearDupsSegIndexed(df: DataFrame, idCol: String, textCol: String,
+                             maxDist: Int = MaxDist): DataFrame = {
+    require(maxDist < BucketWidth, "bucket width must exceed maxDist")
+    graft.functions.HistL1.register(df.sparkSession)
+    // minimum chunk-side length: maxDist+1 full-width chunks, so the
+    // grid (which pads the tail chunk short) always has >= maxDist+1
+    // pieces of width <= W, each fully inside the doc.
+    val minLong = (maxDist + 1) * SegWidth
+    val sig = sigs(df, idCol, textCol)
+
+    // -- long-chunk-side pairs through the segment index ------------
+    val longSide = sig.filter(col("_len") >= minLong)
+    // full-width chunks only: floor(len/W) >= maxDist+1 of them by the
+    // length split, and a sub-width tail could never equal a full-width
+    // window anyway — the pigeonhole count only needs the full ones
+    // (an edit landing in the tail corrupts nothing we rely on).
+    // the join key is xxhash64 of the gram, not the 16-char string:
+    // an 8-byte shuffle/compare key instead of a string one, and a
+    // hash collision can only ADD a candidate (same gram -> same
+    // hash), which the verify tiers discard — completeness unharmed
+    val chunks = longSide.select(col("_id").as("_ida"),
+        posexplode(expr(
+          s"""transform(sequence(0, (_len div $SegWidth) - 1),
+             |  i -> substring(_text, i * $SegWidth + 1, $SegWidth))"""
+            .stripMargin)).as(Seq("_ci", "_g")))
+      .select(col("_ida"), (col("_ci") * SegWidth).as("_pa"),
+        xxhash64(col("_g")).as("_gha"))
+    // a long chunk-side doc's partner is within Δlen of long itself —
+    // short docs need not emit windows (sound by the |Δlen| filter)
+    val windows = sig.filter(col("_len") >= minLong - maxDist)
+      .select(col("_id").as("_idb"),
+        posexplode(expr(
+          s"""transform(sequence(0, greatest(_len - $SegWidth, 0)),
+             |  i -> substring(_text, i + 1, $SegWidth))""".stripMargin))
+          .as(Seq("_pb", "_g")))
+      .select(col("_idb"), col("_pb"), xxhash64(col("_g")).as("_ghb"))
+    val candidates = chunks.join(windows,
+        col("_gha") === col("_ghb") &&
+        col("_ida") < col("_idb") &&
+        abs(col("_pa") - col("_pb")) <= maxDist)
+      .select("_ida", "_idb").distinct()
+    val segPairs = candidates
+      .join(sig.select(col("_id").as("_ida"), col("_text").as("_ta"),
+        col("_len").as("_la"), col("_hist").as("_ha")), Seq("_ida"))
+      .join(sig.select(col("_id").as("_idb"), col("_text").as("_tb"),
+        col("_len").as("_lb"), col("_hist").as("_hb")), Seq("_idb"))
+
+    // -- short-chunk-side pairs through the band join ----------------
+    // (lower id shorter than minLong; the partner may be any length
+    // within Δlen — the band join covers that cohort completely)
+    val bandPairs = {
+      val left = sig.filter(col("_len") < minLong).select(
+        col("_id").as("_ida"), col("_text").as("_ta"),
+        col("_len").as("_la"), col("_bkt").as("_ba"),
+        col("_hist").as("_ha"))
+      val right = sig.select(
+        col("_id").as("_idb"), col("_text").as("_tb"),
+        col("_len").as("_lb"), col("_bkt"),
+        col("_hist").as("_hb"))
+        .withColumn("_bb", explode(array(
+          col("_bkt") - 1, col("_bkt"), col("_bkt") + 1)))
+        .drop("_bkt")
+      left.join(right,
+        col("_ba") === col("_bb") && col("_ida") < col("_idb"))
+        .drop("_ba", "_bb")
+    }
+
+    // same ordered residual predicate as the band operator — pushed
+    // through the union into both branches, cheap prunes ahead of the
+    // DP in each (see editNearDups ordering note)
+    segPairs.select("_ida", "_idb", "_ta", "_tb", "_la", "_lb", "_ha", "_hb")
+      .unionByName(
+        bandPairs.select("_ida", "_idb", "_ta", "_tb", "_la", "_lb", "_ha", "_hb"))
+      .filter(verifyPredicate(maxDist))
+      .select(col("_ida").as("doc_a"), col("_idb").as("doc_b"),
+        levenshtein(col("_ta"), col("_tb"), maxDist).cast("int")
+          .as("edit_dist"))
+  }
+
+  /** qd68 gate query: the segment-indexed path over `documents` —
+    * shares qd67's oracle (same truth, different blocking geometry).
+    */
+  def editNearDupsSegQuery(spark: SparkSession, dir: String): DataFrame =
+    editNearDupsSegIndexed(graft.core.Tables.table(spark, dir, "documents"),
+      "doc_id", "text")
+      .orderBy("doc_a", "doc_b")
+}

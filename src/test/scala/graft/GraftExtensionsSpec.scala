@@ -18,7 +18,8 @@ class GraftExtensionsSpec extends SparkSpec {
          |  nfc_normalize('café') AS nfc,
          |  ascii_class_counts('ab1 ').alpha AS alpha,
          |  marker_word_counts('the der le').en AS en,
-         |  vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS dot
+         |  vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS dot,
+         |  hist_l1(array(3, 0, 7), array(1, 4, 7)) AS l1
          |""".stripMargin).head()
     assert(row.getAs[Long]("fp") ==
       graft.functions.DocFingerprint.reference("graft"))
@@ -26,6 +27,7 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(row.getAs[Int]("alpha") == 2)
     assert(row.getAs[Int]("en") == 1)
     assert(row.getAs[Double]("dot") == 11.0)
+    assert(row.getAs[Int]("l1") == 6)
     // arity misuse fails at analysis, not at runtime
     intercept[Exception] {
       fresh.sql("SELECT doc_fingerprint('a', 'b')").head()

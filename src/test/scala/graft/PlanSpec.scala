@@ -252,6 +252,51 @@ class PlanSpec extends SparkSpec
       "training filter must reach the scan")
   }
 
+  /** Every join line carrying the DP must short-circuit the cheap
+    * prunes first: within the rendered condition the histogram-L1
+    * fold (zip_with) has to appear BEFORE the banded levenshtein —
+    * codegen evaluates conjuncts in printed order, and the regression
+    * this pins was real (the pushed DP predicate landed ahead of
+    * every prune and ran on each bucket collision).
+    */
+  private def assertBandedVerifyOrdered(p: String): Unit = {
+    assert(p.contains("levenshtein") && p.contains("Some(12)"),
+      "verify must be the threshold (banded-DP) levenshtein form: " + p)
+    val joinLines = p.linesIterator.filter(l =>
+      l.contains("Join") && l.contains("levenshtein")).toSeq
+    assert(joinLines.nonEmpty, "DP predicate must sit on a join: " + p)
+    joinLines.foreach { l =>
+      val l1 = l.indexOf("hist_l1")
+      val lev = l.indexOf("levenshtein")
+      assert(l1 >= 0 && l1 < lev,
+        "cheap prunes must short-circuit ahead of the DP: " + l)
+      assert(!l.contains("zip_with") && !l.contains("element_at"),
+        "L1 must be the HistL1 codegen loop — the HOF fold is " +
+          "interpreted and the unrolled element_at form un-fuses the " +
+          "stage: " + l)
+    }
+  }
+
+  test("qd67: equi-join on the length bucket, banded verify, never cartesian") {
+    val p = plan(graft.operators.EditJoin.editNearDupsQuery(spark, sf))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "candidate generation must be an equi-join on the bucket key: " + p)
+    assertBandedVerifyOrdered(p)
+  }
+
+  test("qd68: both candidate paths are equi-joins, never cartesian") {
+    val p = plan(graft.operators.EditJoin.editNearDupsSegQuery(spark, sf))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "segment index and band path must both stay equi-joins: " + p)
+    assertBandedVerifyOrdered(p)
+    // candidate pairs are distinct'd BEFORE the text join-backs — the
+    // dedupe must aggregate (ida, idb), not carry texts through it
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "pair distinct must be partial+final on ids only: " + p)
+  }
+
   test("qs6: bounded-frame window is one Window over one partition shuffle") {
     val p = plan(graft.operators.Events.movingAvg(spark, sf))
     assert("\\bWindow\\b".r.findAllIn(p).size == 1, p)
