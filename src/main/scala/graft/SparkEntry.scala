@@ -230,6 +230,8 @@ object SparkEntry {
       (graft.operators.EditJoin.editNearDupsQuery _),
     "qd68_edit_neardups_seg" ->
       (graft.operators.EditJoin.editNearDupsSegQuery _),
+    "qd69_edit_admission" ->
+      (graft.operators.EditJoin.editAdmissionQuery _),
   )
 
   /** Queries intentionally without an oracle — EMPTY since round 5:
@@ -496,6 +498,38 @@ object SparkEntry {
     // the oracle is blocking-independent, so it carries verbatim
     // (the qd13/qd16 two-algorithms-one-truth precedent).
     "qd68_edit_neardups_seg" -> editNearDupsSql,
+    // qd69: the same exhaustive machinery oriented batch(src19) ->
+    // corpus, rolled up to one verdict per batch doc (best partner by
+    // (distance, id); NULL/false when none within 12). Blocking- and
+    // storage-independent truth, so the stored-index path carries.
+    "qd69_edit_admission" ->
+      ("""WITH h AS (
+         |  SELECT doc_id, source, text, length(text) AS len,
+         |    [length(lt) - length(replace(lt, chr(c), ''))
+         |     FOR c IN [97,98,99,100,101,102,103,104,105,106,107,108,
+         |               109,110,111,112,113,114,115,116,117,118,119,
+         |               120,121,122,32,48,49,50,51,52,53,54,55,56,57]]
+         |      AS hist
+         |  FROM (SELECT doc_id, source, text, lower(text) AS lt
+         |        FROM documents)),
+         |cand AS MATERIALIZED (
+         |  SELECT a.doc_id AS did, b.doc_id AS cid, a.text AS ta,
+         |    b.text AS tb
+         |  FROM h a JOIN h b ON a.source = 'src19' AND b.source != 'src19'
+         |   AND abs(a.len - b.len) <= 12
+         |   AND list_sum(list_transform(list_zip(a.hist, b.hist),
+         |         x -> abs(x[1] - x[2]))) <= 24),
+         |v AS (SELECT did, cid,
+         |    CAST(levenshtein(ta, tb) AS INTEGER) AS ed FROM cand),
+         |best AS (SELECT did, cid, ed,
+         |    row_number() OVER (PARTITION BY did ORDER BY ed, cid) AS rn
+         |  FROM v WHERE ed <= 12)
+         |SELECT d.doc_id, b.cid AS dup_of, b.ed AS edit_dist,
+         |  b.cid IS NOT NULL AS is_dup
+         |FROM documents d
+         |LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON d.doc_id = b.did
+         |WHERE d.source = 'src19'
+         |ORDER BY d.doc_id""".stripMargin),
     "qd14_decontaminate" -> decontaminateSql,
     "qd36_leakage_split" -> leakageSplitSql,
     // qd37: the oracle takes the plain self-join formulation — same

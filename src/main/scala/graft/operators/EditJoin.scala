@@ -146,13 +146,18 @@ object EditJoin {
     * condition knocked the stage out of whole-stage codegen). The
     * custom loop keeps the stage fused.
     */
-  private def verifyPredicate(maxDist: Int): Column = {
-    val l1 = graft.functions.HistL1.of(col("_ha"), col("_hb"))
-    col("_ida") < col("_idb") &&
-      abs(col("_la") - col("_lb")) <= maxDist &&
-      l1 <= 2 * maxDist &&
+  private def verifyPredicate(maxDist: Int): Column =
+    col("_ida") < col("_idb") && residualPredicate(maxDist)
+
+  /** The orientation-free residual (length band, L1 prune, banded
+    * DP) — shared by the unordered self-joins (with the id< conjunct
+    * prepended) and the batch-vs-corpus admission path (sides are
+    * disjoint by construction, no ordering conjunct).
+    */
+  private def residualPredicate(maxDist: Int): Column =
+    abs(col("_la") - col("_lb")) <= maxDist &&
+      graft.functions.HistL1.of(col("_ha"), col("_hb")) <= 2 * maxDist &&
       levenshtein(col("_ta"), col("_tb"), maxDist) >= 0
-  }
 
   /** qd67 gate query: edit-distance near-dups over `documents`. */
   def editNearDupsQuery(spark: SparkSession, dir: String): DataFrame =
@@ -286,4 +291,136 @@ object EditJoin {
     editNearDupsSegIndexed(graft.core.Tables.table(spark, dir, "documents"),
       "doc_id", "text")
       .orderBy("doc_a", "doc_b")
+
+  // ---- incremental admission against a stored index (qd69) --------
+
+  /** Per-BATCH-doc edit-distance admission verdicts against a
+    * standing corpus: the growing-corpus shape (qd40/qd54/qs39
+    * lineage) for the edit family. Work per batch is O(batch)
+    * derivation (batch signatures + batch chunks) joined against the
+    * STORED window/signature index — nothing re-derives the corpus,
+    * and the batch side is the small side of every join (broadcast at
+    * real batch sizes), so the corpus is only ever SCANNED, never
+    * shuffled on a per-batch key.
+    *
+    * Candidate completeness mirrors [[editNearDupsSegIndexed]], with
+    * the pigeonhole applied to the BATCH doc (the chunked side):
+    * long batch docs probe the corpus window index, short batch docs
+    * take the length-bucket band join against the stored signature
+    * table — disjoint on the batch doc's length, jointly complete.
+    *
+    * Output: one row per batch doc — (doc_id, dup_of, edit_dist,
+    * is_dup), dup_of = the corpus partner with the smallest distance
+    * (tie: lowest id), NULL/false when no partner is within maxDist.
+    * Verdicts are per-doc and order-free, so micro-batch splits
+    * cannot change them (the qs39 argument).
+    *
+    * @param windex     stored corpus window index: (_idb, _pb, _ghb)
+    *                   — [[corpusWindowIndex]] through ArtifactStore
+    * @param corpusSigs stored corpus signatures: (_id, _len, _bkt,
+    *                   _hist) — [[corpusSignatures]]; texts join back
+    *                   from `corpusDocs` at verify time (the index
+    *                   stays bytes-small)
+    */
+  def editAdmission(corpusDocs: DataFrame, windex: DataFrame,
+                    corpusSigs: DataFrame, batchDocs: DataFrame,
+                    idCol: String, textCol: String,
+                    maxDist: Int = MaxDist): DataFrame = {
+    require(maxDist < BucketWidth, "bucket width must exceed maxDist")
+    graft.functions.HistL1.register(batchDocs.sparkSession)
+    val minLong = (maxDist + 1) * SegWidth
+    val bSig = sigs(batchDocs, idCol, textCol)
+
+    val longCands = bSig.filter(col("_len") >= minLong)
+      .select(col("_id").as("_ida"),
+        posexplode(expr(
+          s"""transform(sequence(0, (_len div $SegWidth) - 1),
+             |  i -> substring(_text, i * $SegWidth + 1, $SegWidth))"""
+            .stripMargin)).as(Seq("_ci", "_g")))
+      .select(col("_ida"), (col("_ci") * SegWidth).as("_pa"),
+        xxhash64(col("_g")).as("_gha"))
+      .join(windex,
+        col("_gha") === col("_ghb") &&
+        abs(col("_pa") - col("_pb")) <= maxDist)
+      .select("_ida", "_idb")
+    val shortCands = bSig.filter(col("_len") < minLong)
+      .select(col("_id").as("_ida"), col("_bkt"))
+      .withColumn("_bb", explode(array(
+        col("_bkt") - 1, col("_bkt"), col("_bkt") + 1)))
+      .join(corpusSigs.select(col("_id").as("_idb"),
+        col("_bkt").as("_cb")), col("_bb") === col("_cb"))
+      .select("_ida", "_idb")
+    val candidates = longCands.unionByName(shortCands).distinct()
+
+    val verified = candidates
+      .join(bSig.select(col("_id").as("_ida"), col("_text").as("_ta"),
+        col("_len").as("_la"), col("_hist").as("_ha")), Seq("_ida"))
+      .join(corpusSigs.select(col("_id").as("_idb"),
+        col("_len").as("_lb"), col("_hist").as("_hb")), Seq("_idb"))
+      .join(corpusDocs.select(col(idCol).as("_idb"),
+        col(textCol).as("_tb")), Seq("_idb"))
+      .filter(residualPredicate(maxDist))
+      .select(col("_ida"), col("_idb"),
+        levenshtein(col("_ta"), col("_tb"), maxDist).cast("int").as("_ed"))
+    val best = verified
+      .withColumn("_rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("_ida")
+          .orderBy(col("_ed"), col("_idb"))))
+      .filter(col("_rn") === 1)
+
+    batchDocs.select(col(idCol).as("doc_id"))
+      .join(best.select(col("_ida").as("doc_id"),
+        col("_idb").as("dup_of"), col("_ed").as("edit_dist")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), col("dup_of"), col("edit_dist"),
+        col("dup_of").isNotNull.as("is_dup"))
+  }
+
+  /** The stored corpus window index: every `SegWidth`-char substring
+    * of every corpus doc long enough to partner a chunked batch doc,
+    * as (_idb, _pb, _ghb) hash rows. Rebuilt only when the corpus
+    * stamp (or `version`, on writer changes) moves.
+    */
+  def corpusWindowIndex(corpus: DataFrame, idCol: String, textCol: String,
+                        maxDist: Int = MaxDist): DataFrame = {
+    val minLong = (maxDist + 1) * SegWidth
+    sigs(corpus, idCol, textCol)
+      .filter(col("_len") >= minLong - maxDist)
+      .select(col("_id").as("_idb"),
+        posexplode(expr(
+          s"""transform(sequence(0, greatest(_len - $SegWidth, 0)),
+             |  i -> substring(_text, i + 1, $SegWidth))""".stripMargin))
+          .as(Seq("_pb", "_g")))
+      .select(col("_idb"), col("_pb"), xxhash64(col("_g")).as("_ghb"))
+  }
+
+  /** The stored corpus signature table (_id, _len, _bkt, _hist) —
+    * everything the band path and the verify prunes need except the
+    * text itself, which joins back from the corpus table.
+    */
+  def corpusSignatures(corpus: DataFrame, idCol: String,
+                       textCol: String): DataFrame =
+    sigs(corpus, idCol, textCol).select("_id", "_len", "_bkt", "_hist")
+
+  /** qd69 gate query: src19 arrives as the batch, everything else is
+    * the standing corpus (the qd40/qs39 split); both corpus-side
+    * inputs ride [[graft.io.ArtifactStore.parquetArtifact]] — bump
+    * `version` on any change to [[sigs]]/[[corpusWindowIndex]]
+    * geometry (SegWidth, HistChars, BucketWidth, hash).
+    */
+  def editAdmissionQuery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.core.Tables.table(spark, dir, "documents")
+    val corpus = docs.filter(col("source") =!= "src19")
+    val batch = docs.filter(col("source") === "src19")
+    val windex = graft.io.ArtifactStore.parquetArtifact(
+      spark, dir, "documents", "edit_windex", version = 1) {
+      corpusWindowIndex(corpus, "doc_id", "text")
+    }
+    val csigs = graft.io.ArtifactStore.parquetArtifact(
+      spark, dir, "documents", "edit_sigs", version = 1) {
+      corpusSignatures(corpus, "doc_id", "text")
+    }
+    editAdmission(corpus, windex, csigs, batch, "doc_id", "text")
+      .orderBy("doc_id")
+  }
 }

@@ -162,6 +162,111 @@ class EditJoinSpec extends SparkSpec {
     assert(got.forall(_._3 <= d))
   }
 
+  test("qd69 admission: verdicts == brute batch-x-corpus on fixtures") {
+    val base = (0 until 18).map(i => s"fragment $i of the corpus body. ").mkString
+    val corpus = Seq(
+      (100L, base),                         // long corpus doc
+      (101L, "############" + base),        // ed 12 from base
+      (102L, "corpus tiny doc"),            // short corpus doc
+      (103L, "abcdefghij" * 30))            // unrelated long doc
+    val batch = Seq(
+      (1L, base),                // exact copy -> dup_of 100 at ed 0
+      (2L, base + "#######"),    // ed 7 of 100, ed 19 of 101 -> picks 100
+      (3L, "corpus tiny dog"),   // short path: ed 1 of 102
+      (4L, "nothing like anything here at all"), // no partner
+      (5L, ""))                  // empty batch doc
+    val cdf = corpus.toDF("id", "t")
+    val bdf = batch.toDF("id", "t")
+    val got = graft.operators.EditJoin.editAdmission(
+        cdf,
+        graft.operators.EditJoin.corpusWindowIndex(cdf, "id", "t"),
+        graft.operators.EditJoin.corpusSignatures(cdf, "id", "t"),
+        bdf, "id", "t")
+      .collect()
+      .map(r => r.getLong(0) -> ((Option(r.get(1)), Option(r.get(2)),
+        r.getBoolean(3)))).toMap
+    // brute truth
+    val d = graft.operators.EditJoin.MaxDist
+    val bruteBest = bdf.as("a").crossJoin(cdf.as("b"))
+      .select(col("a.id").as("did"), col("b.id").as("cid"),
+        levenshtein(col("a.t"), col("b.t")).as("ed"))
+      .filter(col("ed") <= d)
+      .collect().groupBy(_.getLong(0))
+      .map { case (did, rows) =>
+        val best = rows.minBy(r => (r.getInt(2), r.getLong(1)))
+        did -> ((best.getLong(1), best.getInt(2)))
+      }
+    assert(got.keySet == batch.map(_._1).toSet, "one row per batch doc")
+    batch.map(_._1).foreach { did =>
+      bruteBest.get(did) match {
+        case Some((cid, ed)) =>
+          assert(got(did) == ((Some(cid), Some(ed), true)), s"did=$did")
+        case None =>
+          assert(got(did) == ((None, None, false)), s"did=$did")
+      }
+    }
+    assert(bruteBest.nonEmpty && bruteBest.size < batch.size,
+      "fixture must exercise both verdict polarities")
+  }
+
+  /** Pure-Scala DP reference (full table, no band). */
+  private def refLev(a: String, b: String): Int = {
+    val m = a.length; val n = b.length
+    val dp = Array.tabulate(m + 1)(i => i)
+    for (j <- 1 to n) {
+      var prev = dp(0); dp(0) = j
+      for (i <- 1 to m) {
+        val cur = dp(i)
+        dp(i) = math.min(math.min(dp(i) + 1, dp(i - 1) + 1),
+          prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        prev = cur
+      }
+    }
+    dp(m)
+  }
+
+  test("generated random-edit pairs are always found by both geometries") {
+    // deterministic generator: random base strings, <= MaxDist random
+    // edits applied; the planted pair must surface from BOTH blocking
+    // geometries with the exact reference-DP distance.
+    val rng = new scala.util.Random(1213)
+    val alpha = "abcdefghij klmnop"
+    def randStr(n: Int): String =
+      Seq.fill(n)(alpha(rng.nextInt(alpha.length))).mkString
+    def edit(s: String): String = {
+      val k = 1 + rng.nextInt(EditJoin.MaxDist)
+      var t = s
+      (0 until k).foreach { _ =>
+        val op = rng.nextInt(3)
+        val p = if (t.isEmpty) 0 else rng.nextInt(t.length)
+        t = op match {
+          case 0 => t.take(p) + alpha(rng.nextInt(alpha.length)) + t.drop(p) // insert
+          case 1 if t.nonEmpty => t.take(p) + t.drop(p + 1)                  // delete
+          case _ if t.nonEmpty =>
+            t.take(p) + alpha(rng.nextInt(alpha.length)) + t.drop(p + 1)    // substitute
+          case _ => t
+        }
+      }
+      t
+    }
+    val cases = (0 until 25).map { i =>
+      val base = randStr(20 + rng.nextInt(380))
+      (2L * i, base, 2L * i + 1, edit(base))
+    }
+    val rows = cases.flatMap { case (ia, a, ib, b) =>
+      Seq((ia, a), (ib, b)) }
+    val expected = cases.map { case (ia, a, ib, b) =>
+      (ia, ib, refLev(a, b)) }.filter(_._3 <= EditJoin.MaxDist).toSet
+    assert(expected.size >= 20, "most planted pairs must qualify")
+    val band = blocked(rows, EditJoin.MaxDist)
+    val seg = segBlocked(rows, EditJoin.MaxDist)
+    expected.foreach { e =>
+      assert(band.contains(e), s"band geometry missed planted pair $e")
+      assert(seg.contains(e), s"segment geometry missed planted pair $e")
+    }
+    assert(band == seg, "both geometries must agree exactly")
+  }
+
   test("the declared query is ordered and value-bearing") {
     val out = EditJoin.editNearDupsQuery(spark, "/root/testdata/sf0.001")
       .collect()

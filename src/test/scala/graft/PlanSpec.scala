@@ -297,6 +297,23 @@ class PlanSpec extends SparkSpec
       "pair distinct must be partial+final on ids only: " + p)
   }
 
+  test("qd69: admission probes stored artifacts, never cartesian") {
+    // NOTE: building this frame materializes the two ArtifactStore
+    // inputs at sf0.001 (the declared query's contract, qp4 precedent)
+    val p = plan(graft.operators.EditJoin.editAdmissionQuery(spark, sf))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "index probe and band path must stay equi-joins: " + p)
+    assert(p.contains("levenshtein") && p.contains("Some(12)"),
+      "verify must be the threshold (banded-DP) levenshtein form: " + p)
+    // both corpus-side inputs come from the stored parquet artifacts,
+    // not a re-derivation: the window/signature scans read scratch
+    // parquet (no posexplode of corpus text in THIS plan's long path
+    // — only the batch side generates)
+    assert(p.contains("graft-artifacts") || p.contains("edit_windex"),
+      "corpus index must be read from the stored artifact: " + p)
+  }
+
   test("qs6: bounded-frame window is one Window over one partition shuffle") {
     val p = plan(graft.operators.Events.movingAvg(spark, sf))
     assert("\\bWindow\\b".r.findAllIn(p).size == 1, p)
