@@ -232,6 +232,8 @@ object SparkEntry {
       (graft.operators.EditJoin.editNearDupsSegQuery _),
     "qd69_edit_admission" ->
       (graft.operators.EditJoin.editAdmissionQuery _),
+    "qs44_edit_admission_gate" ->
+      (graft.streaming.Admission.editAdmissionGate _),
   )
 
   /** Queries intentionally without an oracle — EMPTY since round 5:
@@ -502,34 +504,12 @@ object SparkEntry {
     // corpus, rolled up to one verdict per batch doc (best partner by
     // (distance, id); NULL/false when none within 12). Blocking- and
     // storage-independent truth, so the stored-index path carries.
-    "qd69_edit_admission" ->
-      ("""WITH h AS (
-         |  SELECT doc_id, source, text, length(text) AS len,
-         |    [length(lt) - length(replace(lt, chr(c), ''))
-         |     FOR c IN [97,98,99,100,101,102,103,104,105,106,107,108,
-         |               109,110,111,112,113,114,115,116,117,118,119,
-         |               120,121,122,32,48,49,50,51,52,53,54,55,56,57]]
-         |      AS hist
-         |  FROM (SELECT doc_id, source, text, lower(text) AS lt
-         |        FROM documents)),
-         |cand AS MATERIALIZED (
-         |  SELECT a.doc_id AS did, b.doc_id AS cid, a.text AS ta,
-         |    b.text AS tb
-         |  FROM h a JOIN h b ON a.source = 'src19' AND b.source != 'src19'
-         |   AND abs(a.len - b.len) <= 12
-         |   AND list_sum(list_transform(list_zip(a.hist, b.hist),
-         |         x -> abs(x[1] - x[2]))) <= 24),
-         |v AS (SELECT did, cid,
-         |    CAST(levenshtein(ta, tb) AS INTEGER) AS ed FROM cand),
-         |best AS (SELECT did, cid, ed,
-         |    row_number() OVER (PARTITION BY did ORDER BY ed, cid) AS rn
-         |  FROM v WHERE ed <= 12)
-         |SELECT d.doc_id, b.cid AS dup_of, b.ed AS edit_dist,
-         |  b.cid IS NOT NULL AS is_dup
-         |FROM documents d
-         |LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON d.doc_id = b.did
-         |WHERE d.source = 'src19'
-         |ORDER BY d.doc_id""".stripMargin),
+    "qd69_edit_admission" -> editAdmissionSql,
+    // qs44: per-doc verdicts are order-free (doc + standing index
+    // only), so the micro-batch union provably equals qd69's
+    // one-shot batch run and its oracle carries verbatim (the qs39
+    // argument, edit family).
+    "qs44_edit_admission_gate" -> editAdmissionSql,
     "qd14_decontaminate" -> decontaminateSql,
     "qd36_leakage_split" -> leakageSplitSql,
     // qd37: the oracle takes the plain self-join formulation — same
@@ -3748,6 +3728,43 @@ object SparkEntry {
       |  FROM cand)
       |WHERE edit_dist <= 12
       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** qd69/qs44 oracle: the edit-distance truth oriented batch(src19)
+    * -> corpus behind the same sound prefilters as
+    * [[editNearDupsSql]], rolled up to one best-partner verdict per
+    * batch doc (smallest distance, tie lowest corpus id; NULL/false
+    * when none within 12). Blocking-, storage- and batch-split-
+    * independent, so the stored-index batch query and the streaming
+    * gate share it.
+    */
+  private val editAdmissionSql: String =
+    """WITH h AS (
+      |  SELECT doc_id, source, text, length(text) AS len,
+      |    [length(lt) - length(replace(lt, chr(c), ''))
+      |     FOR c IN [97,98,99,100,101,102,103,104,105,106,107,108,
+      |               109,110,111,112,113,114,115,116,117,118,119,
+      |               120,121,122,32,48,49,50,51,52,53,54,55,56,57]]
+      |      AS hist
+      |  FROM (SELECT doc_id, source, text, lower(text) AS lt
+      |        FROM documents)),
+      |cand AS MATERIALIZED (
+      |  SELECT a.doc_id AS did, b.doc_id AS cid, a.text AS ta,
+      |    b.text AS tb
+      |  FROM h a JOIN h b ON a.source = 'src19' AND b.source != 'src19'
+      |   AND abs(a.len - b.len) <= 12
+      |   AND list_sum(list_transform(list_zip(a.hist, b.hist),
+      |         x -> abs(x[1] - x[2]))) <= 24),
+      |v AS (SELECT did, cid,
+      |    CAST(levenshtein(ta, tb) AS INTEGER) AS ed FROM cand),
+      |best AS (SELECT did, cid, ed,
+      |    row_number() OVER (PARTITION BY did ORDER BY ed, cid) AS rn
+      |  FROM v WHERE ed <= 12)
+      |SELECT d.doc_id, b.cid AS dup_of, b.ed AS edit_dist,
+      |  b.cid IS NOT NULL AS is_dup
+      |FROM documents d
+      |LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON d.doc_id = b.did
+      |WHERE d.source = 'src19'
+      |ORDER BY d.doc_id""".stripMargin
 
   /** Decontamination oracle: same word-3-gram derivation as the
     * jaccard family (shingleCte), benchmark = src0 grams, corpus =

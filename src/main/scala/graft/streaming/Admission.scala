@@ -103,4 +103,64 @@ object Admission {
       .select("doc_id", "dup_of", "is_dup")
       .orderBy("doc_id")
   }
+
+  /** qs44 — the EDIT-DISTANCE admission gate on the same arrival
+    * path: each micro-batch of arriving docs probes the STANDING
+    * corpus window/signature artifacts (qd69's
+    * [[graft.operators.EditJoin.editAdmission]]) and writes one
+    * best-partner verdict per doc to the idempotent per-batch-id
+    * sink. Shares qs39's landing (one export, two gates) and its
+    * batch ≡ stream argument: a verdict depends only on (that doc,
+    * the standing index), so the union across micro-batches equals
+    * qd69's one-shot batch run for ANY file split, and qd69's
+    * exhaustive oracle carries over verbatim.
+    *
+    * Together with qs39 this is the production admission stack: the
+    * MinHash gate catches shingle-level near-dups, this one the
+    * small-patch edits set-based blocking can miss; both are
+    * O(arriving batch) against stored artifacts.
+    */
+  def editAdmissionGate(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.EditJoin
+    val outRoot = graft.io.Scratch.qs39Dir(dir) + "/edit_verdicts"
+    org.apache.commons.io.FileUtils
+      .deleteQuietly(new java.io.File(outRoot))
+    // standing state, persisted for the drain's lifetime (every
+    // micro-batch probes all three) and released after — the qs39
+    // pattern (VERDICT r11 #4)
+    val corpus = Tables.documents(s, dir).where(isCorpus)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val windex = graft.io.ArtifactStore.parquetArtifact(
+        s, dir, "documents", "edit_windex", version = 1) {
+        EditJoin.corpusWindowIndex(corpus, "doc_id", "text")
+      }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val csigs = graft.io.ArtifactStore.parquetArtifact(
+        s, dir, "documents", "edit_sigs", version = 1) {
+        EditJoin.corpusSignatures(corpus, "doc_id", "text")
+      }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val landing = landBatchJsonl(s, dir)
+    try EventStream.withShufflePartitions(s, 8) {
+      val stream = s.readStream
+        .schema(graft.ingest.JsonlIngest.DocSchema)
+        .option("maxFilesPerTrigger", 1)
+        .json(landing)
+      val q = stream.writeStream
+        .foreachBatch { (df: DataFrame, batchId: Long) =>
+          EditJoin.editAdmission(corpus, windex, csigs, df,
+              "doc_id", "text")
+            .write.mode("overwrite").parquet(s"$outRoot/batch=$batchId")
+          ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally {
+      corpus.unpersist(blocking = false)
+      windex.unpersist(blocking = false)
+      csigs.unpersist(blocking = false)
+    }
+    s.read.parquet(outRoot)
+      .select("doc_id", "dup_of", "edit_dist", "is_dup")
+      .orderBy("doc_id")
+  }
 }

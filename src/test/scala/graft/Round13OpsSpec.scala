@@ -93,4 +93,17 @@ class Round13OpsSpec extends SparkSpec {
         }
     }
   }
+
+  test("qs44 streaming edit admission == qd69 one-shot batch run") {
+    // the gate's whole correctness claim: per-doc verdicts are
+    // order-free, so draining the landing as four micro-batches must
+    // reproduce the batch query row for row
+    val dir = "/root/testdata/sf0.001"
+    val streamed = graft.streaming.Admission.editAdmissionGate(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    val batch = graft.operators.EditJoin.editAdmissionQuery(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed == batch)
+    assert(streamed.nonEmpty, "one verdict row per src19 doc")
+  }
 }
