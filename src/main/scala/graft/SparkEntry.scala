@@ -234,6 +234,7 @@ object SparkEntry {
       (graft.operators.EditJoin.editAdmissionQuery _),
     "qs44_edit_admission_gate" ->
       (graft.streaming.Admission.editAdmissionGate _),
+    "qx28_orc_roundtrip" -> (graft.operators.Extras.orcRoundtrip _),
   )
 
   /** Queries intentionally without an oracle — EMPTY since round 5:
@@ -510,6 +511,15 @@ object SparkEntry {
     // one-shot batch run and its oracle carries verbatim (the qs39
     // argument, edit family).
     "qs44_edit_admission_gate" -> editAdmissionSql,
+    // qx28: the oracle recomputes from the PARQUET source, so the
+    // ORC roundtrip must be lossless for every carried type; SUM of
+    // BIGINT is HUGEINT in DuckDB -> cast back (the dtype rule).
+    "qx28_orc_roundtrip" ->
+      ("""SELECT source, count(*) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         |  min(doc_id) AS first_doc
+         |FROM documents WHERE n_chars >= 200
+         |GROUP BY source ORDER BY source""".stripMargin),
     "qd14_decontaminate" -> decontaminateSql,
     "qd36_leakage_split" -> leakageSplitSql,
     // qd37: the oracle takes the plain self-join formulation — same

@@ -152,6 +152,12 @@ object Scratch {
       "graft_sketch_" + sfDir.replaceAll("[^A-Za-z0-9._-]", "_"))
       .getAbsolutePath
 
+  /** qx28's ORC roundtrip root, keyed like [[qp1Dir]]. */
+  def qx28Dir(sfDir: String): String =
+    new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_qx28_" + sfDir.replaceAll("[^A-Za-z0-9._-]", "_"))
+      .getAbsolutePath
+
   /** qd50's sharded-export root, keyed like [[qp1Dir]]. */
   def qd50Dir(sfDir: String): String =
     new java.io.File(System.getProperty("java.io.tmpdir"),
@@ -203,7 +209,7 @@ object Scratch {
     // the shared graft_sketch_ tree in round 13
     val prefixes = Seq("graft_q14_", "graft_qp1_", "graft_qx13_",
       "graft_qx20_", "graft_qs16_", "graft_qs7_", "graft_stream_",
-      "graft_qx24_", "graft_qp4_", "graft_qp5_",
+      "graft_qx24_", "graft_qp4_", "graft_qp5_", "graft_qx28_",
       "graft_qs40_", "graft_qs41_", "graft_qs42_", "graft_qs43_")
     if (java.nio.file.Files.isDirectory(tmpRoot)) {
       val it = java.nio.file.Files.list(tmpRoot)

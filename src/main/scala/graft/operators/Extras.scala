@@ -359,6 +359,42 @@ object Extras {
       .orderBy("o_orderkey")
   }
 
+  private val orcWritten =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** qx28 — ORC sink/source roundtrip: the SECOND columnar format
+    * (Spark ships the ORC datasource in-box) through the exact scan
+    * contracts the parquet tier is held to — the read-back filter
+    * reaches the OrcScan as PushedFilters and the projection prunes
+    * ReadSchema to the three referenced columns (PlanSpec pins both).
+    * The documents table routes to ORC once per (sf, corpus) —
+    * write-once keyed like qx20's eras — then the declared query
+    * reads ONLY the ORC tree: per-source doc counts and char sums
+    * over the n_chars >= 200 slice. The oracle recomputes from the
+    * parquet source, so the roundtrip must be lossless for every
+    * type it carries (strings with full Unicode, BIGINTs).
+    *
+    * At scale this is the mart-interchange story: a warehouse whose
+    * downstream reads ORC gets the same pushdown/pruning economics
+    * as the parquet path, from the same declarative plan.
+    */
+  def orcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val root = graft.io.Scratch.qx28Dir(dir)
+    val orcPath = s"$root/documents_orc"
+    if (!orcWritten.contains(root) || !new java.io.File(orcPath).exists()) {
+      Tables.documents(s, dir)
+        .write.mode("overwrite").orc(orcPath)
+      orcWritten.add(root)
+    }
+    s.read.orc(orcPath)
+      .filter(col("n_chars") >= 200)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").as("sum_chars"),
+        min("doc_id").as("first_doc"))
+      .orderBy("source")
+  }
+
   /** qx21 — NULL-SAFE equi-join (`<=>` / IS NOT DISTINCT FROM): the
     * join trap every warehouse hits — plain `=` silently DROPS rows
     * whose key is NULL (NULL = NULL is not true), so two aggregates

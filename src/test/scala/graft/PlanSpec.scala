@@ -314,6 +314,19 @@ class PlanSpec extends SparkSpec
       "corpus index must be read from the stored artifact: " + p)
   }
 
+  test("qx28: ORC read-back gets pushdown and pruning like parquet") {
+    // building the frame writes the ORC tree once at sf0.001 (qp4
+    // precedent: the declared query's contract includes its write)
+    val p = plan(graft.operators.Extras.orcRoundtrip(spark, sf))
+    assert(p.contains("PushedFilters") &&
+      p.contains("GreaterThanOrEqual(n_chars,200)"),
+      "the slice filter must reach the ORC scan: " + p)
+    val read = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(read.contains("source") && read.contains("n_chars") &&
+      read.contains("doc_id") && !read.contains("text"),
+      "projection must prune the text column at the ORC scan: " + read)
+  }
+
   test("qs6: bounded-frame window is one Window over one partition shuffle") {
     val p = plan(graft.operators.Events.movingAvg(spark, sf))
     assert("\\bWindow\\b".r.findAllIn(p).size == 1, p)

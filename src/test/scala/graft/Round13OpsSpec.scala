@@ -94,6 +94,19 @@ class Round13OpsSpec extends SparkSpec {
     }
   }
 
+  test("qx28: the ORC roundtrip is lossless row for row") {
+    val dir = "/root/testdata/sf0.001"
+    // force the write via the declared query, then compare the FULL
+    // table (not just the aggregate) against the parquet source
+    graft.operators.Extras.orcRoundtrip(spark, dir).collect()
+    val orc = spark.read.orc(graft.io.Scratch.qx28Dir(dir) + "/documents_orc")
+      .collect().map(_.toSeq).toSet
+    val pq = spark.read.parquet(s"$dir/documents.parquet")
+      .collect().map(_.toSeq).toSet
+    assert(orc == pq)
+    assert(pq.nonEmpty)
+  }
+
   test("qs44 streaming edit admission == qd69 one-shot batch run") {
     // the gate's whole correctness claim: per-doc verdicts are
     // order-free, so draining the landing as four micro-batches must
