@@ -92,6 +92,14 @@ object EditJoin {
 
   /** All pairs within Levenshtein distance `maxDist`, exact.
     * Output: (doc_a, doc_b, edit_dist), doc_a < doc_b, unsorted.
+    *
+    * Layout note: this variant carries text+histogram through the
+    * ONE bucket join (fastest at gate scale — no join-backs), at the
+    * cost of the explode tripling the right side's payload bytes in
+    * the exchange/broadcast. At real corpus scale prefer
+    * [[editNearDupsSegIndexed]]'s shape: ids-only candidate
+    * generation, payloads joined back only for the (pruned) verify
+    * set.
     */
   def editNearDups(df: DataFrame, idCol: String, textCol: String,
                    maxDist: Int = MaxDist): DataFrame = {
