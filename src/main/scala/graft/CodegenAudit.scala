@@ -37,6 +37,7 @@ object CodegenAudit {
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", 4)
       .config("spark.ui.enabled", "false")
       .getOrCreate()

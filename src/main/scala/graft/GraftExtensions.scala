@@ -20,8 +20,12 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
+    // the optimizer rung of the same ladder: banded-DP rewrite for
+    // unbounded levenshtein comparisons (see the rule's scaladoc)
+    ext.injectOptimizerRule(_ => graft.plans.BandedLevenshteinRewrite)
+  }
 }
 
 object GraftExtensions {

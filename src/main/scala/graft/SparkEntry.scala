@@ -235,6 +235,7 @@ object SparkEntry {
     "qs44_edit_admission_gate" ->
       (graft.streaming.Admission.editAdmissionGate _),
     "qx28_orc_roundtrip" -> (graft.operators.Extras.orcRoundtrip _),
+    "qx29_edit_sql_surface" -> (graft.operators.Extras.editSqlSurface _),
   )
 
   /** Queries intentionally without an oracle — EMPTY since round 5:
@@ -501,6 +502,10 @@ object SparkEntry {
     // the oracle is blocking-independent, so it carries verbatim
     // (the qd13/qd16 two-algorithms-one-truth precedent).
     "qd68_edit_neardups_seg" -> editNearDupsSql,
+    // qx29: the SQL-surface declaration of the same truth (unbounded
+    // levenshtein predicate, rewritten to the banded form by the
+    // injected optimizer rule) — blocking-independent oracle carries.
+    "qx29_edit_sql_surface" -> editNearDupsSql,
     // qd69: the same exhaustive machinery oriented batch(src19) ->
     // corpus, rolled up to one verdict per batch doc (best partner by
     // (distance, id); NULL/false when none within 12). Blocking- and

@@ -319,6 +319,52 @@ object Extras {
     s.sql(sqlMartText)
   }
 
+  /** qx29's declared text: the edit-distance near-dup join as ONE
+    * ANSI-ish SQL string with the UNBOUNDED `levenshtein(a,b) <= 12`
+    * predicate a SQL author would write — the
+    * [[graft.plans.BandedLevenshteinRewrite]] optimizer rule (shipped
+    * via GraftExtensions) turns it into the banded O(k·n) DP; the
+    * author never learns the threshold form exists. Candidates come
+    * from the same length-bucket neighbourhood as qd67, expressed
+    * through LATERAL VIEW explode so the join stays an equi-join on
+    * the bucket key (an `IN (b-1,b,b+1)` condition would plan as a
+    * nested loop), and the L1 prune rides `hist_l1` — the injected
+    * FUNCTION rung of the same extension ladder, called from plain
+    * SQL. One string, both rungs: the user writes standard SQL plus
+    * one catalog function and gets qd67's plan economics (measured:
+    * 9.9 s med without the prune, ~3 s with). PlanSpec pins the
+    * rewritten Some(12) form; BandedLevRuleSpec pins the rule's
+    * operator-by-operator semantics and qx29 ≡ qd67.
+    */
+  private val editSqlText: String =
+    """WITH h AS (
+      |  SELECT doc_id, text, len, bkt,
+      |    transform(concat(sequence(97, 122), array(32), sequence(48, 57)),
+      |      c -> CAST(length(lt) - length(replace(lt, chr(c), '')) AS INT))
+      |      AS hist
+      |  FROM (SELECT doc_id, text, lower(text) AS lt,
+      |          length(text) AS len, length(text) DIV 16 AS bkt
+      |        FROM documents)),
+      |e AS (
+      |  SELECT doc_id, text, len, hist, nb
+      |  FROM h LATERAL VIEW explode(array(bkt - 1, bkt, bkt + 1)) t AS nb)
+      |SELECT a.doc_id AS doc_a, e.doc_id AS doc_b,
+      |  CAST(levenshtein(a.text, e.text) AS INT) AS edit_dist
+      |FROM h a JOIN e ON a.bkt = e.nb
+      |  AND a.doc_id < e.doc_id
+      |  AND abs(a.len - e.len) <= 12
+      |  AND hist_l1(a.hist, e.hist) <= 24
+      |  AND levenshtein(a.text, e.text) <= 12
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  def editSqlSurface(s: SparkSession, dir: String): DataFrame = {
+    // extension-less host sessions still resolve the function (the
+    // VecDot register pattern); extension-built sessions no-op here
+    graft.functions.HistL1.register(s)
+    Tables.documents(s, dir).createOrReplaceTempView("documents")
+    s.sql(editSqlText)
+  }
+
   /** sf dirs whose qx20 era trees were laid down in this JVM (setup,
     * like qx13's tables — the declared query measures the merged
     * READ, not the one-time writes).

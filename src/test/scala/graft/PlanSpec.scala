@@ -314,6 +314,19 @@ class PlanSpec extends SparkSpec
       "corpus index must be read from the stored artifact: " + p)
   }
 
+  test("qx29: the SQL surface's unbounded predicate plans banded, equi-join only") {
+    val p = plan(graft.operators.Extras.editSqlSurface(spark, sf))
+    assert(p.contains("Some(12)"),
+      "the optimizer rule must rewrite the <= 12 predicate: " + p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "LATERAL VIEW bucket neighbourhood must keep an equi-join: " + p)
+    val joinLine = p.linesIterator
+      .find(l => l.contains("Join") && l.contains("levenshtein")).get
+    assert(joinLine.contains("Some(12)"),
+      "the banded form must sit in the join condition: " + joinLine)
+  }
+
   test("qx28: ORC read-back gets pushdown and pruning like parquet") {
     // building the frame writes the ORC tree once at sf0.001 (qp4
     // precedent: the declared query's contract includes its write)
