@@ -106,20 +106,6 @@ object EditJoin {
     require(maxDist < BucketWidth, "bucket width must exceed maxDist")
     graft.functions.HistL1.register(df.sparkSession)
     val sig = sigs(df, idCol, textCol)
-    val left = sig.select(
-      col("_id").as("_ida"), col("_text").as("_ta"),
-      col("_len").as("_la"), col("_bkt").as("_ba"),
-      col("_hist").as("_ha"))
-    val right = sig.select(
-      col("_id").as("_idb"), col("_text").as("_tb"),
-      col("_len").as("_lb"), col("_bkt"),
-      col("_hist").as("_hb"))
-      // explode the RIGHT side to its bucket neighbourhood: a
-      // qualifying pair has |Δbkt| <= 1, so it meets in exactly one
-      // of the three (values distinct — no double counting).
-      .withColumn("_bb", explode(array(
-        col("_bkt") - 1, col("_bkt"), col("_bkt") + 1)))
-      .drop("_bkt")
     // Join ON the bucket equality alone; every residual predicate
     // rides ONE filter whose conjunct order is cheap -> expensive.
     // Catalyst pushes the conjunction into the join condition
@@ -134,11 +120,35 @@ object EditJoin {
     // unconditional reference, so no per-branch re-evaluation; the
     // output projection recomputes it only for the surviving
     // (true-pair-bounded) rows.
-    left.join(right, col("_ba") === col("_bb"))
+    bandCandidates(sig, sig)
       .filter(verifyPredicate(maxDist))
       .select(col("_ida").as("doc_a"), col("_idb").as("doc_b"),
         levenshtein(col("_ta"), col("_tb"), maxDist).cast("int")
           .as("edit_dist"))
+  }
+
+  /** The A side of a candidate pair row. */
+  private def asSideA(sig: DataFrame): DataFrame = sig.select(
+    col("_id").as("_ida"), col("_text").as("_ta"),
+    col("_len").as("_la"), col("_bkt").as("_ba"),
+    col("_hist").as("_ha"))
+
+  /** Length-bucket band candidates: A side joined to the B side
+    * exploded to its bucket neighbourhood — a qualifying pair has
+    * |Δbkt| <= 1, so it meets in exactly one of the three (values
+    * distinct, no double counting). One derivation for qd67, qd68's
+    * short cohort, and qd69's short batch docs.
+    */
+  private def bandCandidates(leftSig: DataFrame,
+                             rightSig: DataFrame): DataFrame = {
+    val right = rightSig.select(
+      col("_id").as("_idb"), col("_text").as("_tb"),
+      col("_len").as("_lb"), col("_bkt"),
+      col("_hist").as("_hb"))
+      .withColumn("_bb", explode(array(
+        col("_bkt") - 1, col("_bkt"), col("_bkt") + 1)))
+      .drop("_bkt")
+    asSideA(leftSig).join(right, col("_ba") === col("_bb"))
   }
 
   /** Shared residual predicate over a joined candidate row
@@ -217,39 +227,10 @@ object EditJoin {
                              maxDist: Int = MaxDist): DataFrame = {
     require(maxDist < BucketWidth, "bucket width must exceed maxDist")
     graft.functions.HistL1.register(df.sparkSession)
-    // minimum chunk-side length: maxDist+1 full-width chunks, so the
-    // grid (which pads the tail chunk short) always has >= maxDist+1
-    // pieces of width <= W, each fully inside the doc.
-    val minLong = (maxDist + 1) * SegWidth
     val sig = sigs(df, idCol, textCol)
 
     // -- long-chunk-side pairs through the segment index ------------
-    val longSide = sig.filter(col("_len") >= minLong)
-    // full-width chunks only: floor(len/W) >= maxDist+1 of them by the
-    // length split, and a sub-width tail could never equal a full-width
-    // window anyway — the pigeonhole count only needs the full ones
-    // (an edit landing in the tail corrupts nothing we rely on).
-    // the join key is xxhash64 of the gram, not the 16-char string:
-    // an 8-byte shuffle/compare key instead of a string one, and a
-    // hash collision can only ADD a candidate (same gram -> same
-    // hash), which the verify tiers discard — completeness unharmed
-    val chunks = longSide.select(col("_id").as("_ida"),
-        posexplode(expr(
-          s"""transform(sequence(0, (_len div $SegWidth) - 1),
-             |  i -> substring(_text, i * $SegWidth + 1, $SegWidth))"""
-            .stripMargin)).as(Seq("_ci", "_g")))
-      .select(col("_ida"), (col("_ci") * SegWidth).as("_pa"),
-        xxhash64(col("_g")).as("_gha"))
-    // a long chunk-side doc's partner is within Δlen of long itself —
-    // short docs need not emit windows (sound by the |Δlen| filter)
-    val windows = sig.filter(col("_len") >= minLong - maxDist)
-      .select(col("_id").as("_idb"),
-        posexplode(expr(
-          s"""transform(sequence(0, greatest(_len - $SegWidth, 0)),
-             |  i -> substring(_text, i + 1, $SegWidth))""".stripMargin))
-          .as(Seq("_pb", "_g")))
-      .select(col("_idb"), col("_pb"), xxhash64(col("_g")).as("_ghb"))
-    val candidates = chunks.join(windows,
+    val candidates = gridChunks(sig, maxDist).join(slidingWindows(sig, maxDist),
         col("_gha") === col("_ghb") &&
         col("_ida") < col("_idb") &&
         abs(col("_pa") - col("_pb")) <= maxDist)
@@ -262,23 +243,11 @@ object EditJoin {
 
     // -- short-chunk-side pairs through the band join ----------------
     // (lower id shorter than minLong; the partner may be any length
-    // within Δlen — the band join covers that cohort completely)
-    val bandPairs = {
-      val left = sig.filter(col("_len") < minLong).select(
-        col("_id").as("_ida"), col("_text").as("_ta"),
-        col("_len").as("_la"), col("_bkt").as("_ba"),
-        col("_hist").as("_ha"))
-      val right = sig.select(
-        col("_id").as("_idb"), col("_text").as("_tb"),
-        col("_len").as("_lb"), col("_bkt"),
-        col("_hist").as("_hb"))
-        .withColumn("_bb", explode(array(
-          col("_bkt") - 1, col("_bkt"), col("_bkt") + 1)))
-        .drop("_bkt")
-      left.join(right,
-        col("_ba") === col("_bb") && col("_ida") < col("_idb"))
-        .drop("_ba", "_bb")
-    }
+    // within Δlen — the band join covers that cohort completely; the
+    // id< conjunct lives in the shared verify filter and pushes into
+    // this join like every other residual)
+    val bandPairs =
+      bandCandidates(sig.filter(col("_len") < minLong(maxDist)), sig)
 
     // same ordered residual predicate as the band operator — pushed
     // through the union into both branches, cheap prunes ahead of the
@@ -291,6 +260,47 @@ object EditJoin {
         levenshtein(col("_ta"), col("_tb"), maxDist).cast("int")
           .as("edit_dist"))
   }
+
+  /** Minimum chunk-side length for the segment path: maxDist+1
+    * FULL-width chunks must fit (floor(len/W) >= maxDist+1); shorter
+    * docs take the band path on the disjoint split.
+    */
+  private def minLong(maxDist: Int): Int = (maxDist + 1) * SegWidth
+
+  /** The chunk side of the segment index: one row per full-width
+    * grid chunk of each doc long enough for the pigeonhole —
+    * (_ida, _pa, _gha). Full-width chunks only: a sub-width tail
+    * could never equal a full-width window, and the pigeonhole count
+    * only needs the full ones (an edit landing in the tail corrupts
+    * nothing relied upon). The key is xxhash64 of the gram, not the
+    * 16-char string: an 8-byte shuffle/compare key, and a collision
+    * can only ADD a candidate (same gram -> same hash) for the
+    * verify tiers to discard — completeness unharmed.
+    */
+  private def gridChunks(sig: DataFrame, maxDist: Int): DataFrame =
+    sig.filter(col("_len") >= minLong(maxDist))
+      .select(col("_id").as("_ida"),
+        posexplode(expr(
+          s"""transform(sequence(0, (_len div $SegWidth) - 1),
+             |  i -> substring(_text, i * $SegWidth + 1, $SegWidth))"""
+            .stripMargin)).as(Seq("_ci", "_g")))
+      .select(col("_ida"), (col("_ci") * SegWidth).as("_pa"),
+        xxhash64(col("_g")).as("_gha"))
+
+  /** The window side of the segment index: every SegWidth-char
+    * substring of every doc long enough to partner a chunked doc —
+    * (_idb, _pb, _ghb). Shorter docs need not emit windows (sound by
+    * the |Δlen| <= maxDist residual). ONE derivation for qd68's
+    * in-query index and qd69/qs44's stored one.
+    */
+  private[graft] def slidingWindows(sig: DataFrame, maxDist: Int): DataFrame =
+    sig.filter(col("_len") >= minLong(maxDist) - maxDist)
+      .select(col("_id").as("_idb"),
+        posexplode(expr(
+          s"""transform(sequence(0, greatest(_len - $SegWidth, 0)),
+             |  i -> substring(_text, i + 1, $SegWidth))""".stripMargin))
+          .as(Seq("_pb", "_g")))
+      .select(col("_idb"), col("_pb"), xxhash64(col("_g")).as("_ghb"))
 
   /** qd68 gate query: the segment-indexed path over `documents` —
     * shares qd67's oracle (same truth, different blocking geometry).
@@ -336,22 +346,14 @@ object EditJoin {
                     maxDist: Int = MaxDist): DataFrame = {
     require(maxDist < BucketWidth, "bucket width must exceed maxDist")
     graft.functions.HistL1.register(batchDocs.sparkSession)
-    val minLong = (maxDist + 1) * SegWidth
     val bSig = sigs(batchDocs, idCol, textCol)
 
-    val longCands = bSig.filter(col("_len") >= minLong)
-      .select(col("_id").as("_ida"),
-        posexplode(expr(
-          s"""transform(sequence(0, (_len div $SegWidth) - 1),
-             |  i -> substring(_text, i * $SegWidth + 1, $SegWidth))"""
-            .stripMargin)).as(Seq("_ci", "_g")))
-      .select(col("_ida"), (col("_ci") * SegWidth).as("_pa"),
-        xxhash64(col("_g")).as("_gha"))
+    val longCands = gridChunks(bSig, maxDist)
       .join(windex,
         col("_gha") === col("_ghb") &&
         abs(col("_pa") - col("_pb")) <= maxDist)
       .select("_ida", "_idb")
-    val shortCands = bSig.filter(col("_len") < minLong)
+    val shortCands = bSig.filter(col("_len") < minLong(maxDist))
       .select(col("_id").as("_ida"), col("_bkt"))
       .withColumn("_bb", explode(array(
         col("_bkt") - 1, col("_bkt"), col("_bkt") + 1)))
@@ -390,17 +392,8 @@ object EditJoin {
     * stamp (or `version`, on writer changes) moves.
     */
   def corpusWindowIndex(corpus: DataFrame, idCol: String, textCol: String,
-                        maxDist: Int = MaxDist): DataFrame = {
-    val minLong = (maxDist + 1) * SegWidth
-    sigs(corpus, idCol, textCol)
-      .filter(col("_len") >= minLong - maxDist)
-      .select(col("_id").as("_idb"),
-        posexplode(expr(
-          s"""transform(sequence(0, greatest(_len - $SegWidth, 0)),
-             |  i -> substring(_text, i + 1, $SegWidth))""".stripMargin))
-          .as(Seq("_pb", "_g")))
-      .select(col("_idb"), col("_pb"), xxhash64(col("_g")).as("_ghb"))
-  }
+                        maxDist: Int = MaxDist): DataFrame =
+    slidingWindows(sigs(corpus, idCol, textCol), maxDist)
 
   /** The stored corpus signature table (_id, _len, _bkt, _hist) —
     * everything the band path and the verify prunes need except the
@@ -410,25 +403,45 @@ object EditJoin {
                        textCol: String): DataFrame =
     sigs(corpus, idCol, textCol).select("_id", "_len", "_bkt", "_hist")
 
+  /** Version stamp shared by both stored artifacts: bump on ANY
+    * change to [[sigs]]/[[slidingWindows]] geometry (SegWidth,
+    * HistChars, BucketWidth, the gram hash) — artifacts outlive the
+    * JVM, so a stale tree from a previous session is otherwise served
+    * silently (the ArtifactStore rule).
+    */
+  private val IndexVersion = 1
+
+  /** The stored window index for `corpus`, built at most once per
+    * (dir, corpus stamp, [[IndexVersion]]) — the ONE place the
+    * artifact name/version pair lives (qd69 and qs44 both read it).
+    */
+  def storedWindowIndex(s: SparkSession, dir: String,
+                        corpus: DataFrame): DataFrame =
+    graft.io.ArtifactStore.parquetArtifact(
+      s, dir, "documents", "edit_windex", version = IndexVersion) {
+      corpusWindowIndex(corpus, "doc_id", "text")
+    }
+
+  /** The stored signature table for `corpus`, keyed like
+    * [[storedWindowIndex]].
+    */
+  def storedSignatures(s: SparkSession, dir: String,
+                       corpus: DataFrame): DataFrame =
+    graft.io.ArtifactStore.parquetArtifact(
+      s, dir, "documents", "edit_sigs", version = IndexVersion) {
+      corpusSignatures(corpus, "doc_id", "text")
+    }
+
   /** qd69 gate query: src19 arrives as the batch, everything else is
     * the standing corpus (the qd40/qs39 split); both corpus-side
-    * inputs ride [[graft.io.ArtifactStore.parquetArtifact]] — bump
-    * `version` on any change to [[sigs]]/[[corpusWindowIndex]]
-    * geometry (SegWidth, HistChars, BucketWidth, hash).
+    * inputs ride the stored artifacts above.
     */
   def editAdmissionQuery(spark: SparkSession, dir: String): DataFrame = {
     val docs = graft.core.Tables.table(spark, dir, "documents")
     val corpus = docs.filter(col("source") =!= "src19")
     val batch = docs.filter(col("source") === "src19")
-    val windex = graft.io.ArtifactStore.parquetArtifact(
-      spark, dir, "documents", "edit_windex", version = 1) {
-      corpusWindowIndex(corpus, "doc_id", "text")
-    }
-    val csigs = graft.io.ArtifactStore.parquetArtifact(
-      spark, dir, "documents", "edit_sigs", version = 1) {
-      corpusSignatures(corpus, "doc_id", "text")
-    }
-    editAdmission(corpus, windex, csigs, batch, "doc_id", "text")
+    editAdmission(corpus, storedWindowIndex(spark, dir, corpus),
+        storedSignatures(spark, dir, corpus), batch, "doc_id", "text")
       .orderBy("doc_id")
   }
 }

@@ -130,14 +130,10 @@ object Admission {
     // pattern (VERDICT r11 #4)
     val corpus = Tables.documents(s, dir).where(isCorpus)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val windex = graft.io.ArtifactStore.parquetArtifact(
-        s, dir, "documents", "edit_windex", version = 1) {
-        EditJoin.corpusWindowIndex(corpus, "doc_id", "text")
-      }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val csigs = graft.io.ArtifactStore.parquetArtifact(
-        s, dir, "documents", "edit_sigs", version = 1) {
-        EditJoin.corpusSignatures(corpus, "doc_id", "text")
-      }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val windex = EditJoin.storedWindowIndex(s, dir, corpus)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val csigs = EditJoin.storedSignatures(s, dir, corpus)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val landing = landBatchJsonl(s, dir)
     try EventStream.withShufflePartitions(s, 8) {
       val stream = s.readStream
