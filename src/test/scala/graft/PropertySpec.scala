@@ -25,6 +25,25 @@ class PropertySpec extends SparkSpec {
       "x1", "!", "", " ", "word-with-dash", "UPPER", "123"))
   } yield ws.mkString(" ")
 
+  test("hist_l1 expression == pure-Scala reference on generated histograms") {
+    graft.functions.HistL1.register(spark)
+    val histGen: Gen[Seq[Int]] =
+      Gen.listOfN(37, Gen.choose(0, 600)).map(_.toSeq)
+    (1L to 3L).foreach { seed =>
+      val pairs = sample(Gen.listOfN(150, Gen.zip(histGen, histGen)), seed)
+      val rows = pairs.zipWithIndex
+        .map { case ((a, b), i) => (i, a, b) }
+        .toDF("i", "a", "b")
+        .select(col("i"), graft.functions.HistL1.of(col("a"), col("b")).as("l1"))
+        .collect()
+      rows.foreach { r =>
+        val (a, b) = pairs(r.getInt(0))
+        assert(r.getAs[Int]("l1") == graft.functions.HistL1.reference(a, b),
+          s"seed=$seed i=${r.getInt(0)}")
+      }
+    }
+  }
+
   test("fingerprint expression == pure-Scala reference on arbitrary text") {
     DocFingerprint.register(spark)
     (1L to 3L).foreach { seed =>
