@@ -52,6 +52,8 @@ object GraftExtensions {
       graft.functions.AsciiClassCounts(_)),
     unary("marker_word_counts", "single-pass language-marker counts",
       graft.functions.MarkerWordCounts(_)),
+    unary("char_hist", "37-bin lowercase char histogram (a-z, space, 0-9)",
+      graft.functions.CharHist(_)),
     (FunctionIdentifier("vec_dot"),
       info("vec_dot", "sequential-fold vector dot product"),
       exprs => {

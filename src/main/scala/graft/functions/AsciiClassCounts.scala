@@ -80,8 +80,8 @@ object AsciiClassCounts {
     * Expression constructor).
     */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "ascii_class_counts", exprs => AsciiClassCounts(exprs.head), "built-in")
+    Registration.registerOnce(spark, "ascii_class_counts",
+      exprs => AsciiClassCounts(exprs.head))
 
   /** Column wrapper; requires [[register]] on the active session. */
   def of(c: Column): Column =

@@ -97,8 +97,8 @@ object DocFingerprint {
     * registry is the supported bridge.)
     */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "doc_fingerprint", exprs => DocFingerprint(exprs.head), "built-in")
+    Registration.registerOnce(spark, "doc_fingerprint",
+      exprs => DocFingerprint(exprs.head))
 
   /** Column wrapper; requires [[register]] on the active session. */
   def of(c: Column): Column =

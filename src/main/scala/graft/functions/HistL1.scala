@@ -50,15 +50,23 @@ case class HistL1(left: Expression, right: Expression)
     val y = b.asInstanceOf[ArrayData]
     if (x.numElements() != y.numElements()) return null
     val n = x.numElements()
-    var acc = 0
+    // long accumulator (ADVICE r13): per-element |x - y| <= 2^32, so
+    // the running sum can exceed Int range on adversarial inputs; the
+    // repo runs ANSI mode, where silent wraparound would be the one
+    // catalog function breaking the no-overflow contract. n * 2^32
+    // cannot overflow a LONG for any physical array (n < 2^31), and
+    // an out-of-Int-range result raises like any ANSI sum.
+    var acc = 0L
     var i = 0
     while (i < n) {
       if (x.isNullAt(i) || y.isNullAt(i)) return null
-      val d = x.getInt(i) - y.getInt(i)
+      val d = x.getInt(i).toLong - y.getInt(i).toLong
       acc += (if (d < 0) -d else d)
       i += 1
     }
-    acc
+    if (acc > Int.MaxValue)
+      throw new ArithmeticException("hist_l1: integer overflow")
+    acc.toInt
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -72,13 +80,18 @@ case class HistL1(left: Expression, right: Expression)
          |if ($n != $b.numElements()) {
          |  ${ev.isNull} = true;
          |} else {
-         |  int $acc = 0;
+         |  long $acc = 0L;
          |  for (int $i = 0; $i < $n; $i++) {
          |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
-         |    int $d = $a.getInt($i) - $b.getInt($i);
-         |    $acc += ($d < 0) ? -$d : $d;
+         |    long $d = (long) $a.getInt($i) - (long) $b.getInt($i);
+         |    $acc += ($d < 0L) ? -$d : $d;
          |  }
-         |  if (!${ev.isNull}) ${ev.value} = $acc;
+         |  if (!${ev.isNull}) {
+         |    if ($acc > Integer.MAX_VALUE) {
+         |      throw new ArithmeticException("hist_l1: integer overflow");
+         |    }
+         |    ${ev.value} = (int) $acc;
+         |  }
          |}
        """.stripMargin
     })
@@ -90,11 +103,12 @@ case class HistL1(left: Expression, right: Expression)
 
 object HistL1 {
   /** Per-session temp registration (same bridge as [[VecDot]]);
-    * clusters get it from `graft.GraftExtensions` instead. Idempotent.
+    * clusters get it from `graft.GraftExtensions` instead.
+    * Quiet-idempotent — see [[Registration]].
     */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "hist_l1", exprs => HistL1(exprs(0), exprs(1)), "built-in")
+    Registration.registerOnce(spark, "hist_l1",
+      exprs => HistL1(exprs(0), exprs(1)))
 
   /** Column wrapper; requires [[register]] on the active session. */
   def of(a: Column, b: Column): Column =

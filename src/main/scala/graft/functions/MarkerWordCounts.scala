@@ -142,8 +142,8 @@ object MarkerWordCounts {
   }
 
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "marker_word_counts", exprs => MarkerWordCounts(exprs.head), "built-in")
+    Registration.registerOnce(spark, "marker_word_counts",
+      exprs => MarkerWordCounts(exprs.head))
 
   /** Column wrapper; requires [[register]] on the active session. */
   def of(c: Column): Column =

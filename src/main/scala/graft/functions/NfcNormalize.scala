@@ -57,8 +57,8 @@ object NfcNormalize {
     * [[DocFingerprint.register]]).
     */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "nfc_normalize", exprs => NfcNormalize(exprs.head), "built-in")
+    Registration.registerOnce(spark, "nfc_normalize",
+      exprs => NfcNormalize(exprs.head))
 
   /** Column wrapper; requires [[register]] on the active session. */
   def of(c: Column): Column =

@@ -100,8 +100,8 @@ object VecDot {
     * [[DocFingerprint]]). Idempotent.
     */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "vec_dot", exprs => VecDot(exprs(0), exprs(1)), "built-in")
+    Registration.registerOnce(spark, "vec_dot",
+      exprs => VecDot(exprs(0), exprs(1)))
 
   /** Column wrapper; requires [[register]] on the active session. */
   def of(a: Column, b: Column): Column =

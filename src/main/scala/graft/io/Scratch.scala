@@ -30,23 +30,35 @@ object Scratch {
     * a stale landing from a previous session is served silently.
     */
   def landedOnce(dir: String, root: String, version: Int)
-                (write: String => Unit): String = {
-    val landing = new java.io.File(root, "landing").getAbsolutePath
-    val stamp = s"v$version;" + ArtifactStore.tableStamp(dir, "documents")
+                (write: String => Unit): String =
+    stampedOnce(dir, root, "landing", "documents", version)(write)
+
+  /** The [[landedOnce]] contract generalized to any scratch subdir
+    * derived from any single source table (round 14, ADVICE r13:
+    * qx28's ORC tree keyed on bare path existence, so any session
+    * that skipped reapTmp served a stale tree after a testdata
+    * regeneration). One marker per (source stamp, version) under
+    * `root`; rewrite drops stale markers so a regenerated source
+    * re-materializes exactly once.
+    */
+  def stampedOnce(dir: String, root: String, subdir: String, table: String,
+                  version: Int)(write: String => Unit): String = {
+    val target = new java.io.File(root, subdir).getAbsolutePath
+    val stamp = s"v$version;$subdir;" + ArtifactStore.tableStamp(dir, table)
     val hash = java.lang.Long.toHexString(
       (scala.util.hashing.MurmurHash3.stringHash(stamp).toLong << 32)
         | (scala.util.hashing.MurmurHash3
             .stringHash(stamp.reverse).toLong & 0xffffffffL))
-    val marker = new java.io.File(root, s"landed-$hash")
-    if (!marker.exists || !new java.io.File(landing).isDirectory) {
-      write(landing)
+    val marker = new java.io.File(root, s"landed-$subdir-$hash")
+    if (!marker.exists || !new java.io.File(target).isDirectory) {
+      write(target)
       Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
-        .filter(f => f.getName.startsWith("landed-") &&
+        .filter(f => f.getName.startsWith(s"landed-$subdir-") &&
           f.getName != marker.getName)
         .foreach(_.delete(): Unit)
       marker.createNewFile(): Unit
     }
-    landing
+    target
   }
 
   /** Fixed q14 scratch root: overwritten in place on every run, so

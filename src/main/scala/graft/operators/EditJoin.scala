@@ -68,26 +68,29 @@ object EditJoin {
     * Everything else projects out — the L1 bound stays sound under
     * any alphabet projection (it can only shrink).
     */
-  private[operators] val HistChars: Seq[Int] =
+  private[graft] val HistChars: Seq[Int] =
     (97 to 122) ++ Seq(32) ++ (48 to 57)
 
   /** Per-doc signature projection: id, text, _len, _bkt, _hist.
-    * `_lc` is materialized as its own column first so the 37
-    * replace-scans reference an attribute, not a recomputed
-    * `lower(text)` (CollapseProject keeps non-cheap multi-referenced
-    * expressions materialized; the repo rule about computed columns
-    * in multi-reference positions).
+    * The histogram rides [[graft.functions.CharHist]] — ONE codegen
+    * byte scan per doc (round 14); the previous `array(37 ×
+    * (length − length(replace(lower(text), chr(c), ''))))` mirror
+    * paid 37 replace-scans plus 37 same-sized string allocations per
+    * doc. Both sides of every `hist_l1` compare must come from the
+    * SAME histogram function (the L1 bound is sound for any fixed
+    * classification, but only when applied consistently) — which is
+    * why [[IndexVersion]] bumps with this change: stored corpus
+    * signatures from the replace-era build would otherwise meet
+    * CharHist batch signatures.
     */
   private def sigs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val lc = df.select(col(idCol).as("_id"), col(textCol).as("_text"))
-      .withColumn("_lc", lower(col("_text")))
-    lc.select(
-      col("_id"), col("_text"),
-      length(col("_text")).as("_len"),
-      expr(s"length(_text) div $BucketWidth").as("_bkt"),
-      array(HistChars.map(c =>
-        (length(col("_lc")) - length(replace(col("_lc"), chr(lit(c)), lit(""))))
-          .cast("int")): _*).as("_hist"))
+    graft.functions.CharHist.register(df.sparkSession)
+    df.select(col(idCol).as("_id"), col(textCol).as("_text"))
+      .select(
+        col("_id"), col("_text"),
+        length(col("_text")).as("_len"),
+        expr(s"length(_text) div $BucketWidth").as("_bkt"),
+        graft.functions.CharHist.of(col("_text")).as("_hist"))
   }
 
   /** All pairs within Levenshtein distance `maxDist`, exact.
@@ -407,28 +410,47 @@ object EditJoin {
     * change to [[sigs]]/[[slidingWindows]] geometry (SegWidth,
     * HistChars, BucketWidth, the gram hash) — artifacts outlive the
     * JVM, so a stale tree from a previous session is otherwise served
-    * silently (the ArtifactStore rule).
+    * silently (the ArtifactStore rule). v2: the histogram moved from
+    * the lower()+replace mirror to [[graft.functions.CharHist]]'s
+    * byte-level fold (round 14) — the two classifications differ on
+    * non-ASCII uppercase variants, and a v1 corpus signature meeting
+    * a CharHist batch signature would break the L1 bound's
+    * same-function premise.
     */
-  private val IndexVersion = 1
+  private val IndexVersion = 2
+
+  /** Canonical corpus split for the stored-index gates (qd69/qs44):
+    * src19 is today's arrival batch, everything else is the standing
+    * corpus — the qd40/qd54/qs39 framing.
+    */
+  private[graft] val CorpusFilterKey = "not_src19"
 
   /** The stored window index for `corpus`, built at most once per
-    * (dir, corpus stamp, [[IndexVersion]]) — the ONE place the
-    * artifact name/version pair lives (qd69 and qs44 both read it).
+    * (dir, corpus stamp, corpusKey, [[IndexVersion]]) — the ONE place
+    * the artifact name/version pair lives (qd69 and qs44 both read
+    * it). `corpusKey` names the FILTER that shaped `corpus` (ADVICE
+    * r13: the filter is not visible in the table stamp, so two
+    * differently-filtered corpora over the same documents table would
+    * otherwise silently share one index tree); callers must pass a
+    * distinct key per distinct corpus predicate —
+    * [[CorpusFilterKey]] for the canonical !src19 split.
     */
-  def storedWindowIndex(s: SparkSession, dir: String,
-                        corpus: DataFrame): DataFrame =
+  def storedWindowIndex(s: SparkSession, dir: String, corpus: DataFrame,
+                        corpusKey: String = CorpusFilterKey): DataFrame =
     graft.io.ArtifactStore.parquetArtifact(
-      s, dir, "documents", "edit_windex", version = IndexVersion) {
+      s, dir, "documents", s"edit_windex_$corpusKey",
+      version = IndexVersion) {
       corpusWindowIndex(corpus, "doc_id", "text")
     }
 
   /** The stored signature table for `corpus`, keyed like
     * [[storedWindowIndex]].
     */
-  def storedSignatures(s: SparkSession, dir: String,
-                       corpus: DataFrame): DataFrame =
+  def storedSignatures(s: SparkSession, dir: String, corpus: DataFrame,
+                       corpusKey: String = CorpusFilterKey): DataFrame =
     graft.io.ArtifactStore.parquetArtifact(
-      s, dir, "documents", "edit_sigs", version = IndexVersion) {
+      s, dir, "documents", s"edit_sigs_$corpusKey",
+      version = IndexVersion) {
       corpusSignatures(corpus, "doc_id", "text")
     }
 

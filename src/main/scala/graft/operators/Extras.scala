@@ -328,23 +328,23 @@ object Extras {
     * from the same length-bucket neighbourhood as qd67, expressed
     * through LATERAL VIEW explode so the join stays an equi-join on
     * the bucket key (an `IN (b-1,b,b+1)` condition would plan as a
-    * nested loop), and the L1 prune rides `hist_l1` — the injected
-    * FUNCTION rung of the same extension ladder, called from plain
-    * SQL. One string, both rungs: the user writes standard SQL plus
-    * one catalog function and gets qd67's plan economics (measured:
+    * nested loop), and both prune signatures ride injected catalog
+    * functions — `char_hist` builds the 37-bin histogram in one
+    * codegen byte scan (the `transform(..., c -> length - replace)`
+    * HOF it replaced was a CodegenFallback doing 37 replace-scans per
+    * row, the last interpreted HOF on a gated hot path; VERDICT r13),
+    * and `hist_l1` folds the L1 prune. One string, all three rungs
+    * (rule + two functions): the user writes standard SQL plus two
+    * catalog functions and gets qd67's plan economics (measured:
     * 9.9 s med without the prune, ~3 s with). PlanSpec pins the
     * rewritten Some(12) form; BandedLevRuleSpec pins the rule's
     * operator-by-operator semantics and qx29 ≡ qd67.
     */
   private val editSqlText: String =
     """WITH h AS (
-      |  SELECT doc_id, text, len, bkt,
-      |    transform(concat(sequence(97, 122), array(32), sequence(48, 57)),
-      |      c -> CAST(length(lt) - length(replace(lt, chr(c), '')) AS INT))
-      |      AS hist
-      |  FROM (SELECT doc_id, text, lower(text) AS lt,
-      |          length(text) AS len, length(text) DIV 16 AS bkt
-      |        FROM documents)),
+      |  SELECT doc_id, text, length(text) AS len,
+      |    length(text) DIV 16 AS bkt, char_hist(text) AS hist
+      |  FROM documents),
       |e AS (
       |  SELECT doc_id, text, len, hist, nb
       |  FROM h LATERAL VIEW explode(array(bkt - 1, bkt, bkt + 1)) t AS nb)
@@ -358,9 +358,10 @@ object Extras {
       |ORDER BY doc_a, doc_b""".stripMargin
 
   def editSqlSurface(s: SparkSession, dir: String): DataFrame = {
-    // extension-less host sessions still resolve the function (the
+    // extension-less host sessions still resolve the functions (the
     // VecDot register pattern); extension-built sessions no-op here
     graft.functions.HistL1.register(s)
+    graft.functions.CharHist.register(s)
     Tables.documents(s, dir).createOrReplaceTempView("documents")
     s.sql(editSqlText)
   }
@@ -405,16 +406,16 @@ object Extras {
       .orderBy("o_orderkey")
   }
 
-  private val orcWritten =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-
   /** qx28 — ORC sink/source roundtrip: the SECOND columnar format
     * (Spark ships the ORC datasource in-box) through the exact scan
     * contracts the parquet tier is held to — the read-back filter
     * reaches the OrcScan as PushedFilters and the projection prunes
     * ReadSchema to the three referenced columns (PlanSpec pins both).
-    * The documents table routes to ORC once per (sf, corpus) —
-    * write-once keyed like qx20's eras — then the declared query
+    * The documents table routes to ORC once per (sf, corpus stamp,
+    * version) — the landedOnce marker contract (round 14, ADVICE r13:
+    * a per-JVM set plus bare path existence served a stale tree to
+    * any session that skipped reapTmp after a testdata regeneration)
+    * — then the declared query
     * reads ONLY the ORC tree: per-source doc counts and char sums
     * over the n_chars >= 200 slice. The oracle recomputes from the
     * parquet source, so the roundtrip must be lossless for every
@@ -425,12 +426,10 @@ object Extras {
     * as the parquet path, from the same declarative plan.
     */
   def orcRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val root = graft.io.Scratch.qx28Dir(dir)
-    val orcPath = s"$root/documents_orc"
-    if (!orcWritten.contains(root) || !new java.io.File(orcPath).exists()) {
-      Tables.documents(s, dir)
-        .write.mode("overwrite").orc(orcPath)
-      orcWritten.add(root)
+    val orcPath = graft.io.Scratch.stampedOnce(dir,
+        graft.io.Scratch.qx28Dir(dir), "documents_orc", "documents",
+        version = 1) { target =>
+      Tables.documents(s, dir).write.mode("overwrite").orc(target)
     }
     s.read.orc(orcPath)
       .filter(col("n_chars") >= 200)

@@ -87,6 +87,38 @@ class BandedLevRuleSpec extends SparkSpec {
     assert(p2.contains("Some(2)"), p2)
   }
 
+  test("the rewrite injects the length prune ahead of the banded DP") {
+    // a SQL author writing the bare threshold predicate gets tier 1's
+    // |Δlen| guard for free (round 14): the conjunct must sit BEFORE
+    // the banded levenshtein in the rendered condition — codegen
+    // evaluates conjuncts in printed order, so the guard
+    // short-circuits non-candidates without running the DP
+    val p = docs.filter(expr("levenshtein(text, lang) <= 3"))
+      .queryExecution.optimizedPlan.toString
+    val guard = p.indexOf("abs(")
+    val lev = p.indexOf("levenshtein(")
+    assert(guard >= 0 && p.contains("length("),
+      "the |Δlen| <= k conjunct must be injected: " + p)
+    assert(guard < lev,
+      "the length guard must short-circuit ahead of the DP: " + p)
+    // the distance-large direction guards as a DISJUNCT (|Δlen| > k
+    // alone proves d > k)
+    val pGt = docs.filter(expr("levenshtein(text, lang) > 3"))
+      .queryExecution.optimizedPlan.toString
+    assert(pGt.contains("abs(") && pGt.contains("Some(3)"), pGt)
+    assert(pGt.indexOf("abs(") < pGt.indexOf("levenshtein("), pGt)
+  }
+
+  test("the rewritten form is a fixed point (no re-match, batch converges)") {
+    for (pred <- Seq("levenshtein(text, lang) <= 3",
+        "levenshtein(text, lang) > 3", "levenshtein(text, lang) = 3")) {
+      val opt = docs.filter(expr(pred)).queryExecution.optimizedPlan
+      val again = graft.plans.BandedLevenshteinRewrite(opt)
+      assert(again.fastEquals(opt),
+        s"rewritten '$pred' must not re-match: $opt")
+    }
+  }
+
   test("non-rewritable shapes are left alone") {
     // negative thresholds and non-literal comparands must not be
     // touched (the rule only claims k >= 0 / k >= 1)

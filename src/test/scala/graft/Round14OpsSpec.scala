@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-14 additions: the char_hist signature expression (the SQL
+  * rung's one-pass histogram build), hist_l1's long accumulator, and
+  * the round's new operators.
+  */
+class Round14OpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("char_hist == pure-Scala reference, bins match HistChars layout") {
+    graft.functions.CharHist.register(spark)
+    val texts = Seq(
+      "", "abc", "Hello World 42", "  zz  99  ",
+      "ALLCAPS", "mixed CASE with 0123456789 digits",
+      "punct!?.,;:-_()[]{}", "unicode éü世界 mixed",
+      "a" * 500 + " " + "9" * 40)
+    val rows = texts.zipWithIndex.map { case (t, i) => (i, t) }
+      .toDF("i", "t")
+      .select(col("i"), graft.functions.CharHist.of(col("t")).as("h"))
+      .collect()
+    rows.foreach { r =>
+      val got = r.getAs[scala.collection.Seq[Int]]("h")
+      val want = graft.functions.CharHist.reference(texts(r.getInt(0)))
+      assert(got == want, s"text='${texts(r.getInt(0))}'")
+      assert(got.length == 37)
+    }
+    // bin layout: a..z -> 0..25, space -> 26, 0..9 -> 27..36 — the
+    // EditJoin.HistChars order the L1 prune's docs promise
+    val h = graft.functions.CharHist.reference("a z 09")
+    assert(h(0) == 1 && h(25) == 1 && h(26) == 2 &&
+      h(27) == 1 && h(36) == 1)
+  }
+
+  test("char_hist counts equal the replace-mirror formulation on ASCII") {
+    graft.functions.CharHist.register(spark)
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(200)
+    val mirror = docs
+      .withColumn("_lc", lower(col("text")))
+      .select(col("doc_id"),
+        graft.functions.CharHist.of(col("text")).as("fast"),
+        array(graft.operators.EditJoin.HistChars.map(c =>
+          (length(col("_lc")) - length(replace(col("_lc"), chr(lit(c)),
+            lit("")))).cast("int")): _*).as("slow"))
+      .filter(col("fast") =!= col("slow"))
+    assert(mirror.count() == 0,
+      "byte fold and replace mirror must agree on the ASCII corpus")
+  }
+
+  test("char_hist null semantics and codegen == interpreted") {
+    graft.functions.CharHist.register(spark)
+    val r = spark.sql(
+      "SELECT char_hist(CAST(NULL AS STRING)) AS n, char_hist('') AS e")
+      .collect()(0)
+    assert(r.isNullAt(0))
+    assert(r.getAs[scala.collection.Seq[Int]]("e").sum == 0)
+    // interpreted path (eval) — exercised directly
+    val expr = graft.functions.CharHist(
+      org.apache.spark.sql.catalyst.expressions.Literal("Ab 7"))
+    val arr = expr.eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    assert(arr.toIntArray().toSeq ==
+      graft.functions.CharHist.reference("Ab 7"))
+  }
+
+  test("hist_l1 accumulates in a long: no silent Int wraparound") {
+    graft.functions.HistL1.register(spark)
+    // two elements of |Int.MaxValue| distance each — the old int
+    // accumulator wrapped negative; ANSI-consistent behaviour is a
+    // raised ArithmeticException
+    val e = intercept[Exception] {
+      spark.sql(
+        s"""SELECT hist_l1(array(${Int.MaxValue}, ${Int.MaxValue}),
+           |  array(0, 0)) AS l1""".stripMargin).collect()
+    }
+    def rootMessages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ rootMessages(x.getCause))
+    assert(rootMessages(e).exists(_.contains("overflow")), e.toString)
+    // and a large in-range sum still lands exactly
+    val ok = spark.sql(
+      s"""SELECT hist_l1(array(${Int.MaxValue}, 0),
+         |  array(0, 0)) AS l1""".stripMargin).collect()(0).getInt(0)
+    assert(ok == Int.MaxValue)
+  }
+}
