@@ -236,6 +236,10 @@ object SparkEntry {
       (graft.streaming.Admission.editAdmissionGate _),
     "qx28_orc_roundtrip" -> (graft.operators.Extras.orcRoundtrip _),
     "qx29_edit_sql_surface" -> (graft.operators.Extras.editSqlSurface _),
+    "qe25_vec_admission" ->
+      (graft.operators.VecAdmission.vecAdmissionQuery _),
+    "qs45_vec_admission_gate" ->
+      (graft.streaming.Admission.vecAdmissionGate _),
   )
 
   /** Queries intentionally without an oracle — EMPTY since round 5:
@@ -744,6 +748,16 @@ object SparkEntry {
           "FROM documents GROUP BY source")
         .mkString("", " UNION ALL ", " ORDER BY source, lang")),
     "qe1_knn_brute" -> knnSql,
+    // qe25 (vector admission at full probe + full shortlist): both
+    // parity arguments stack over the STORED corpus index — every
+    // corpus vector admitted by the cell probe, every candidate
+    // exactly re-ranked after the ADC pass — so the exhaustive
+    // arrivals × corpus kNN below is exact for any centroids/grid.
+    "qe25_vec_admission" -> vecAdmitSql,
+    // qs45: per-arrival verdicts depend only on (that vector, the
+    // standing index) — order-free, so the micro-batch union equals
+    // qe25's one-shot batch run for ANY file split (the qs44 move).
+    "qs45_vec_admission_gate" -> vecAdmitSql,
     // qe2 (1-bit-band LSH) and qe4 (full-probe IVF) are declared at
     // provable-equivalence parameters — both reduce to exact cosine
     // top-k, so the brute-force SQL is their oracle verbatim.
@@ -3894,6 +3908,29 @@ object SparkEntry {
        |$out
        |ORDER BY sel_rank""".stripMargin
   }
+
+  /** qe25/qs45 oracle: exhaustive arrivals-vs-corpus cosine top-10 —
+    * knnSql's construction over the src19 split (embedding↔doc pairing
+    * on the shared id space; the inner join scopes both sides to the
+    * embedded population, which at sf0.1 is a prefix of the doc ids).
+    */
+  private val vecAdmitSql: String =
+    s"""WITH base AS (
+       |  SELECT e.vec_id, e.embedding,
+       |    sqrt(${dotSql("e.embedding", "e.embedding")}) AS nrm, d.source
+       |  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id),
+       |q AS (SELECT vec_id AS query_id, embedding AS q_emb, nrm AS q_nrm
+       |      FROM base WHERE source = 'src19'),
+       |c AS (SELECT vec_id, embedding, nrm FROM base WHERE source <> 'src19'),
+       |s AS (
+       |  SELECT q.query_id, c.vec_id,
+       |    ${dotSql("c.embedding", "q.q_emb")} / (c.nrm * q.q_nrm) AS sim
+       |  FROM c, q),
+       |r AS (SELECT query_id, vec_id, sim,
+       |        CAST(rank() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS INTEGER) AS rnk
+       |      FROM s)
+       |SELECT query_id, vec_id, rnk, sim FROM r WHERE rnk <= 10
+       |ORDER BY query_id, rnk, vec_id""".stripMargin
 
   private val knnSql: String = {
     val ids = graft.operators.TrainingOps.knnQueryIds.mkString(", ")

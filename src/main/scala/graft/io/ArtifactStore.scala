@@ -99,6 +99,17 @@ object ArtifactStore {
     */
   def parquetArtifact(s: SparkSession, dir: String, table: String,
                       name: String, version: Int)
+                     (build: => DataFrame): DataFrame =
+    parquetArtifact(s, dir, Seq(table), name, version)(build)
+
+  /** Multi-source variant (round 14): an artifact derived from a JOIN
+    * of several source tables (qe25's corpus index reads embeddings
+    * AND the documents split) must move when ANY of them regenerates
+    * — the stamp concatenates every table's file stats in argument
+    * order.
+    */
+  def parquetArtifact(s: SparkSession, dir: String, tables: Seq[String],
+                      name: String, version: Int)
                      (build: => DataFrame): DataFrame = {
     val dirHash = java.lang.Long.toHexString(
       scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffffL)
@@ -107,7 +118,8 @@ object ArtifactStore {
         dir.replaceAll("[^A-Za-z0-9._-]", "_").takeRight(32))
     val lock = locks.computeIfAbsent(root.getAbsolutePath, _ => new Object)
     lock.synchronized {
-      val stamp = s"v$version;" + tableStamp(dir, table)
+      val stamp = s"v$version;" +
+        tables.map(t => tableStamp(dir, t)).mkString(";")
       val stampHash = java.lang.Long.toHexString(
         (scala.util.hashing.MurmurHash3.stringHash(stamp).toLong << 32)
           | (scala.util.hashing.MurmurHash3

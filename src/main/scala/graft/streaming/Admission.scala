@@ -120,6 +120,72 @@ object Admission {
     * small-patch edits set-based blocking can miss; both are
     * O(arriving batch) against stored artifacts.
     */
+  /** qs45 — the VECTOR admission gate on the same arrival path: each
+    * micro-batch of arriving docs joins its embeddings (vec_id =
+    * doc_id, the shared id space) and probes the STANDING corpus
+    * vector index (qe25's [[graft.operators.VecAdmission]] stored
+    * cells + SQ8 codes) for its nearest corpus neighbors, writing the
+    * per-arrival top-k to the idempotent per-batch-id sink. Shares
+    * qs39's landing (one export, THREE gates) and the batch ≡ stream
+    * argument: a verdict depends only on (that vector, the standing
+    * index), so the union across micro-batches equals qe25's one-shot
+    * run for ANY file split, and qe25's exhaustive oracle carries
+    * over verbatim.
+    *
+    * With qs39 (MinHash) and qs44 (edit distance) this completes the
+    * production admission stack — shingle-level, character-level, and
+    * semantic-level near-duplication each probed in O(batch) against
+    * stored artifacts on one shared drain path.
+    */
+  def vecAdmissionGate(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.VecAdmission
+    val outRoot = graft.io.Scratch.qs39Dir(dir) + "/vec_verdicts"
+    org.apache.commons.io.FileUtils
+      .deleteQuietly(new java.io.File(outRoot))
+    // standing state, persisted for the drain's lifetime (every
+    // micro-batch probes all three) and released after (the qs39
+    // pattern); the IVF/SQ models are driver-side kilobyte caches
+    val model = VecAdmission.corpusModel(s, dir)
+    val sq = VecAdmission.corpusSqModel(s, dir)
+    val cells = VecAdmission.storedCells(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val codes = VecAdmission.storedCodes(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val corpus = VecAdmission.corpusEmb(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val emb = Tables.embeddings(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val landing = landBatchJsonl(s, dir)
+    try EventStream.withShufflePartitions(s, 8) {
+      val stream = s.readStream
+        .schema(graft.ingest.JsonlIngest.DocSchema)
+        .option("maxFilesPerTrigger", 1)
+        .json(landing)
+      val q = stream.writeStream
+        .foreachBatch { (df: DataFrame, batchId: Long) =>
+          val arrivals = emb
+            .join(df.select(col("doc_id").as("vec_id")), "vec_id")
+            .select(col("vec_id").as("query_id"),
+              col("embedding").as("q_emb"))
+          VecAdmission.admit(arrivals, cells, codes, corpus, model, sq,
+              k = 10, nProbe = model.k, shortlist = Int.MaxValue)
+            .write.mode("overwrite").parquet(s"$outRoot/batch=$batchId")
+          ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally {
+      cells.unpersist(blocking = false)
+      codes.unpersist(blocking = false)
+      corpus.unpersist(blocking = false)
+      emb.unpersist(blocking = false)
+    }
+    s.read.parquet(outRoot)
+      .select("query_id", "vec_id", "rnk", "sim")
+      .orderBy("query_id", "rnk", "vec_id")
+  }
+
   def editAdmissionGate(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.EditJoin
     val outRoot = graft.io.Scratch.qs39Dir(dir) + "/edit_verdicts"

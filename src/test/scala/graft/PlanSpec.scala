@@ -314,6 +314,22 @@ class PlanSpec extends SparkSpec
       "corpus index must be read from the stored artifact: " + p)
   }
 
+  test("qe25: admission probes stored artifacts, never cartesian") {
+    // NOTE: building this frame materializes the cell/code artifacts
+    // at sf0.001 (the declared query's contract, qd69 precedent)
+    val p = plan(graft.operators.VecAdmission.vecAdmissionQuery(spark, sf))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "cell probe, code join and re-rank must all stay equi-joins: " + p)
+    assert(p.contains("vec_admit_cells") && p.contains("vec_admit_codes"),
+      "both corpus-side index inputs must be read from the stored " +
+        "parquet artifacts, not re-derived: " + p)
+    // the corpus never shuffles on a per-batch key: the probe list is
+    // the broadcast side of the cell join
+    assert(p.contains("BroadcastHashJoin"),
+      "the batch side must broadcast into the stored index: " + p)
+  }
+
   test("qx29: the SQL surface's unbounded predicate plans banded, equi-join only") {
     val p = plan(graft.operators.Extras.editSqlSurface(spark, sf))
     assert(p.contains("Some(12)"),

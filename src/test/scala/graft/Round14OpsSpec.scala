@@ -67,6 +67,50 @@ class Round14OpsSpec extends SparkSpec {
       graft.functions.CharHist.reference("Ab 7"))
   }
 
+  test("qe25: stored cell artifact == fresh assignment (artifact parity)") {
+    import graft.operators.VecAdmission
+    val dir = "/root/testdata/sf0.001"
+    val stored = VecAdmission.storedCells(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    // fresh derivation through the same model cache — the artifact
+    // must be a pure materialization, not a divergent build
+    val fresh = VecAdmission.freshCells(spark, dir)
+      .select("vec_id", "cluster")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(stored == fresh)
+    assert(stored.nonEmpty)
+  }
+
+  test("qe25: honest partial-probe recall against the full-probe truth") {
+    import graft.operators.VecAdmission
+    val dir = "/root/testdata/sf0.001"
+    val model = VecAdmission.corpusModel(spark, dir)
+    val sq = VecAdmission.corpusSqModel(spark, dir)
+    val arrivals = VecAdmission.arrivalEmb(spark, dir)
+    val cells = VecAdmission.storedCells(spark, dir)
+    val codes = VecAdmission.storedCodes(spark, dir)
+    val corpus = VecAdmission.corpusEmb(spark, dir)
+    def pairs(nProbe: Int, shortlist: Int): Set[(Long, Long)] =
+      VecAdmission.admit(arrivals, cells, codes, corpus, model, sq,
+          k = 10, nProbe = nProbe, shortlist = shortlist)
+        .select("query_id", "vec_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = pairs(model.k, Int.MaxValue)
+    assert(truth.nonEmpty)
+    // the honest production operating point: 4 of ~21 cells probed,
+    // a 64-deep ADC shortlist — the recall the partial index trades
+    // for scanning ~nProbe/k of the corpus. Floor measured on the
+    // live corpus (FIXTURES rule: re-verify after any regeneration).
+    val honest = pairs(4, 64)
+    val recall = honest.intersect(truth).size.toDouble / truth.size
+    info(f"qe25 recall@10 at nProbe=4, shortlist=64: $recall%.3f")
+    assert(recall > 0.3 && recall <= 1.0, f"recall $recall%.3f")
+    // and the shortlist genuinely cuts: a 1-deep shortlist cannot
+    // reach full recall while full probe + full shortlist must
+    val tiny = pairs(model.k, 1)
+    assert(tiny.size < truth.size)
+  }
+
   test("hist_l1 accumulates in a long: no silent Int wraparound") {
     graft.functions.HistL1.register(spark)
     // two elements of |Int.MaxValue| distance each — the old int
