@@ -208,6 +208,7 @@ object SparkEntry {
     "qe24_opq_permute"   -> (TrainingOps.opqPermuteReport _),
     "qs38_jsonl_stream"  -> (graft.ingest.JsonlIngest.jsonlStreamGate _),
     "qm6_phash_neardup"  -> (TrainingOps.phashNearDups _),
+    "qm7_crossmodal_align" -> (TrainingOps.crossModalAlign _),
     "qd58_nb_classify"   -> (graft.operators.Selection.nbQuery _),
     "qd59_hll_profile"   -> (graft.operators.Sketch.hllQuery _),
     "qs39_admission_gate" -> (graft.streaming.Admission.admissionGate _),
@@ -1403,6 +1404,32 @@ object SparkEntry {
          |SELECT media_a, media_b, hamming FROM sc
          |WHERE hamming <= 3
          |ORDER BY media_a, media_b""".stripMargin),
+    // qm7: the Spark side runs the REAL binary decode (valid flag +
+    // kind from the container header); the oracle recomputes both
+    // from the mediaFromDocs contract's arithmetic (doc_id % 50 = 0
+    // blobs invalid, kind = doc_id % 3), pairs media 2k with caption
+    // doc/vector 2k+1 on the shared id space, and folds the same
+    // sequential-double cosine — so the 0.2 reject-band counts and
+    // the order-free min/max extrema match bit for bit.
+    "qm7_crossmodal_align" ->
+      (s"""WITH m AS (
+         |  SELECT a.vec_id AS media_id, d.source,
+         |    CASE WHEN a.vec_id % 3 = 0 THEN 'image'
+         |         WHEN a.vec_id % 3 = 1 THEN 'audio'
+         |         ELSE 'video' END AS kind,
+         |    ${dotSql("a.embedding", "b.embedding")} /
+         |      (sqrt(${dotSql("a.embedding", "a.embedding")})
+         |        * sqrt(${dotSql("b.embedding", "b.embedding")})) AS align
+         |  FROM embeddings a
+         |  JOIN embeddings b ON b.vec_id = a.vec_id + 1
+         |  JOIN documents d ON d.doc_id = a.vec_id + 1
+         |  JOIN documents dm ON dm.doc_id = a.vec_id
+         |  WHERE a.vec_id % 2 = 0 AND a.vec_id % 50 <> 0)
+         |SELECT source, kind, CAST(count(*) AS BIGINT) AS n_pairs,
+         |  CAST(SUM(CASE WHEN align >= 0.2 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_aligned,
+         |  min(align) AS min_align, max(align) AS max_align
+         |FROM m GROUP BY 1, 2 ORDER BY source, kind""".stripMargin),
     // qd42: qd23's char-bigram mirror split ref/score; Laplace terms
     // quantized to micro-nats AFTER identical double divisions, so
     // per-doc sums are exact integers; ln-vs-log ulp absorbed by the

@@ -349,6 +349,62 @@ object Multimodal {
       .orderBy("media_a", "media_b")
   }
 
+  /** qm7 — cross-modal ALIGNMENT gate: the CLIP-score-shaped filter
+    * every multimodal training corpus runs before a (media, caption)
+    * pair is admitted — a low media↔text cosine means the caption
+    * does not describe the media, and mis-paired rows poison
+    * contrastive training worse than missing ones.
+    *
+    * Pairing is id parity (the planted-pairing convention): the EVEN
+    * doc's media blob (media_id = 2k, [[mediaFromDocs]]) is captioned
+    * by the ODD doc's text (doc_id = 2k + 1), and each side's
+    * embedding rides the shared id space (vec_id = doc_id — the qe25
+    * pairing). The media side must DECODE VALID ([[decodeMeta]], the
+    * real binary parse — the qm5 router rule: quarantine before
+    * feature-extract) and both embeddings must exist (inner joins).
+    *
+    * Output: per (caption source, decoded media kind) — pair count,
+    * aligned count (cosine >= threshold, the keep side of the reject
+    * band), and the exact min/max alignment (order-free extrema over
+    * bit-equal folds, the qe5 move; a MEAN of doubles would be
+    * summation-order-dependent and is deliberately absent).
+    *
+    * Scale shape: decode is partition-mapped (zero shuffle), the two
+    * embedding joins and the caption-source join are equi-joins on
+    * the pair id, the rollup is one partial+final aggregate on a
+    * (source × kind)-bounded key. Nothing corpus-scale crosses an
+    * exchange twice.
+    */
+  def crossModalAlign(docs: DataFrame, emb: DataFrame,
+                      threshold: Double): DataFrame = {
+    graft.functions.VecDot.register(docs.sparkSession)
+    val media = mediaFromDocs(docs)
+    val meta = decodeMeta(media).toDF()
+      .filter(col("valid") && pmod(col("media_id"), lit(2)) === 0)
+      .select("media_id", "kind")
+    def side(name: String, shift: Int): DataFrame =
+      emb.select((col("vec_id") - shift).as("media_id"),
+        col("embedding").as(s"${name}_emb"),
+        sqrt(graft.functions.VecDot.of(col("embedding"), col("embedding")))
+          .as(s"${name}_nrm"))
+    val captionSrc = docs
+      .select((col("doc_id") - 1).as("media_id"), col("source"))
+    meta
+      .join(side("m", 0), "media_id")
+      .join(side("t", 1), "media_id")
+      .join(captionSrc, "media_id")
+      .withColumn("align",
+        graft.functions.VecDot.of(col("m_emb"), col("t_emb"))
+          / (col("m_nrm") * col("t_nrm")))
+      .groupBy("source", "kind")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("align") >= threshold, 1L).otherwise(0L))
+          .as("n_aligned"),
+        min("align").as("min_align"),
+        max("align").as("max_align"))
+      .orderBy("source", "kind")
+  }
+
   /** Frame sampling for video rows: emit every `everyN`-th frame as
     * (media_id, frame_idx, frame_bytes). Frames are fixed-size slices
     * of the payload (stub geometry from the header). Explodes rows —

@@ -1913,6 +1913,16 @@ object TrainingOps {
   def mediaSniff(s: SparkSession, dir: String): DataFrame =
     Multimodal.mediaSniff(Multimodal.mediaFromDocs(Tables.documents(s, dir)))
 
+  /** qm7 — cross-modal alignment gate over the qm1 media corpus and
+    * the shared embedding space — see [[Multimodal.crossModalAlign]].
+    * Threshold 0.2 sits where the live pair-cosine distribution
+    * splits (~93% of pairs below at every SF), so the reject band is
+    * non-vacuous on both sides at every shipped corpus.
+    */
+  def crossModalAlign(s: SparkSession, dir: String): DataFrame =
+    Multimodal.crossModalAlign(Tables.documents(s, dir),
+      Tables.embeddings(s, dir), threshold = 0.2)
+
   /** qd47 — per-language tokenizer FERTILITY audit: how well the
     * learned BPE merge chain compresses each language — the
     * tokenizer-evaluation metric that flags tokenizer↔corpus

@@ -111,6 +111,30 @@ class Round14OpsSpec extends SparkSpec {
     assert(tiny.size < truth.size)
   }
 
+  test("qm7: reject band is non-vacuous and invalid media is excluded") {
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.operators.TrainingOps.crossModalAlign(spark, dir)
+      .collect()
+    val pairs = out.map(_.getAs[Long]("n_pairs")).sum
+    val aligned = out.map(_.getAs[Long]("n_aligned")).sum
+    // both sides of the band live on the real corpus (the qd28
+    // non-vacuousness rule): some pairs pass, most are rejected
+    assert(aligned > 0 && aligned < pairs, s"aligned=$aligned pairs=$pairs")
+    // invalid blobs (doc_id % 50 == 0 containers) are quarantined
+    // before scoring: the pair population must be every even-id valid
+    // media doc with both embeddings present
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val expected = emb.count(v =>
+      v % 2 == 0 && v % 50 != 0 && emb.contains(v + 1))
+    assert(pairs == expected.toLong)
+    // alignment is a cosine: extrema stay in [-1, 1]
+    out.foreach { r =>
+      assert(r.getAs[Double]("min_align") >= -1.0 - 1e-9)
+      assert(r.getAs[Double]("max_align") <= 1.0 + 1e-9)
+    }
+  }
+
   test("hist_l1 accumulates in a long: no silent Int wraparound") {
     graft.functions.HistL1.register(spark)
     // two elements of |Int.MaxValue| distance each — the old int
