@@ -241,6 +241,8 @@ object SparkEntry {
       (graft.operators.VecAdmission.vecAdmissionQuery _),
     "qs45_vec_admission_gate" ->
       (graft.streaming.Admission.vecAdmissionGate _),
+    "qd70_unigram_lm" ->
+      (graft.operators.UnigramLm.emStepQuery _),
   )
 
   /** Queries intentionally without an oracle — EMPTY since round 5:
@@ -759,6 +761,10 @@ object SparkEntry {
     // standing index) — order-free, so the micro-batch union equals
     // qe25's one-shot batch run for ANY file split (the qs44 move).
     "qs45_vec_admission_gate" -> vecAdmitSql,
+    // qd70: the unigram-LM EM step, DP unrolled per word position —
+    // every ingredient integer-exact or shared-floor-quantized (see
+    // unigramLmSql's scaladoc).
+    "qd70_unigram_lm" -> unigramLmSql,
     // qe2 (1-bit-band LSH) and qe4 (full-probe IVF) are declared at
     // provable-equivalence parameters — both reduce to exact cosine
     // top-k, so the brute-force SQL is their oracle verbatim.
@@ -3934,6 +3940,98 @@ object SparkEntry {
        |$rounds
        |$out
        |ORDER BY sel_rank""".stripMargin
+  }
+
+  /** qd70 oracle: the unigram-LM EM step, fully recomputed — the
+    * whitespace word-frequency table, the overlapping ≤4-char seed
+    * windows, micro-nat scores via the shared floor(ln·10⁶ + 0.5)
+    * construction, and the Viterbi DP UNROLLED over word positions
+    * (the bpeRounds3 move; 16 steps is 2× the corpus-measured max
+    * word length of 8, so a longer regenerated word fails loudly as
+    * a row-count mismatch instead of silently truncating). Each step
+    * carries a 4-deep (score, segmentation) history and extends by
+    * the piece lengths valid at that position; invalid extensions
+    * ride the shared BIGINT sentinel (never within 10⁶× of a real
+    * path score); ties resolve to the longest last piece by CASE
+    * order, mirroring the operator's `t > bt` rule exactly.
+    */
+  private lazy val unigramLmSql: String = {
+    val sent = graft.operators.UnigramLm.Sentinel.toString
+    val maxSteps = 16
+    val windows = (1 to 4).map { l =>
+      s"""  SELECT unnest(list_transform(range(1, length(word) - $l + 2),
+         |      i -> substring(word, CAST(i AS INTEGER), $l))) AS piece, c
+         |  FROM dw WHERE length(word) >= $l""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    def step(j: Int): String = {
+      val ts = 1 to math.min(4, j)
+      val joins = ts.map { t =>
+        s"    LEFT JOIN p p$t ON p$t.piece = substring(d.word, ${j - t + 1}, $t)"
+      }.mkString("\n")
+      def cand(t: Int): String =
+        if (t <= j) s"d.b${t - 1} + COALESCE(p$t.unat, 0)"
+        else s"CAST($sent AS BIGINT)"
+      def pieceStr(t: Int) = s"substring(d.word, ${j - t + 1}, $t)"
+      def ext(t: Int) =
+        s"CASE WHEN d.s${t - 1} = '' THEN ${pieceStr(t)} " +
+          s"ELSE d.s${t - 1} || '|' || ${pieceStr(t)} END"
+      s"""d$j AS MATERIALIZED (
+         |  SELECT word, c, nb AS b0, ns AS s0, nb1 AS b1, ns1 AS s1,
+         |    nb2 AS b2, ns2 AS s2, nb3 AS b3, ns3 AS s3
+         |  FROM (
+         |    SELECT d.word, d.c,
+         |      ${cand(1)} AS c1, ${cand(2)} AS c2,
+         |      ${cand(3)} AS c3, ${cand(4)} AS c4,
+         |      greatest(c1, c2, c3, c4) AS nb,
+         |      CASE WHEN c4 = nb THEN ${if (4 <= j) ext(4) else "''"}
+         |           WHEN c3 = nb THEN ${if (3 <= j) ext(3) else "''"}
+         |           WHEN c2 = nb THEN ${if (2 <= j) ext(2) else "''"}
+         |           ELSE ${ext(1)} END AS ns,
+         |      d.b0 AS nb1, d.s0 AS ns1, d.b1 AS nb2, d.s1 AS ns2,
+         |      d.b2 AS nb3, d.s2 AS ns3
+         |    FROM d${j - 1} d
+         |$joins
+         |    WHERE length(d.word) >= $j))""".stripMargin
+    }
+    val fin = (1 to maxSteps).map(j =>
+      s"  SELECT word, c, s0 AS seg FROM d$j WHERE length(word) = $j")
+      .mkString("\n  UNION ALL\n")
+    s"""WITH dw AS MATERIALIZED (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS c
+       |  FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word
+       |        FROM documents WHERE length(trim(text)) > 0)
+       |  WHERE word <> '' GROUP BY 1),
+       |pw AS (
+       |$windows),
+       |pc AS (SELECT piece, CAST(SUM(c) AS BIGINT) AS seed_count
+       |       FROM pw GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(seed_count) AS BIGINT) AS t FROM pc),
+       |p AS MATERIALIZED (SELECT piece, seed_count,
+       |    CAST(floor(ln(CAST(seed_count AS DOUBLE) / CAST(t AS DOUBLE))
+       |      * 1000000.0 + 0.5) AS BIGINT) AS unat
+       |  FROM pc, tot),
+       |d0 AS MATERIALIZED (SELECT word, c, CAST(0 AS BIGINT) AS b0, '' AS s0,
+       |    CAST($sent AS BIGINT) AS b1, '' AS s1,
+       |    CAST($sent AS BIGINT) AS b2, '' AS s2,
+       |    CAST($sent AS BIGINT) AS b3, '' AS s3 FROM dw),
+       |${(1 to maxSteps).map(step).mkString(",\n")},
+       |fin AS (
+       |$fin),
+       |us AS (SELECT unnest(string_split(seg, '|')) AS piece, c FROM fin),
+       |ug AS (SELECT piece, CAST(SUM(c) AS BIGINT) AS usage
+       |       FROM us GROUP BY 1),
+       |tu AS (SELECT CAST(SUM(usage) AS BIGINT) AS t FROM ug),
+       |sc AS (SELECT p.piece, p.seed_count, p.unat AS seed_unat, u.usage,
+       |    CAST(floor(ln(CAST(u.usage AS DOUBLE) / CAST(tu.t AS DOUBLE))
+       |      * 1000000.0 + 0.5) AS BIGINT) AS new_unat
+       |  FROM p JOIN ug u ON p.piece = u.piece, tu),
+       |rk AS (SELECT piece, row_number() OVER (ORDER BY usage, piece) AS rn,
+       |    count(*) OVER () AS nm
+       |  FROM sc WHERE length(piece) > 1)
+       |SELECT s.piece, s.seed_count, s.seed_unat, s.usage, s.new_unat,
+       |  (length(s.piece) = 1 OR r.rn > r.nm // 5) AS kept
+       |FROM sc s LEFT JOIN rk r ON s.piece = r.piece
+       |ORDER BY s.piece""".stripMargin
   }
 
   /** qe25/qs45 oracle: exhaustive arrivals-vs-corpus cosine top-10 —

@@ -1,0 +1,173 @@
+package graft.operators
+
+import graft.core.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Unigram-LM tokenizer training — ONE EM step of the SentencePiece
+  * vocabulary learner (Kudo 2018), the production tokenizer family
+  * qd33/qd35/qd38/qd47's BPE tier does not cover. BPE grows a vocab
+  * merge by merge; unigram-LM starts from an over-complete seed vocab
+  * and PRUNES it: score every piece, Viterbi-segment the corpus under
+  * the current scores (E), re-estimate piece likelihoods from the
+  * segmentation counts and drop the weakest slice (M). Iterated, that
+  * is the full trainer; one step is the gate-verifiable unit (the
+  * qd35 driver-loop precedent — later steps are this operator re-run
+  * on the kept vocab).
+  *
+  * Determinism / oracle parity (every choice integer-exact):
+  *  - tokens are qd2's whitespace convention, and ALL work happens on
+  *    the DISTINCT-word frequency table (exactly how SentencePiece
+  *    trains); the corpus never re-enters after that one aggregate;
+  *  - seed vocab = every substring of length 1..[[MaxPiece]] of every
+  *    corpus word, counted with word multiplicity (overlapping
+  *    windows); single chars are always present, so every word is
+  *    segmentable by construction;
+  *  - piece log-likelihoods are quantized to integer MICRO-NATS with
+  *    the shared floor construction (`floor(ln(c/t)·10⁶ + 0.5)`, the
+  *    qd11/qd21/qd23 pattern whose Spark-log ≡ DuckDB-ln parity is
+  *    proven across the LM family), so the Viterbi DP compares exact
+  *    BIGINT sums;
+  *  - the DP tie-break is total: among equal-score extensions prefer
+  *    the LONGEST last piece (largest t);
+  *  - the M-step drop rule is exact integer arithmetic: among USED
+  *    multi-char pieces ranked by (usage ASC, piece ASC), the bottom
+  *    ⌊n/5⌋ (20%) are dropped; single-char pieces are never dropped
+  *    (the segmentability invariant real SentencePiece keeps too).
+  *
+  * Scale shape: the word-frequency table is the Zipf-bounded object
+  * qd9 already builds (one map-side-combined aggregate over the token
+  * stream); the piece table is bounded by Σ_l |Σ|^l ∧ observed
+  * windows and COLLECTS as the model (the qd55 vocab-capped-collect
+  * precedent — kilobytes here, and production caps the seed with
+  * `minCount`); the E-step is a per-distinct-word Scala DP against
+  * the broadcast score map (map-only, no shuffle, O(|w|·MaxPiece)
+  * per word); usage counts partial-aggregate map-side. Nothing
+  * corpus-scale crosses an exchange after the first aggregate.
+  */
+object UnigramLm {
+
+  /** Bounded max piece length — what keeps the seed vocab polynomial
+    * and the DP window constant.
+    */
+  val MaxPiece = 4
+
+  /** Invalid-extension sentinel for the DP (and the oracle's mirror):
+    * far below any reachable path score (≥ 8 pieces × ~−17·10⁶
+    * micro-nats ≈ −1.4·10⁸ on this corpus), far above BIGINT overflow.
+    */
+  val Sentinel: Long = -1000000000000000L
+
+  /** (word, c) distinct-word frequencies — qd2's whitespace tokens. */
+  def wordFreq(docs: DataFrame): DataFrame =
+    docs.where(length(trim(col("text"))) > 0)
+      .select(explode(split(trim(col("text")), "\\s+")).as("word"))
+      .where(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("c"))
+
+  /** Seed piece table (piece, seed_count, seed_unat): overlapping
+    * substring windows of length 1..MaxPiece over the word table,
+    * weighted by word frequency. Window extraction rides the
+    * regexp lookahead (codegen) — the qd23 rule: no transform()
+    * lambda on a scanned frame.
+    */
+  def pieceTable(dw: DataFrame): DataFrame = {
+    val perLen = (1 to MaxPiece).map { l =>
+      dw.where(length(col("word")) >= l)
+        .select(explode(expr(
+          s"regexp_extract_all(word, '(?=(.{$l})).', 1)")).as("piece"),
+          col("c"))
+    }.reduce(_.unionAll(_))
+    val counts = perLen.groupBy("piece").agg(sum("c").as("seed_count"))
+    val total = counts.agg(sum("seed_count").as("t"))
+    counts.crossJoin(broadcast(total))
+      .withColumn("seed_unat",
+        floor(log(col("seed_count").cast("double") / col("t").cast("double"))
+          * lit(1e6) + lit(0.5)).cast("long"))
+      .select("piece", "seed_count", "seed_unat")
+  }
+
+  /** Viterbi segmentation of one word under integer piece scores —
+    * best[j] = max over t ≤ min(MaxPiece, j) of best[j−t] +
+    * unat(w[j−t..j]), ties to the largest t. Every substring of a
+    * corpus word is in the seed vocab, so the map lookup never
+    * misses on corpus input (require guards foreign callers).
+    */
+  def segment(word: String, unat: collection.Map[String, Long]): Seq[String] = {
+    val L = word.length
+    val best = new Array[Long](L + 1)
+    val from = new Array[Int](L + 1)
+    var j = 1
+    while (j <= L) {
+      var bt = 0
+      var bv = Long.MinValue
+      var t = 1
+      val tMax = math.min(MaxPiece, j)
+      while (t <= tMax) {
+        val p = word.substring(j - t, j)
+        require(unat.contains(p), s"piece '$p' missing from the seed vocab")
+        val sc = best(j - t) + unat(p)
+        if (sc > bv || (sc == bv && t > bt)) { bv = sc; bt = t }
+        t += 1
+      }
+      best(j) = bv
+      from(j) = bt
+      j += 1
+    }
+    var k = L
+    var out = List.empty[String]
+    while (k > 0) {
+      out = word.substring(k - from(k), k) :: out
+      k -= from(k)
+    }
+    out
+  }
+
+  /** One EM step over `docs`: (piece, seed_count, seed_unat, usage,
+    * new_unat, kept) for every piece the Viterbi segmentation uses,
+    * ordered by piece.
+    */
+  def emStep(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val dw = wordFreq(docs)
+    val pieces = pieceTable(dw)
+    // the model: bounded piece→score map (vocab-capped collect)
+    val model: Map[String, Long] = pieces
+      .select(col("piece"), col("seed_unat"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val bc = spark.sparkContext.broadcast(model)
+    // E-step: map-only DP per distinct word, usage weighted by c
+    val usage = dw.select(col("word"), col("c")).as[(String, Long)]
+      .mapPartitions(_.flatMap { case (w, c) =>
+        segment(w, bc.value).map(p => (p, c))
+      })
+      .toDF("piece", "uc")
+      .groupBy("piece").agg(sum("uc").as("usage"))
+    val totU = usage.agg(sum("usage").as("tu"))
+    val scored = pieces.join(usage, "piece")
+      .crossJoin(broadcast(totU))
+      .withColumn("new_unat",
+        floor(log(col("usage").cast("double") / col("tu").cast("double"))
+          * lit(1e6) + lit(0.5)).cast("long"))
+      .select("piece", "seed_count", "seed_unat", "usage", "new_unat")
+    // M-step drop rule: bottom ⌊n/5⌋ of USED multi-char pieces by
+    // (usage ASC, piece ASC); the ranked frame is vocab-grain (the
+    // one global window runs on a bounded table)
+    val multi = scored.filter(length(col("piece")) > 1)
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("usage").asc, col("piece").asc)))
+      .withColumn("nm", count(lit(1)).over(
+        Window.partitionBy(lit(1))))
+      .select(col("piece"), (col("rn") > expr("nm div 5")).as("kept"))
+    scored.join(multi, Seq("piece"), "left")
+      .withColumn("kept", coalesce(col("kept"), lit(true)))
+      .select("piece", "seed_count", "seed_unat", "usage", "new_unat", "kept")
+      .orderBy("piece")
+  }
+
+  /** qd70 gate query: one unigram-LM EM step over `documents`. */
+  def emStepQuery(s: SparkSession, dir: String): DataFrame =
+    emStep(Tables.documents(s, dir))
+}

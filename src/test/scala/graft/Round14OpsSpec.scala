@@ -135,6 +135,66 @@ class Round14OpsSpec extends SparkSpec {
     }
   }
 
+  test("qd70: Viterbi segmentation is optimal, exhaustive-checked") {
+    import graft.operators.UnigramLm
+    // brute-force all segmentations into pieces of length <= MaxPiece
+    def allSegs(w: String): Seq[Seq[String]] =
+      if (w.isEmpty) Seq(Seq.empty)
+      else (1 to math.min(UnigramLm.MaxPiece, w.length)).flatMap { t =>
+        allSegs(w.drop(t)).map(w.take(t) +: _)
+      }
+    val words = Seq("a", "ab", "abc", "abab", "banana", "queue")
+    // synthetic vocab: every substring scored by a hash-derived
+    // negative integer (deterministic, collision-prone enough to
+    // exercise ties)
+    val vocab: Map[String, Long] = words.flatMap { w =>
+      for (i <- 0 until w.length; l <- 1 to UnigramLm.MaxPiece
+           if i + l <= w.length) yield w.substring(i, i + l)
+    }.distinct.map(p =>
+      (p, -1L - math.abs(scala.util.hashing.MurmurHash3.stringHash(p) % 7)))
+      .toMap
+    words.foreach { w =>
+      val got = UnigramLm.segment(w, vocab)
+      assert(got.mkString("") == w, s"segmentation must rebuild '$w'")
+      assert(got.forall(p => p.length <= UnigramLm.MaxPiece))
+      val best = allSegs(w).map(_.map(vocab).sum).max
+      assert(got.map(vocab).sum == best,
+        s"'$w': ${got.mkString("|")} is not optimal")
+    }
+  }
+
+  test("qd70: equal-score paths resolve to the longest last piece") {
+    import graft.operators.UnigramLm
+    // [a, b] and [ab] both score -20: the tie-break must pick the
+    // longer piece (the oracle's CASE checks t=4..1 in that order)
+    val vocab = Map("a" -> -10L, "b" -> -10L, "ab" -> -20L)
+    assert(UnigramLm.segment("ab", vocab) == Seq("ab"))
+    // and a genuinely better split still wins over a longer piece
+    val vocab2 = Map("a" -> -1L, "b" -> -1L, "ab" -> -20L)
+    assert(UnigramLm.segment("ab", vocab2) == Seq("a", "b"))
+  }
+
+  test("qd70: drop rule cuts exactly bottom 20% of used multi-char pieces") {
+    val out = graft.operators.UnigramLm
+      .emStepQuery(spark, "/root/testdata/sf0.001").collect()
+    val multi = out.filter(_.getAs[String]("piece").length > 1)
+    val dropped = multi.count(!_.getAs[Boolean]("kept"))
+    assert(dropped == multi.length / 5,
+      s"dropped=$dropped of ${multi.length} multi-char pieces")
+    // single-char pieces are never dropped (segmentability invariant)
+    assert(out.filter(_.getAs[String]("piece").length == 1)
+      .forall(_.getAs[Boolean]("kept")))
+    // and the drop hits the weakest usage slice: max dropped usage <=
+    // min kept multi-char usage under the (usage, piece) total order
+    if (dropped > 0) {
+      val du = multi.filter(!_.getAs[Boolean]("kept"))
+        .map(_.getAs[Long]("usage")).max
+      val ku = multi.filter(_.getAs[Boolean]("kept"))
+        .map(_.getAs[Long]("usage")).min
+      assert(du <= ku)
+    }
+  }
+
   test("hist_l1 accumulates in a long: no silent Int wraparound") {
     graft.functions.HistL1.register(spark)
     // two elements of |Int.MaxValue| distance each — the old int
