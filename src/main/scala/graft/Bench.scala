@@ -116,6 +116,13 @@ object Bench {
         graft.operators.TrainingOps.ivfCellsInt(spark, sfDir) }
       prebuild("hll_registers_artifact") {
         graft.operators.TrainingOps.hllRegistersStored(spark, sfDir) }
+      // qe25/qs45's standing vector index: corpus-trained IVF + SQ
+      // models build inside the cell/code artifact builds — the gates
+      // measure the per-batch probe, per their growing-corpus design
+      prebuild("vec_admit_cells_art") {
+        graft.operators.VecAdmission.storedCells(spark, sfDir) }
+      prebuild("vec_admit_codes_art") {
+        graft.operators.VecAdmission.storedCodes(spark, sfDir) }
     }
 
     def median(xs: Seq[Double]): Double = {

@@ -999,7 +999,11 @@ class PlanSpec extends SparkSpec
         // qd64: the same src_a < src_b source-pair spine as qd60 over
         // per-source count aggregates, joined to broadcast S·k-row
         // sketch folds — report-sized by construction
-        "qd64_bottomk_resemblance")
+        "qd64_bottomk_resemblance",
+        // qd70: the seed-vocab total and the usage total as 1-row
+        // broadcasts into vocab-grain projections (the qd22/qd23
+        // class — both sides bounded by the piece table)
+        "qd70_unigram_lm")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val p = plan(fn(spark, sf))
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian")
