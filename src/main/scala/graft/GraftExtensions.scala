@@ -66,5 +66,11 @@ object GraftExtensions {
         require(exprs.length == 2, "hist_l1 expects 2 arguments")
         graft.functions.HistL1(exprs.head, exprs(1))
       }),
+    (FunctionIdentifier("sq8_adc"),
+      info("sq8_adc", "SQ8 packed-code asymmetric dot vs a query column"),
+      exprs => {
+        require(exprs.length == 3, "sq8_adc expects 3 arguments")
+        graft.functions.Sq8Adc(exprs(0), exprs(1), exprs(2))
+      }),
   )
 }

@@ -154,18 +154,18 @@ object VecAdmission {
     * the `q_emb` COLUMN: Σ_d (q_d·width_d)·c_d — the per-query
     * constant term is constant within a query's ranking and drops out
     * ([[Sq.approxIntShortlist]]'s move), zero-width dims contribute
-    * nothing. All-double terms (no ANSI-checked long ops; the Sq
-    * codegen-size rule).
+    * width 0. Rides the [[graft.functions.Sq8Adc]] codegen LOOP: the
+    * composed 64-term `shiftright·&255·element_at` unroll passed
+    * Janino but compiled into one generated method past HotSpot's
+    * 8 KB JIT threshold — bytecode-interpreted forever, ~17 µs per
+    * candidate row, 3.2 s of qe25's 6.5 s first cut (the HistL1
+    * lesson one JVM tier down).
     */
-  private def adcScore(sq: Sq.SqModel): Column = {
-    val terms = (0 until sq.dim).flatMap { d =>
-      if (sq.width(d) == 0.0) None
-      else Some(shiftright(col(s"w${d / 8}"), 8 * (d % 8))
-        .bitwiseAND(lit(255L)).cast("double") *
-        (element_at(col("q_emb"), d + 1).cast("double") * lit(sq.width(d))))
-    }
-    if (terms.isEmpty) lit(0.0) else terms.reduce(_ + _)
-  }
+  private def adcScore(sq: Sq.SqModel): Column =
+    graft.functions.Sq8Adc.of(
+      array((0 until sq.dim / 8).map(w => col(s"w$w")): _*),
+      col("q_emb"),
+      typedLit((0 until sq.dim).map(sq.width)))
 
   /** Nearest corpus neighbors for every arrival: (query_id, vec_id,
     * rnk, sim), top-`k` by exact cosine, candidates from the stored
@@ -180,16 +180,24 @@ object VecAdmission {
             corpus: DataFrame, model: Ivf.IvfModel, sq: Sq.SqModel,
             k: Int, nProbe: Int, shortlist: Int): DataFrame = {
     graft.functions.VecDot.register(arrivals.sparkSession)
+    graft.functions.Sq8Adc.register(arrivals.sparkSession)
     val q = arrivals.select(col("query_id"), col("q_emb"),
       sqrt(graft.functions.VecDot.of(col("q_emb"), col("q_emb")))
         .as("q_nrm"))
-    // batch side exploded to its probe cells; the centroid scoring is
-    // a per-arrival-row HOF over the model literal — interpreted, but
-    // on the BATCH grain only (|batch| × k centroid dots)
-    val probes = Ivf.probeCells(
-        arrivals.select(col("query_id").as("vec_id"),
-          col("q_emb").as("embedding")), model, nProbe)
-      .select(col("vec_id").as("query_id"), col("probe"))
+    // batch side exploded to its probe cells. At FULL probe the
+    // probe set is every cell id by definition — emitted as a literal
+    // explode with NO centroid scoring (the partial-probe path's
+    // nearest-centroid HOF is interpreted per arrival row; at the
+    // declared parity config it computed 43 centroid dots per arrival
+    // only to return all 43 ids — ~1 s of qe25's first cut).
+    val probes =
+      (if (nProbe >= model.k)
+        arrivals.select(col("query_id"),
+          explode(typedLit(model.centroids.map(_._1).toSeq)).as("probe"))
+      else Ivf.probeCells(
+          arrivals.select(col("query_id").as("vec_id"),
+            col("q_emb").as("embedding")), model, nProbe)
+        .select(col("vec_id").as("query_id"), col("probe")))
     // candidates: one equi-join of the stored inverted file against
     // the (broadcast-small) probe list — a corpus vector meets a query
     // at most once (its cell matches at most one of the query's

@@ -111,6 +111,37 @@ class Round14OpsSpec extends SparkSpec {
     assert(tiny.size < truth.size)
   }
 
+  test("sq8_adc == pure-Scala reference; null and mismatch semantics") {
+    graft.functions.Sq8Adc.register(spark)
+    val words = Seq(0x0807060504030201L, 0xf0e0d0c0b0a09080L)
+    val q = (1 to 16).map(i => i * 0.25)
+    val widths = (1 to 16).map(i => 0.01 * i)
+    val ref = graft.functions.Sq8Adc.reference(words, q, widths)
+    // double-typed query arrays
+    val got = spark.sql(
+      s"""SELECT sq8_adc(array(${words.mkString("L,")}L),
+         |  array(${q.mkString("D,")}D),
+         |  array(${widths.mkString("D,")}D)) AS a""".stripMargin)
+      .collect()(0).getDouble(0)
+    assert(got == ref)
+    // float-typed query arrays (the embeddings column type)
+    val gotF = spark.sql(
+      s"""SELECT sq8_adc(array(${words.mkString("L,")}L),
+         |  CAST(array(${q.mkString(",")}) AS ARRAY<FLOAT>),
+         |  array(${widths.mkString("D,")}D)) AS a""".stripMargin)
+      .collect()(0).getDouble(0)
+    val refF = graft.functions.Sq8Adc.reference(words,
+      q.map(x => x.toFloat.toDouble), widths)
+    assert(gotF == refF)
+    // widths longer than the packed words or the query -> NULL
+    val r = spark.sql(
+      s"""SELECT sq8_adc(array(1L), array(1.0D),
+         |    array(${Seq.fill(9)("0.5D").mkString(",")})) AS toowide,
+         |  sq8_adc(CAST(NULL AS ARRAY<BIGINT>), array(1.0D),
+         |    array(0.5D)) AS nullin""".stripMargin).collect()(0)
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+
   test("qm7: reject band is non-vacuous and invalid media is excluded") {
     val dir = "/root/testdata/sf0.001"
     val out = graft.operators.TrainingOps.crossModalAlign(spark, dir)
