@@ -131,7 +131,14 @@ object UnigramLm {
   def emStep(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val dw = wordFreq(docs)
+    // ONE corpus scan: everything downstream is word-table-grain, and
+    // the lazy frame re-tokenizes the corpus per consumer (model
+    // collect, usage job, and the final join tree referencing the
+    // piece and usage branches — ~5 scans measured, 4.9 s → 1.6 s at
+    // sf0.1). The word table is the SMALL RESULT of the one heavy
+    // pass: eager-localCheckpoint it (the Dedup.minhashNearDups
+    // lifecycle — checkpoint the compact grain, not the corpus).
+    val dw = wordFreq(docs).localCheckpoint()
     val pieces = pieceTable(dw)
     // the model: bounded piece→score map (vocab-capped collect)
     val model: Map[String, Long] = pieces
