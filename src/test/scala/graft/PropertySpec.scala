@@ -25,6 +25,48 @@ class PropertySpec extends SparkSpec {
       "x1", "!", "", " ", "word-with-dash", "UPPER", "123"))
   } yield ws.mkString(" ")
 
+  test("char_hist expression == pure-Scala reference on generated text") {
+    graft.functions.CharHist.register(spark)
+    (1L to 3L).foreach { seed =>
+      val texts = sample(Gen.listOfN(200, textGen), seed)
+      val rows = texts.zipWithIndex.map { case (t, i) => (i, t) }
+        .toDF("i", "t")
+        .select(col("i"), graft.functions.CharHist.of(col("t")).as("h"))
+        .collect()
+      rows.foreach { r =>
+        assert(r.getAs[scala.collection.Seq[Int]]("h") ==
+          graft.functions.CharHist.reference(texts(r.getInt(0))),
+          s"seed=$seed text='${texts(r.getInt(0))}'")
+      }
+    }
+  }
+
+  test("sq8_adc expression == pure-Scala reference on generated codes") {
+    graft.functions.Sq8Adc.register(spark)
+    val caseGen: Gen[(Seq[Long], Seq[Double], Seq[Double])] = for {
+      nWords <- Gen.choose(1, 8)
+      words <- Gen.listOfN(nWords, Gen.choose(Long.MinValue, Long.MaxValue))
+      dim <- Gen.choose(0, nWords * 8)
+      q <- Gen.listOfN(dim, Gen.choose(-4.0, 4.0))
+      ws <- Gen.listOfN(dim, Gen.choose(-0.05, 0.05))
+    } yield (words, q, ws)
+    (1L to 3L).foreach { seed =>
+      val cases = sample(Gen.listOfN(80, caseGen), seed)
+      val rows = cases.zipWithIndex
+        .map { case ((w, q, ws), i) => (i, w, q, ws) }
+        .toDF("i", "w", "q", "ws")
+        .select(col("i"), graft.functions.Sq8Adc.of(
+          col("w"), col("q"), col("ws")).as("a"))
+        .collect()
+      rows.foreach { r =>
+        val (w, q, ws) = cases(r.getInt(0))
+        val got = r.getDouble(1)
+        val want = graft.functions.Sq8Adc.reference(w, q, ws)
+        assert(got == want, s"seed=$seed i=${r.getInt(0)}")
+      }
+    }
+  }
+
   test("hist_l1 expression == pure-Scala reference on generated histograms") {
     graft.functions.HistL1.register(spark)
     val histGen: Gen[Seq[Int]] =
