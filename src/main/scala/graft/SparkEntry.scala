@@ -243,6 +243,7 @@ object SparkEntry {
       (graft.streaming.Admission.vecAdmissionGate _),
     "qd70_unigram_lm" ->
       (graft.operators.UnigramLm.emStepQuery _),
+    "qe26_knn_filtered" -> (TrainingOps.knnFiltered _),
   )
 
   /** Queries intentionally without an oracle — EMPTY since round 5:
@@ -765,6 +766,11 @@ object SparkEntry {
     // every ingredient integer-exact or shared-floor-quantized (see
     // unigramLmSql's scaladoc).
     "qd70_unigram_lm" -> unigramLmSql,
+    // qe26 (filtered search at full probe): candidates provably = the
+    // whole FILTERED corpus for any centroids, so the brute top-10
+    // over the lang='en' slice is the exact truth (queries
+    // unfiltered, self excluded by id).
+    "qe26_knn_filtered" -> knnFilteredSql,
     // qe2 (1-bit-band LSH) and qe4 (full-probe IVF) are declared at
     // provable-equivalence parameters — both reduce to exact cosine
     // top-k, so the brute-force SQL is their oracle verbatim.
@@ -4056,6 +4062,32 @@ object SparkEntry {
        |      FROM s)
        |SELECT query_id, vec_id, rnk, sim FROM r WHERE rnk <= 10
        |ORDER BY query_id, rnk, vec_id""".stripMargin
+
+  /** qe26 oracle: knnSql's construction with the corpus side
+    * restricted to embeddings whose paired doc is lang='en' (queries
+    * unrestricted; the join to documents IS the filter).
+    */
+  private val knnFilteredSql: String = {
+    val ids = graft.operators.TrainingOps.knnQueryIds.mkString(", ")
+    s"""WITH base AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(${dotSql("embedding", "embedding")}) AS nrm
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, embedding AS q_emb, nrm AS q_nrm
+       |      FROM base WHERE vec_id IN ($ids)),
+       |c AS (SELECT b.vec_id, b.embedding, b.nrm
+       |      FROM base b JOIN documents d ON b.vec_id = d.doc_id
+       |      WHERE d.lang = 'en'),
+       |s AS (
+       |  SELECT q.query_id, c.vec_id,
+       |    ${dotSql("c.embedding", "q.q_emb")} / (c.nrm * q.q_nrm) AS sim
+       |  FROM c, q WHERE c.vec_id <> q.query_id),
+       |r AS (SELECT query_id, vec_id, sim,
+       |        CAST(rank() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS INTEGER) AS rnk
+       |      FROM s)
+       |SELECT query_id, vec_id, rnk, sim FROM r WHERE rnk <= 10
+       |ORDER BY query_id, rnk, vec_id""".stripMargin
+  }
 
   private val knnSql: String = {
     val ids = graft.operators.TrainingOps.knnQueryIds.mkString(", ")

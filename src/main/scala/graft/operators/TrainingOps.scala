@@ -1900,6 +1900,60 @@ object TrainingOps {
       k = 10, shortlist = Int.MaxValue,
       packedTable = Some(sqPacked(s, dir)))
 
+  /** qe26 — attribute-FILTERED vector search (round 14): top-k cosine
+    * neighbors restricted to corpus vectors whose paired document has
+    * lang = 'en' — the metadata-filter feature every production
+    * vector store ships (search within a language / license / source
+    * slice) and the reason "ANN + WHERE" must compose in-plan rather
+    * than post-filter: a post-filter on a k-NN result UNDERFILLS k
+    * (neighbors that fail the predicate leave holes), so the filter
+    * must restrict the CANDIDATE set before ranking.
+    *
+    * Plan shape: the lang predicate pushes to the documents scan, the
+    * filtered id set equi-joins the embeddings (the corpus never
+    * scans rows the filter kills), candidates come from the cached
+    * IVF model's cell assignment equi-joined to the queries' probe
+    * list (the qe25 literal full-probe explode — no per-row centroid
+    * scoring at the parity config). Declared at full probe, so the
+    * result provably equals brute force over the filtered corpus for
+    * any centroids and the oracle recomputes it exactly; partial
+    * probe composes with the filter exactly as in qe4 (cells are
+    * filter-independent).
+    *
+    * Queries stay UNfiltered (a query vector needn't satisfy the
+    * predicate it searches under); self-matches cannot arise unless
+    * the query doc itself is lang=en, so the id-inequality guard
+    * stays explicit.
+    */
+  def knnFiltered(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VecDot.register(s)
+    val emb = Tables.embeddings(s, dir)
+    val model = ivfModel(s, dir)
+    val enIds = Tables.documents(s, dir).where(col("lang") === "en")
+      .select(col("doc_id").as("vec_id"))
+    val corpus = Ivf.assignCells(emb.join(enIds, "vec_id"), model)
+      .select(col("vec_id"), col("embedding"), col("cluster"),
+        sqrt(graft.functions.VecDot.of(col("embedding"), col("embedding")))
+          .as("nrm"))
+    val q = emb.filter(col("vec_id").isin(knnQueryIds: _*))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        sqrt(graft.functions.VecDot.of(col("embedding"), col("embedding")))
+          .as("q_nrm"))
+      .withColumn("probe",
+        explode(typedLit(model.centroids.map(_._1).toSeq)))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("vec_id"))
+    corpus.join(broadcast(q), col("cluster") === col("probe"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("sim",
+        graft.functions.VecDot.of(col("embedding"), col("q_emb"))
+          / (col("nrm") * col("q_nrm")))
+      .withColumn("rnk", rank().over(w).cast("int"))
+      .filter(col("rnk") <= 10)
+      .select("query_id", "vec_id", "rnk", "sim")
+      .orderBy("query_id", "rnk", "vec_id")
+  }
+
   /** qe17 — PageRank centrality over the similarity graph — see
     * [[GraphOps.knnPageRank]] (declared there; listed here for the
     * qe-family index).

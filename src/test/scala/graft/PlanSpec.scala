@@ -330,6 +330,17 @@ class PlanSpec extends SparkSpec
       "the batch side must broadcast into the stored index: " + p)
   }
 
+  test("qe26: lang filter reaches the documents scan, cell join stays equi") {
+    val p = plan(graft.operators.TrainingOps.knnFiltered(spark, sf))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "filtered search must stay equi-joins: " + p)
+    assert("EqualTo\\(lang,en\\)|\\(lang#\\d+ = en\\)".r.findFirstIn(p).isDefined,
+      "the lang predicate must reach the documents scan: " + p)
+    assert(p.contains("BroadcastHashJoin"),
+      "probe list must broadcast into the filtered corpus: " + p)
+  }
+
   test("qx29: the SQL surface's unbounded predicate plans banded, equi-join only") {
     val p = plan(graft.operators.Extras.editSqlSurface(spark, sf))
     assert(p.contains("Some(12)"),

@@ -226,6 +226,32 @@ class Round14OpsSpec extends SparkSpec {
     }
   }
 
+  test("qe26: in-plan filter fills k where post-filtering underfills") {
+    val dir = "/root/testdata/sf0.001"
+    val filtered = graft.operators.TrainingOps.knnFiltered(spark, dir)
+      .collect()
+    val en = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("lang") === "en")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // every returned neighbor satisfies the predicate
+    assert(filtered.forall(r => en.contains(r.getAs[Long]("vec_id"))))
+    // each query gets a FULL top-10 from the filtered corpus…
+    val perQuery = filtered.groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.map(_.getAs[Long]("vec_id")).toSet).toMap
+    assert(perQuery.values.forall(_.size >= 10))
+    // …while post-filtering the unfiltered top-10 underfills — the
+    // reason the predicate must restrict candidates BEFORE ranking
+    val unfiltered = graft.operators.TrainingOps.knnBrute(spark, dir)
+      .collect().groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.map(_.getAs[Long]("vec_id")).filter(en).toSet).toMap
+    assert(perQuery.keys.exists(q => unfiltered(q).size < 10),
+      "expected at least one query whose post-filtered top-10 underfills")
+    // and the filtered result is a superset of the post-filter
+    // survivors (they are genuine en-neighbors, just not enough)
+    perQuery.keys.foreach(q =>
+      assert(unfiltered(q).subsetOf(perQuery(q)), s"query $q"))
+  }
+
   test("hist_l1 accumulates in a long: no silent Int wraparound") {
     graft.functions.HistL1.register(spark)
     // two elements of |Int.MaxValue| distance each — the old int
