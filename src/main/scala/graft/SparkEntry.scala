@@ -244,6 +244,8 @@ object SparkEntry {
     "qd70_unigram_lm" ->
       (graft.operators.UnigramLm.emStepQuery _),
     "qe26_knn_filtered" -> (TrainingOps.knnFiltered _),
+    "qd71_unigram_encode" ->
+      (graft.operators.UnigramLm.encodeQuery _),
   )
 
   /** Queries intentionally without an oracle — EMPTY since round 5:
@@ -771,6 +773,9 @@ object SparkEntry {
     // over the lang='en' slice is the exact truth (queries
     // unfiltered, self excluded by id).
     "qe26_knn_filtered" -> knnFilteredSql,
+    // qd71: the trainer chain re-run + the pruned-vocab second DP +
+    // doc rollup (see unigramEncodeSql's scaladoc).
+    "qd71_unigram_encode" -> unigramEncodeSql,
     // qe2 (1-bit-band LSH) and qe4 (full-probe IVF) are declared at
     // provable-equivalence parameters — both reduce to exact cosine
     // top-k, so the brute-force SQL is their oracle verbatim.
@@ -3961,27 +3966,32 @@ object SparkEntry {
     * path score); ties resolve to the longest last piece by CASE
     * order, mirroring the operator's `t > bt` rule exactly.
     */
-  private lazy val unigramLmSql: String = {
-    val sent = graft.operators.UnigramLm.Sentinel.toString
+  private object UnigramSql {
+    val sent: String = graft.operators.UnigramLm.Sentinel.toString
     val maxSteps = 16
-    val windows = (1 to 4).map { l =>
-      s"""  SELECT unnest(list_transform(range(1, length(word) - $l + 2),
-         |      i -> substring(word, CAST(i AS INTEGER), $l))) AS piece, c
-         |  FROM dw WHERE length(word) >= $l""".stripMargin
-    }.mkString("\n  UNION ALL\n")
-    def step(j: Int): String = {
+
+    /** One unrolled Viterbi step: extend `prefix${j-1}`'s 4-deep
+      * (score, segmentation) history by the piece lengths valid at
+      * position j, scores looked up in `pieces`. `fallback` is what a
+      * lookup miss coalesces to: "0" for the seed DP (every substring
+      * is seeded — the coalesce never fires) and the sentinel for the
+      * PRUNED-vocab DP, where a dropped piece must be a non-candidate.
+      */
+    def step(prefix: String, pieces: String, fallback: String,
+             j: Int): String = {
       val ts = 1 to math.min(4, j)
       val joins = ts.map { t =>
-        s"    LEFT JOIN p p$t ON p$t.piece = substring(d.word, ${j - t + 1}, $t)"
+        s"    LEFT JOIN $pieces ${prefix}p$t ON ${prefix}p$t.piece = " +
+          s"substring(d.word, ${j - t + 1}, $t)"
       }.mkString("\n")
       def cand(t: Int): String =
-        if (t <= j) s"d.b${t - 1} + COALESCE(p$t.unat, 0)"
+        if (t <= j) s"d.b${t - 1} + COALESCE(${prefix}p$t.unat, $fallback)"
         else s"CAST($sent AS BIGINT)"
       def pieceStr(t: Int) = s"substring(d.word, ${j - t + 1}, $t)"
       def ext(t: Int) =
         s"CASE WHEN d.s${t - 1} = '' THEN ${pieceStr(t)} " +
           s"ELSE d.s${t - 1} || '|' || ${pieceStr(t)} END"
-      s"""d$j AS MATERIALIZED (
+      s"""$prefix$j AS MATERIALIZED (
          |  SELECT word, c, nb AS b0, ns AS s0, nb1 AS b1, ns1 AS s1,
          |    nb2 AS b2, ns2 AS s2, nb3 AS b3, ns3 AS s3
          |  FROM (
@@ -3995,49 +4005,120 @@ object SparkEntry {
          |           ELSE ${ext(1)} END AS ns,
          |      d.b0 AS nb1, d.s0 AS ns1, d.b1 AS nb2, d.s1 AS ns2,
          |      d.b2 AS nb3, d.s2 AS ns3
-         |    FROM d${j - 1} d
+         |    FROM $prefix${j - 1} d
          |$joins
          |    WHERE length(d.word) >= $j))""".stripMargin
     }
-    val fin = (1 to maxSteps).map(j =>
-      s"  SELECT word, c, s0 AS seg FROM d$j WHERE length(word) = $j")
-      .mkString("\n  UNION ALL\n")
-    s"""WITH dw AS MATERIALIZED (
-       |  SELECT word, CAST(count(*) AS BIGINT) AS c
-       |  FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word
-       |        FROM documents WHERE length(trim(text)) > 0)
-       |  WHERE word <> '' GROUP BY 1),
-       |pw AS (
-       |$windows),
-       |pc AS (SELECT piece, CAST(SUM(c) AS BIGINT) AS seed_count
-       |       FROM pw GROUP BY 1),
-       |tot AS (SELECT CAST(SUM(seed_count) AS BIGINT) AS t FROM pc),
-       |p AS MATERIALIZED (SELECT piece, seed_count,
-       |    CAST(floor(ln(CAST(seed_count AS DOUBLE) / CAST(t AS DOUBLE))
-       |      * 1000000.0 + 0.5) AS BIGINT) AS unat
-       |  FROM pc, tot),
-       |d0 AS MATERIALIZED (SELECT word, c, CAST(0 AS BIGINT) AS b0, '' AS s0,
-       |    CAST($sent AS BIGINT) AS b1, '' AS s1,
-       |    CAST($sent AS BIGINT) AS b2, '' AS s2,
-       |    CAST($sent AS BIGINT) AS b3, '' AS s3 FROM dw),
-       |${(1 to maxSteps).map(step).mkString(",\n")},
-       |fin AS (
-       |$fin),
-       |us AS (SELECT unnest(string_split(seg, '|')) AS piece, c FROM fin),
-       |ug AS (SELECT piece, CAST(SUM(c) AS BIGINT) AS usage
-       |       FROM us GROUP BY 1),
-       |tu AS (SELECT CAST(SUM(usage) AS BIGINT) AS t FROM ug),
-       |sc AS (SELECT p.piece, p.seed_count, p.unat AS seed_unat, u.usage,
-       |    CAST(floor(ln(CAST(u.usage AS DOUBLE) / CAST(tu.t AS DOUBLE))
-       |      * 1000000.0 + 0.5) AS BIGINT) AS new_unat
-       |  FROM p JOIN ug u ON p.piece = u.piece, tu),
-       |rk AS (SELECT piece, row_number() OVER (ORDER BY usage, piece) AS rn,
-       |    count(*) OVER () AS nm
-       |  FROM sc WHERE length(piece) > 1)
+
+    def d0(prefix: String): String =
+      s"""${prefix}0 AS MATERIALIZED (SELECT word, c,
+         |    CAST(0 AS BIGINT) AS b0, '' AS s0,
+         |    CAST($sent AS BIGINT) AS b1, '' AS s1,
+         |    CAST($sent AS BIGINT) AS b2, '' AS s2,
+         |    CAST($sent AS BIGINT) AS b3, '' AS s3 FROM dw)""".stripMargin
+
+    def chain(prefix: String, pieces: String, fallback: String): String =
+      (d0(prefix) +: (1 to maxSteps).map(step(prefix, pieces, fallback, _)))
+        .mkString(",\n")
+
+    def fin(name: String, prefix: String): String =
+      s"$name AS (\n" + (1 to maxSteps).map(j =>
+        s"  SELECT word, c, s0 AS seg FROM $prefix$j WHERE length(word) = $j")
+        .mkString("\n  UNION ALL\n") + ")"
+
+    /** The shared trainer body: word frequencies, seed windows,
+      * micro-nat scores, seed-vocab Viterbi, usage re-estimation, and
+      * the drop ranking — everything through `sc`/`rk`.
+      */
+    val trainerCtes: String = {
+      val windows = (1 to 4).map { l =>
+        s"""  SELECT unnest(list_transform(range(1, length(word) - $l + 2),
+           |      i -> substring(word, CAST(i AS INTEGER), $l))) AS piece, c
+           |  FROM dw WHERE length(word) >= $l""".stripMargin
+      }.mkString("\n  UNION ALL\n")
+      s"""dw AS MATERIALIZED (
+         |  SELECT word, CAST(count(*) AS BIGINT) AS c
+         |  FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word
+         |        FROM documents WHERE length(trim(text)) > 0)
+         |  WHERE word <> '' GROUP BY 1),
+         |pw AS (
+         |$windows),
+         |pc AS (SELECT piece, CAST(SUM(c) AS BIGINT) AS seed_count
+         |       FROM pw GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(seed_count) AS BIGINT) AS t FROM pc),
+         |p AS MATERIALIZED (SELECT piece, seed_count,
+         |    CAST(floor(ln(CAST(seed_count AS DOUBLE) / CAST(t AS DOUBLE))
+         |      * 1000000.0 + 0.5) AS BIGINT) AS unat
+         |  FROM pc, tot),
+         |${chain("d", "p", "0")},
+         |${fin("fin", "d")},
+         |us AS (SELECT unnest(string_split(seg, '|')) AS piece, c FROM fin),
+         |ug AS (SELECT piece, CAST(SUM(c) AS BIGINT) AS usage
+         |       FROM us GROUP BY 1),
+         |tu AS (SELECT CAST(SUM(usage) AS BIGINT) AS t FROM ug),
+         |sc AS MATERIALIZED (
+         |  SELECT p.piece, p.seed_count, p.unat AS seed_unat, u.usage,
+         |    CAST(floor(ln(CAST(u.usage AS DOUBLE) / CAST(tu.t AS DOUBLE))
+         |      * 1000000.0 + 0.5) AS BIGINT) AS new_unat
+         |  FROM p JOIN ug u ON p.piece = u.piece, tu),
+         |rk AS (SELECT piece, row_number() OVER (ORDER BY usage, piece) AS rn,
+         |    count(*) OVER () AS nm
+         |  FROM sc WHERE length(piece) > 1)""".stripMargin
+    }
+  }
+
+  private lazy val unigramLmSql: String =
+    s"""WITH ${UnigramSql.trainerCtes}
        |SELECT s.piece, s.seed_count, s.seed_unat, s.usage, s.new_unat,
        |  (length(s.piece) = 1 OR r.rn > r.nm // 5) AS kept
        |FROM sc s LEFT JOIN rk r ON s.piece = r.piece
        |ORDER BY s.piece""".stripMargin
+
+  /** qd71 oracle: the trainer chain's kept vocabulary (re-estimated
+    * scores) drives a SECOND unrolled Viterbi over the same word
+    * table — dropped pieces coalesce to the sentinel, so they are
+    * non-candidates exactly like the operator's map-miss skip — then
+    * per-word piece counts roll up to (doc, word)-grain token
+    * accounting. Wordless docs pin fertility 1.0 (the qd38 empty-doc
+    * convention).
+    */
+  private lazy val unigramEncodeSql: String = {
+    val sentBig = s"CAST(${UnigramSql.sent} AS BIGINT)"
+    s"""WITH ${UnigramSql.trainerCtes},
+       |kv AS MATERIALIZED (
+       |  SELECT s.piece, s.new_unat AS unat
+       |  FROM sc s LEFT JOIN rk r ON s.piece = r.piece
+       |  WHERE length(s.piece) = 1 OR r.rn > r.nm // 5
+       |  UNION ALL
+       |  SELECT a.piece,
+       |    CAST(floor(ln(CAST(1 AS DOUBLE) / CAST(tu.t AS DOUBLE))
+       |      * 1000000.0 + 0.5) AS BIGINT) AS unat
+       |  FROM (SELECT DISTINCT piece FROM pc WHERE length(piece) = 1) a, tu
+       |  WHERE a.piece NOT IN (SELECT piece FROM sc)),
+       |${UnigramSql.chain("e", "kv", sentBig)},
+       |${UnigramSql.fin("fin2", "e")},
+       |pcount AS (SELECT word,
+       |    CAST(len(string_split(seg, '|')) AS BIGINT) AS np FROM fin2),
+       |dwc AS (
+       |  SELECT doc_id, word, CAST(count(*) AS BIGINT) AS n
+       |  FROM (SELECT doc_id,
+       |          unnest(string_split_regex(trim(text), '\\s+')) AS word
+       |        FROM documents WHERE length(trim(text)) > 0)
+       |  WHERE word <> '' GROUP BY 1, 2),
+       |agg AS (
+       |  SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_words,
+       |    CAST(SUM(n * np) AS BIGINT) AS n_pieces,
+       |    CAST(SUM(n * length(word)) AS BIGINT) AS n_chars
+       |  FROM dwc JOIN pcount USING (word) GROUP BY 1)
+       |SELECT d.doc_id,
+       |  CAST(COALESCE(a.n_words, 0) AS BIGINT) AS n_words,
+       |  CAST(COALESCE(a.n_pieces, 0) AS BIGINT) AS n_pieces,
+       |  CAST(COALESCE(a.n_chars, 0) AS BIGINT) AS n_chars,
+       |  CASE WHEN COALESCE(a.n_words, 0) = 0 THEN 1.0
+       |    ELSE CAST(a.n_pieces AS DOUBLE) / CAST(a.n_words AS DOUBLE)
+       |  END AS fertility
+       |FROM documents d LEFT JOIN agg a USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
   }
 
   /** qe25/qs45 oracle: exhaustive arrivals-vs-corpus cosine top-10 —

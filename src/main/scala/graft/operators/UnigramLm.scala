@@ -94,7 +94,20 @@ object UnigramLm {
     * corpus word is in the seed vocab, so the map lookup never
     * misses on corpus input (require guards foreign callers).
     */
-  def segment(word: String, unat: collection.Map[String, Long]): Seq[String] = {
+  def segment(word: String, unat: collection.Map[String, Long]): Seq[String] =
+    segmentIn(word, unat, strict = true)
+
+  /** The same DP over a PRUNED vocabulary (qd71's encode pass):
+    * pieces absent from the map are simply not candidates —
+    * equivalent to the oracle's COALESCE-to-sentinel form, since a
+    * valid extension always exists (single chars are never dropped).
+    */
+  def segmentKept(word: String,
+                  unat: collection.Map[String, Long]): Seq[String] =
+    segmentIn(word, unat, strict = false)
+
+  private def segmentIn(word: String, unat: collection.Map[String, Long],
+                        strict: Boolean): Seq[String] = {
     val L = word.length
     val best = new Array[Long](L + 1)
     val from = new Array[Int](L + 1)
@@ -106,11 +119,17 @@ object UnigramLm {
       val tMax = math.min(MaxPiece, j)
       while (t <= tMax) {
         val p = word.substring(j - t, j)
-        require(unat.contains(p), s"piece '$p' missing from the seed vocab")
-        val sc = best(j - t) + unat(p)
-        if (sc > bv || (sc == bv && t > bt)) { bv = sc; bt = t }
+        unat.get(p) match {
+          case Some(u) =>
+            val sc = best(j - t) + u
+            if (sc > bv || (sc == bv && t > bt)) { bv = sc; bt = t }
+          case None =>
+            require(!strict, s"piece '$p' missing from the seed vocab")
+        }
         t += 1
       }
+      require(bt > 0,
+        s"'$word' unsegmentable at $j — single chars must be in the vocab")
       best(j) = bv
       from(j) = bt
       j += 1
@@ -177,4 +196,94 @@ object UnigramLm {
   /** qd70 gate query: one unigram-LM EM step over `documents`. */
   def emStepQuery(s: SparkSession, dir: String): DataFrame =
     emStep(Tables.documents(s, dir))
+
+  private val keptCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), Map[String, Long]]()
+
+  /** The trained-and-pruned vocabulary (kept piece → RE-ESTIMATED
+    * micro-nat score), cached per (dir, documents stamp) — the
+    * bpeMergeTable amortize-and-invalidate contract: qd70 (the
+    * TRAINER) keeps re-learning; the application pass (qd71) reuses
+    * the learned table.
+    *
+    * Single chars the seed DP never USED (longer pieces covered
+    * every occurrence, so they carry no usage and fall out of the
+    * EM output) are unioned back at the OOV FLOOR score
+    * `floor(ln(1/totalUsage)·10⁶ + 0.5)` — the qd42 Laplace-floor
+    * move, computed through the engine's own ln for cross-engine
+    * parity. Without them a word whose re-scored segmentation wants
+    * an unused char is unsegmentable, breaking the single-chars-
+    * always-available invariant the pruned DP relies on.
+    */
+  def keptVocab(s: SparkSession, dir: String): Map[String, Long] = {
+    if (keptCache.size > 16) keptCache.clear()
+    keptCache.computeIfAbsent(
+      (dir, graft.io.ArtifactStore.tableStamp(dir, "documents")),
+      _ => {
+        val docs = Tables.documents(s, dir)
+        val rows = emStep(docs).collect()
+        val kept = rows.filter(_.getAs[Boolean]("kept"))
+          .map(r => (r.getAs[String]("piece"), r.getAs[Long]("new_unat")))
+          .toMap
+        val used = rows.map(_.getAs[String]("piece")).toSet
+        val totU = rows.map(_.getAs[Long]("usage")).sum
+        val floorScore = s.sql(
+          "SELECT CAST(floor(ln(CAST(1 AS DOUBLE) / " +
+            s"CAST($totU AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)")
+          .collect()(0).getLong(0)
+        val allChars = wordFreq(docs)
+          .select(explode(split(col("word"), "")).as("ch"))
+          .where(col("ch") =!= "")
+          .distinct().collect().map(_.getString(0))
+        kept ++ allChars.filterNot(used).map(c => (c, floorScore))
+      })
+  }
+
+  /** qd71 — tokenizer APPLICATION (the qd38 move for the unigram
+    * family): segment every document with the trained PRUNED vocab
+    * and report per-doc token accounting — word count, piece count,
+    * alphabetic char count, and fertility (pieces per word, the
+    * qd47 metric at the unigram grain; wordless docs pin 1.0, the
+    * qd38 empty-doc convention).
+    *
+    * Scale shape: the token stream partial-aggregates straight to
+    * (doc, word) counts; the DP runs once per DISTINCT word against
+    * the broadcast kept vocab (map-only); the per-word piece counts
+    * broadcast back into the (doc, word) grain; one doc-keyed
+    * aggregate ends it. The corpus is scanned once and never carries
+    * text past the tokenize.
+    */
+  def encode(docs: DataFrame, vocab: Map[String, Long]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val dwc = docs.where(length(trim(col("text"))) > 0)
+      .select(col("doc_id"),
+        explode(split(trim(col("text")), "\\s+")).as("word"))
+      .where(col("word") =!= "")
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("n"))
+    val bc = spark.sparkContext.broadcast(vocab)
+    val pieceCounts = dwc.select("word").distinct().as[String]
+      .mapPartitions(_.map(w => (w, segmentKept(w, bc.value).length.toLong)))
+      .toDF("word", "np")
+    val agg = dwc.join(broadcast(pieceCounts), "word")
+      .groupBy("doc_id")
+      .agg(sum(col("n")).as("n_words"),
+        sum(col("n") * col("np")).as("n_pieces"),
+        sum(col("n") * length(col("word")).cast("long")).as("n_chars"))
+    docs.select("doc_id").join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_pieces"), lit(0L)).as("n_pieces"),
+        coalesce(col("n_chars"), lit(0L)).as("n_chars"),
+        when(coalesce(col("n_words"), lit(0L)) === 0L, lit(1.0))
+          .otherwise(col("n_pieces").cast("double")
+            / col("n_words").cast("double")).as("fertility"))
+      .orderBy("doc_id")
+  }
+
+  /** qd71 gate query: encode `documents` with the (cached) trained
+    * vocabulary.
+    */
+  def encodeQuery(s: SparkSession, dir: String): DataFrame =
+    encode(Tables.documents(s, dir), keptVocab(s, dir))
 }

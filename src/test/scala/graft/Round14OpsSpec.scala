@@ -252,6 +252,37 @@ class Round14OpsSpec extends SparkSpec {
       assert(unfiltered(q).subsetOf(perQuery(q)), s"query $q"))
   }
 
+  test("qd71: pruned-vocab encode invariants hold corpus-wide") {
+    import graft.operators.UnigramLm
+    val dir = "/root/testdata/sf0.001"
+    val vocab = UnigramLm.keptVocab(spark, dir)
+    // segmentation over the pruned vocab rebuilds every corpus word
+    // from KEPT pieces only
+    val words = UnigramLm
+      .wordFreq(spark.read.parquet(s"$dir/documents.parquet"))
+      .select("word").collect().map(_.getString(0))
+    words.foreach { w =>
+      val segs = UnigramLm.segmentKept(w, vocab)
+      assert(segs.mkString("") == w)
+      assert(segs.forall(vocab.contains), s"'$w' used a dropped piece")
+    }
+    // per-doc accounting: words <= pieces <= chars, pieces >= chars/4
+    val out = UnigramLm.encodeQuery(spark, dir).collect()
+    assert(out.length == 500)
+    out.foreach { r =>
+      val (nw, np, nc) = (r.getAs[Long]("n_words"),
+        r.getAs[Long]("n_pieces"), r.getAs[Long]("n_chars"))
+      assert(nw <= np && np <= nc || (nw == 0 && np == 0 && nc == 0))
+      assert(np * UnigramLm.MaxPiece >= nc)
+      if (nw == 0) assert(r.getAs[Double]("fertility") == 1.0)
+      else assert(r.getAs[Double]("fertility") == np.toDouble / nw.toDouble)
+    }
+    // the floor-scored unused single chars are genuinely present
+    // (the segmentability invariant this round's fix restored)
+    assert(('a' to 'z').forall(c =>
+      !words.exists(_.contains(c)) || vocab.contains(c.toString)))
+  }
+
   test("hist_l1 accumulates in a long: no silent Int wraparound") {
     graft.functions.HistL1.register(spark)
     // two elements of |Int.MaxValue| distance each — the old int
