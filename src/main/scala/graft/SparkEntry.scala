@@ -246,6 +246,10 @@ object SparkEntry {
     "qe26_knn_filtered" -> (TrainingOps.knnFiltered _),
     "qd71_unigram_encode" ->
       (graft.operators.UnigramLm.encodeQuery _),
+    "qd72_unigram_lm2" ->
+      (graft.operators.UnigramLm.emRound2 _),
+    "qs46_composed_admission" ->
+      (graft.streaming.Admission.composedAdmissionGate _),
   )
 
   /** Queries intentionally without an oracle — EMPTY since round 5:
@@ -776,6 +780,13 @@ object SparkEntry {
     // qd71: the trainer chain re-run + the pruned-vocab second DP +
     // doc rollup (see unigramEncodeSql's scaladoc).
     "qd71_unigram_encode" -> unigramEncodeSql,
+    // qd72: EM round 2 — qd71's shared kept-vocab chain, then round
+    // 1's M-step rules applied to the round-2 usage counts.
+    "qd72_unigram_lm2" -> unigramLm2Sql,
+    // qs46: the composed admission verdict — the conjunction of the
+    // three gate oracles (qs39 MinHash, qs44 edit, qs45 vector top-1
+    // at the semantic threshold), one row per arrival.
+    "qs46_composed_admission" -> composedAdmissionSql,
     // qe2 (1-bit-band LSH) and qe4 (full-probe IVF) are declared at
     // provable-equivalence parameters — both reduce to exact cosine
     // top-k, so the brute-force SQL is their oracle verbatim.
@@ -3968,14 +3979,16 @@ object SparkEntry {
     */
   private object UnigramSql {
     val sent: String = graft.operators.UnigramLm.Sentinel.toString
+    val sentBig: String = s"CAST($sent AS BIGINT)"
     val maxSteps = 16
 
     /** One unrolled Viterbi step: extend `prefix${j-1}`'s 4-deep
       * (score, segmentation) history by the piece lengths valid at
       * position j, scores looked up in `pieces`. `fallback` is what a
-      * lookup miss coalesces to: "0" for the seed DP (every substring
-      * is seeded — the coalesce never fires) and the sentinel for the
-      * PRUNED-vocab DP, where a dropped piece must be a non-candidate.
+      * lookup miss coalesces to — the sentinel in every chain since
+      * the MinSeedCount cap: a capped-out or pruned piece must be a
+      * non-candidate (single chars are cap-exempt, so a valid path
+      * always exists and the sentinel never wins).
       */
     def step(prefix: String, pieces: String, fallback: String,
              j: Int): String = {
@@ -4045,12 +4058,15 @@ object SparkEntry {
          |$windows),
          |pc AS (SELECT piece, CAST(SUM(c) AS BIGINT) AS seed_count
          |       FROM pw GROUP BY 1),
-         |tot AS (SELECT CAST(SUM(seed_count) AS BIGINT) AS t FROM pc),
+         |pk AS (SELECT piece, seed_count FROM pc
+         |       WHERE seed_count >= ${graft.operators.UnigramLm.MinSeedCount}
+         |          OR length(piece) = 1),
+         |tot AS (SELECT CAST(SUM(seed_count) AS BIGINT) AS t FROM pk),
          |p AS MATERIALIZED (SELECT piece, seed_count,
          |    CAST(floor(ln(CAST(seed_count AS DOUBLE) / CAST(t AS DOUBLE))
          |      * 1000000.0 + 0.5) AS BIGINT) AS unat
-         |  FROM pc, tot),
-         |${chain("d", "p", "0")},
+         |  FROM pk, tot),
+         |${chain("d", "p", sentBig)},
          |${fin("fin", "d")},
          |us AS (SELECT unnest(string_split(seg, '|')) AS piece, c FROM fin),
          |ug AS (SELECT piece, CAST(SUM(c) AS BIGINT) AS usage
@@ -4065,6 +4081,27 @@ object SparkEntry {
          |    count(*) OVER () AS nm
          |  FROM sc WHERE length(piece) > 1)""".stripMargin
     }
+
+    /** Round-1 kept vocabulary (`kv` = kept pieces at re-estimated
+      * scores, plus unused single chars at the OOV floor) and the
+      * pruned-vocab Viterbi chain over it (`fin2`) — the shared
+      * middle of qd71 (encode) and qd72 (round-2 EM): both segment
+      * the corpus under round 1's trained vocab; they differ only in
+      * what they aggregate from the segmentation.
+      */
+    val keptVocabCtes: String =
+      s"""kv AS MATERIALIZED (
+         |  SELECT s.piece, s.new_unat AS unat
+         |  FROM sc s LEFT JOIN rk r ON s.piece = r.piece
+         |  WHERE length(s.piece) = 1 OR r.rn > r.nm // 5
+         |  UNION ALL
+         |  SELECT a.piece,
+         |    CAST(floor(ln(CAST(1 AS DOUBLE) / CAST(tu.t AS DOUBLE))
+         |      * 1000000.0 + 0.5) AS BIGINT) AS unat
+         |  FROM (SELECT DISTINCT piece FROM pc WHERE length(piece) = 1) a, tu
+         |  WHERE a.piece NOT IN (SELECT piece FROM sc)),
+         |${chain("e", "kv", sentBig)},
+         |${fin("fin2", "e")}""".stripMargin
   }
 
   private lazy val unigramLmSql: String =
@@ -4083,20 +4120,8 @@ object SparkEntry {
     * convention).
     */
   private lazy val unigramEncodeSql: String = {
-    val sentBig = s"CAST(${UnigramSql.sent} AS BIGINT)"
     s"""WITH ${UnigramSql.trainerCtes},
-       |kv AS MATERIALIZED (
-       |  SELECT s.piece, s.new_unat AS unat
-       |  FROM sc s LEFT JOIN rk r ON s.piece = r.piece
-       |  WHERE length(s.piece) = 1 OR r.rn > r.nm // 5
-       |  UNION ALL
-       |  SELECT a.piece,
-       |    CAST(floor(ln(CAST(1 AS DOUBLE) / CAST(tu.t AS DOUBLE))
-       |      * 1000000.0 + 0.5) AS BIGINT) AS unat
-       |  FROM (SELECT DISTINCT piece FROM pc WHERE length(piece) = 1) a, tu
-       |  WHERE a.piece NOT IN (SELECT piece FROM sc)),
-       |${UnigramSql.chain("e", "kv", sentBig)},
-       |${UnigramSql.fin("fin2", "e")},
+       |${UnigramSql.keptVocabCtes},
        |pcount AS (SELECT word,
        |    CAST(len(string_split(seg, '|')) AS BIGINT) AS np FROM fin2),
        |dwc AS (
@@ -4121,6 +4146,32 @@ object SparkEntry {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  /** qd72 oracle: EM round 2 — the round-1 trainer chain, its kept
+    * vocabulary, the pruned-vocab Viterbi re-segmentation (all shared
+    * with qd71 via [[UnigramSql.keptVocabCtes]]), then the M-step
+    * re-estimation and drop ranking applied to the ROUND-2 usage
+    * counts (the same exact-integer rules as round 1's `sc`/`rk`).
+    */
+  private lazy val unigramLm2Sql: String =
+    s"""WITH ${UnigramSql.trainerCtes},
+       |${UnigramSql.keptVocabCtes},
+       |ug2 AS (SELECT piece, CAST(SUM(c) AS BIGINT) AS usage
+       |  FROM (SELECT unnest(string_split(seg, '|')) AS piece, c FROM fin2)
+       |  GROUP BY 1),
+       |tu2 AS (SELECT CAST(SUM(usage) AS BIGINT) AS t FROM ug2),
+       |sc2 AS MATERIALIZED (
+       |  SELECT g.piece, g.usage,
+       |    CAST(floor(ln(CAST(g.usage AS DOUBLE) / CAST(tu2.t AS DOUBLE))
+       |      * 1000000.0 + 0.5) AS BIGINT) AS new_unat
+       |  FROM ug2 g, tu2),
+       |rk2 AS (SELECT piece, row_number() OVER (ORDER BY usage, piece) AS rn,
+       |    count(*) OVER () AS nm
+       |  FROM sc2 WHERE length(piece) > 1)
+       |SELECT s.piece, s.usage, s.new_unat,
+       |  (length(s.piece) = 1 OR r.rn > r.nm // 5) AS kept
+       |FROM sc2 s LEFT JOIN rk2 r ON s.piece = r.piece
+       |ORDER BY s.piece""".stripMargin
+
   /** qe25/qs45 oracle: exhaustive arrivals-vs-corpus cosine top-10 —
     * knnSql's construction over the src19 split (embedding↔doc pairing
     * on the shared id space; the inner join scopes both sides to the
@@ -4143,6 +4194,73 @@ object SparkEntry {
        |      FROM s)
        |SELECT query_id, vec_id, rnk, sim FROM r WHERE rnk <= 10
        |ORDER BY query_id, rnk, vec_id""".stripMargin
+
+  /** qs46 oracle: the composed admission verdict — the CONJUNCTION
+    * of the three gate oracles, one row per arrival. The MinHash leg
+    * is qs39's exhaustive batch×corpus truth, the edit leg qs44's
+    * prefiltered-exhaustive truth (same sound prunes, same
+    * MATERIALIZED fence), the vector leg the exhaustive top-1 cosine
+    * against [[graft.streaming.Admission.VecNeighborThreshold]]
+    * (bit-equal dot folds make the threshold comparison engine-safe).
+    * Docs without embeddings coalesce the semantic leg to FALSE,
+    * mirroring the operator's left join.
+    */
+  private lazy val composedAdmissionSql: String = {
+    val thr = graft.streaming.Admission.VecNeighborThreshold
+    s"""$shingleCte,
+       |m AS MATERIALIZED (
+       |  SELECT sh.doc_id, d.source != 'src19' AS corp, sh.s
+       |  FROM sh JOIN documents d USING (doc_id)),
+       |x AS (SELECT b.doc_id, CAST(min(c.doc_id) AS BIGINT) AS dup_of
+       |  FROM m b JOIN m c ON NOT b.corp AND c.corp
+       |    AND CAST(len(list_intersect(b.s, c.s)) AS DOUBLE)
+       |      / CAST(len(list_distinct(list_concat(b.s, c.s)))
+       |          AS DOUBLE) >= 0.9
+       |  GROUP BY 1),
+       |h AS (
+       |  SELECT doc_id, source, text, length(text) AS len,
+       |    [length(lt) - length(replace(lt, chr(c), ''))
+       |     FOR c IN [97,98,99,100,101,102,103,104,105,106,107,108,
+       |               109,110,111,112,113,114,115,116,117,118,119,
+       |               120,121,122,32,48,49,50,51,52,53,54,55,56,57]]
+       |      AS hist
+       |  FROM (SELECT doc_id, source, text, lower(text) AS lt
+       |        FROM documents)),
+       |cand AS MATERIALIZED (
+       |  SELECT a.doc_id AS did, b.doc_id AS cid, a.text AS ta,
+       |    b.text AS tb
+       |  FROM h a JOIN h b ON a.source = 'src19' AND b.source != 'src19'
+       |   AND abs(a.len - b.len) <= 12
+       |   AND list_sum(list_transform(list_zip(a.hist, b.hist),
+       |         x -> abs(x[1] - x[2]))) <= 24),
+       |edd AS (SELECT DISTINCT did FROM cand
+       |        WHERE levenshtein(ta, tb) <= 12),
+       |vbase AS MATERIALIZED (
+       |  SELECT e.vec_id, e.embedding,
+       |    sqrt(${dotSql("e.embedding", "e.embedding")}) AS nrm, d.source
+       |  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id),
+       |vq AS (SELECT vec_id AS query_id, embedding AS q_emb, nrm AS q_nrm
+       |       FROM vbase WHERE source = 'src19'),
+       |vcorp AS (SELECT vec_id, embedding, nrm FROM vbase
+       |          WHERE source <> 'src19'),
+       |vt AS (SELECT vq.query_id,
+       |    max(${dotSql("vcorp.embedding", "vq.q_emb")}
+       |        / (vcorp.nrm * vq.q_nrm)) AS vec_top_sim
+       |  FROM vcorp, vq GROUP BY 1)
+       |SELECT d.doc_id,
+       |  x.dup_of IS NOT NULL AS minhash_dup,
+       |  edd.did IS NOT NULL AS edit_dup,
+       |  COALESCE(vt.vec_top_sim >= $thr, FALSE) AS vec_neighbor,
+       |  vt.vec_top_sim AS vec_top_sim,
+       |  NOT (x.dup_of IS NOT NULL OR edd.did IS NOT NULL
+       |       OR COALESCE(vt.vec_top_sim >= $thr, FALSE)) AS admit
+       |FROM documents d
+       |LEFT JOIN x ON d.doc_id = x.doc_id
+       |LEFT JOIN edd ON d.doc_id = edd.did
+       |LEFT JOIN vt ON d.doc_id = vt.query_id
+       |WHERE d.source = 'src19'
+       |ORDER BY d.doc_id""".stripMargin
+  }
 
   /** qe26 oracle: knnSql's construction with the corpus side
     * restricted to embeddings whose paired doc is lang='en' (queries

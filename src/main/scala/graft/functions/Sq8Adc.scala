@@ -71,7 +71,10 @@ case class Sq8Adc(first: Expression, second: Expression, third: Expression)
     val qv = q.asInstanceOf[ArrayData]
     val widths = ws.asInstanceOf[ArrayData]
     val dim = widths.numElements()
-    if (qv.numElements() < dim || words.numElements() * 8 < dim) return null
+    // guard in LONG: a >2^28-element words array would overflow the
+    // 32-bit product and let a malformed row past the dimension check
+    if (qv.numElements() < dim || words.numElements().toLong * 8L < dim.toLong)
+      return null
     val f = qIsFloat
     var acc = 0.0
     var d = 0
@@ -97,7 +100,7 @@ case class Sq8Adc(first: Expression, second: Expression, third: Expression)
                  else s"$q.getDouble($d)"
       s"""
          |int $dim = $ws.numElements();
-         |if ($q.numElements() < $dim || $w.numElements() * 8 < $dim) {
+         |if ($q.numElements() < $dim || (long) $w.numElements() * 8L < (long) $dim) {
          |  ${ev.isNull} = true;
          |} else {
          |  double $acc = 0.0;

@@ -22,8 +22,10 @@ import org.apache.spark.sql.functions._
   *    trains); the corpus never re-enters after that one aggregate;
   *  - seed vocab = every substring of length 1..[[MaxPiece]] of every
   *    corpus word, counted with word multiplicity (overlapping
-  *    windows); single chars are always present, so every word is
-  *    segmentable by construction;
+  *    windows), then capped at [[MinSeedCount]] occurrences (single
+  *    chars exempt — they are always present, so every word stays
+  *    segmentable by construction; capped-out windows are DP
+  *    non-candidates, mirroring the oracle's sentinel coalesce);
   *  - piece log-likelihoods are quantized to integer MICRO-NATS with
   *    the shared floor construction (`floor(ln(c/t)·10⁶ + 0.5)`, the
   *    qd11/qd21/qd23 pattern whose Spark-log ≡ DuckDB-ln parity is
@@ -38,10 +40,12 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: the word-frequency table is the Zipf-bounded object
   * qd9 already builds (one map-side-combined aggregate over the token
-  * stream); the piece table is bounded by Σ_l |Σ|^l ∧ observed
-  * windows and COLLECTS as the model (the qd55 vocab-capped-collect
-  * precedent — kilobytes here, and production caps the seed with
-  * `minCount`); the E-step is a per-distinct-word Scala DP against
+  * stream); the piece table is bounded by the [[MinSeedCount]] cap —
+  * only windows the corpus repeats survive, so the model collect is
+  * Zipf-head-sized, not distinct-substring-sized — and COLLECTS as
+  * the model (the qd55 vocab-capped-collect precedent, now with the
+  * `minCount` cap real SentencePiece applies); the E-step is a
+  * per-distinct-word Scala DP against
   * the broadcast score map (map-only, no shuffle, O(|w|·MaxPiece)
   * per word); usage counts partial-aggregate map-side. Nothing
   * corpus-scale crosses an exchange after the first aggregate.
@@ -52,6 +56,18 @@ object UnigramLm {
     * and the DP window constant.
     */
   val MaxPiece = 4
+
+  /** Seed-vocab frequency cap (the `minCount` real SentencePiece
+    * applies): multi-char windows seen fewer than this many times are
+    * dropped BEFORE the model collect, so the driver-side model is
+    * bounded by the Zipf head, not by all distinct ≤4-char substrings
+    * of all distinct words (which grows without bound with corpus
+    * tail — typos, URLs). Single chars are exempt: they are the
+    * segmentability floor the DP's completeness argument stands on.
+    * Mirrored exactly in the DuckDB oracle chain (`pk` CTE), so the
+    * gate stays hash-green wherever the cap binds.
+    */
+  val MinSeedCount = 2
 
   /** Invalid-extension sentinel for the DP (and the oracle's mirror):
     * far below any reachable path score (≥ 8 pieces × ~−17·10⁶
@@ -68,9 +84,13 @@ object UnigramLm {
 
   /** Seed piece table (piece, seed_count, seed_unat): overlapping
     * substring windows of length 1..MaxPiece over the word table,
-    * weighted by word frequency. Window extraction rides the
-    * regexp lookahead (codegen) — the qd23 rule: no transform()
-    * lambda on a scanned frame.
+    * weighted by word frequency, CAPPED at [[MinSeedCount]] (single
+    * chars exempt) before scoring — the bounded-model contract the
+    * driver-side collect depends on. Scores normalize over the KEPT
+    * mass (totals computed after the cap), matching the oracle's
+    * `pk`/`tot` chain. Window extraction rides the regexp lookahead
+    * (codegen) — the qd23 rule: no transform() lambda on a scanned
+    * frame.
     */
   def pieceTable(dw: DataFrame): DataFrame = {
     val perLen = (1 to MaxPiece).map { l =>
@@ -80,6 +100,7 @@ object UnigramLm {
           col("c"))
     }.reduce(_.unionAll(_))
     val counts = perLen.groupBy("piece").agg(sum("c").as("seed_count"))
+      .where(col("seed_count") >= MinSeedCount || length(col("piece")) === 1)
     val total = counts.agg(sum("seed_count").as("t"))
     counts.crossJoin(broadcast(total))
       .withColumn("seed_unat",
@@ -90,9 +111,9 @@ object UnigramLm {
 
   /** Viterbi segmentation of one word under integer piece scores —
     * best[j] = max over t ≤ min(MaxPiece, j) of best[j−t] +
-    * unat(w[j−t..j]), ties to the largest t. Every substring of a
-    * corpus word is in the seed vocab, so the map lookup never
-    * misses on corpus input (require guards foreign callers).
+    * unat(w[j−t..j]), ties to the largest t. STRICT form for vocabs
+    * that carry every substring (tests, uncapped callers): a lookup
+    * miss is a caller error, not a pruned candidate.
     */
   def segment(word: String, unat: collection.Map[String, Long]): Seq[String] =
     segmentIn(word, unat, strict = true)
@@ -108,7 +129,18 @@ object UnigramLm {
 
   private def segmentIn(word: String, unat: collection.Map[String, Long],
                         strict: Boolean): Seq[String] = {
-    val L = word.length
+    // DP positions count CODEPOINTS, not UTF-16 units: the seed
+    // windows (Java-regex `.`), Spark's length(), and the DuckDB
+    // oracle's substring all operate on codepoints, so a non-BMP
+    // char (emoji) must advance the DP by one position, not two
+    // half-surrogates that were never seeded (ADVICE r14). off(i) =
+    // UTF-16 offset of codepoint boundary i, so pieces slice on
+    // codepoint boundaries only.
+    val L = word.codePointCount(0, word.length)
+    val off = new Array[Int](L + 1)
+    var i = 0
+    var o = 0
+    while (i < L) { o = word.offsetByCodePoints(o, 1); i += 1; off(i) = o }
     val best = new Array[Long](L + 1)
     val from = new Array[Int](L + 1)
     var j = 1
@@ -118,7 +150,7 @@ object UnigramLm {
       var t = 1
       val tMax = math.min(MaxPiece, j)
       while (t <= tMax) {
-        val p = word.substring(j - t, j)
+        val p = word.substring(off(j - t), off(j))
         unat.get(p) match {
           case Some(u) =>
             val sc = best(j - t) + u
@@ -137,7 +169,7 @@ object UnigramLm {
     var k = L
     var out = List.empty[String]
     while (k > 0) {
-      out = word.substring(k - from(k), k) :: out
+      out = word.substring(off(k - from(k)), off(k)) :: out
       k -= from(k)
     }
     out
@@ -164,10 +196,13 @@ object UnigramLm {
       .select(col("piece"), col("seed_unat"))
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
     val bc = spark.sparkContext.broadcast(model)
-    // E-step: map-only DP per distinct word, usage weighted by c
+    // E-step: map-only DP per distinct word, usage weighted by c.
+    // Non-strict: a window the MinSeedCount cap dropped is a
+    // NON-CANDIDATE (the oracle's COALESCE-to-sentinel), and single
+    // chars are exempt from the cap so a valid path always exists.
     val usage = dw.select(col("word"), col("c")).as[(String, Long)]
       .mapPartitions(_.flatMap { case (w, c) =>
-        segment(w, bc.value).map(p => (p, c))
+        segmentKept(w, bc.value).map(p => (p, c))
       })
       .toDF("piece", "uc")
       .groupBy("piece").agg(sum("uc").as("usage"))
@@ -265,7 +300,13 @@ object UnigramLm {
     val pieceCounts = dwc.select("word").distinct().as[String]
       .mapPartitions(_.map(w => (w, segmentKept(w, bc.value).length.toLong)))
       .toDF("word", "np")
-    val agg = dwc.join(broadcast(pieceCounts), "word")
+    // NO broadcast hint: pieceCounts is DISTINCT-WORD grain — the
+    // Zipf tail (typos, URLs) makes that unbounded at corpus scale,
+    // so the word-keyed equi-join must be free to shuffle (the
+    // (doc, word) side is already partial-aggregated, so the shuffle
+    // moves the bounded grain; AQE may still pick broadcast at small
+    // SF from MEASURED size, which is the adaptive behavior we want).
+    val agg = dwc.join(pieceCounts, "word")
       .groupBy("doc_id")
       .agg(sum(col("n")).as("n_words"),
         sum(col("n") * col("np")).as("n_pieces"),
@@ -286,4 +327,49 @@ object UnigramLm {
     */
   def encodeQuery(s: SparkSession, dir: String): DataFrame =
     encode(Tables.documents(s, dir), keptVocab(s, dir))
+
+  /** qd72 — EM ROUND 2, closing the train-loop arc (qd35's
+    * driver-loop precedent applied to the unigram family): re-segment
+    * the corpus under round 1's TRAINED vocabulary ([[keptVocab]],
+    * amortized via the stamp cache so the bench measures the round-2
+    * work), re-estimate piece likelihoods from the round-2 usage
+    * counts, and apply the same exact-integer drop rule — bottom
+    * ⌊n/5⌋ of used multi-char pieces by (usage ASC, piece ASC),
+    * single chars never dropped. Further rounds are this operator
+    * re-run on round 2's kept vocab: the loop real SentencePiece
+    * iterates until the target vocab size.
+    *
+    * Scale shape: identical to round 1's E/M — one corpus scan to the
+    * word table, a map-only DP per distinct word against the
+    * broadcast (bounded, round-1-pruned) vocab, map-side partial
+    * aggregation of usage, and a vocab-grain ranked window.
+    */
+  def emRound2(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val vocab = keptVocab(s, dir)
+    val bc = s.sparkContext.broadcast(vocab)
+    val usage = wordFreq(Tables.documents(s, dir))
+      .select(col("word"), col("c")).as[(String, Long)]
+      .mapPartitions(_.flatMap { case (w, c) =>
+        segmentKept(w, bc.value).map(p => (p, c))
+      })
+      .toDF("piece", "uc")
+      .groupBy("piece").agg(sum("uc").as("usage"))
+    val totU = usage.agg(sum("usage").as("tu"))
+    val scored = usage.crossJoin(broadcast(totU))
+      .withColumn("new_unat",
+        floor(log(col("usage").cast("double") / col("tu").cast("double"))
+          * lit(1e6) + lit(0.5)).cast("long"))
+      .select("piece", "usage", "new_unat")
+    val multi = scored.filter(length(col("piece")) > 1)
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("usage").asc, col("piece").asc)))
+      .withColumn("nm", count(lit(1)).over(
+        Window.partitionBy(lit(1))))
+      .select(col("piece"), (col("rn") > expr("nm div 5")).as("kept"))
+    scored.join(multi, Seq("piece"), "left")
+      .withColumn("kept", coalesce(col("kept"), lit(true)))
+      .select("piece", "usage", "new_unat", "kept")
+      .orderBy("piece")
+  }
 }

@@ -228,6 +228,61 @@ object VecAdmission {
       .select("query_id", "vec_id", "rnk", "sim")
   }
 
+  private val calibrations = new java.util.concurrent.ConcurrentHashMap[
+    (String, String, Int, Int), (Int, Int, Double)]()
+
+  /** Calibrated production operating point — [[graft.operators
+    * .Similarity.bandGeometry]]'s contract ported to the IVF tier:
+    * the cheapest (nProbe, shortlist) whose recall@k against the
+    * full-probe/full-shortlist truth reaches `targetRecall`. Unlike
+    * sign-LSH bands there is no closed-form recall model here (cell
+    * occupancy and quantization loss are data-dependent), so the
+    * calibration MEASURES each ladder rung through the same
+    * [[admit]] pipeline the gate runs — the "measure, don't guess"
+    * rule — walking probes (then shortlists) in cost order and
+    * stopping at the first rung that reaches target. Recall is pair
+    * recall over the arrival set (|found ∩ truth| / |truth|, the
+    * Round14OpsSpec metric); the truth and each rung are
+    * report-grain collects (arrivals × k pairs).
+    *
+    * Cached per (dir, table stamps, k, target‰): calibration is part
+    * of index training — a production gate calibrates once per index
+    * generation and serves the chosen config from the model tier.
+    * Full probe + full shortlist is exact by construction, so the
+    * ladder always terminates at a config meeting any target ≤ 1.
+    */
+  def calibrateOperatingPoint(s: SparkSession, dir: String, k: Int = 10,
+                              targetRecall: Double = 0.8)
+      : (Int, Int, Double) = {
+    require(targetRecall > 0 && targetRecall <= 1.0)
+    if (calibrations.size > 64) calibrations.clear()
+    val (d, st) = stampKey(dir)
+    calibrations.computeIfAbsent(
+      (d, st, k, (targetRecall * 1000).toInt), _ => {
+        val model = corpusModel(s, dir)
+        val sq = corpusSqModel(s, dir)
+        val arrivals = arrivalEmb(s, dir)
+        val cells = storedCells(s, dir)
+        val codes = storedCodes(s, dir)
+        val corpus = corpusEmb(s, dir)
+        def pairs(nProbe: Int, shortlist: Int): Set[(Long, Long)] =
+          admit(arrivals, cells, codes, corpus, model, sq,
+              k = k, nProbe = nProbe, shortlist = shortlist)
+            .select("query_id", "vec_id")
+            .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val truth = pairs(model.k, Int.MaxValue)
+        val probeLadder = Iterator.iterate(2)(_ * 2)
+          .takeWhile(_ < model.k).toSeq
+        val shortLadder = Seq(4 * k, 8 * k, 16 * k, 32 * k)
+        val hit = (for (np <- probeLadder.iterator;
+                        sl <- shortLadder.iterator) yield {
+          val r = pairs(np, sl).intersect(truth).size.toDouble / truth.size
+          (np, sl, r)
+        }).find(_._3 >= targetRecall)
+        hit.getOrElse((model.k, Int.MaxValue, 1.0))
+      })
+  }
+
   /** qe25 gate query — the declared parity config (full probe + full
     * shortlist ≡ exhaustive corpus kNN for the arrivals; both
     * artifacts probed on the way).

@@ -71,19 +71,44 @@ object BandedLevenshteinRewrite extends Rule[LogicalPlan] {
   private def lenDiff(l: Expression, r: Expression): Expression =
     Abs(Subtract(Length(l), Length(r)))
 
+  /** The injected guard duplicates both operands (once under Length,
+    * once in the banded DP): sound only when they are deterministic —
+    * a non-deterministic operand would see two different values and
+    * change result semantics, and standard optimizer-rule practice is
+    * to not duplicate such expressions at all. Non-deterministic
+    * operands still get the banded DP (single evaluation, same
+    * truth), just not the length short-circuit.
+    */
+  private def canGuard(l: Expression, r: Expression): Boolean =
+    l.deterministic && r.deterministic
+
   /** Distance-small direction: guard first, band second, so codegen
     * short-circuits non-candidates before the DP.
     */
-  private def within(l: Expression, r: Expression, k: Int): Expression =
-    And(LessThanOrEqual(lenDiff(l, r), Literal(k)),
-      GreaterThanOrEqual(banded(l, r, k), Literal(0)))
+  private def within(l: Expression, r: Expression, k: Int): Expression = {
+    val band = GreaterThanOrEqual(banded(l, r, k), Literal(0))
+    if (canGuard(l, r))
+      And(LessThanOrEqual(lenDiff(l, r), Literal(k)), band)
+    else band
+  }
 
   /** Distance-large direction: a length gap past k alone proves
     * d > k, so the guard short-circuits the DP as a disjunct.
     */
-  private def beyond(l: Expression, r: Expression, k: Int): Expression =
-    Or(GreaterThan(lenDiff(l, r), Literal(k)),
-      LessThan(banded(l, r, k), Literal(0)))
+  private def beyond(l: Expression, r: Expression, k: Int): Expression = {
+    val band = LessThan(banded(l, r, k), Literal(0))
+    if (canGuard(l, r))
+      Or(GreaterThan(lenDiff(l, r), Literal(k)), band)
+    else band
+  }
+
+  /** `d = k`: band equality, length-guarded when sound. */
+  private def exactly(l: Expression, r: Expression, k: Int): Expression = {
+    val band = EqualTo(banded(l, r, k), Literal(k))
+    if (canGuard(l, r))
+      And(LessThanOrEqual(lenDiff(l, r), Literal(k)), band)
+    else band
+  }
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressionsWithPruning(
@@ -106,10 +131,8 @@ object BandedLevenshteinRewrite extends Rule[LogicalPlan] {
       case LessThanOrEqual(K(k), Levenshtein(l, r, None)) if k >= 1 =>
         beyond(l, r, k - 1)
       case EqualTo(Levenshtein(l, r, None), K(k)) if k >= 0 =>
-        And(LessThanOrEqual(lenDiff(l, r), Literal(k)),
-          EqualTo(banded(l, r, k), Literal(k)))
+        exactly(l, r, k)
       case EqualTo(K(k), Levenshtein(l, r, None)) if k >= 0 =>
-        And(LessThanOrEqual(lenDiff(l, r), Literal(k)),
-          EqualTo(banded(l, r, k), Literal(k)))
+        exactly(l, r, k)
     }
 }

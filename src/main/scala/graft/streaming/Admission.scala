@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.core.Tables
-import graft.operators.{Dedup, TrainingOps}
+import graft.operators.{Dedup, EditJoin, TrainingOps, VecAdmission}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
@@ -223,6 +223,114 @@ object Admission {
     }
     s.read.parquet(outRoot)
       .select("doc_id", "dup_of", "edit_dist", "is_dup")
+      .orderBy("doc_id")
+  }
+
+  /** Semantic-neighbor threshold for the composed verdict's vector
+    * leg: an arrival whose nearest corpus neighbor's cosine reaches
+    * this is flagged `vec_neighbor`. Calibrated to the MEASURED
+    * synthetic-embedding top-1 distribution (0.28–0.45 at sf0.001
+    * and sf0.01 — the corpus plants no semantic near-dups), so both
+    * verdict classes are live on the gate corpora (the qd28
+    * non-vacuousness rule); production embeddings would run ~0.9.
+    * Comparisons are safe at a threshold because both engines
+    * compute sim through the bit-equal sequential dot fold.
+    */
+  val VecNeighborThreshold = 0.4
+
+  /** qs46 — the COMPOSED admission verdict: one drain over the same
+    * landing, every micro-batch probed by ALL THREE standing indexes
+    * (qs39's MinHash bands, qs44's edit window/signature tables,
+    * qs45's IVF cells + SQ8 codes), one row per arrival carrying the
+    * per-gate verdicts and the production keep/reject conjunction —
+    * `admit = NOT (minhash_dup OR edit_dup OR vec_neighbor)` (qd34's
+    * composition precedent: the composed truth is exactly the
+    * conjunction of the three gates' individually-proven oracles).
+    *
+    * This is what the admission stack exists to run: qs39/qs44/qs45
+    * each prove one gate on the shared landing; a production pipeline
+    * makes ONE pass and one decision. Per-batch work is the sum of
+    * the three gates' O(batch) probes — still no corpus rescan, and
+    * the batch frame is persisted across its three consumers so the
+    * JSONL parse happens once per micro-batch. Verdicts stay
+    * order-free (each leg depends only on (that doc, its standing
+    * index)), so the micro-batch union equals the one-shot batch run
+    * and the three batch oracles compose verbatim.
+    */
+  def composedAdmissionGate(s: SparkSession, dir: String): DataFrame = {
+    val outRoot = graft.io.Scratch.qs39Dir(dir) + "/composed_verdicts"
+    org.apache.commons.io.FileUtils
+      .deleteQuietly(new java.io.File(outRoot))
+    // standing state for all three gates, persisted for the drain's
+    // lifetime and released after (the qs39 pattern)
+    val corpus = Tables.documents(s, dir).where(isCorpus)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bands = TrainingOps.corpusBands(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val windex = EditJoin.storedWindowIndex(s, dir, corpus)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val csigs = EditJoin.storedSignatures(s, dir, corpus)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val model = VecAdmission.corpusModel(s, dir)
+    val sq = VecAdmission.corpusSqModel(s, dir)
+    val cells = VecAdmission.storedCells(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val codes = VecAdmission.storedCodes(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val corpusEmb = VecAdmission.corpusEmb(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val emb = Tables.embeddings(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val landing = landBatchJsonl(s, dir)
+    try EventStream.withShufflePartitions(s, 8) {
+      val stream = s.readStream
+        .schema(graft.ingest.JsonlIngest.DocSchema)
+        .option("maxFilesPerTrigger", 1)
+        .json(landing)
+      val q = stream.writeStream
+        .foreachBatch { (df: DataFrame, batchId: Long) =>
+          // three gate pipelines consume the batch: parse it once
+          val d = df.persist(
+            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            val mh = Dedup.admitAgainst(corpus, bands, d, threshold = 0.9)
+              .select(col("doc_id"), col("is_dup").as("minhash_dup"))
+            val ed = EditJoin.editAdmission(corpus, windex, csigs, d,
+                "doc_id", "text")
+              .select(col("doc_id"), col("is_dup").as("edit_dup"))
+            val arrivals = emb
+              .join(d.select(col("doc_id").as("vec_id")), "vec_id")
+              .select(col("vec_id").as("query_id"),
+                col("embedding").as("q_emb"))
+            val vecTop = VecAdmission.admit(arrivals, cells, codes,
+                corpusEmb, model, sq,
+                k = 1, nProbe = model.k, shortlist = Int.MaxValue)
+              .groupBy("query_id").agg(max("sim").as("vec_top_sim"))
+              .withColumnRenamed("query_id", "doc_id")
+            // a doc with no embedding has no vector verdict: the
+            // semantic leg coalesces to false (mirrored in the oracle)
+            val semantic = coalesce(
+              col("vec_top_sim") >= VecNeighborThreshold, lit(false))
+            mh.join(ed, "doc_id")
+              .join(vecTop, Seq("doc_id"), "left")
+              .select(col("doc_id"), col("minhash_dup"), col("edit_dup"),
+                semantic.as("vec_neighbor"), col("vec_top_sim"),
+                (!(col("minhash_dup") || col("edit_dup") || semantic))
+                  .as("admit"))
+              .write.mode("overwrite").parquet(s"$outRoot/batch=$batchId")
+          } finally d.unpersist(blocking = false)
+          ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally {
+      Seq(corpus, bands, windex, csigs, cells, codes, corpusEmb, emb)
+        .foreach(_.unpersist(blocking = false))
+    }
+    s.read.parquet(outRoot)
+      .select("doc_id", "minhash_dup", "edit_dup", "vec_neighbor",
+        "vec_top_sim", "admit")
       .orderBy("doc_id")
   }
 }

@@ -951,6 +951,21 @@ class PlanSpec extends SparkSpec
     assert(read.contains("embedding") && !read.contains("vec_id"), read)
   }
 
+  test("qd71: word-grain piece counts carry NO broadcast hint") {
+    // the distinct-word grain is Zipf-tail unbounded at corpus scale
+    // (VERDICT r14 #3): the word-keyed equi-join must stay free to
+    // shuffle — only measured-size AQE may choose broadcast. The pin
+    // is on the ANALYZED plan (hints are consumed by the optimizer):
+    // no ResolvedHint may cover the subtree producing `np`.
+    val df = graft.operators.UnigramLm.encodeQuery(spark, sf)
+    val hinted = df.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+          if h.child.output.exists(_.name == "np") => h
+    }
+    assert(hinted.isEmpty,
+      s"pieceCounts (np) must not be broadcast-hinted: $hinted")
+  }
+
   test("global sweep: no declared query plans a CartesianProduct") {
     // BroadcastNestedLoopJoin is allowed ONLY where the operator is
     // deliberately O(n^2) at its declared verification config (qe3's
@@ -1014,7 +1029,9 @@ class PlanSpec extends SparkSpec
         // qd70: the seed-vocab total and the usage total as 1-row
         // broadcasts into vocab-grain projections (the qd22/qd23
         // class — both sides bounded by the piece table)
-        "qd70_unigram_lm")
+        "qd70_unigram_lm",
+        // qd72: round 2's usage total, same 1-row broadcast class
+        "qd72_unigram_lm2")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val p = plan(fn(spark, sf))
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian")
