@@ -36,6 +36,19 @@ object Bench {
       // many-small-file partitioned writes; irrelevant on HDFS/S3A)
       .config("spark.hadoop.fs.file.impl",
         "org.apache.hadoop.fs.RawLocalFileSystem")
+      // status-store retention (round 15): even with the UI disabled,
+      // AppStatusListener + SQLAppStatusListener retain up to 1000
+      // jobs/stages/executions in the ElementTrackingStore — and this
+      // suite's retained SQL executions carry PLAN-GRAPH strings of
+      // unrolled-DP oracles and literal-heavy scorers. Across ~600
+      // query executions the r14 sweep's heap crept 350 MB -> 1 GB of
+      // exactly such state (bench_details/r14 telemetry); old-gen
+      // pressure from it is charged to whatever query runs LATE in
+      // the sweep. Keep a debugging-sized window instead.
+      .config("spark.ui.retainedJobs", "50")
+      .config("spark.ui.retainedStages", "100")
+      .config("spark.ui.retainedTasks", "5000")
+      .config("spark.sql.ui.retainedExecutions", "25")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // q14 scratch: reap trees left by earlier rounds' random-suffix
@@ -180,9 +193,19 @@ object Bench {
 
     // optional args: bench only the named queries (debugging aid; the
     // driver invokes with no args -> all queries, sorted for stable
-    // warmup attribution)
-    val names =
-      if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
+    // warmup attribution). SPARK_GRAFT_BENCH_ORDER=reverse flips the
+    // full-suite order — the A/B that separates per-QUERY regressions
+    // from per-POSITION accumulation (VERDICT r14 #1: late-sweep GC
+    // inflation must follow the position, not the query, if it is
+    // accumulated JVM state).
+    val names = {
+      val base =
+        if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
+      if (args.isEmpty &&
+          sys.env.get("SPARK_GRAFT_BENCH_ORDER").contains("reverse"))
+        base.reverse
+      else base
+    }
 
     final case class QRes(name: String, sec: Double, min: Double,
                           runs: Seq[Double], ok: Boolean,

@@ -248,6 +248,8 @@ object SparkEntry {
       (graft.operators.UnigramLm.encodeQuery _),
     "qd72_unigram_lm2" ->
       (graft.operators.UnigramLm.emRound2 _),
+    "qd73_unigram_lm3" ->
+      (graft.operators.UnigramLm.emRound3 _),
     "qs46_composed_admission" ->
       (graft.streaming.Admission.composedAdmissionGate _),
   )
@@ -783,6 +785,9 @@ object SparkEntry {
     // qd72: EM round 2 — qd71's shared kept-vocab chain, then round
     // 1's M-step rules applied to the round-2 usage counts.
     "qd72_unigram_lm2" -> unigramLm2Sql,
+    // qd73: EM round 3 — one more kept-vocab chain + M-step; the
+    // 3-round driver loop (qd35's BPE twin at the unigram tier).
+    "qd73_unigram_lm3" -> unigramLm3Sql,
     // qs46: the composed admission verdict — the conjunction of the
     // three gate oracles (qs39 MinHash, qs44 edit, qs45 vector top-1
     // at the semantic threshold), one row per arrival.
@@ -4082,26 +4087,65 @@ object SparkEntry {
          |  FROM sc WHERE length(piece) > 1)""".stripMargin
     }
 
-    /** Round-1 kept vocabulary (`kv` = kept pieces at re-estimated
-      * scores, plus unused single chars at the OOV floor) and the
-      * pruned-vocab Viterbi chain over it (`fin2`) — the shared
-      * middle of qd71 (encode) and qd72 (round-2 EM): both segment
-      * the corpus under round 1's trained vocab; they differ only in
-      * what they aggregate from the segmentation.
+    /** Kept vocabulary of the round whose M-step tables are
+      * `sc`/`rk`/`tu` (suffixed), then the pruned-vocab Viterbi chain
+      * over it: kept pieces at re-estimated scores, plus every corpus
+      * single char the round never used at the OOV floor — exactly
+      * the operator's [[graft.operators.UnigramLm]] `vocabFrom`
+      * construction. Dropped pieces coalesce to the sentinel in the
+      * chain, mirroring the non-strict DP's map-miss skip.
       */
-    val keptVocabCtes: String =
-      s"""kv AS MATERIALIZED (
+    def kvChain(sfx: String, kvName: String, chainPrefix: String,
+                finName: String): String =
+      s"""$kvName AS MATERIALIZED (
          |  SELECT s.piece, s.new_unat AS unat
-         |  FROM sc s LEFT JOIN rk r ON s.piece = r.piece
+         |  FROM sc$sfx s LEFT JOIN rk$sfx r ON s.piece = r.piece
          |  WHERE length(s.piece) = 1 OR r.rn > r.nm // 5
          |  UNION ALL
          |  SELECT a.piece,
-         |    CAST(floor(ln(CAST(1 AS DOUBLE) / CAST(tu.t AS DOUBLE))
+         |    CAST(floor(ln(CAST(1 AS DOUBLE) / CAST(tu$sfx.t AS DOUBLE))
          |      * 1000000.0 + 0.5) AS BIGINT) AS unat
-         |  FROM (SELECT DISTINCT piece FROM pc WHERE length(piece) = 1) a, tu
-         |  WHERE a.piece NOT IN (SELECT piece FROM sc)),
-         |${chain("e", "kv", sentBig)},
-         |${fin("fin2", "e")}""".stripMargin
+         |  FROM (SELECT DISTINCT piece FROM pc WHERE length(piece) = 1) a,
+         |    tu$sfx
+         |  WHERE a.piece NOT IN (SELECT piece FROM sc$sfx)),
+         |${chain(chainPrefix, kvName, sentBig)},
+         |${fin(finName, chainPrefix)}""".stripMargin
+
+    /** One M-step over the segmentation in `finTbl`: usage counts,
+      * usage total, micro-nat re-scores, and the drop ranking —
+      * trainerCtes' `us`→`rk` block with suffixed names, reusable per
+      * round.
+      */
+    def mStep(finTbl: String, sfx: String): String =
+      s"""ug$sfx AS (SELECT piece, CAST(SUM(c) AS BIGINT) AS usage
+         |  FROM (SELECT unnest(string_split(seg, '|')) AS piece, c
+         |        FROM $finTbl)
+         |  GROUP BY 1),
+         |tu$sfx AS (SELECT CAST(SUM(usage) AS BIGINT) AS t FROM ug$sfx),
+         |sc$sfx AS MATERIALIZED (
+         |  SELECT g.piece, g.usage,
+         |    CAST(floor(ln(CAST(g.usage AS DOUBLE) / CAST(t.t AS DOUBLE))
+         |      * 1000000.0 + 0.5) AS BIGINT) AS new_unat
+         |  FROM ug$sfx g, tu$sfx t),
+         |rk$sfx AS (SELECT piece,
+         |    row_number() OVER (ORDER BY usage, piece) AS rn,
+         |    count(*) OVER () AS nm
+         |  FROM sc$sfx WHERE length(piece) > 1)""".stripMargin
+
+    /** The round's declared output: every used piece with its usage,
+      * re-estimated score, and the exact-integer keep verdict.
+      */
+    def roundSelect(sfx: String): String =
+      s"""SELECT s.piece, s.usage, s.new_unat,
+         |  (length(s.piece) = 1 OR r.rn > r.nm // 5) AS kept
+         |FROM sc$sfx s LEFT JOIN rk$sfx r ON s.piece = r.piece
+         |ORDER BY s.piece""".stripMargin
+
+    /** Round-1 kept vocabulary (`kv`) and the pruned-vocab chain over
+      * it (`fin2`) — the shared middle of qd71 (encode), qd72 (round-2
+      * EM) and qd73 (which chains once more).
+      */
+    val keptVocabCtes: String = kvChain("", "kv", "e", "fin2")
   }
 
   private lazy val unigramLmSql: String =
@@ -4155,22 +4199,23 @@ object SparkEntry {
   private lazy val unigramLm2Sql: String =
     s"""WITH ${UnigramSql.trainerCtes},
        |${UnigramSql.keptVocabCtes},
-       |ug2 AS (SELECT piece, CAST(SUM(c) AS BIGINT) AS usage
-       |  FROM (SELECT unnest(string_split(seg, '|')) AS piece, c FROM fin2)
-       |  GROUP BY 1),
-       |tu2 AS (SELECT CAST(SUM(usage) AS BIGINT) AS t FROM ug2),
-       |sc2 AS MATERIALIZED (
-       |  SELECT g.piece, g.usage,
-       |    CAST(floor(ln(CAST(g.usage AS DOUBLE) / CAST(tu2.t AS DOUBLE))
-       |      * 1000000.0 + 0.5) AS BIGINT) AS new_unat
-       |  FROM ug2 g, tu2),
-       |rk2 AS (SELECT piece, row_number() OVER (ORDER BY usage, piece) AS rn,
-       |    count(*) OVER () AS nm
-       |  FROM sc2 WHERE length(piece) > 1)
-       |SELECT s.piece, s.usage, s.new_unat,
-       |  (length(s.piece) = 1 OR r.rn > r.nm // 5) AS kept
-       |FROM sc2 s LEFT JOIN rk2 r ON s.piece = r.piece
-       |ORDER BY s.piece""".stripMargin
+       |${UnigramSql.mStep("fin2", "2")}
+       |${UnigramSql.roundSelect("2")}""".stripMargin
+
+  /** qd73 oracle: EM round 3 — qd72's whole chain (trainer, kept
+    * vocab, round-2 segmentation + M-step), then round 2's kept
+    * vocabulary drives a THIRD unrolled Viterbi and the same M-step
+    * rules over its usage. Every chain/shared CTE MATERIALIZED (the
+    * qd70 fence rule — three 16-step chains would otherwise
+    * re-evaluate exponentially).
+    */
+  private lazy val unigramLm3Sql: String =
+    s"""WITH ${UnigramSql.trainerCtes},
+       |${UnigramSql.keptVocabCtes},
+       |${UnigramSql.mStep("fin2", "2")},
+       |${UnigramSql.kvChain("2", "kv2", "g", "fin3")},
+       |${UnigramSql.mStep("fin3", "3")}
+       |${UnigramSql.roundSelect("3")}""".stripMargin
 
   /** qe25/qs45 oracle: exhaustive arrivals-vs-corpus cosine top-10 —
     * knnSql's construction over the src19 split (embedding↔doc pairing

@@ -250,28 +250,55 @@ object UnigramLm {
     * an unused char is unsegmentable, breaking the single-chars-
     * always-available invariant the pruned DP relies on.
     */
+  /** Kept vocabulary from one EM round's OUTPUT rows: kept pieces at
+    * their re-estimated scores, plus every corpus single char the
+    * round never USED re-floored at `floor(ln(1/totalUsage)·10⁶+0.5)`
+    * — the shared post-round construction every round of the driver
+    * loop applies before feeding the next (see [[keptVocab]]'s
+    * scaladoc for why the floor chars are required).
+    */
+  private def vocabFrom(s: SparkSession,
+                        rows: Array[org.apache.spark.sql.Row],
+                        allChars: Array[String]): Map[String, Long] = {
+    val kept = rows.filter(_.getAs[Boolean]("kept"))
+      .map(r => (r.getAs[String]("piece"), r.getAs[Long]("new_unat")))
+      .toMap
+    val used = rows.map(_.getAs[String]("piece")).toSet
+    val totU = rows.map(_.getAs[Long]("usage")).sum
+    val floorScore = s.sql(
+      "SELECT CAST(floor(ln(CAST(1 AS DOUBLE) / " +
+        s"CAST($totU AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)")
+      .collect()(0).getLong(0)
+    kept ++ allChars.filterNot(used).map(c => (c, floorScore))
+  }
+
+  private def corpusChars(s: SparkSession, dir: String): Array[String] =
+    wordFreq(Tables.documents(s, dir))
+      .select(explode(split(col("word"), "")).as("ch"))
+      .where(col("ch") =!= "")
+      .distinct().collect().map(_.getString(0))
+
   def keptVocab(s: SparkSession, dir: String): Map[String, Long] = {
     if (keptCache.size > 16) keptCache.clear()
     keptCache.computeIfAbsent(
       (dir, graft.io.ArtifactStore.tableStamp(dir, "documents")),
-      _ => {
-        val docs = Tables.documents(s, dir)
-        val rows = emStep(docs).collect()
-        val kept = rows.filter(_.getAs[Boolean]("kept"))
-          .map(r => (r.getAs[String]("piece"), r.getAs[Long]("new_unat")))
-          .toMap
-        val used = rows.map(_.getAs[String]("piece")).toSet
-        val totU = rows.map(_.getAs[Long]("usage")).sum
-        val floorScore = s.sql(
-          "SELECT CAST(floor(ln(CAST(1 AS DOUBLE) / " +
-            s"CAST($totU AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)")
-          .collect()(0).getLong(0)
-        val allChars = wordFreq(docs)
-          .select(explode(split(col("word"), "")).as("ch"))
-          .where(col("ch") =!= "")
-          .distinct().collect().map(_.getString(0))
-        kept ++ allChars.filterNot(used).map(c => (c, floorScore))
-      })
+      _ => vocabFrom(s, emStep(Tables.documents(s, dir)).collect(),
+        corpusChars(s, dir)))
+  }
+
+  private val kept2Cache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), Map[String, Long]]()
+
+  /** Round-2 trained vocabulary — [[vocabFrom]] over [[emRound2]]'s
+    * output, cached like [[keptVocab]] (the driver-loop chain: each
+    * round's application/trainer query amortizes every EARLIER round
+    * through the stamp caches and measures only its own round).
+    */
+  def kept2Vocab(s: SparkSession, dir: String): Map[String, Long] = {
+    if (kept2Cache.size > 16) kept2Cache.clear()
+    kept2Cache.computeIfAbsent(
+      (dir, graft.io.ArtifactStore.tableStamp(dir, "documents")),
+      _ => vocabFrom(s, emRound2(s, dir).collect(), corpusChars(s, dir)))
   }
 
   /** qd71 — tokenizer APPLICATION (the qd38 move for the unigram
@@ -344,9 +371,24 @@ object UnigramLm {
     * broadcast (bounded, round-1-pruned) vocab, map-side partial
     * aggregation of usage, and a vocab-grain ranked window.
     */
-  def emRound2(s: SparkSession, dir: String): DataFrame = {
+  def emRound2(s: SparkSession, dir: String): DataFrame =
+    emUnder(s, dir, keptVocab(s, dir))
+
+  /** qd73 — EM ROUND 3: the same step under round 2's vocabulary.
+    * With qd70 (round 1) and qd72 (round 2) this is the 3-round
+    * driver loop real SentencePiece training runs (qd35's 3-round BPE
+    * twin); rounds 1–2 amortize through the stamp caches so the query
+    * measures round-3 work.
+    */
+  def emRound3(s: SparkSession, dir: String): DataFrame =
+    emUnder(s, dir, kept2Vocab(s, dir))
+
+  /** One post-seed EM round under an already-trained vocabulary —
+    * the shared E/M body of rounds ≥ 2 (see [[emRound2]]).
+    */
+  private def emUnder(s: SparkSession, dir: String,
+                      vocab: Map[String, Long]): DataFrame = {
     import s.implicits._
-    val vocab = keptVocab(s, dir)
     val bc = s.sparkContext.broadcast(vocab)
     val usage = wordFreq(Tables.documents(s, dir))
       .select(col("word"), col("c")).as[(String, Long)]

@@ -1030,8 +1030,8 @@ class PlanSpec extends SparkSpec
         // broadcasts into vocab-grain projections (the qd22/qd23
         // class — both sides bounded by the piece table)
         "qd70_unigram_lm",
-        // qd72: round 2's usage total, same 1-row broadcast class
-        "qd72_unigram_lm2")
+        // qd72/qd73: rounds 2-3's usage totals, same 1-row class
+        "qd72_unigram_lm2", "qd73_unigram_lm3")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val p = plan(fn(spark, sf))
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian")

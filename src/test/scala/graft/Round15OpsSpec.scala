@@ -94,6 +94,24 @@ class Round15OpsSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("usage")).sum >= totalWords)
   }
 
+  test("qd73: round 3 runs under round 2's vocab; the loop converges sanely") {
+    val dir = "/root/testdata/sf0.001"
+    val out3 = UnigramLm.emRound3(spark, dir).collect()
+    val v2 = UnigramLm.kept2Vocab(spark, dir)
+    out3.foreach(r =>
+      assert(v2.contains(r.getAs[String]("piece")),
+        s"round 3 used a piece round 2 dropped: ${r.getAs[String]("piece")}"))
+    // same exact-integer drop rule, round 3
+    val multi = out3.filter(_.getAs[String]("piece").length > 1)
+    assert(multi.count(!_.getAs[Boolean]("kept")) == multi.length / 5)
+    // the loop PRUNES: the multi-char vocab shrinks (weakly) round
+    // over round — the SentencePiece convergence direction
+    val m2 = UnigramLm.emRound2(spark, dir).collect()
+      .count(_.getAs[String]("piece").length > 1)
+    assert(multi.length <= m2,
+      s"round-3 multi-char vocab $m2 -> ${multi.length} must not grow")
+  }
+
   test("qs46: composed verdict equals the conjunction of the three gates") {
     val dir = "/root/testdata/sf0.001"
     val composed = graft.streaming.Admission
