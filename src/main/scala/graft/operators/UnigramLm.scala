@@ -390,6 +390,13 @@ object UnigramLm {
                       vocab: Map[String, Long]): DataFrame = {
     import s.implicits._
     val bc = s.sparkContext.broadcast(vocab)
+    // the usage table is the SMALL RESULT of the round's one heavy
+    // pass (corpus scan -> word table -> DP) and feeds FOUR plan
+    // consumers (its own total, the scored projection, the drop
+    // ranking, and the final join) — without the eager checkpoint the
+    // lazy frame re-scans the corpus once per consumer (the qd70
+    // round-14 lesson, re-measured here: ExplainAudit showed 4 parquet
+    // scans). Checkpoint the vocab-grain result, not the corpus.
     val usage = wordFreq(Tables.documents(s, dir))
       .select(col("word"), col("c")).as[(String, Long)]
       .mapPartitions(_.flatMap { case (w, c) =>
@@ -397,6 +404,7 @@ object UnigramLm {
       })
       .toDF("piece", "uc")
       .groupBy("piece").agg(sum("uc").as("usage"))
+      .localCheckpoint()
     val totU = usage.agg(sum("usage").as("tu"))
     val scored = usage.crossJoin(broadcast(totU))
       .withColumn("new_unat",
