@@ -250,6 +250,7 @@ object SparkEntry {
       (graft.operators.UnigramLm.emRound2 _),
     "qd73_unigram_lm3" ->
       (graft.operators.UnigramLm.emRound3 _),
+    "qe27_hard_negatives" -> (TrainingOps.knnHardNegatives _),
     "qs46_composed_admission" ->
       (graft.streaming.Admission.composedAdmissionGate _),
   )
@@ -779,6 +780,10 @@ object SparkEntry {
     // over the lang='en' slice is the exact truth (queries
     // unfiltered, self excluded by id).
     "qe26_knn_filtered" -> knnFilteredSql,
+    // qe27 (hard negatives at full probe): candidates provably cover
+    // each anchor's whole different-lang slice, so the exhaustive
+    // complement top-10 is the exact truth.
+    "qe27_hard_negatives" -> hardNegativesSql,
     // qd71: the trainer chain re-run + the pruned-vocab second DP +
     // doc rollup (see unigramEncodeSql's scaladoc).
     "qd71_unigram_encode" -> unigramEncodeSql,
@@ -4326,6 +4331,31 @@ object SparkEntry {
        |  SELECT q.query_id, c.vec_id,
        |    ${dotSql("c.embedding", "q.q_emb")} / (c.nrm * q.q_nrm) AS sim
        |  FROM c, q WHERE c.vec_id <> q.query_id),
+       |r AS (SELECT query_id, vec_id, sim,
+       |        CAST(rank() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS INTEGER) AS rnk
+       |      FROM s)
+       |SELECT query_id, vec_id, rnk, sim FROM r WHERE rnk <= 10
+       |ORDER BY query_id, rnk, vec_id""".stripMargin
+  }
+
+  /** qe27 oracle: exhaustive different-lang top-10 per anchor — the
+    * hard-negative truth (the per-anchor complement predicate sits in
+    * the pair join, mirroring the operator's residual conjunct; full
+    * probe makes candidates ≡ each anchor's whole complement slice).
+    */
+  private val hardNegativesSql: String = {
+    val ids = graft.operators.TrainingOps.knnQueryIds.mkString(", ")
+    s"""WITH base AS (
+       |  SELECT e.vec_id, e.embedding,
+       |    sqrt(${dotSql("e.embedding", "e.embedding")}) AS nrm, d.lang
+       |  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id),
+       |q AS (SELECT vec_id AS query_id, embedding AS q_emb, nrm AS q_nrm,
+       |        lang AS q_lang
+       |      FROM base WHERE vec_id IN ($ids)),
+       |s AS (
+       |  SELECT q.query_id, b.vec_id,
+       |    ${dotSql("b.embedding", "q.q_emb")} / (b.nrm * q.q_nrm) AS sim
+       |  FROM base b, q WHERE b.lang <> q.q_lang),
        |r AS (SELECT query_id, vec_id, sim,
        |        CAST(rank() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS INTEGER) AS rnk
        |      FROM s)

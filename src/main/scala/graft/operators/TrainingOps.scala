@@ -1954,6 +1954,59 @@ object TrainingOps {
       .orderBy("query_id", "rnk", "vec_id")
   }
 
+  /** qe27 — HARD-NEGATIVE mining, the contrastive-training staple:
+    * for each anchor, the top-k most-similar corpus vectors whose
+    * paired doc carries a DIFFERENT lang label — the semantically
+    * nearest non-members, the negatives that actually teach a
+    * contrastive model (easy random negatives carry no gradient).
+    * Unlike qe26's static filter, the predicate is PER-ANCHOR
+    * (`lang != anchor.lang`): it rides the candidate join as a
+    * residual conjunct on the broadcast probe join, so each anchor
+    * ranks only its own complement pool IN-PLAN — a post-filter on an
+    * unfiltered top-k would underfill k exactly as qe26's spec
+    * proves for the static case. Self-exclusion is implied (the
+    * anchor shares its own lang). Declared at full probe, so
+    * candidates provably cover each anchor's whole complement slice
+    * for any centroids and the exhaustive different-lang top-10 is
+    * the oracle verbatim (the qe4/qe26 argument).
+    *
+    * Scale shape: one cell-assignment pass over the corpus (cached
+    * IVF model), lang attached by one doc-keyed equi-join, anchors
+    * broadcast with their probe explosion; at honest nProbe the same
+    * plan scans only probed cells.
+    */
+  def knnHardNegatives(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VecDot.register(s)
+    val emb = Tables.embeddings(s, dir)
+    val model = ivfModel(s, dir)
+    val langs = Tables.documents(s, dir)
+      .select(col("doc_id").as("vec_id"), col("lang"))
+    val corpus = Ivf.assignCells(emb, model)
+      .join(langs, "vec_id")
+      .select(col("vec_id"), col("embedding"), col("cluster"), col("lang"),
+        sqrt(graft.functions.VecDot.of(col("embedding"), col("embedding")))
+          .as("nrm"))
+    val q = emb.filter(col("vec_id").isin(knnQueryIds: _*))
+      .join(langs, "vec_id")
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("lang").as("q_lang"),
+        sqrt(graft.functions.VecDot.of(col("embedding"), col("embedding")))
+          .as("q_nrm"))
+      .withColumn("probe",
+        explode(typedLit(model.centroids.map(_._1).toSeq)))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("vec_id"))
+    corpus.join(broadcast(q),
+        col("cluster") === col("probe") && col("lang") =!= col("q_lang"))
+      .withColumn("sim",
+        graft.functions.VecDot.of(col("embedding"), col("q_emb"))
+          / (col("nrm") * col("q_nrm")))
+      .withColumn("rnk", rank().over(w).cast("int"))
+      .filter(col("rnk") <= 10)
+      .select("query_id", "vec_id", "rnk", "sim")
+      .orderBy("query_id", "rnk", "vec_id")
+  }
+
   /** qe17 — PageRank centrality over the similarity graph — see
     * [[GraphOps.knnPageRank]] (declared there; listed here for the
     * qe-family index).

