@@ -136,6 +136,19 @@ object Bench {
         graft.operators.VecAdmission.storedCells(spark, sfDir) }
       prebuild("vec_admit_codes_art") {
         graft.operators.VecAdmission.storedCodes(spark, sfDir) }
+      // qs47's calibrated operating point: the recall-ladder walk is
+      // part of index training (one per index generation — the
+      // bandGeometry precedent), so the gate measures the drain at
+      // the chosen config, not the calibration
+      prebuild("vec_calibrate") {
+        graft.operators.VecAdmission.calibrateOperatingPoint(
+          spark, sfDir, k = 10, targetRecall = 0.8) }
+      // qd75 reads the published next-generation edit index; the
+      // publish itself (one qd69 admission + two artifact writes) is
+      // this prebuild — the qd57 publish/read split
+      prebuild("edit_publish_art") {
+        graft.operators.EditJoin.publishedWindowIndex(spark, sfDir)
+        graft.operators.EditJoin.publishedSignatures(spark, sfDir) }
     }
 
     def median(xs: Seq[Double]): Double = {

@@ -253,19 +253,29 @@ object SparkEntry {
     "qe27_hard_negatives" -> (TrainingOps.knnHardNegatives _),
     "qs46_composed_admission" ->
       (graft.streaming.Admission.composedAdmissionGate _),
+    "qd74_unigram_fertility" ->
+      (graft.operators.UnigramLm.encode3ByLang _),
+    "qd75_edit_publish" ->
+      (graft.operators.EditJoin.editPublishQuery _),
+    "qs47_calibrated_admission" ->
+      (graft.streaming.Admission.calibratedAdmissionGate _),
   )
 
-  /** Queries intentionally without an oracle — EMPTY since round 5:
-    * qd6/qe2/qe3/qe4 graduated via oracle-parity configurations
-    * (threshold-0.9 near-dups and 1-bit-band LSH, where a qualifying
-    * pair escapes blocking with vanishing probability — <2e-4 for
-    * qd6, ~5e-7 for qe3, verified equal on the gate corpora; and
-    * full-probe IVF, which exactly equals brute force), and qd7 is
-    * declared in the portable 31-bit SimHash form whose every
-    * ingredient DuckDB recomputes exactly (the xxhash64 production
-    * variant stays spec-verified).
+  /** Queries intentionally without an oracle. Empty from rounds 5–15
+    * (qd6/qe2/qe3/qe4/qd7 all graduated via oracle-parity
+    * configurations — threshold-0.9 near-dups, 1-bit-band LSH,
+    * full-probe IVF, portable SimHash). qs47 is the one member since
+    * round 16: the composed admission drain at qe25's CALIBRATED
+    * (nProbe, shortlist) operating point, which is approximate BY
+    * DESIGN — its vector leg trades recall for probing ~nProbe/k of
+    * the corpus, so no exact SQL truth exists (VERDICT r15 #2 asked
+    * for exactly this honest-operating-point bench bar). Correctness
+    * is spec-level (CLAUDE.md contract): Round16OpsSpec pins the
+    * lexical legs EXACTLY equal to qs46's oracle-checked verdicts and
+    * floors the composed-verdict agreement and vector-leg top-1
+    * recall against the parity drain.
     */
-  def rowsOnly: Set[String] = Set.empty
+  def rowsOnly: Set[String] = Set("qs47_calibrated_admission")
 
   private val monthExpr =
     "substring(CAST(CAST(%s AS DATE) AS VARCHAR), 1, 7)"
@@ -793,6 +803,8 @@ object SparkEntry {
     // qd73: EM round 3 — one more kept-vocab chain + M-step; the
     // 3-round driver loop (qd35's BPE twin at the unigram tier).
     "qd73_unigram_lm3" -> unigramLm3Sql,
+    "qd74_unigram_fertility" -> unigramEncode3Sql,
+    "qd75_edit_publish" -> editPublishSql,
     // qs46: the composed admission verdict — the conjunction of the
     // three gate oracles (qs39 MinHash, qs44 edit, qs45 vector top-1
     // at the semantic threshold), one row per arrival.
@@ -4221,6 +4233,92 @@ object SparkEntry {
        |${UnigramSql.kvChain("2", "kv2", "g", "fin3")},
        |${UnigramSql.mStep("fin3", "3")}
        |${UnigramSql.roundSelect("3")}""".stripMargin
+
+  /** qd74 oracle: qd73's full trainer chain (rounds 1–3), then round
+    * 3's kept vocabulary drives a FOURTH unrolled Viterbi (the qd71
+    * encode pattern at the final vocab) and the per-word piece counts
+    * roll up through (doc, word) grain to per-LANGUAGE token
+    * accounting. Every chain/shared CTE MATERIALIZED (the qd70 fence
+    * rule — four 16-step chains re-evaluate exponentially otherwise).
+    */
+  private lazy val unigramEncode3Sql: String =
+    s"""WITH ${UnigramSql.trainerCtes},
+       |${UnigramSql.keptVocabCtes},
+       |${UnigramSql.mStep("fin2", "2")},
+       |${UnigramSql.kvChain("2", "kv2", "g", "fin3")},
+       |${UnigramSql.mStep("fin3", "3")},
+       |${UnigramSql.kvChain("3", "kv3", "h", "fin4")},
+       |pcount AS (SELECT word,
+       |    CAST(len(string_split(seg, '|')) AS BIGINT) AS np FROM fin4),
+       |dwc AS (
+       |  SELECT doc_id, word, CAST(count(*) AS BIGINT) AS n
+       |  FROM (SELECT doc_id,
+       |          unnest(string_split_regex(trim(text), '\\s+')) AS word
+       |        FROM documents WHERE length(trim(text)) > 0)
+       |  WHERE word <> '' GROUP BY 1, 2),
+       |agg AS (
+       |  SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_words,
+       |    CAST(SUM(n * np) AS BIGINT) AS n_pieces,
+       |    CAST(SUM(n * length(word)) AS BIGINT) AS n_chars
+       |  FROM dwc JOIN pcount USING (word) GROUP BY 1)
+       |SELECT lang, docs, n_words, n_pieces, n_chars,
+       |  CASE WHEN n_words = 0 THEN 1.0
+       |    ELSE CAST(n_pieces AS DOUBLE) / CAST(n_words AS DOUBLE)
+       |  END AS fertility
+       |FROM (
+       |  SELECT d.lang, CAST(count(*) AS BIGINT) AS docs,
+       |    CAST(SUM(COALESCE(a.n_words, 0)) AS BIGINT) AS n_words,
+       |    CAST(SUM(COALESCE(a.n_pieces, 0)) AS BIGINT) AS n_pieces,
+       |    CAST(SUM(COALESCE(a.n_chars, 0)) AS BIGINT) AS n_chars
+       |  FROM documents d LEFT JOIN agg a USING (doc_id)
+       |  GROUP BY d.lang)
+       |ORDER BY lang""".stripMargin
+
+  /** qd75 oracle: rebuild-on-the-grown-corpus truth for the published
+    * edit index. The admission chain (qd69's oracle prefilters +
+    * exhaustive threshold DP) decides which src19 docs were admitted;
+    * the grown corpus is everything else plus those survivors; each
+    * doc's signature fields and window count re-derive from the
+    * geometry constants (len, len div BucketWidth, and
+    * len−SegWidth+1 windows for docs long enough to emit any). A
+    * green hash therefore proves the STORE serves batch N+1 exactly
+    * the from-scratch index of the grown corpus (the qd57 claim).
+    */
+  private lazy val editPublishSql: String = {
+    val md = graft.operators.EditJoin.MaxDist
+    val segW = graft.operators.EditJoin.SegWidth
+    val bw = graft.operators.EditJoin.BucketWidth
+    val minWin = (md + 1) * segW - md
+    s"""WITH h AS (
+       |  SELECT doc_id, source, text, length(text) AS len,
+       |    [length(lt) - length(replace(lt, chr(c), ''))
+       |     FOR c IN [97,98,99,100,101,102,103,104,105,106,107,108,
+       |               109,110,111,112,113,114,115,116,117,118,119,
+       |               120,121,122,32,48,49,50,51,52,53,54,55,56,57]]
+       |      AS hist
+       |  FROM (SELECT doc_id, source, text, lower(text) AS lt
+       |        FROM documents)),
+       |cand AS MATERIALIZED (
+       |  SELECT a.doc_id AS did, a.text AS ta, b.text AS tb
+       |  FROM h a JOIN h b ON a.source = 'src19' AND b.source != 'src19'
+       |   AND abs(a.len - b.len) <= $md
+       |   AND list_sum(list_transform(list_zip(a.hist, b.hist),
+       |         x -> abs(x[1] - x[2]))) <= ${2 * md}),
+       |edd AS (SELECT DISTINCT did FROM cand
+       |        WHERE levenshtein(ta, tb) <= $md),
+       |grown AS (
+       |  SELECT doc_id, text FROM documents WHERE source <> 'src19'
+       |  UNION ALL
+       |  SELECT doc_id, text FROM documents
+       |  WHERE source = 'src19'
+       |    AND doc_id NOT IN (SELECT did FROM edd))
+       |SELECT doc_id, CAST(length(text) AS INTEGER) AS len,
+       |  CAST(length(text) // $bw AS BIGINT) AS bkt,
+       |  CAST(CASE WHEN length(text) >= $minWin
+       |    THEN length(text) - ${segW - 1} ELSE 0 END AS BIGINT)
+       |    AS n_windows
+       |FROM grown ORDER BY doc_id""".stripMargin
+  }
 
   /** qe25/qs45 oracle: exhaustive arrivals-vs-corpus cosine top-10 —
     * knnSql's construction over the src19 split (embedding↔doc pairing

@@ -466,4 +466,87 @@ object EditJoin {
         storedSignatures(spark, dir, corpus), batch, "doc_id", "text")
       .orderBy("doc_id")
   }
+
+  // ---- publish-back: the standing index GROWS (qd75) ---------------
+
+  /** The refresh loop's PUBLISH step for the edit index (the
+    * [[Dedup.publishRefresh]] move, VERDICT r15 #7): append the
+    * ADMITTED docs' window and signature rows to the standing
+    * artifacts, so batch N+1 probes an index that already contains
+    * batch N's survivors. Both index tables are PER-DOC derivations
+    * ([[slidingWindows]]/[[sigs]] emit rows from one doc at a time),
+    * so publish ∘ publish provably equals the one-shot rebuild on the
+    * union — no quotient argument needed, just row-set union
+    * (pinned across the parquet durability seam in Round16OpsSpec).
+    *
+    * Scale shape: O(admitted batch) derivation + two artifact
+    * appends; the standing side is never re-derived or re-shuffled.
+    */
+  def publishAdmitted(windex: DataFrame, csigs: DataFrame,
+                      admitted: DataFrame, idCol: String, textCol: String,
+                      maxDist: Int = MaxDist): (DataFrame, DataFrame) = {
+    val aSig = sigs(admitted, idCol, textCol)
+    (windex.unionByName(slidingWindows(aSig, maxDist)),
+      csigs.unionByName(aSig.select("_id", "_len", "_bkt", "_hist")))
+  }
+
+  /** The published (grown) index pair for the canonical split: the
+    * stored !src19 artifacts plus the src19 docs [[editAdmission]]
+    * ADMITS (is_dup = false — an arriving near-duplicate is rejected,
+    * not indexed). Built lazily inside the ArtifactStore closures so
+    * each artifact's builder runs at most once per (dir, stamp).
+    */
+  private def grownPair(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val docs = graft.core.Tables.table(s, dir, "documents")
+    val corpus = docs.filter(col("source") =!= "src19")
+    val windex = storedWindowIndex(s, dir, corpus)
+    val csigs = storedSignatures(s, dir, corpus)
+    val verdicts = editAdmission(corpus, windex, csigs,
+      docs.filter(col("source") === "src19"), "doc_id", "text")
+    val admitted = docs.filter(col("source") === "src19")
+      .join(verdicts.filter(!col("is_dup")).select("doc_id"), "doc_id")
+    publishAdmitted(windex, csigs, admitted, "doc_id", "text")
+  }
+
+  /** Published next-generation window index, durable through
+    * [[graft.io.ArtifactStore]] (the qd57 publish contract: what the
+    * store serves to batch N+1, storage roundtrip included).
+    */
+  def publishedWindowIndex(s: SparkSession, dir: String): DataFrame =
+    graft.io.ArtifactStore.parquetArtifact(
+      s, dir, "documents", "edit_windex_all", version = IndexVersion) {
+      grownPair(s, dir)._1
+    }
+
+  /** Published next-generation signature table, keyed like
+    * [[publishedWindowIndex]].
+    */
+  def publishedSignatures(s: SparkSession, dir: String): DataFrame =
+    graft.io.ArtifactStore.parquetArtifact(
+      s, dir, "documents", "edit_sigs_all", version = IndexVersion) {
+      grownPair(s, dir)._2
+    }
+
+  /** qd75 gate query — the published edit index summarized per doc:
+    * (doc_id, len, bkt, n_windows) read back from BOTH published
+    * artifacts. The DuckDB oracle recomputes the grown corpus from
+    * scratch (qd69's admission truth decides who was admitted) and
+    * re-derives each doc's signature fields and window count from the
+    * geometry constants — so a green hash proves the store serves
+    * exactly the rebuild-on-the-grown-corpus index to batch N+1 (the
+    * qd57 claim for the edit family).
+    */
+  def editPublishQuery(s: SparkSession, dir: String): DataFrame = {
+    val wc = publishedWindowIndex(s, dir)
+      .groupBy("_idb").agg(count(lit(1)).as("n_windows"))
+      .withColumnRenamed("_idb", "doc_id")
+    publishedSignatures(s, dir)
+      .select(col("_id").as("doc_id"), col("_len").as("len"),
+        col("_bkt").as("bkt"))
+      .join(wc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("len"), col("bkt"),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"))
+      .orderBy("doc_id")
+  }
 }

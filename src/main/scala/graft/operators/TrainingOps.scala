@@ -1975,7 +1975,22 @@ object TrainingOps {
     * broadcast with their probe explosion; at honest nProbe the same
     * plan scans only probed cells.
     */
-  def knnHardNegatives(s: SparkSession, dir: String): DataFrame = {
+  def knnHardNegatives(s: SparkSession, dir: String): DataFrame =
+    knnHardNegativesAt(s, dir, nProbe = Int.MaxValue)
+
+  /** [[knnHardNegatives]] at an explicit probe budget — the honest
+    * partial-probe operating point every other ANN family member
+    * carries (VERDICT r15 #3). At `nProbe >= model.k` this IS the
+    * declared full-probe query (literal probe explode, no centroid
+    * scoring — the qe25 move); below it, each anchor probes only its
+    * `nProbe` nearest cells and the recall@10 floor vs the full-probe
+    * truth is measured in Round16OpsSpec (hard negatives spread
+    * across MORE cells than same-lang neighbors — the complement
+    * pool's nearest members need not share the anchor's cell — so the
+    * floor is measured per-family, not borrowed from qe25's).
+    */
+  def knnHardNegativesAt(s: SparkSession, dir: String,
+                         nProbe: Int): DataFrame = {
     graft.functions.VecDot.register(s)
     val emb = Tables.embeddings(s, dir)
     val model = ivfModel(s, dir)
@@ -1986,14 +2001,22 @@ object TrainingOps {
       .select(col("vec_id"), col("embedding"), col("cluster"), col("lang"),
         sqrt(graft.functions.VecDot.of(col("embedding"), col("embedding")))
           .as("nrm"))
-    val q = emb.filter(col("vec_id").isin(knnQueryIds: _*))
+    val qBase = emb.filter(col("vec_id").isin(knnQueryIds: _*))
       .join(langs, "vec_id")
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         col("lang").as("q_lang"),
         sqrt(graft.functions.VecDot.of(col("embedding"), col("embedding")))
           .as("q_nrm"))
-      .withColumn("probe",
-        explode(typedLit(model.centroids.map(_._1).toSeq)))
+    val q =
+      if (nProbe >= model.k)
+        qBase.withColumn("probe",
+          explode(typedLit(model.centroids.map(_._1).toSeq)))
+      else
+        qBase.join(
+          Ivf.probeCells(emb.filter(col("vec_id").isin(knnQueryIds: _*)),
+              model, nProbe)
+            .withColumnRenamed("vec_id", "query_id"),
+          "query_id")
     val w = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("vec_id"))
     corpus.join(broadcast(q),

@@ -272,11 +272,24 @@ object UnigramLm {
     kept ++ allChars.filterNot(used).map(c => (c, floorScore))
   }
 
-  private def corpusChars(s: SparkSession, dir: String): Array[String] =
-    wordFreq(Tables.documents(s, dir))
-      .select(explode(split(col("word"), "")).as("ch"))
-      .where(col("ch") =!= "")
-      .distinct().collect().map(_.getString(0))
+  private val charsCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), Array[String]]()
+
+  /** Distinct corpus single chars (the OOV-floor union set), cached
+    * per (dir, documents stamp) like the vocab caches: every EM
+    * round's [[vocabFrom]] needs the same set, and uncached each call
+    * re-ran the full wordFreq corpus scan (3× across the round-1/2/3
+    * caches for one stamp — VERDICT r15 #5).
+    */
+  private def corpusChars(s: SparkSession, dir: String): Array[String] = {
+    if (charsCache.size > 16) charsCache.clear()
+    charsCache.computeIfAbsent(
+      (dir, graft.io.ArtifactStore.tableStamp(dir, "documents")),
+      _ => wordFreq(Tables.documents(s, dir))
+        .select(explode(split(col("word"), "")).as("ch"))
+        .where(col("ch") =!= "")
+        .distinct().collect().map(_.getString(0)))
+  }
 
   def keptVocab(s: SparkSession, dir: String): Map[String, Long] = {
     if (keptCache.size > 16) keptCache.clear()
@@ -299,6 +312,22 @@ object UnigramLm {
     kept2Cache.computeIfAbsent(
       (dir, graft.io.ArtifactStore.tableStamp(dir, "documents")),
       _ => vocabFrom(s, emRound2(s, dir).collect(), corpusChars(s, dir)))
+  }
+
+  private val kept3Cache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), Map[String, Long]]()
+
+  /** Round-3 trained vocabulary — [[vocabFrom]] over [[emRound3]]'s
+    * output, cached like [[keptVocab]]/[[kept2Vocab]]. This is the
+    * artifact the 3-round driver loop actually SHIPS (qd73 trains it);
+    * [[encode3ByLang]] (qd74) is its application pass — closing the
+    * train→apply loop at the final vocab (VERDICT r15 #4).
+    */
+  def kept3Vocab(s: SparkSession, dir: String): Map[String, Long] = {
+    if (kept3Cache.size > 16) kept3Cache.clear()
+    kept3Cache.computeIfAbsent(
+      (dir, graft.io.ArtifactStore.tableStamp(dir, "documents")),
+      _ => vocabFrom(s, emRound3(s, dir).collect(), corpusChars(s, dir)))
   }
 
   /** qd71 — tokenizer APPLICATION (the qd38 move for the unigram
@@ -421,5 +450,38 @@ object UnigramLm {
       .withColumn("kept", coalesce(col("kept"), lit(true)))
       .select("piece", "usage", "new_unat", "kept")
       .orderBy("piece")
+  }
+
+  /** qd74 — the SHIPPED tokenizer's audit: [[encode]] under the
+    * ROUND-3 trained vocabulary ([[kept3Vocab]] — the artifact the
+    * qd70→qd72→qd73 driver loop actually produces, which qd71's
+    * round-1 encode does not apply), rolled up to per-LANGUAGE token
+    * accounting — docs, word/piece/char totals, and fertility (pieces
+    * per word; the qd47 per-language audit at the unigram grain, the
+    * tokenizer↔corpus-mismatch signal a real tokenizer ships with).
+    *
+    * Scale shape is [[encode]]'s (one corpus scan to (doc, word)
+    * counts, a map-only DP per distinct word against the broadcast
+    * final vocab, one doc-keyed then one lang-keyed aggregate); the
+    * three training rounds amortize through the stamp caches so the
+    * query measures the application pass (the qd38/qd47 split).
+    * Wordless language groups pin fertility 1.0 (the qd38/qd71
+    * empty-doc convention lifted to the group grain).
+    */
+  def encode3ByLang(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    encode(docs, kept3Vocab(s, dir))
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("docs"),
+        sum("n_words").as("n_words"),
+        sum("n_pieces").as("n_pieces"),
+        sum("n_chars").as("n_chars"))
+      .select(col("lang"), col("docs"), col("n_words"), col("n_pieces"),
+        col("n_chars"),
+        when(col("n_words") === 0L, lit(1.0))
+          .otherwise(col("n_pieces").cast("double")
+            / col("n_words").cast("double")).as("fertility"))
+      .orderBy("lang")
   }
 }

@@ -257,8 +257,35 @@ object Admission {
     * index)), so the micro-batch union equals the one-shot batch run
     * and the three batch oracles compose verbatim.
     */
-  def composedAdmissionGate(s: SparkSession, dir: String): DataFrame = {
-    val outRoot = graft.io.Scratch.qs39Dir(dir) + "/composed_verdicts"
+  def composedAdmissionGate(s: SparkSession, dir: String): DataFrame =
+    composedAdmissionAt(s, dir, nProbe = Int.MaxValue,
+      shortlist = Int.MaxValue, outName = "composed_verdicts")
+
+  /** qs47 — the composed drain at qe25's CALIBRATED operating point
+    * (VERDICT r15 #2): identical plumbing to qs46, but the vector leg
+    * probes the cheapest (nProbe, shortlist) rung whose measured
+    * recall@10 reaches 0.8 ([[VecAdmission.calibrateOperatingPoint]],
+    * amortized per index generation like the models it sits beside) —
+    * the configuration a production gate actually runs, where the
+    * ADC shortlist genuinely cuts instead of merely ranking. The
+    * lexical legs are exact at any config, so only `vec_neighbor` /
+    * `vec_top_sim` can differ from qs46's parity verdicts; the
+    * agreement and top-1 floors are measured in Round16OpsSpec
+    * (the qe3/qe25 honest-operating-point precedent — this query is
+    * the one `SparkEntry.rowsOnly` member, approximate by design).
+    */
+  def calibratedAdmissionGate(s: SparkSession, dir: String): DataFrame = {
+    val (np, sl, _) =
+      graft.operators.VecAdmission.calibrateOperatingPoint(s, dir,
+        k = 10, targetRecall = 0.8)
+    composedAdmissionAt(s, dir, nProbe = np, shortlist = sl,
+      outName = "calibrated_verdicts")
+  }
+
+  private[graft] def composedAdmissionAt(s: SparkSession, dir: String,
+                                         nProbe: Int, shortlist: Int,
+                                         outName: String): DataFrame = {
+    val outRoot = graft.io.Scratch.qs39Dir(dir) + "/" + outName
     org.apache.commons.io.FileUtils
       .deleteQuietly(new java.io.File(outRoot))
     // standing state for all three gates, persisted for the drain's
@@ -304,7 +331,8 @@ object Admission {
                 col("embedding").as("q_emb"))
             val vecTop = VecAdmission.admit(arrivals, cells, codes,
                 corpusEmb, model, sq,
-                k = 1, nProbe = model.k, shortlist = Int.MaxValue)
+                k = 1, nProbe = math.min(nProbe, model.k),
+                shortlist = shortlist)
               .groupBy("query_id").agg(max("sim").as("vec_top_sim"))
               .withColumnRenamed("query_id", "doc_id")
             // a doc with no embedding has no vector verdict: the
