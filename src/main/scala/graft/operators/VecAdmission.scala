@@ -283,6 +283,81 @@ object VecAdmission {
       })
   }
 
+  // ---- publish-back: the standing vector index GROWS --------------
+
+  /** The vector tier's own admission verdict for index growth: an
+    * arrival folds into the next index generation iff its nearest
+    * corpus neighbor's cosine stays BELOW `threshold` (an arriving
+    * semantic near-duplicate is rejected, not indexed) — the
+    * [[graft.streaming.Admission.VecNeighborThreshold]] rule, decided
+    * at the parity config so the verdict is exact.
+    */
+  def admittedArrivals(s: SparkSession, dir: String,
+                       threshold: Double): DataFrame = {
+    val model = corpusModel(s, dir)
+    val dups = admit(arrivalEmb(s, dir), storedCells(s, dir),
+        storedCodes(s, dir), corpusEmb(s, dir), model, corpusSqModel(s, dir),
+        k = 1, nProbe = model.k, shortlist = Int.MaxValue)
+      .filter(col("sim") >= threshold)
+      .select(col("query_id").as("vec_id"))
+    split(s, dir, arrivals = true)
+      .join(dups, Seq("vec_id"), "left_anti")
+  }
+
+  /** The PUBLISH step for the vector index (the qd75/qd57 move at the
+    * vector tier, completing VERDICT r15 #7 for BOTH remaining
+    * families): the admitted arrivals' cell assignments and SQ8 codes
+    * appended to the standing artifacts, so batch N+1 probes an index
+    * that already contains batch N's survivors. The coarse quantizer
+    * and SQ grid stay FIXED across generations — exactly how a
+    * FAISS-style IVF index grows (add-without-retrain; retraining the
+    * quantizer is a re-index event, which the artifact stamp/version
+    * mechanism models) — so both index tables remain per-vector
+    * derivations under a constant model and publish ∘ publish
+    * provably equals the one-shot rebuild on the union (pinned across
+    * the parquet seam in Round16OpsSpec). Work is O(admitted batch):
+    * the standing side is never re-assigned, re-encoded, or
+    * re-shuffled.
+    */
+  def publishAdmitted(cells: DataFrame, codes: DataFrame,
+                      admitted: DataFrame, model: Ivf.IvfModel,
+                      sq: Sq.SqModel): (DataFrame, DataFrame) = {
+    graft.functions.VecDot.register(admitted.sparkSession)
+    val newCells = Ivf.assignCells(admitted, model)
+      .select(col("vec_id"), col("cluster"),
+        sqrt(graft.functions.VecDot.of(col("embedding"), col("embedding")))
+          .as("nrm"))
+    (cells.unionByName(newCells),
+      codes.unionByName(Sq.encodePacked(admitted, sq)))
+  }
+
+  /** Published next-generation cell table (standing corpus cells +
+    * the admitted src19 arrivals'), durable through ArtifactStore —
+    * what the store serves to batch N+1.
+    */
+  def publishedCells(s: SparkSession, dir: String): DataFrame =
+    graft.io.ArtifactStore.parquetArtifact(
+      s, dir, SourceTables, "vec_admit_cells_all",
+      version = IndexVersion) {
+      publishAdmitted(storedCells(s, dir), storedCodes(s, dir),
+        admittedArrivals(s, dir,
+          graft.streaming.Admission.VecNeighborThreshold),
+        corpusModel(s, dir), corpusSqModel(s, dir))._1
+    }
+
+  /** Published next-generation code table, keyed like
+    * [[publishedCells]].
+    */
+  def publishedCodes(s: SparkSession, dir: String): DataFrame =
+    graft.io.ArtifactStore.parquetArtifact(
+      s, dir, SourceTables, "vec_admit_codes_all",
+      version = IndexVersion) {
+      publishAdmitted(storedCells(s, dir), storedCodes(s, dir),
+        admittedArrivals(s, dir,
+          graft.streaming.Admission.VecNeighborThreshold),
+        corpusModel(s, dir), corpusSqModel(s, dir))._2
+    }
+
   /** qe25 gate query — the declared parity config (full probe + full
     * shortlist ≡ exhaustive corpus kNN for the arrivals; both
     * artifacts probed on the way).

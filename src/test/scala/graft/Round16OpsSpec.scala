@@ -142,6 +142,68 @@ class Round16OpsSpec extends SparkSpec {
     assert(sRows(s1).size > sRows(s0).size)
   }
 
+  // ---- vector-index publish-back (the qd75 move, vector tier) ------
+
+  test("vec publish ∘ publish ≡ rebuild under the fixed quantizer, through parquet") {
+    import graft.operators.{Ivf, Sq, VecAdmission}
+    val docs = graft.core.Tables.documents(spark, dir)
+    val emb = graft.core.Tables.embeddings(spark, dir)
+    def embOf(pred: org.apache.spark.sql.Column) =
+      emb.join(docs.where(pred).select(col("doc_id").as("vec_id")),
+        "vec_id").select("vec_id", "embedding")
+    val corpus0 = embOf(col("source") =!= "src18" &&
+      col("source") =!= "src19")
+    val b1 = embOf(col("source") === "src18")
+    val b2 = embOf(col("source") === "src19")
+    // gen-0 model, FIXED across generations (FAISS add-without-
+    // retrain; a re-train is a re-index event under a new stamp)
+    val model0 = Ivf.train(corpus0, k = 8, iters = 2)
+    val sq0 = Sq.train(corpus0)
+    // from-scratch derivation via an empty-index publish (keeps the
+    // spec on the public surface: publish over empty ≡ fresh build)
+    def derive(v: org.apache.spark.sql.DataFrame) = {
+      val emptyCells = v.limit(0).select(col("vec_id"),
+        lit(0).as("cluster"), lit(0.0).as("nrm"))
+      val emptyCodes = Sq.encodePacked(v.limit(0), sq0)
+      VecAdmission.publishAdmitted(emptyCells, emptyCodes, v, model0, sq0)
+    }
+    val (cells0, codes0) = derive(corpus0)
+    val (w1, c1) = VecAdmission.publishAdmitted(cells0, codes0, b1,
+      model0, sq0)
+    val d = tempDir("vecpub")
+    w1.write.parquet(s"$d/cells"); c1.write.parquet(s"$d/codes")
+    val (w2, c2) = VecAdmission.publishAdmitted(
+      spark.read.parquet(s"$d/cells"), spark.read.parquet(s"$d/codes"),
+      b2, model0, sq0)
+    val (wr, cr) = derive(corpus0.unionByName(b1).unionByName(b2))
+    def cRows(f: org.apache.spark.sql.DataFrame) =
+      f.orderBy("vec_id").collect().map(_.toSeq).toSeq
+    assert(cRows(w2) == cRows(wr))
+    assert(cRows(c2) == cRows(cr))
+    assert(cRows(w2).nonEmpty)
+  }
+
+  test("published vec artifacts = standing + admitted arrivals exactly") {
+    import graft.operators.VecAdmission
+    import graft.streaming.Admission
+    val standing = VecAdmission.storedCells(spark, dir)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val admitted = VecAdmission.admittedArrivals(spark, dir,
+        Admission.VecNeighborThreshold)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val published = VecAdmission.publishedCells(spark, dir)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(admitted.nonEmpty)
+    assert(published == standing ++ admitted)
+    val pubCodes = VecAdmission.publishedCodes(spark, dir)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(pubCodes == published)
+    // a rejected semantic near-dup exists OR every arrival was clean —
+    // either way the verdict split is the exact parity-config one
+    val arrivals = VecAdmission.arrivalEmb(spark, dir).count()
+    assert(admitted.size <= arrivals)
+  }
+
   // ---- qs47: the calibrated composed drain (VERDICT r15 #2) --------
 
   test("qs47: calibrated drain agrees with the parity drain (floors)") {
