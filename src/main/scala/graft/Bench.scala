@@ -220,15 +220,32 @@ object Bench {
       else base
     }
 
+    // Load evidence (rounds 15–16 lesson): two identically-launched
+    // idle sweeps differed 284 -> 362 s purely from EPISODIC co-tenant
+    // load, and the dispute burned a round of analysis because the
+    // record carried no environment sample. Every sweep now records
+    // the 1-minute loadavg per query (sampled at query start; the
+    // bench JVM itself contributes ~1-3 under local[32]) plus sweep
+    // pre/post, so a hot reading is attributable from the detail JSON
+    // alone. /proc/loadavg is Linux-only; absent → -1, never a throw.
+    def loadAvg: Double =
+      try {
+        val src = scala.io.Source.fromFile("/proc/loadavg")
+        try src.getLines().next().split(" ")(0).toDouble
+        finally src.close()
+      } catch { case _: Throwable => -1.0 }
+    val loadPre = loadAvg
+
     final case class QRes(name: String, sec: Double, min: Double,
                           runs: Seq[Double], ok: Boolean,
                           writeSecs: Seq[Double], gcMs: Long, heapMb: Long,
-                          rddsLeft: Int)
+                          rddsLeft: Int, load: Double)
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
       var ok = true
       val writeSecs = scala.collection.mutable.ArrayBuffer.empty[Double]
       interQueryReset()
+      val load0 = loadAvg
       val gc0 = gcMillis
       val runs = (1 to repeats).map { i =>
         if (i > 1) interRunReset()
@@ -258,8 +275,9 @@ object Bench {
           f"  gc ${gcMs}%5d ms  heap ${heapMb}%6d MB  rdds $rddsLeft%3d" +
           (if (ok) "" else "  FAILED"))
       QRes(name, med, runs.min, runs, ok, writeSecs.toSeq, gcMs, heapMb,
-        rddsLeft)
+        rddsLeft, load0)
     }
+    val loadPost = loadAvg
 
     // Locale.ROOT: f"%.4f" uses the JVM default locale, and a comma
     // decimal separator would corrupt the driver-contract JSON line
@@ -270,7 +288,8 @@ object Bench {
     val details = results.map { r =>
       s""""${r.name}":{"median":${jd(r.sec)},"min":${jd(r.min)},""" +
         s""""runs":[${r.runs.map(jd).mkString(",")}],"ok":${r.ok},""" +
-        s""""gc_ms":${r.gcMs},"heap_mb":${r.heapMb},"rdds":${r.rddsLeft}}"""
+        s""""gc_ms":${r.gcMs},"heap_mb":${r.heapMb},"rdds":${r.rddsLeft},""" +
+        s""""load":${jd(r.load)}}"""
     }.mkString("{", ",", "}")
     val phases = results.find(r => r.name.startsWith("q14") && r.writeSecs.nonEmpty)
       .map { r =>
@@ -289,6 +308,7 @@ object Bench {
     val json = s"""{"metric":"total","value":$total,"unit":"sec"""" +
       s""","queries":$qs,"details":$details,"phases":{$phases}""" +
       s""","prebuilds":$prebuilds""" +
+      s""","load":{"pre":${jd(loadPre)},"post":${jd(loadPost)}}""" +
       s""","failures":$failures,"ok":$allOk,"runs":$repeats,"sf":"$sfDir"}"""
     // full per-query detail goes to the file; stdout gets ONLY a
     // compact summary line. The driver's stdout tail capture is ~2 KB
