@@ -144,11 +144,19 @@ object Bench {
         graft.operators.VecAdmission.calibrateOperatingPoint(
           spark, sfDir, k = 10, targetRecall = 0.8) }
       // qd75 reads the published next-generation edit index; the
-      // publish itself (one qd69 admission + two artifact writes) is
-      // this prebuild — the qd57 publish/read split
+      // publish itself (ONE qd69 admission materialized as the
+      // stored-verdicts artifact + two O(batch) artifact derivations,
+      // VERDICT r16 #2) is this prebuild — the qd57 publish/read split
       prebuild("edit_publish_art") {
         graft.operators.EditJoin.publishedWindowIndex(spark, sfDir)
         graft.operators.EditJoin.publishedSignatures(spark, sfDir) }
+      // qd76 probes the published GEN-1 index with the gen-2 batch;
+      // the gen-1 admission + publish is index maintenance (same
+      // split as edit_publish_art), so the gate measures the gen-2
+      // probe of a grown index — the sequential claim's read side
+      prebuild("edit_gen1_publish_art") {
+        graft.operators.EditJoin.publishedGen1WindowIndex(spark, sfDir)
+        graft.operators.EditJoin.publishedGen1Signatures(spark, sfDir) }
     }
 
     def median(xs: Seq[Double]): Double = {
@@ -228,12 +236,15 @@ object Bench {
     // bench JVM itself contributes ~1-3 under local[32]) plus sweep
     // pre/post, so a hot reading is attributable from the detail JSON
     // alone. /proc/loadavg is Linux-only; absent → -1, never a throw.
+    // NonFatal only (ADVICE r16): a missing /proc or parse failure
+    // must degrade to -1, but InterruptedException/OOM/linkage errors
+    // must not be swallowed into a silent bogus sample
     def loadAvg: Double =
       try {
         val src = scala.io.Source.fromFile("/proc/loadavg")
         try src.getLines().next().split(" ")(0).toDouble
         finally src.close()
-      } catch { case _: Throwable => -1.0 }
+      } catch { case scala.util.control.NonFatal(_) => -1.0 }
     val loadPre = loadAvg
 
     final case class QRes(name: String, sec: Double, min: Double,

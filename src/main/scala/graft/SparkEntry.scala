@@ -259,6 +259,12 @@ object SparkEntry {
       (graft.operators.EditJoin.editPublishQuery _),
     "qs47_calibrated_admission" ->
       (graft.streaming.Admission.calibratedAdmissionGate _),
+    "qd76_edit_seq_admission" ->
+      (graft.operators.EditJoin.editSeqAdmissionQuery _),
+    "qd77_curation_pipeline" ->
+      (graft.operators.Curation.pipelineReport _),
+    "qs48_seq_publish_gate" ->
+      (graft.streaming.Admission.seqPublishGate _),
   )
 
   /** Queries intentionally without an oracle. Empty from rounds 5–15
@@ -805,6 +811,21 @@ object SparkEntry {
     "qd73_unigram_lm3" -> unigramLm3Sql,
     "qd74_unigram_fertility" -> unigramEncode3Sql,
     "qd75_edit_publish" -> editPublishSql,
+    // qd76: the two-generation SEQUENTIAL admission truth (gen-2
+    // candidates meet corpus ∪ gen-1 survivors) — the published-index
+    // probe's oracle; qs48 is the same semantics on the streaming
+    // arrival path (generation-ordered micro-batches with per-batch
+    // publish), so it shares the oracle verbatim — INCLUDING the gen
+    // column, which pins the file source's modification-time batch
+    // order (a flipped drain order would mislabel gen and fail).
+    "qd76_edit_seq_admission" -> editSeqSql,
+    "qs48_seq_publish_gate" -> editSeqSql,
+    // qd77: the five stage oracles (qd34 quality, qd13/qd44
+    // components + reps, qd14 decontamination, qd31 temperature
+    // sample, qd43 card) chained as MATERIALIZED CTEs; the edge set
+    // rides the exact gram-equi-join Jaccard (identical to the
+    // list_intersect form, relational speed).
+    "qd77_curation_pipeline" -> curationPipelineSql,
     // qs46: the composed admission verdict — the conjunction of the
     // three gate oracles (qs39 MinHash, qs44 edit, qs45 vector top-1
     // at the semantic threshold), one row per arrival.
@@ -4319,6 +4340,225 @@ object SparkEntry {
        |    AS n_windows
        |FROM grown ORDER BY doc_id""".stripMargin
   }
+
+  /** qd76/qs48 oracle: the SEQUENTIAL two-generation edit-admission
+    * truth. Generation 1 (even src19 doc_ids) is admitted against the
+    * corpus exactly as editAdmissionSql does; the GROWN side (corpus ∪
+    * gen-1 survivors) then receives generation 2 (odd src19 doc_ids)
+    * through the same prefiltered-exhaustive chain. Batch-2 verdicts
+    * therefore depend on batch-1 outcomes — the order-DEPENDENT
+    * composition the order-free per-gate oracles cannot express
+    * (VERDICT r16 #1/#4). Every shared/chained CTE is MATERIALIZED
+    * (the qd67 DP fence + qd70 inlining rule).
+    */
+  private lazy val editSeqSql: String = {
+    val md = graft.operators.EditJoin.MaxDist
+    val hist =
+      """[length(lt) - length(replace(lt, chr(c), ''))
+        |     FOR c IN [97,98,99,100,101,102,103,104,105,106,107,108,
+        |               109,110,111,112,113,114,115,116,117,118,119,
+        |               120,121,122,32,48,49,50,51,52,53,54,55,56,57]]""".stripMargin
+    // gen split: portable fingerprint of the doc_id's decimal digits,
+    // mod 2 — qd36's list_reduce construction verbatim (digits are
+    // ASCII so codepoints == bytes)
+    val gfp =
+      """list_reduce(list_transform(
+        |      string_split(CAST(doc_id AS VARCHAR), ''),
+        |      c -> CAST(unicode(c) AS BIGINT)),
+        |      (acc, x) -> (acc * 31 + x) % 2147483647) % 2""".stripMargin
+    s"""WITH h AS MATERIALIZED (
+       |  SELECT doc_id, source, text, length(text) AS len,
+       |    $gfp AS gpar,
+       |    $hist
+       |      AS hist
+       |  FROM (SELECT doc_id, source, text, lower(text) AS lt
+       |        FROM documents)),
+       |cand1 AS MATERIALIZED (
+       |  SELECT a.doc_id AS did, b.doc_id AS cid, a.text AS ta,
+       |    b.text AS tb
+       |  FROM h a JOIN h b ON a.source = 'src19' AND a.gpar = 0
+       |   AND b.source != 'src19'
+       |   AND abs(a.len - b.len) <= $md
+       |   AND list_sum(list_transform(list_zip(a.hist, b.hist),
+       |         x -> abs(x[1] - x[2]))) <= ${2 * md}),
+       |v1 AS (SELECT did, cid,
+       |    CAST(levenshtein(ta, tb) AS INTEGER) AS ed FROM cand1),
+       |best1 AS (SELECT did, cid, ed,
+       |    row_number() OVER (PARTITION BY did ORDER BY ed, cid) AS rn
+       |  FROM v1 WHERE ed <= $md),
+       |ver1 AS MATERIALIZED (
+       |  SELECT d.doc_id, b.cid AS dup_of, b.ed AS edit_dist,
+       |    b.cid IS NOT NULL AS is_dup
+       |  FROM h d
+       |  LEFT JOIN (SELECT * FROM best1 WHERE rn = 1) b
+       |    ON d.doc_id = b.did
+       |  WHERE d.source = 'src19' AND d.gpar = 0),
+       |hg AS MATERIALIZED (
+       |  SELECT * FROM h WHERE source <> 'src19'
+       |  UNION ALL
+       |  SELECT h.* FROM h JOIN ver1 ON h.doc_id = ver1.doc_id
+       |  WHERE NOT ver1.is_dup),
+       |cand2 AS MATERIALIZED (
+       |  SELECT a.doc_id AS did, b.doc_id AS cid, a.text AS ta,
+       |    b.text AS tb
+       |  FROM h a JOIN hg b ON a.source = 'src19' AND a.gpar = 1
+       |   AND abs(a.len - b.len) <= $md
+       |   AND list_sum(list_transform(list_zip(a.hist, b.hist),
+       |         x -> abs(x[1] - x[2]))) <= ${2 * md}),
+       |v2 AS (SELECT did, cid,
+       |    CAST(levenshtein(ta, tb) AS INTEGER) AS ed FROM cand2),
+       |best2 AS (SELECT did, cid, ed,
+       |    row_number() OVER (PARTITION BY did ORDER BY ed, cid) AS rn
+       |  FROM v2 WHERE ed <= $md),
+       |ver2 AS (
+       |  SELECT d.doc_id, b.cid AS dup_of, b.ed AS edit_dist,
+       |    b.cid IS NOT NULL AS is_dup
+       |  FROM h d
+       |  LEFT JOIN (SELECT * FROM best2 WHERE rn = 1) b
+       |    ON d.doc_id = b.did
+       |  WHERE d.source = 'src19' AND d.gpar = 1)
+       |SELECT doc_id, CAST(1 AS INTEGER) AS gen, dup_of, edit_dist,
+       |  is_dup FROM ver1
+       |UNION ALL
+       |SELECT doc_id, CAST(2 AS INTEGER) AS gen, dup_of, edit_dist,
+       |  is_dup FROM ver2
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** qd77 oracle: the end-to-end curation pipeline — the five stage
+    * oracles chained as MATERIALIZED CTEs over the non-src0 pool
+    * (src0 is the held-out benchmark). The near-dup edge set uses the
+    * exact gram-equi-join Jaccard ci/(|A|+|B|−ci) — identical values
+    * to the list_intersect form (both count distinct shared grams)
+    * at relational speed; the component walk / representative /
+    * quota constructions are the qd13/qd44/qd31 oracles verbatim,
+    * re-seeded from each stage's survivor set.
+    */
+  private val curationPipelineSql: String =
+    """WITH RECURSIVE toks AS (
+      |  SELECT doc_id, list_filter(string_split(
+      |    regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+      |    t -> t != '') AS t
+      |  FROM documents),
+      |sh AS MATERIALIZED (
+      |  SELECT doc_id, list_distinct(
+      |    CASE WHEN len(t) >= 3 THEN list_transform(range(1, len(t) - 1),
+      |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+      |         ELSE [array_to_string(t, ' ')] END) AS s
+      |  FROM toks),
+      |pool AS (SELECT * FROM documents WHERE source <> 'src0'),
+      |p AS (SELECT source,
+      |    CAST(floor(quantile_cont(n_chars, 0.05) * 1000000.0 + 0.5)
+      |      AS BIGINT) / 1000000.0 AS p05,
+      |    CAST(floor(quantile_cont(n_chars, 0.95) * 1000000.0 + 0.5)
+      |      AS BIGINT) / 1000000.0 AS p95
+      |  FROM pool GROUP BY source),
+      |c AS (SELECT doc_id, row_number() OVER (
+      |    PARTITION BY text ORDER BY doc_id) AS rn FROM pool),
+      |tkc AS (SELECT doc_id,
+      |    CASE WHEN length(trim(text)) = 0 THEN 0 ELSE
+      |      CAST(len(regexp_split_to_array(trim(text), '\s+'))
+      |        AS INTEGER) END AS n_tokens
+      |  FROM pool),
+      |kept AS MATERIALIZED (
+      |  SELECT d.doc_id FROM pool d
+      |  JOIN p ON d.source = p.source
+      |  JOIN c ON d.doc_id = c.doc_id
+      |  JOIN tkc ON d.doc_id = tkc.doc_id
+      |  WHERE c.rn = 1 AND d.n_chars >= p.p05 AND d.n_chars <= p.p95
+      |    AND tkc.n_tokens >= 30),
+      |kg AS MATERIALIZED (
+      |  SELECT sh.doc_id, len(sh.s) AS sz, unnest(sh.s) AS g
+      |  FROM sh JOIN kept USING (doc_id)),
+      |e AS (SELECT a.doc_id AS src, b.doc_id AS dst
+      |  FROM kg a JOIN kg b ON a.g = b.g AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id, a.sz, b.sz
+      |  HAVING CAST(count(*) AS DOUBLE)
+      |    / CAST(a.sz + b.sz - count(*) AS DOUBLE) >= 0.9),
+      |edges AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+      |walk(id, lbl) AS (
+      |  SELECT doc_id, doc_id FROM kept
+      |  UNION
+      |  SELECT edges.dst, walk.lbl FROM walk JOIN edges ON edges.src = walk.id),
+      |cl AS (SELECT id AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster
+      |  FROM walk GROUP BY id),
+      |lab AS (SELECT cl.doc_id, cl.cluster, d.n_chars
+      |  FROM cl JOIN documents d USING (doc_id)),
+      |rep AS (SELECT cluster, doc_id AS rep_id,
+      |    row_number() OVER (PARTITION BY cluster
+      |      ORDER BY n_chars DESC, doc_id) AS rn FROM lab),
+      |reps AS MATERIALIZED (SELECT rep_id AS doc_id FROM rep WHERE rn = 1),
+      |g5 AS MATERIALIZED (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    range(1, len(t) - 3), i -> array_to_string(t[i:i+4], ' ')))) AS g
+      |  FROM toks WHERE len(t) >= 5),
+      |bg AS MATERIALIZED (
+      |  SELECT DISTINCT g5.g
+      |  FROM g5 JOIN documents d USING (doc_id) WHERE d.source = 'src0'),
+      |cg AS (SELECT g5.doc_id, g5.g FROM g5 JOIN reps USING (doc_id)),
+      |contaminated AS (SELECT DISTINCT doc_id FROM cg JOIN bg USING (g)),
+      |clean AS MATERIALIZED (SELECT doc_id FROM reps
+      |  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+      |cd AS MATERIALIZED (
+      |  SELECT d.* FROM documents d JOIN clean USING (doc_id)),
+      |fp AS (SELECT doc_id, lang,
+      |    CAST(CASE WHEN length(text) = 0 THEN 0 ELSE
+      |      list_reduce(list_transform(string_split(text, ''),
+      |        ch -> CAST(unicode(ch) AS BIGINT)),
+      |        (acc, x) -> (acc * 31 + x) % 2147483647) END
+      |      AS BIGINT) AS f
+      |  FROM cd),
+      |sq AS (SELECT lang, count(*) AS n_docs,
+      |    CAST(floor(sqrt(count(*)) * 1e6) AS BIGINT) AS w
+      |  FROM cd GROUP BY lang),
+      |qt AS (SELECT lang,
+      |    CAST((20 * w) // SUM(w) OVER () AS BIGINT) AS quota FROM sq),
+      |rk AS (SELECT doc_id, lang, row_number() OVER (
+      |    PARTITION BY lang ORDER BY f, doc_id) AS rn FROM fp),
+      |samp AS MATERIALIZED (
+      |  SELECT rk.doc_id FROM rk JOIN qt USING (lang) WHERE rn <= quota),
+      |fl AS MATERIALIZED (
+      |  SELECT d.source, d.lang, d.text, d.n_chars,
+      |    kept.doc_id IS NOT NULL AS is_kept,
+      |    reps.doc_id IS NOT NULL AS is_rep,
+      |    clean.doc_id IS NOT NULL AS is_clean,
+      |    samp.doc_id IS NOT NULL AS is_samp
+      |  FROM pool d
+      |  LEFT JOIN kept ON d.doc_id = kept.doc_id
+      |  LEFT JOIN reps ON d.doc_id = reps.doc_id
+      |  LEFT JOIN clean ON d.doc_id = clean.doc_id
+      |  LEFT JOIN samp ON d.doc_id = samp.doc_id),
+      |ag AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n_input,
+      |    CAST(SUM(CASE WHEN is_kept THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_kept,
+      |    CAST(SUM(CASE WHEN is_rep THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_reps,
+      |    CAST(SUM(CASE WHEN is_clean THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_clean,
+      |    CAST(SUM(CASE WHEN is_samp THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_sampled,
+      |    CAST(SUM(CASE WHEN is_samp THEN
+      |      CASE WHEN length(trim(text)) = 0 THEN 0 ELSE
+      |        len(regexp_split_to_array(trim(text), '\s+')) END
+      |      ELSE 0 END) AS BIGINT) AS total_tokens,
+      |    CAST(count(DISTINCT CASE WHEN is_samp THEN lang END) AS BIGINT)
+      |      AS n_langs,
+      |    CAST(SUM(CASE WHEN is_samp THEN n_chars END) AS BIGINT)
+      |      AS chars_s
+      |  FROM fl GROUP BY source),
+      |tl AS (SELECT source, lang AS top_lang,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY count(*) DESC, lang) AS rn
+      |  FROM fl WHERE is_samp GROUP BY source, lang)
+      |SELECT ag.source, n_input, n_kept, n_reps, n_clean, n_sampled,
+      |  total_tokens, n_langs, t2.top_lang,
+      |  CASE WHEN n_sampled > 0
+      |    THEN CAST(chars_s AS DOUBLE) / CAST(n_sampled AS DOUBLE)
+      |  END AS avg_chars
+      |FROM ag LEFT JOIN (SELECT * FROM tl WHERE rn = 1) t2
+      |  ON ag.source = t2.source
+      |ORDER BY ag.source""".stripMargin
 
   /** qe25/qs45 oracle: exhaustive arrivals-vs-corpus cosine top-10 —
     * knnSql's construction over the src19 split (embedding↔doc pairing

@@ -1,0 +1,142 @@
+package graft.operators
+
+import graft.core.Tables
+import graft.functions.TextFns
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The END-TO-END curation pipeline (qd77, VERDICT r16 #3): the
+  * composition the reference's whole value proposition is
+  * (`main.py:31-449` chains ingest → conform → enrich → mart in one
+  * run), re-expressed over the LLM-data tier — every stage an
+  * already-oracle-checked operator, composed in ONE declared query so
+  * interface mismatches between them (column names, filter
+  * conventions, which frame a stage expects) are caught by a single
+  * hash, not just by each stage's own gate.
+  *
+  * Stages, in the order a production data pipeline runs them:
+  *
+  *  1. QUALITY GATE (qd34 semantics via
+  *     [[TrainingOps.curationVerdictOn]]): exact-dup canonicality +
+  *     per-source length band + token floor over the POOL (every
+  *     source except src0 — src0 is the held-out benchmark, qd14's
+  *     framing, and must never enter the training mix).
+  *  2. KEEP-BEST NEAR-DUP DEDUP (qd13 + qd44): MinHash-banded
+  *     near-dup pairs over the kept docs, connected components, keep
+  *     each cluster's longest member ([[TrainingOps.representativesOn]]).
+  *     Banding at the declared 1-bit-band geometry equals exact
+  *     0.9-Jaccard on the gate corpora (qd6's argument; per-doc
+  *     signatures are subset-stable, so the equality carries to the
+  *     kept subset).
+  *  3. DECONTAMINATION (qd14's doc-flag semantics at qd66's span
+  *     grain): drop survivors sharing any word 5-gram with the src0
+  *     benchmark ([[Dedup.wordGrams]] on both sides, benchmark grams
+  *     broadcast). 3-grams are declared-qd14 but too promiscuous for
+  *     the COMPOSED pipeline (at sf0.1 every rep shares some 3-gram
+  *     with the 500-doc benchmark — measured clean = 0, a vacuous
+  *     tail); token 5-grams keep both verdict classes live at both
+  *     gate scales (2 / 132 contaminated docs at sf0.01 / sf0.1).
+  *  4. TEMPERATURE SAMPLE (qd31 semantics,
+  *     [[TrainingOps.temperatureSample]]): sqrt-temperature language
+  *     quotas over the clean survivors, target 20 — small enough
+  *     that the stage genuinely cuts at both gate scales (the qd28
+  *     rule: qd31's 250 target would keep every clean doc).
+  *  5. DATA CARD (qd43 semantics): one row per source with each
+  *     stage's survivor count and the qd43 card fields computed over
+  *     the SAMPLED set — the release report a curation run ships.
+  *
+  * Scale shape: no stage adds a corpus exchange beyond its own gate's
+  * (quality is one window + broadcast percentiles; dedup is the
+  * banded equi-join family; decon is a broadcast gram semi-join;
+  * sample is one per-stratum window; the card one groupBy(source)).
+  * The stage id-sets are bytes-small (ids only) and broadcast into
+  * the flag join.
+  *
+  * Oracle: the five stage oracles chained as MATERIALIZED CTEs (the
+  * qd67/qd70 fence rule), with the component edge set computed by the
+  * exact gram-equi-join Jaccard (ci/(|A|+|B|−ci) — identical to
+  * list_intersect semantics, 140× faster than the all-pairs list
+  * fold at sf0.1).
+  */
+object Curation {
+
+  /** Declared gate form: pool = every non-src0 source, sample target
+    * 20 (see class doc).
+    */
+  def pipelineReport(s: SparkSession, dir: String): DataFrame =
+    pipelineReportOn(Tables.documents(s, dir), target = 20L)
+
+  /** The composed pipeline over any documents-schema frame. */
+  def pipelineReportOn(docs: DataFrame, target: Long): DataFrame = {
+    val pool = docs.filter(col("source") =!= "src0")
+
+    // 1. quality gate — per-doc verdicts, keep the `kept` conjunction
+    val keptIds = TrainingOps.curationVerdictOn(pool)
+      .filter(col("kept")).select("doc_id")
+    val keptDocs = pool.join(keptIds, "doc_id")
+
+    // 2. near-dup components over the kept docs, keep-longest rep
+    val pairs = Dedup.minhashNearDups(keptDocs, "doc_id", "text",
+      threshold = 0.9)
+    val labels = Dedup.dupClusters(keptDocs, pairs, "doc_id")
+      .select(col("id").as("doc_id"), col("cluster"))
+    val repIds = TrainingOps.representativesOn(labels,
+        keptDocs.select("doc_id", "n_chars"))
+      .filter(col("is_rep")).select("doc_id")
+
+    // 3. decontaminate the reps against the src0 benchmark 5-grams
+    val benchGrams = Dedup.wordGrams(
+        docs.filter(col("source") === "src0"), "doc_id", "text", k = 5)
+      .select("g").distinct()
+    val repDocs = pool.join(repIds, "doc_id")
+    val contaminated = Dedup.wordGrams(repDocs, "doc_id", "text", k = 5)
+      .join(broadcast(benchGrams), "g")
+      .select("doc_id").distinct()
+    val cleanDocs = repDocs.join(contaminated, Seq("doc_id"), "left_anti")
+
+    // 4. temperature-scaled language mixture over the clean survivors
+    val sampledIds = TrainingOps.temperatureSample(cleanDocs, "lang",
+      target).select("doc_id")
+
+    // 5. per-source data card + per-stage survivor counts. One flag
+    // frame, one groupBy(source); card fields condition on `sampled`
+    // so the report describes what the pipeline SHIPS.
+    val flags = pool
+      .join(keptIds.withColumn("_kept", lit(1)), Seq("doc_id"), "left")
+      .join(repIds.withColumn("_rep", lit(1)), Seq("doc_id"), "left")
+      .join(cleanDocs.select("doc_id").withColumn("_clean", lit(1)),
+        Seq("doc_id"), "left")
+      .join(sampledIds.withColumn("_samp", lit(1)), Seq("doc_id"), "left")
+    val agg = flags.groupBy("source").agg(
+      count(lit(1)).as("n_input"),
+      sum(when(col("_kept").isNotNull, 1L).otherwise(0L)).as("n_kept"),
+      sum(when(col("_rep").isNotNull, 1L).otherwise(0L)).as("n_reps"),
+      sum(when(col("_clean").isNotNull, 1L).otherwise(0L)).as("n_clean"),
+      sum(when(col("_samp").isNotNull, 1L).otherwise(0L)).as("n_sampled"),
+      sum(when(col("_samp").isNotNull,
+        TextFns.tokenCount(col("text")).cast("long")).otherwise(0L))
+        .as("total_tokens"),
+      countDistinct(when(col("_samp").isNotNull, col("lang")))
+        .as("n_langs"),
+      sum(when(col("_samp").isNotNull, col("n_chars"))).as("_chars"))
+    // majority language of the SAMPLED slice per source (count desc,
+    // lexicographic tie-break — qd43's convention); NULL when a
+    // source ships nothing
+    val wl = Window.partitionBy("source")
+      .orderBy(col("cnt").desc, col("lang"))
+    val top = flags.filter(col("_samp").isNotNull)
+      .groupBy("source", "lang").agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(wl))
+      .filter(col("rn") === 1)
+      .select(col("source"), col("lang").as("top_lang"))
+    agg.join(top, Seq("source"), "left")
+      .select(col("source"), col("n_input"), col("n_kept"), col("n_reps"),
+        col("n_clean"), col("n_sampled"), col("total_tokens"),
+        col("n_langs"), col("top_lang"),
+        when(col("n_sampled") > 0,
+          col("_chars").cast("double") / col("n_sampled").cast("double"))
+          .as("avg_chars"))
+      .orderBy("source")
+  }
+}

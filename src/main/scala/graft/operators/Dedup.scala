@@ -1198,6 +1198,22 @@ object Dedup {
       trainTok, covered)
   }
 
+  /** Distinct (doc_id, g) k-token gram rows — [[anchoredGrams]]'
+    * span-grain derivation exposed at doc-FLAG grain (qd77's
+    * decontamination stage: a doc sharing any k-token gram with the
+    * benchmark is dropped whole; k = 5 there — the 3-gram containment
+    * qd14 declares is too promiscuous for a composed pipeline at
+    * growing sf, where nearly every doc shares some 3-gram with a
+    * 10×-larger benchmark, while token 5-grams keep both verdict
+    * classes live at sf0.01 AND sf0.1; production pipelines run 8-13).
+    * Docs with fewer than k tokens emit no grams (they cannot carry a
+    * k-token quote — the qd66 convention, no whole-doc fallback).
+    */
+  def wordGrams(docs: DataFrame, idCol: String, textCol: String,
+                k: Int): DataFrame =
+    anchoredGrams(posTokens(docs, idCol, textCol), k)
+      .select("doc_id", "g").distinct()
+
   /** The qd66 declared form: 8-token spans (qd53's grain), src0 as
     * the benchmark slice (qd14's convention) — the gate corpus plants
     * long shifted-offset repeats that cross the src0 boundary, so the

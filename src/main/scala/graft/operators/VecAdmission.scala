@@ -331,6 +331,43 @@ object VecAdmission {
       codes.unionByName(Sq.encodePacked(admitted, sq)))
   }
 
+  /** Version stamp for the PUBLISHED artifacts (survivors + grown
+    * cell/code tables) — separate from [[IndexVersion]] because
+    * their builders additionally bake in the ADMISSION decision:
+    * bump on any change to the [[admit]] pipeline, to
+    * [[admittedArrivals]]'s rule, or to
+    * [[graft.streaming.Admission.VecNeighborThreshold]] — besides
+    * everything [[IndexVersion]] covers (the published rows are
+    * [[Ivf.assignCells]]/[[Sq.encodePacked]] derivations under the
+    * same models, so a model/build bump must bump BOTH constants).
+    * v2: the publish chain moved to the stored-survivors derivation
+    * (one exact admission per (dir, stamps), VERDICT r16 #2).
+    */
+  private val PublishVersion = 2
+
+  /** Stored survivor ids for the src19 arrival batch — the ONE place
+    * the exact (full-probe, full-shortlist) admission executes per
+    * (dir, stamps): both published artifacts derive their admitted
+    * set from THIS bytes-small table instead of re-running the probe
+    * (VERDICT r16 #2 / ADVICE r16: the previous builders each ran
+    * the full admittedArrivals chain, discarding half the pair).
+    */
+  def storedSurvivors(s: SparkSession, dir: String): DataFrame =
+    graft.io.ArtifactStore.parquetArtifact(
+      s, dir, SourceTables, "vec_admit_survivors",
+      version = PublishVersion) {
+      admittedArrivals(s, dir,
+        graft.streaming.Admission.VecNeighborThreshold)
+        .select("vec_id")
+    }
+
+  /** The survivor embeddings: stored ids joined back to the float
+    * table — an O(batch) equi-join, no admission re-run.
+    */
+  private def survivorEmb(s: SparkSession, dir: String): DataFrame =
+    split(s, dir, arrivals = true)
+      .join(storedSurvivors(s, dir), "vec_id")
+
   /** Published next-generation cell table (standing corpus cells +
     * the admitted src19 arrivals'), durable through ArtifactStore —
     * what the store serves to batch N+1.
@@ -338,10 +375,9 @@ object VecAdmission {
   def publishedCells(s: SparkSession, dir: String): DataFrame =
     graft.io.ArtifactStore.parquetArtifact(
       s, dir, SourceTables, "vec_admit_cells_all",
-      version = IndexVersion) {
+      version = PublishVersion) {
       publishAdmitted(storedCells(s, dir), storedCodes(s, dir),
-        admittedArrivals(s, dir,
-          graft.streaming.Admission.VecNeighborThreshold),
+        survivorEmb(s, dir),
         corpusModel(s, dir), corpusSqModel(s, dir))._1
     }
 
@@ -351,10 +387,9 @@ object VecAdmission {
   def publishedCodes(s: SparkSession, dir: String): DataFrame =
     graft.io.ArtifactStore.parquetArtifact(
       s, dir, SourceTables, "vec_admit_codes_all",
-      version = IndexVersion) {
+      version = PublishVersion) {
       publishAdmitted(storedCells(s, dir), storedCodes(s, dir),
-        admittedArrivals(s, dir,
-          graft.streaming.Admission.VecNeighborThreshold),
+        survivorEmb(s, dir),
         corpusModel(s, dir), corpusSqModel(s, dir))._2
     }
 

@@ -282,6 +282,122 @@ object Admission {
       outName = "calibrated_verdicts")
   }
 
+  /** qs48 — the STREAMING publish-back twin (VERDICT r16 #4): one
+    * drain over a GENERATION-ORDERED landing (gen-1 = even src19
+    * doc_ids in the older file, gen-2 = odd in the newer; the file
+    * source processes files in modification-time order, which the
+    * shared oracle pins — a flipped order would mislabel the `gen`
+    * column and fail the hash). Each micro-batch is admitted against
+    * the CURRENT standing edit index, its verdicts land in the
+    * idempotent per-batch-id sink, and its survivors are PUBLISHED
+    * into the standing state before the next batch — read back from
+    * the sink just written, the hand-off a production pipeline
+    * actually runs (verdict log feeds index growth, qd57's loop on
+    * the arrival path).
+    *
+    * Unlike qs39/qs44/qs45 this composition is order-DEPENDENT
+    * across batches (batch 2's candidate set includes batch 1's
+    * survivors), so it shares qd76's SEQUENTIAL oracle rather than
+    * the order-free batch ones; Round17OpsSpec pins the crafted-
+    * corpus flip case the gate corpora cannot exhibit.
+    *
+    * Scale shape: standing gen-0 artifacts persist for the drain's
+    * lifetime; the published growth rides bytes-small DELTA frames
+    * (survivor windows/signatures/texts, eagerly localCheckpoint'd
+    * per batch) unioned onto the standing side — the corpus-scale
+    * state is never re-derived, re-shuffled, or re-checkpointed per
+    * batch.
+    */
+  def seqPublishGate(s: SparkSession, dir: String): DataFrame = {
+    val outRoot = graft.io.Scratch.qs39Dir(dir) + "/seq_verdicts"
+    org.apache.commons.io.FileUtils
+      .deleteQuietly(new java.io.File(outRoot))
+    val docs0 = Tables.documents(s, dir)
+    val corpus = docs0.where(isCorpus)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val windex = EditJoin.storedWindowIndex(s, dir, corpus)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val csigs = EditJoin.storedSignatures(s, dir, corpus)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // published growth: bytes-small deltas over the persisted gen-0
+    // standing state (schemas seeded from the artifacts' own)
+    var deltaDocs = corpus.select(col("doc_id"), col("text")).limit(0)
+    var deltaW = windex.limit(0)
+    var deltaS = csigs.limit(0)
+    val landing = landGenBatchesJsonl(s, dir)
+    try EventStream.withShufflePartitions(s, 8) {
+      val stream = s.readStream
+        .schema(graft.ingest.JsonlIngest.DocSchema)
+        .option("maxFilesPerTrigger", 1)
+        .json(landing)
+      val q = stream.writeStream
+        .foreachBatch { (df: DataFrame, batchId: Long) =>
+          val curDocs = corpus.select(col("doc_id"), col("text"))
+            .unionByName(deltaDocs)
+          val v = EditJoin.editAdmission(curDocs,
+              windex.unionByName(deltaW), csigs.unionByName(deltaS),
+              df, "doc_id", "text")
+            .withColumn("gen", lit(batchId + 1).cast("int"))
+            .select("doc_id", "gen", "dup_of", "edit_dist", "is_dup")
+          v.write.mode("overwrite").parquet(s"$outRoot/batch=$batchId")
+          // sequential publish: survivors from the sink just written
+          // fold into the standing state BEFORE the next batch
+          val admitted = df.join(
+            s.read.parquet(s"$outRoot/batch=$batchId")
+              .filter(!col("is_dup")).select("doc_id"), "doc_id")
+          val (nw, ns) = EditJoin.publishAdmitted(deltaW, deltaS,
+            admitted, "doc_id", "text")
+          deltaW = nw.localCheckpoint()
+          deltaS = ns.localCheckpoint()
+          deltaDocs = deltaDocs
+            .unionByName(admitted.select("doc_id", "text"))
+            .localCheckpoint()
+          ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally {
+      corpus.unpersist(blocking = false)
+      windex.unpersist(blocking = false)
+      csigs.unpersist(blocking = false)
+    }
+    s.read.parquet(outRoot)
+      .select("doc_id", "gen", "dup_of", "edit_dist", "is_dup")
+      .orderBy("doc_id")
+  }
+
+  /** qs48's landing: exactly two JSONL files, one per generation
+    * ([[graft.operators.EditJoin.genBatch]]'s parity split), with
+    * mtimes 120 s apart so the file source's modification-time order
+    * is the generation order. One file per gen (vs qs39's
+    * repartition(4)): the sequential semantics NEEDS batch boundaries
+    * aligned to generations — this is the declared split, not an
+    * arbitrary one.
+    */
+  private def landGenBatchesJsonl(s: SparkSession, dir: String): String =
+    graft.io.Scratch.stampedOnce(dir, graft.io.Scratch.qs39Dir(dir),
+        // v2: genBatch moved to fingerprint parity
+        "seq_landing", "documents", version = 2) { landing =>
+      val docs = Tables.documents(s, dir)
+      val t0 = System.currentTimeMillis - 600000L
+      Seq(1, 2).foreach { gen =>
+        val tmp = new java.io.File(landing, s"_tmp_gen$gen")
+        EditJoin.genBatch(docs, gen)
+          .coalesce(1)
+          .select(to_json(struct(col("doc_id"), col("text"), col("lang"),
+            col("source"), col("n_chars"))).as("value"))
+          .write.mode("overwrite").text(tmp.getAbsolutePath)
+        val part = Option(tmp.listFiles()).getOrElse(Array.empty)
+          .find(f => f.getName.startsWith("part-")).get
+        val dst = new java.io.File(landing, s"gen$gen.json")
+        java.nio.file.Files.move(part.toPath, dst.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        org.apache.commons.io.FileUtils.deleteQuietly(tmp)
+        dst.setLastModified(t0 + gen * 120000L): Unit
+      }
+    }
+
   private[graft] def composedAdmissionAt(s: SparkSession, dir: String,
                                          nProbe: Int, shortlist: Int,
                                          outName: String): DataFrame = {
