@@ -2001,7 +2001,11 @@ object TrainingOps {
       .select(col("vec_id"), col("embedding"), col("cluster"), col("lang"),
         sqrt(graft.functions.VecDot.of(col("embedding"), col("embedding")))
           .as("nrm"))
-    val qBase = emb.filter(col("vec_id").isin(knnQueryIds: _*))
+    // ONE definition of the query slice (ADVICE r16: the partial-probe
+    // branch re-stated the id predicate — a second tiny scan, and a
+    // drift trap if the predicate ever changes in one place only)
+    val qEmb = emb.filter(col("vec_id").isin(knnQueryIds: _*))
+    val qBase = qEmb
       .join(langs, "vec_id")
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         col("lang").as("q_lang"),
@@ -2013,8 +2017,7 @@ object TrainingOps {
           explode(typedLit(model.centroids.map(_._1).toSeq)))
       else
         qBase.join(
-          Ivf.probeCells(emb.filter(col("vec_id").isin(knnQueryIds: _*)),
-              model, nProbe)
+          Ivf.probeCells(qEmb, model, nProbe)
             .withColumnRenamed("vec_id", "query_id"),
           "query_id")
     val w = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
