@@ -314,6 +314,22 @@ class PlanSpec extends SparkSpec
       "corpus index must be read from the stored artifact: " + p)
   }
 
+  test("qd76: gen-2 admission probes the PUBLISHED gen-1 artifacts, never cartesian") {
+    // NOTE: building this frame materializes the gen-1 verdict +
+    // published artifacts at sf0.001 (the qd69/qp4 precedent)
+    val p = plan(graft.operators.EditJoin.editSeqAdmissionQuery(spark, sf))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "index probe and band path must stay equi-joins: " + p)
+    assert(p.contains("levenshtein") && p.contains("Some(12)"),
+      "verify must be the threshold (banded-DP) levenshtein form: " + p)
+    // the gen-2 probe's corpus side must be the PUBLISHED gen-1
+    // artifacts (gen-0 ∪ survivors), not the gen-0 trees and not a
+    // re-derivation — the sequential claim's read side
+    assert(p.contains("edit_windex_g1") && p.contains("edit_sigs_g1"),
+      "gen-2 must probe the published gen-1 artifacts: " + p)
+  }
+
   test("qe25: admission probes stored artifacts, never cartesian") {
     // NOTE: building this frame materializes the cell/code artifacts
     // at sf0.001 (the declared query's contract, qd69 precedent)
