@@ -399,7 +399,13 @@ object Dedup {
     // the verify's pair list); without materialization each one
     // re-runs the batch MinHash shuffle + the standing-index join.
     // Pair-sized — eager checkpoint, the usual small-result move.
-    val crossRaw = bandFrame(batchSh)
+    // Batch-derived sides carry EXPLICIT broadcast hints (round 17,
+    // guide §3.1 — the editAdmission note): the qs39/qs46 drains hand
+    // this a stats-free foreachBatch frame, and without the hints the
+    // planner shuffle-joined the STANDING band index against the
+    // batch bands once per micro-batch. The corpus side is only ever
+    // streamed; results are unchanged (join strategy only).
+    val crossRaw = broadcast(bandFrame(batchSh))
       .join(corpusBands.withColumnRenamed("doc_id", "doc_b"),
         Seq("band_idx", "band_hash"))
       .select(col("doc_id").as("doc_a"), col("doc_b"))
@@ -407,13 +413,14 @@ object Dedup {
     val cross = if (materialize) crossRaw.localCheckpoint() else crossRaw
     val candCorpusIds = cross.select(col("doc_b").as("doc_id")).distinct()
     val corpusSh = shingleFrame(
-      corpusDocs.join(candCorpusIds, Seq("doc_id"), "left_semi"),
+      corpusDocs.join(broadcast(candCorpusIds), Seq("doc_id"), "left_semi"),
       "doc_id", "text")
-    val dupOf = jaccardOver(batchSh.unionAll(corpusSh), cross)
+    val dupOf = jaccardOver(batchSh.unionAll(corpusSh), broadcast(cross))
       .filter(col("jaccard") >= threshold)
       .groupBy(col("doc_a").as("doc_id"))
       .agg(min("doc_b").as("dup_of"))
-    val outRaw = batchDocs.select("doc_id").join(dupOf, Seq("doc_id"), "left")
+    val outRaw = batchDocs.select("doc_id")
+      .join(broadcast(dupOf), Seq("doc_id"), "left")
       .select(col("doc_id"), col("dup_of"),
         col("dup_of").isNotNull.as("is_dup"))
     if (!materialize) return outRaw

@@ -110,6 +110,20 @@ object Ivf {
     emb.select(col("vec_id"),
       explode(nearestCentroids(model, n)).as("probe"))
 
+  /** Every cell id with its probe RANK per vector — the FULL sorted
+    * list [[probeCells]] takes its length-`n` prefix of, evaluated
+    * once: `probeCells(emb, model, n)` ≡ `rankedProbeCells(emb,
+    * model).filter(_pr < n)` because [[nearestCentroids]] slices the
+    * same deterministic (sim, -id) sort (IvfSpec pins the prefix
+    * equality). Exists so ladder walks (the qs47 calibration) pay the
+    * interpreted centroid-scoring HOF ONE pass instead of one per
+    * rung — guide §1.2 "per-task work", round 17.
+    */
+  private[operators] def rankedProbeCells(emb: DataFrame,
+                                          model: IvfModel): DataFrame =
+    emb.select(col("vec_id"),
+      posexplode(nearestCentroids(model, model.k)).as(Seq("_pr", "probe")))
+
   /** Column: array of the `n` nearest centroid ids to `embedding`. */
   private def nearestCentroids(model: IvfModel, n: Int)
       : org.apache.spark.sql.Column = {

@@ -2227,6 +2227,12 @@ object TrainingOps {
     */
   def annQuality(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
+    // truth feeds four recallRows legs; the redundant brute passes
+    // were A/B-tested behind a localCheckpoint in round 17 and the
+    // checkpointed form measured SLOWER (2.43 -> 2.63 s at sf0.1:
+    // the eager barrier serializes truth before the legs, while the
+    // redundant subtrees overlap inside one job on 32 cores) — left
+    // recomputed on purpose; at 100 TB persist it across the legs.
     val truth = Similarity.bruteForceKnn(emb, knnQueryIds, 10)
       .select("query_id", "vec_id")
     val ham = Similarity.hammingKnnFrom(hammingSigs(s, dir), knnQueryIds, 50)
